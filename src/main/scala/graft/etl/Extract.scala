@@ -1,0 +1,126 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's whole extract pipeline, Spark-first.
+  *
+  * Reference surface covered (SURVEY §2A):
+  *  - A1/A3 JDBC range scan (`extractor.go:41-112`): [[jdbcRangeRead]] —
+  *    Spark's partitioned JDBC read generates the identical
+  *    `pk >= x AND pk < y` stride predicates per partition.
+  *  - A4 MIN/MAX planning query (`extractor.go:195-211`): [[keyBounds]].
+  *  - A5 range partitioner with 10 000-key strides and `max+1` tail
+  *    (`extractor.go:270-287`): [[stridePlan]] (driver-side math) and
+  *    [[stridePlanDf]] (distributed, used by the oracle query).
+  *  - A7 type-normalize `[]byte → string` (`extractor.go:100-104`):
+  *    [[normalizeBinary]].
+  *  - A8 stringify-all (`tmp/df_extractor.go:119-125`): [[stringifyAll]].
+  *  - A10/A11 batched Snappy parquet sink (`extractor.go:114-193`):
+  *    [[writeParquet]] — `maxRecordsPerFile` replaces the hand-rolled
+  *    100k-row batcher; Spark writes columnar pages natively (no
+  *    row→JSON hop, A9 deliberately not replicated).
+  *  - A12 shard fan-in (`extractor.go:233-236`): [[unionShards]].
+  *  - A13 table-job driver (`extractor.go:34-39`): [[TableJob]] / [[runJob]].
+  */
+final case class TableJob(
+    tableName: String,
+    output: String,
+    primaryKey: String,
+    url: String,                 // JDBC url for DB sources, or a file path
+    format: String = "jdbc",     // jdbc | parquet | csv | json
+    stride: Long = 10000L,       // reference stride: extractor.go:270
+    maxRecordsPerFile: Long = 100000L, // reference batch: extractor.go:119
+    declaredSchema: Option[StructType] = None,
+    properties: java.util.Properties = new java.util.Properties())
+
+object Extract {
+
+  /** A5 stride math (driver-side): half-open [start, end) slices of
+    * `stride` keys; final slice end = max+1 so the max row is included
+    * (reference tail fix-up extractor.go:276-278). */
+  def stridePlan(minKey: Long, maxKey: Long, stride: Long): Seq[(Long, Long)] = {
+    require(stride > 0, "stride must be positive")
+    if (maxKey < minKey) Seq.empty
+    else {
+      val starts = minKey to maxKey by stride
+      starts.map(s => (s, if (s + stride > maxKey) maxKey + 1 else s + stride))
+    }
+  }
+
+  /** A4: MIN/MAX of the primary key. On JDBC sources Catalyst pushes
+    * this aggregate down to the remote DB (spark.sql.jdbc.pushDownAggregate),
+    * exactly like the reference's `SELECT MIN(pk), MAX(pk)`. */
+  def keyBounds(df: DataFrame, pk: String): (Long, Long) = {
+    val row = df.agg(min(col(pk)).cast("long"), max(col(pk)).cast("long")).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** A1: partitioned JDBC scan. numPartitions = ceil(span/stride) keeps
+    * parity with the reference's 10 000-key slices; cap it so concurrent
+    * connections stay bounded (the reference's 20-slot semaphore maps to
+    * a partition cap, not hand-rolled concurrency). */
+  def jdbcRangeRead(spark: SparkSession, job: TableJob,
+      lower: Long, upper: Long, maxConnections: Int = 20): DataFrame = {
+    val span = upper - lower + 1
+    val wanted = math.max(1L, (span + job.stride - 1) / job.stride)
+    val numPartitions = math.min(wanted, maxConnections.toLong).toInt
+    spark.read.jdbc(job.url, job.tableName, job.primaryKey,
+      lower, upper, numPartitions, job.properties)
+  }
+
+  /** A7: coerce every BinaryType column to StringType (UTF-8), leave the
+    * rest untouched — the reference's one semantic transform. */
+  def normalizeBinary(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map {
+      case StructField(n, BinaryType, _, _) => col(n).cast(StringType).as(n)
+      case StructField(n, _, _, _)          => col(n)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** A8: the commented prototype's stringify-all projection. */
+  def stringifyAll(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).cast(StringType).as(c)).toIndexedSeq: _*)
+
+  /** Validate/coerce a dynamically-scanned frame against a declared sink
+    * schema (schema-fixed sink over schema-dynamic scan, SURVEY §1.3). */
+  def conformTo(df: DataFrame, schema: StructType): DataFrame = {
+    val have = df.columns.toSet
+    val missing = schema.fieldNames.filterNot(have)
+    require(missing.isEmpty, s"scan is missing declared columns: ${missing.mkString(",")}")
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+  }
+
+  /** A10/A11: Snappy parquet sink with bounded file sizes. */
+  def writeParquet(df: DataFrame, path: String, maxRecordsPerFile: Long = 100000L,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** A12: shard fan-in by name (schemas must agree, as in the reference
+    * where both shards declare the same table). */
+  def unionShards(shards: Seq[DataFrame]): DataFrame =
+    shards.reduce(_.unionByName(_, allowMissingColumns = false))
+
+  /** A13: run one job end-to-end (source → normalize → conform → sink). */
+  def runJob(spark: SparkSession, job: TableJob): Unit = {
+    val raw = job.format match {
+      case "jdbc" =>
+        val bounds = keyBounds(
+          spark.read.jdbc(job.url, job.tableName, job.properties), job.primaryKey)
+        jdbcRangeRead(spark, job, bounds._1, bounds._2)
+      case "parquet" => spark.read.parquet(job.url)
+      case "csv"     => spark.read.option("header", "true").csv(job.url)
+      case "json"    => spark.read.json(job.url)
+      case other     => throw new IllegalArgumentException(s"unknown format: $other")
+    }
+    val normalized = normalizeBinary(raw)
+    val conformed = job.declaredSchema.map(conformTo(normalized, _)).getOrElse(normalized)
+    writeParquet(conformed, job.output, job.maxRecordsPerFile)
+  }
+}

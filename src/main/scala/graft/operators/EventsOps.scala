@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the `events` table, batch form. The same
+  * plans run unchanged as Structured Streaming queries (see
+  * graft.streaming.Streaming + the batch/stream parity tests); the
+  * DuckDB oracles pin the window semantics.
+  *
+  * Scale notes: tumbling/sliding windows are plain groupBy shuffles on
+  * (window, key) — unbounded in key cardinality, bounded state. Session
+  * windows shuffle on user_id; Spark's session_window merges in-partition.
+  */
+object EventsOps {
+
+  val qs: Seq[Q] = Seq(
+    // Tumbling 1-hour windows. Spark's window() starts are epoch-aligned,
+    // identical to DuckDB time_bucket for hour-aligned buckets.
+    Q("q37_events_tumbling",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events) e
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+
+    // Sliding windows (1 hour, slide 30 min): each event lands in the
+    // two windows starting at floor30(ts) and floor30(ts)-30min.
+    Q("q38_events_sliding",
+      """SELECT win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' AS win_start,
+        |             event_type, value
+        |      FROM (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events) e
+        |      CROSS JOIN (VALUES (0), (1)) offs(o)) t
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+
+    // Session windows (5-minute gap) per user: a new session starts when
+    // the gap to the previous event is >= the gap duration ([t, t+gap)
+    // intervals merge only when they overlap).
+    Q("q39_events_session",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM numbered
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // Deterministic "first event per (user, type)" dedup — the batch
+    // analogue of streaming dropDuplicatesWithinWatermark (which keeps
+    // the first arrival; batch dropDuplicates keeps an arbitrary row, so
+    // the deterministic rank-1 form is the declared operator).
+    Q("q40_events_first_dedup",
+      """SELECT user_id, event_type, event_id, ts
+        |FROM (SELECT user_id, event_type, event_id, ts,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY ts, event_id) AS rn
+        |      FROM (SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |            FROM events) e) t
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    }
+  )
+}

@@ -1,0 +1,417 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.{TextFns, VectorFns}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators (north star, SURVEY §2B): deduplication
+  * (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
+  * similarity search (brute-force top-k, LSH-bucketed ANN), and text
+  * analysis (language-ID, quality scoring, token stats, fingerprints).
+  *
+  * Scale design:
+  *  - Exact dedup = hash-groupBy on sha256(text): one shuffle keyed on
+  *    the hash, no text comparison; survivor choice (min doc_id) is
+  *    deterministic.
+  *  - MinHash-LSH: signature computation is embarrassingly parallel
+  *    (higher-order functions, no UDF); banding explodes each doc into
+  *    B rows and shuffles on the band key, so candidate generation is a
+  *    bucket-local self-join — never an all-pairs product.
+  *  - Brute-force cosine keeps the corpus un-shuffled and broadcasts
+  *    the (small) query set; norms are computed once per row.
+  *  - All ratio-valued outputs are emitted as floor-scaled integers
+  *    (basis points) so cross-engine float rounding cannot flip a hash.
+  */
+object LlmOps {
+
+  // MinHash modulus: 1e9+7 keeps a*h+b < ~1e18, inside signed-64 range
+  // (Spark 4 runs ANSI mode — silent wraparound would throw).
+  private val P = 1000000007L
+
+  /** Deterministic MinHash permutation constants (seeded, public
+    * algorithm: h_i(x) = (a_i * x + b_i) mod p). */
+  private val minhashCoeffs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(32)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH over 64-dim floats:
+    * 4 independent tables × 6 bits each (OR-amplification — a pair is a
+    * candidate if it collides in ANY table; 6 bits ≈ 64 buckets/table
+    * keeps buckets populated on a near-orthogonal corpus). */
+  private[graft] val lshTables = 4
+  private[graft] val lshBits = 6
+  private[graft] val hyperplanes: Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(4242)
+    Seq.fill(lshTables * lshBits)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  // ---- shared building blocks -------------------------------------------
+
+  private def docsWithShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("words", TextFns.tokens(col("text")))
+      .withColumn("shingles", array_distinct(TextFns.shingles(col("words"), 3)))
+
+  /** 32-wide MinHash signature of an array<string> column. xxhash64 is
+    * Spark-native (no DuckDB equivalent → rows-only oracle). */
+  private def minhashSig(shingles: Column): Column = {
+    val hs = minhashCoeffs.map { case (a, b) =>
+      array_min(transform(shingles, sh =>
+        pmod(pmod(xxhash64(sh), lit(P)) * a + b, lit(P))))
+    }
+    array(hs: _*)
+  }
+
+  /** LSH band keys: 8 bands of 4 signature slots each. */
+  private def bandKeys(sig: Column): Column =
+    array((0 until 8).map { j =>
+      concat_ws("_", lit(j.toString) +: (0 until 4).map(r => element_at(sig, j * 4 + r + 1)): _*)
+    }: _*)
+
+  /** Embeddings as double arrays with precomputed norms. */
+  private def embWithNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", VectorFns.normD(col("emb")))
+      .drop("embedding")
+
+  /** Sign-LSH bucket ids, one per table: bucket(t) packs the sign bits
+    * of hyperplanes [t*bits, (t+1)*bits). Returned as an array so the
+    * caller can posexplode into (table, bucket) rows. */
+  private def lshBuckets(emb: Column): Column = {
+    def signBit(planeIdx: Int, weight: Long): Column = {
+      val dot = aggregate(
+        zip_with(emb, array(hyperplanes(planeIdx).map(lit): _*), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(weight)).otherwise(lit(0L))
+    }
+    array((0 until lshTables).map { t =>
+      (0 until lshBits).map(b => signBit(t * lshBits + b, 1L << b)).reduce(_ + _)
+    }: _*)
+  }
+
+  // ---- language-ID / quality shared SQL fragments -----------------------
+
+  private def hitsCol(lang: String): Column =
+    TextFns.stopwordHits(col("words"), TextFns.stopwords.find(_._1 == lang).get._2)
+
+  private def duckHits(lang: String): String = {
+    val list = TextFns.stopwords.find(_._1 == lang).get._2
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split(text, ' '), w -> list_contains($list, w)))"
+  }
+
+  // ---- SimHash (32-bit, sha256-derived → fully oracle-able) -------------
+
+  /** Per-bit ±1 contributions from the first 8 hex digits of
+    * sha256(token); bit b lives in hex digit b/4, position b%4. */
+  private def simhashAgg(tokens: DataFrame): DataFrame = {
+    // tokens: (doc_id, token). Project the 8 hex-digit values then sum
+    // 32 signed bit contributions per doc.
+    val hexd = tokens
+      .withColumn("hex", substring(sha2(col("token"), 256), 1, 8))
+      .select(col("doc_id") +: (0 until 8).map(i =>
+        (instr(lit("0123456789abcdef"), substring(col("hex"), i + 1, 1)) - 1).as(s"d$i")): _*)
+    val sums = (0 until 32).map { b =>
+      val digit = col(s"d${b / 4}")
+      sum(when(shiftright(digit, b % 4).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    val grouped = hexd.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val assemble = (0 until 32).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    grouped.select(col("doc_id"), assemble.as("simhash"))
+  }
+
+  private def simhashOracleSql: String = {
+    val digitDefs = (0 until 8)
+      .map(i => s"strpos('0123456789abcdef', substr(hex, ${i + 1}, 1)) - 1 AS d$i")
+      .mkString(",\n    ")
+    val sumDefs = (0 until 32)
+      .map(b => s"sum(CASE WHEN (d${b / 4} // ${1L << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n    ")
+    val assemble = (0 until 32)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+       |), hx AS (
+       |  SELECT doc_id, substr(sha256(token), 1, 8) AS hex FROM tok
+       |), dg AS (
+       |  SELECT doc_id,
+       |    $digitDefs
+       |  FROM hx
+       |), sm AS (
+       |  SELECT doc_id,
+       |    $sumDefs
+       |  FROM dg GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+       |FROM sm ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- queries ----------------------------------------------------------
+
+  val qs: Seq[Q] = Seq(
+
+    // Exact dedup, phase 1: content-hash groups with their sizes.
+    Q("q41_dedup_exact_groups",
+      """SELECT sha256(text) AS content_hash, count(*) AS n_docs,
+        |  min(doc_id) AS keeper
+        |FROM documents
+        |GROUP BY content_hash
+        |ORDER BY content_hash""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .orderBy(col("content_hash"))
+    },
+
+    // Exact dedup, phase 2: deterministic survivors (min doc_id per
+    // content hash) — the scalable replacement for dropDuplicates(text).
+    Q("q42_dedup_exact_survivors",
+      """SELECT doc_id, lang, source
+        |FROM (SELECT doc_id, lang, source,
+        |        row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |      FROM documents) t
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // n-gram Jaccard near-dup: word-3-gram shingle sets, candidate pairs
+    // blocked by (lang, length bucket) — never all-pairs.
+    Q("q43_ngram_jaccard",
+      """WITH sh AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS lb,
+        |    list_distinct(list_transform(
+        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sg
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(floor(10000.0 * len(list_intersect(a.sg, b.sg))
+        |       / len(list_distinct(list_concat(a.sg, b.sg)))) AS BIGINT) AS jaccard_bp
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sg, b.sg)) * 10
+        |      >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val sh = docsWithShingles(s, d)
+        .select(col("doc_id"), col("lang"), (col("n_chars") / 100).cast("long").as("lb"),
+          col("shingles").as("sg"))
+      val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("sg").as("sga"))
+      val b = sh.select(col("doc_id").as("b_id"), col("lang").as("langb"), col("lb").as("lbb"),
+        col("sg").as("sgb"))
+      a.join(b, col("lang") === col("langb") && col("lb") === col("lbb")
+          && col("a_id") < col("b_id"))
+        .withColumn("inter", size(array_intersect(col("sga"), col("sgb"))))
+        .withColumn("uni", size(array_distinct(concat(col("sga"), col("sgb")))))
+        .filter(col("inter") * 10 >= col("uni") * 3)
+        .select(col("a_id"), col("b_id"),
+          floor(lit(10000.0) * col("inter") / col("uni")).as("jaccard_bp"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // MinHash-LSH near-dup candidates: Spark-native xxhash64 → rows-only
+    // driver check; planted-duplicate recall is asserted in ScalaTest.
+    Q.noOracle("q44_minhash_lsh") { (s, d) =>
+      val sig = docsWithShingles(s, d)
+        .filter(size(col("shingles")) > 0)
+        .select(col("doc_id"), minhashSig(col("shingles")).as("sig"))
+        .select(col("doc_id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+      val a = sig.select(col("doc_id").as("a_id"), col("band"), col("key"))
+      val b = sig.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("key").as("key_b"))
+      a.join(b, col("band") === col("band_b") && col("key") === col("key_b")
+          && col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+        .orderBy("a_id", "b_id")
+    },
+
+    // 32-bit SimHash document signatures, sha256-derived so the oracle
+    // recomputes them exactly (generated SQL, see simhashOracleSql).
+    Q("q45_simhash", simhashOracleSql) { (s, d) =>
+      val tokens = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+      simhashAgg(tokens).orderBy(col("doc_id"))
+    },
+
+    // Text quality scoring: token stats + stopword/whitespace ratios as
+    // floor-scaled integers (hash-exact across engines).
+    Q("q46_text_quality",
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+         |  CAST(length(text) AS INTEGER) AS n_chars_calc,
+         |  CAST(floor(100.0 * (length(text) - len(string_split(text, ' ')) + 1)
+         |       / len(string_split(text, ' '))) AS BIGINT) AS avg_word_len_x100,
+         |  CAST(floor(10000.0 * ${duckHits("en")} / len(string_split(text, ' '))) AS BIGINT) AS stop_bp,
+         |  CAST(floor(10000.0 * (length(text) - length(replace(text, '.', '')))
+         |       / length(text)) AS BIGINT) AS punct_bp,
+         |  CAST(floor(100.0 * ${duckHits("en")} / len(string_split(text, ' '))) AS BIGINT)
+         |    + CASE WHEN n_chars BETWEEN 100 AND 400 THEN 10 ELSE 0 END AS quality
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("words", TextFns.tokens(col("text")))
+        .withColumn("nw", size(col("words")))
+        .withColumn("hits", hitsCol("en"))
+        .select(col("doc_id"),
+          col("nw").as("n_words"),
+          length(col("text")).as("n_chars_calc"),
+          floor(lit(100.0) * (length(col("text")) - col("nw") + 1) / col("nw"))
+            .as("avg_word_len_x100"),
+          floor(lit(10000.0) * col("hits") / col("nw")).as("stop_bp"),
+          floor(lit(10000.0) * (length(col("text"))
+            - length(regexp_replace(col("text"), "\\.", ""))) / length(col("text")))
+            .as("punct_bp"),
+          (floor(lit(100.0) * col("hits") / col("nw"))
+            + when(col("n_chars").between(100, 400), 10).otherwise(0)).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Heuristic language-ID: stopword hit counts per language, argmax
+    // with fixed tie-break order (en, de, es, fr, zh).
+    Q("q47_lang_id", {
+      val langs = TextFns.stopwords.map(_._1)
+      val hitDefs = langs.map(l => s"${duckHits(l)} AS h_$l").mkString(",\n    ")
+      val pred = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(r => s"h_$l >= h_$r").mkString(" AND ")
+        s"WHEN $rest THEN '$l'"
+      }.mkString("\n      ")
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    $hitDefs
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang,
+         |  CASE $pred ELSE '${langs.last}' END AS pred_lang,
+         |  CASE WHEN (CASE $pred ELSE '${langs.last}' END) = lang THEN 1 ELSE 0 END AS correct
+         |FROM h ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val langs = TextFns.stopwords.map(_._1)
+      val withHits = langs.foldLeft(
+        Tables.documents(s, d).withColumn("words", TextFns.tokens(col("text")))) {
+        (df, l) => df.withColumn(s"h_$l", hitsCol(l))
+      }
+      val pred = langs.init.zipWithIndex.foldLeft(when(lit(false), "")) { case (acc, (l, i)) =>
+        val cond = langs.drop(i + 1)
+          .map(r => col(s"h_$l") >= col(s"h_$r"))
+          .reduce(_ && _)
+        acc.when(cond, l)
+      }.otherwise(langs.last)
+      withHits
+        .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+          when(pred === col("lang"), 1).otherwise(0).as("correct"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Document fingerprinting: Karp-Rabin rolling hash (exact integer
+    // fold, oracle via list_reduce) + sha256 prefix fingerprint.
+    Q("q48_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash,
+        |  substr(sha256(lower(text)), 1, 16) AS sha_fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFns.rollingHash(col("text")).as("rolling_hash"),
+          TextFns.shaFingerprint(col("text")).as("sha_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Brute-force cosine top-k: rank-only output (ids, no float values)
+    // so cross-engine float noise cannot flip the hash; ties broken by
+    // neighbor id.
+    Q("q49_cosine_topk",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |     s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |             list_cosine_similarity(q.emb, c.emb) AS sim
+        |           FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |     r AS (SELECT query_id, neighbor_id,
+        |             CAST(row_number() OVER (PARTITION BY query_id
+        |               ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        |           FROM s)
+        |SELECT query_id, rank, neighbor_id FROM r
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val e = embWithNorm(s, d)
+      val qside = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      val cside = e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+      cside.join(broadcast(qside), col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", VectorFns.cosineWithNorms(
+          VectorFns.dotD(col("qe"), col("ce")), col("qn"), col("cn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    },
+
+    // Embedding near-dup pairs above a cosine threshold (pair ids only;
+    // the fixture embeddings are near-orthogonal random vectors — max
+    // pairwise cosine ≈ 0.51 — so 0.35 selects a real high-similarity
+    // tail rather than an always-empty set).
+    Q("q50_embedding_neardup",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) > 0.35
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val e = embWithNorm(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("emb").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("emb").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .filter(VectorFns.cosineWithNorms(
+          VectorFns.dotD(col("ea"), col("eb")), col("na"), col("nb")) > 0.35)
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    },
+
+    // LSH-bucketed ANN: multi-table sign-LSH; a corpus vector is a
+    // candidate when it shares a (table, bucket) cell with the query in
+    // ANY table (OR-amplification), then exact cosine ranks candidates.
+    // At scale the bucket join replaces the all-pairs product: corpus is
+    // exploded to T rows and shuffled on (table, bucket) — linear, not
+    // quadratic. Spark-native seeded constants → rows-only driver check;
+    // recall vs brute force is asserted in ScalaTest.
+    Q.noOracle("q51_ann_lsh") { (s, d) =>
+      val e = embWithNorm(s, d)
+      val bucketed = e
+        .select(col("vec_id"), col("emb"), col("nrm"),
+          posexplode(lshBuckets(col("emb"))).as(Seq("tbl", "bucket")))
+      val qside = bucketed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+          col("nrm").as("qn"), col("tbl").as("qt"), col("bucket").as("qb"))
+      val cside = bucketed.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
+        col("nrm").as("cn"), col("tbl"), col("bucket"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+      cside.join(broadcast(qside),
+          col("tbl") === col("qt") && col("bucket") === col("qb")
+            && col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("qe"), col("qn"), col("ce"), col("cn"))
+        .distinct() // collapse multi-table collisions
+        .withColumn("sim", VectorFns.cosineWithNorms(
+          VectorFns.dotD(col("qe"), col("ce")), col("qn"), col("cn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }
+  )
+}
