@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2B streaming): the same
+  * declarative transforms as the batch EventsOps queries, applied to an
+  * unbounded events stream. Batch/stream parity is asserted in
+  * StreamingSpec (MemoryStream replay of the events fixture).
+  *
+  * Scale notes: state is bounded by watermarks everywhere (windowed aggs
+  * purge closed windows; dedup state expires past the watermark). The
+  * checkpointLocation makes every sink exactly-once.
+  */
+object Streaming {
+
+  /** Event-row schema for streaming reads. Event-time columns must be
+    * TIMESTAMP (with local tz): Spark rejects watermarks on NTZ. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-replay source: stream a directory of event parquet files. */
+  def fileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling 1-hour counts with a 10-minute watermark (the streaming
+    * form of q37_events_tumbling). */
+  private def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+
+  def tumblingCounts(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows (1 hour / 30 min), streaming form of q38. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Session windows (5-minute gap) per user, streaming form of q39. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+
+  /** Stateful dedup on event_id: duplicates arriving within the
+    * watermark horizon are dropped; state self-expires afterwards. */
+  def dedupStream(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Arbitrary-state operator: running per-user event count emitted on
+    * every update (mapGroupsWithState with processing-time semantics —
+    * the escape hatch for state machines window aggs can't express). */
+  final case class UserCount(user_id: Long, n: Long)
+  def runningUserCounts(events: Dataset[(Long, Long)]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, UserCount](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + rows.size
+          state.update(next)
+          UserCount(user, next)
+      }
+  }
+
+  /** Parquet sink with checkpointing (exactly-once file sink). */
+  def startParquetSink(df: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()) =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .start()
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-duplicate verification for the dedup operators whose hashes
+  * are Spark-native (no DuckDB oracle): MinHash-LSH and SimHash, plus
+  * cross-checks of exact dedup and n-gram Jaccard on the same corpus. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  /** Tiny planted corpus: docs 1 and 2 are near-duplicates (one word
+    * changed out of 60), doc 5 duplicates doc 1 exactly, the rest are
+    * unrelated. Written as a documents.parquet fixture dir so the
+    * declared queries run on it unchanged. */
+  lazy val plantedDir: String = {
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def randText(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = randText(60)
+    val nearDup = {
+      val w = base.split(" "); w(30) = "CHANGED"; w.mkString(" ")
+    }
+    val rows = Seq(
+      (1L, base, "en", "srcA", base.length.toLong),
+      (2L, nearDup, "en", "srcB", nearDup.length.toLong),
+      (3L, randText(60), "en", "srcC", 0L),
+      (4L, randText(60), "en", "srcD", 0L),
+      (5L, base, "en", "srcE", base.length.toLong)
+    ).map { case (id, t, l, s, _) => (id, t, l, s, t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup groups find the planted exact duplicate") {
+    val groups = SparkEntry.queries("q41_dedup_exact_groups")(spark, plantedDir).collect()
+    assert(groups.length == 4) // 5 docs, one exact dup pair
+    val dupGroup = groups.find(_.getLong(1) == 2L).get
+    assert(dupGroup.getLong(2) == 1L) // keeper = min doc_id
+    val survivors = SparkEntry.queries("q42_dedup_exact_survivors")(spark, plantedDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("MinHash-LSH surfaces the planted near-dup pair (and the exact pair)") {
+    val pairs = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing from $pairs")
+    assert(pairs.contains((1L, 5L)), s"exact pair missing from $pairs")
+    assert(pairs.contains((2L, 5L)), s"transitive pair missing from $pairs")
+  }
+
+  test("n-gram Jaccard agrees: planted pair above threshold with high score") {
+    val rows = SparkEntry.queries("q43_ngram_jaccard")(spark, plantedDir)
+      .as[(Long, Long, Long)].collect()
+    val planted = rows.find(r => r._1 == 1L && r._2 == 2L)
+    assert(planted.isDefined, s"pair (1,2) not found in ${rows.toSeq}")
+    assert(planted.get._3 > 8000L, s"expected jaccard > 0.8, got ${planted.get._3} bp")
+    val exact = rows.find(r => r._1 == 1L && r._2 == 5L)
+    assert(exact.isDefined && exact.get._3 == 10000L)
+  }
+
+  test("SimHash: identical docs share signatures; near-dups are hamming-close") {
+    val sig = SparkEntry.queries("q45_simhash")(spark, plantedDir)
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(5L))
+    val hamming = java.lang.Long.bitCount(sig(1L) ^ sig(2L))
+    assert(hamming <= 6, s"near-dup hamming distance $hamming > 6")
+    val hammingFar = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    assert(hammingFar > hamming, "unrelated doc should be farther than near-dup")
+  }
+
+  test("MinHash-LSH is deterministic across runs") {
+    val run1 = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir).collect().toSeq
+    val run2 = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir).collect().toSeq
+    assert(run1 == run2)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.etl.{Extract, SchemaYaml, TableJob}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the reference-parity ETL surface (SURVEY §2A). */
+class EtlSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("stridePlan: 10000-key strides, half-open, max+1 tail (extractor.go:270-287)") {
+    // exact multiple: 1..20000 → two slices, tail end = max+1
+    assert(Extract.stridePlan(1, 20000, 10000) == Seq((1L, 10001L), (10001L, 20001L)))
+    // non-multiple tail
+    assert(Extract.stridePlan(1, 25000, 10000) ==
+      Seq((1L, 10001L), (10001L, 20001L), (20001L, 25001L)))
+    // single short slice
+    assert(Extract.stridePlan(5, 7, 10000) == Seq((5L, 8L)))
+    // single key
+    assert(Extract.stridePlan(42, 42, 10000) == Seq((42L, 43L)))
+    // empty
+    assert(Extract.stridePlan(10, 5, 10000).isEmpty)
+  }
+
+  test("stridePlan covers every key exactly once") {
+    val plan = Extract.stridePlan(3, 34567, 10000)
+    val covered = plan.flatMap { case (s, e) => s until e }
+    assert(covered == (3L to 34567L))
+  }
+
+  test("SchemaYaml parses the reference's db.yaml shape (schema/db.yaml:1-5)") {
+    val yaml =
+      """schema:
+        |  - name: id
+        |    type: INT64
+        |    repetitiontype: REQUIRED
+        |  - name: data
+        |    type: BYTE_ARRAY
+        |    convertedtype: UTF8
+        |    repetitiontype: REQUIRED
+        |""".stripMargin
+    val st = SchemaYaml.parse(yaml)
+    assert(st == StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("data", StringType, nullable = false))))
+  }
+
+  test("normalizeBinary coerces binary→string and leaves the rest (extractor.go:100-104)") {
+    val df = Seq((1L, "abc")).toDF("id", "data")
+      .selectExpr("id", "CAST(data AS BINARY) AS data", "id * 2 AS n")
+    val out = Extract.normalizeBinary(df)
+    assert(out.schema("data").dataType == StringType)
+    assert(out.schema("n").dataType == LongType)
+    assert(out.select("data").as[String].collect().toSeq == Seq("abc"))
+  }
+
+  test("stringifyAll forces every column to string (tmp/df_extractor.go:119-125)") {
+    val out = Extract.stringifyAll(Seq((1L, 2.5, "x")).toDF("a", "b", "c"))
+    assert(out.schema.fields.forall(_.dataType == StringType))
+  }
+
+  test("conformTo validates + casts to declared sink schema") {
+    val declared = StructType(Seq(
+      StructField("id", LongType), StructField("data", StringType)))
+    val out = Extract.conformTo(
+      Seq((1, "x", 9)).toDF("id", "data", "extra"), declared)
+    assert(out.columns.toSeq == Seq("id", "data"))
+    assert(out.schema("id").dataType == LongType)
+    intercept[IllegalArgumentException] {
+      Extract.conformTo(Seq(1).toDF("id"), declared)
+    }
+  }
+
+  test("writeParquet honors maxRecordsPerFile (A10 batching parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_etl").toString + "/out"
+    Extract.writeParquet(spark.range(2500).toDF(), dir, maxRecordsPerFile = 1000)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 3) // 2500 rows / ≤1000 per file
+    assert(spark.read.parquet(dir).count() == 2500)
+  }
+
+  test("unionShards = A12 fan-in") {
+    val a = Seq((1L, "x")).toDF("id", "data")
+    val b = Seq((2L, "y")).toDF("id", "data")
+    assert(Extract.unionShards(Seq(a, b)).count() == 2)
+  }
+
+  test("runJob end-to-end on a file source (A13)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_job").toString
+    spark.range(100).selectExpr("id", "CAST(concat('v', id) AS BINARY) AS data")
+      .write.parquet(s"$tmp/in")
+    Extract.runJob(spark, TableJob(
+      tableName = "t", output = s"$tmp/out", primaryKey = "id",
+      url = s"$tmp/in", format = "parquet",
+      declaredSchema = Some(StructType(Seq(
+        StructField("id", LongType), StructField("data", StringType))))))
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 100)
+    assert(out.schema("data").dataType == StringType)
+  }
+}

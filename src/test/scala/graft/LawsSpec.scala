@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic-law checks (SURVEY §5.3) over seeded random inputs:
+  * pushdown/commutation identities the optimizer relies on, verified
+  * against the engine's actual results. */
+class LawsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def randDf(seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(200)((rnd.nextInt(20).toLong, rnd.nextInt(1000), rnd.nextDouble()))
+      .toDF("k", "v", "x")
+  }
+
+  test("filter commutes with union") {
+    for (seed <- 1 to 5) {
+      val (a, b) = (randDf(seed), randDf(seed + 100))
+      val lhs = a.union(b).filter($"v" > 500)
+      val rhs = a.filter($"v" > 500).union(b.filter($"v" > 500))
+      assert(lhs.collect().toSeq.sorted(RowOrd) == rhs.collect().toSeq.sorted(RowOrd))
+    }
+  }
+
+  test("partial+final aggregation ≡ direct aggregation") {
+    for (seed <- 1 to 5) {
+      val df = randDf(seed)
+      // two-phase: pre-agg per (k, v%4) then re-agg per k
+      val twoPhase = df.groupBy($"k", ($"v" % 4).as("sub"))
+        .agg(sum($"v").as("s"), count(lit(1)).as("c"))
+        .groupBy($"k").agg(sum($"s").as("s"), sum($"c").as("c"))
+      val direct = df.groupBy($"k").agg(sum($"v").as("s"), count(lit(1)).as("c"))
+      assert(twoPhase.collect().toSeq.sorted(RowOrd) == direct.collect().toSeq.sorted(RowOrd))
+    }
+  }
+
+  test("dropDuplicates is idempotent") {
+    for (seed <- 1 to 5) {
+      val df = randDf(seed).select($"k", $"v")
+      val once = df.dropDuplicates()
+      assert(once.count() == once.dropDuplicates().count())
+    }
+  }
+
+  test("parquet round-trip preserves schema and rows") {
+    val df = randDf(7)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rt").toString
+    df.write.parquet(s"$dir/t")
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.collect().toSeq.sorted(RowOrd) == df.collect().toSeq.sorted(RowOrd))
+  }
+
+  test("broadcast join ≡ shuffle join results") {
+    val facts = randDf(11)
+    val dims = Seq.tabulate(20)(i => (i.toLong, s"name_$i")).toDF("k", "name")
+    val bc = facts.join(broadcast(dims), Seq("k")).collect().toSeq.sorted(RowOrd)
+    val sj = facts.hint("merge").join(dims, Seq("k")).collect().toSeq.sorted(RowOrd)
+    assert(bc == sj)
+  }
+
+  private object RowOrd extends Ordering[org.apache.spark.sql.Row] {
+    def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int =
+      a.toString.compareTo(b.toString)
+  }
+}

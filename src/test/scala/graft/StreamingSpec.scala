@@ -1,0 +1,117 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.time.Instant
+
+/** Top-level so Catalyst can instantiate its encoder. */
+final case class Ev(event_id: Long, ts: Instant, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Batch/stream parity (SURVEY §5.4): the same event-time aggregations
+  * must produce identical results whether the events table is read as a
+  * batch DataFrame or replayed through a MemoryStream in chunks. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  /** events fixture (sf0.001, 1000 rows) as typed rows. */
+  lazy val fixtureEvents: Seq[Ev] = {
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .as[Ev].collect().toSeq.sortBy(_.event_id)
+  }
+
+  test("tumbling agg: stream replay == batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // replay in 3 out-of-order-free chunks (fixture is time-ordered)
+      fixtureEvents.grouped(400).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("tumbling_out")
+        .select("win_start", "event_type", "n", "sum_value")
+        .as[(Instant, String, Long, Double)].collect().toSet
+      val batch = Tables.events(spark, "/root/testdata/sf0.001")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+        .as[(Instant, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark drops planted in-horizon duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val base = fixtureEvents.take(100)
+      val dups = base.take(10) // same event_ids replayed within the horizon
+      mem.addData(base); q.processAllAvailable()
+      mem.addData(dups); q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id").as[Long].collect()
+      assert(got.length == 100, s"expected 100 unique, got ${got.length}")
+      assert(got.toSet == base.map(_.event_id).toSet)
+    } finally q.stop()
+  }
+
+  test("session windows: stream replay == batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.sessionCounts(mem.toDF())
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      fixtureEvents.grouped(500).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("session_out")
+        .as[(Long, Instant, Long)].collect().toSet
+      val batch = Tables.events(spark, "/root/testdata/sf0.001")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+        .as[(Long, Instant, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running counts accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streaming.runningUserCounts(mem.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(Seq((1L, 1L), (1L, 2L), (2L, 1L))); q.processAllAvailable()
+      mem.addData(Seq((1L, 3L))); q.processAllAvailable()
+      val last = spark.table("state_out")
+        .groupBy("user_id").agg(max("n").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(last == Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
+
+  test("exactly-once parquet sink via checkpoint (file-replay source)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // stage fixture events as NTZ-typed parquet for the file source
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.parquet(s"$tmp/in")
+    val stream = Streaming.fileStream(spark, s"$tmp/in")
+    val q = Streaming.startParquetSink(
+      Streaming.dedupStream(stream), s"$tmp/out", s"$tmp/ckpt")
+    try { q.processAllAvailable() } finally q.stop()
+    assert(spark.read.parquet(s"$tmp/out").count() == 1000)
+  }
+}
