@@ -14,14 +14,18 @@ object TextFns {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles: n consecutive tokens joined by a space.
-    * Empty result when the document has fewer than n tokens (guarded:
-    * Spark's sequence(start, stop) counts DOWN when stop < start). */
-  def shingles(words: Column, n: Int): Column =
-    when(size(words) >= n,
-      transform(
-        sequence(lit(1), size(words) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*)))
-      .otherwise(array().cast("array<string>"))
+    * Built as zip_with over n shifted slices — every lambda references
+    * only its bound variables, so the optimizer can never inline (and
+    * re-evaluate) the tokenizer inside the per-element loop, and the
+    * whole construction is O(len) per document. Empty when the document
+    * has fewer than n tokens. */
+  def shingles(words: Column, n: Int): Column = {
+    val m = size(words) - (n - 1)
+    val joined = (1 until n).foldLeft(slice(words, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(words, lit(k + 1), m), (a, b) => concat(a, lit(" "), b))
+    }
+    when(m > 0, joined).otherwise(array().cast("array<string>"))
+  }
 
   /** Number of tokens found in `stopwords` (with repetitions). */
   def stopwordHits(words: Column, stopwords: Seq[String]): Column =

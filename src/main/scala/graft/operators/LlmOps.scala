@@ -55,12 +55,17 @@ object LlmOps {
       .withColumn("words", TextFns.tokens(col("text")))
       .withColumn("shingles", array_distinct(TextFns.shingles(col("words"), 3)))
 
-  /** 32-wide MinHash signature of an array<string> column. xxhash64 is
+  /** Base shingle hashes: xxhash64 mod P, computed ONCE per shingle —
+    * the 32 permutations then only do cheap affine arithmetic over this
+    * array instead of re-hashing the strings 32×. xxhash64 is
     * Spark-native (no DuckDB equivalent → rows-only oracle). */
-  private def minhashSig(shingles: Column): Column = {
+  private def shingleHashes(shingles: Column): Column =
+    transform(shingles, sh => pmod(xxhash64(sh), lit(P)))
+
+  /** 32-wide MinHash signature from pre-hashed shingles. */
+  private def minhashSig(hashes: Column): Column = {
     val hs = minhashCoeffs.map { case (a, b) =>
-      array_min(transform(shingles, sh =>
-        pmod(pmod(xxhash64(sh), lit(P)) * a + b, lit(P))))
+      array_min(transform(hashes, h => pmod(h * a + b, lit(P))))
     }
     array(hs: _*)
   }
@@ -71,12 +76,20 @@ object LlmOps {
       concat_ws("_", lit(j.toString) +: (0 until 4).map(r => element_at(sig, j * 4 + r + 1)): _*)
     }: _*)
 
-  /** Embeddings as double arrays with precomputed norms. */
-  private def embWithNorm(s: SparkSession, d: String): DataFrame =
+  /** Embeddings as double arrays with precomputed norms. Norms and all
+    * pairwise dots go through the codegen'd DotProduct expression —
+    * identical summation order to the zip_with+aggregate baseline, but a
+    * primitive loop instead of a per-pair array allocation. */
+  private def embWithNorm(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
-      .withColumn("nrm", VectorFns.normD(col("emb")))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb"))))
       .drop("embedding")
+  }
+
+  private def fastDot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dot(a, b)
 
   /** Sign-LSH bucket ids, one per table: bucket(t) packs the sign bits
     * of hyperplanes [t*bits, (t+1)*bits). Returned as an array so the
@@ -208,16 +221,26 @@ object LlmOps {
         |WHERE len(list_intersect(a.sg, b.sg)) * 10
         |      >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))
         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      // Inverted-index formulation (the 100 TB shape): explode distinct
+      // shingles, self-join on (shingle, block) so only docs sharing a
+      // shingle ever meet, count common shingles per pair, then
+      // |A∪B| = |A| + |B| − |A∩B|. No array intersection in the pair
+      // loop, no all-pairs product — the shuffle is keyed on shingles.
       val sh = docsWithShingles(s, d)
         .select(col("doc_id"), col("lang"), (col("n_chars") / 100).cast("long").as("lb"),
           col("shingles").as("sg"))
-      val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("sg").as("sga"))
-      val b = sh.select(col("doc_id").as("b_id"), col("lang").as("langb"), col("lb").as("lbb"),
-        col("sg").as("sgb"))
-      a.join(b, col("lang") === col("langb") && col("lb") === col("lbb")
-          && col("a_id") < col("b_id"))
-        .withColumn("inter", size(array_intersect(col("sga"), col("sgb"))))
-        .withColumn("uni", size(array_distinct(concat(col("sga"), col("sgb")))))
+        .withColumn("sz", size(col("sg")))
+      val ex = sh.select(col("doc_id"), col("lang"), col("lb"), col("sz"),
+        explode(col("sg")).as("shingle"))
+      val a = ex.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
+        col("lang"), col("lb"), col("shingle"))
+      val b = ex.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
+        col("lang").as("langb"), col("lb").as("lbb"), col("shingle").as("shingleb"))
+      a.join(b, col("shingle") === col("shingleb") && col("lang") === col("langb")
+          && col("lb") === col("lbb") && col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
         .filter(col("inter") * 10 >= col("uni") * 3)
         .select(col("a_id"), col("b_id"),
           floor(lit(10000.0) * col("inter") / col("uni")).as("jaccard_bp"))
@@ -229,7 +252,8 @@ object LlmOps {
     Q.noOracle("q44_minhash_lsh") { (s, d) =>
       val sig = docsWithShingles(s, d)
         .filter(size(col("shingles")) > 0)
-        .select(col("doc_id"), minhashSig(col("shingles")).as("sig"))
+        .withColumn("hx", shingleHashes(col("shingles")))
+        .select(col("doc_id"), minhashSig(col("hx")).as("sig"))
         .select(col("doc_id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
       val a = sig.select(col("doc_id").as("a_id"), col("band"), col("key"))
       val b = sig.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("key").as("key_b"))
@@ -356,7 +380,7 @@ object LlmOps {
       val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
       cside.join(broadcast(qside), col("query_id") =!= col("neighbor_id"))
         .withColumn("sim", VectorFns.cosineWithNorms(
-          VectorFns.dotD(col("qe"), col("ce")), col("qn"), col("cn")))
+          fastDot(col("qe"), col("ce")), col("qn"), col("cn")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id")
@@ -378,7 +402,7 @@ object LlmOps {
       val b = e.select(col("vec_id").as("b_id"), col("emb").as("eb"), col("nrm").as("nb"))
       a.join(b, col("a_id") < col("b_id"))
         .filter(VectorFns.cosineWithNorms(
-          VectorFns.dotD(col("ea"), col("eb")), col("na"), col("nb")) > 0.35)
+          fastDot(col("ea"), col("eb")), col("na"), col("nb")) > 0.35)
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")
     },
@@ -407,7 +431,7 @@ object LlmOps {
         .select(col("query_id"), col("neighbor_id"), col("qe"), col("qn"), col("ce"), col("cn"))
         .distinct() // collapse multi-table collisions
         .withColumn("sim", VectorFns.cosineWithNorms(
-          VectorFns.dotD(col("qe"), col("ce")), col("qn"), col("cn")))
+          fastDot(col("qe"), col("ce")), col("qn"), col("cn")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id")
