@@ -15,7 +15,8 @@ object SparkEntry {
       operators.EtlOps.qs ++
       operators.EventsOps.qs ++
       operators.LlmOps.qs ++
-      operators.Multimodal.qs
+      operators.Multimodal.qs ++
+      operators.Extras.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
