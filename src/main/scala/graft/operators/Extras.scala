@@ -96,6 +96,65 @@ object Extras {
         .orderBy(col("o_orderkey"))
     },
 
+    // Theta (non-equi) join: range condition only → planned as a
+    // broadcast nested-loop join. Kept deliberately small-side-broadcast
+    // (that is the only sane physical shape for a pure theta join at any
+    // scale; banded/range joins decompose into equi-joins on band keys —
+    // see q43's blocking for that pattern).
+    Q("q61_theta_join",
+      """SELECT b.bucket_id, count(*) AS n_orders,
+        |  round(sum(o.o_totalprice), 2) AS total
+        |FROM orders o
+        |JOIN (SELECT i AS bucket_id, i * 100000.0 AS lo, (i + 1) * 100000.0 AS hi
+        |      FROM (SELECT unnest(range(0, 8)) AS i) t) b
+        |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        |GROUP BY b.bucket_id
+        |ORDER BY b.bucket_id""".stripMargin) { (s, d) =>
+      val bands = s.range(0, 8).select(col("id").as("bucket_id"),
+        (col("id") * 100000.0).as("lo"), ((col("id") + 1) * 100000.0).as("hi"))
+      Tables.orders(s, d)
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("bucket_id"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("bucket_id"))
+    },
+
+    // Map-typed columns: build, extract, enumerate keys. Output is
+    // plain columns so the oracle can recompute from base values.
+    Q("q62_map_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity AS qty_from_map,
+        |  l_discount AS disc_from_map,
+        |  2 AS n_keys,
+        |  'disc,qty' AS keys_sorted
+        |FROM lineitem
+        |WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 300)
+        .withColumn("m", map(lit("qty"), col("l_quantity"), lit("disc"), col("l_discount")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          element_at(col("m"), "qty").as("qty_from_map"),
+          element_at(col("m"), "disc").as("disc_from_map"),
+          size(col("m")).as("n_keys"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // Salted two-phase aggregation (hot-key spreading); must equal the
+    // direct aggregation — the oracle IS the direct aggregation.
+    Q("q63_salted_agg",
+      """SELECT l_returnflag AS k, round(sum(l_extendedprice), 2) AS total_r,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY k
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      Skew.saltedSum(Tables.lineitem(s, d), col("l_returnflag"),
+          col("l_orderkey") * 10 + col("l_linenumber"), col("l_extendedprice"))
+        .select(col("k"), round(col("total"), 2).as("total_r"), col("n"))
+        .orderBy(col("k"))
+    },
+
     // JSON sink + source round-trip (longs/strings exact in JSON).
     Q("q60_json_roundtrip",
       """SELECT c_custkey, c_name, c_mktsegment
