@@ -51,11 +51,15 @@ object Extras {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // one percentile() call computes all three quantiles over a single
+      // per-group sort instead of three
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 2).as("p50"),
+          round(element_at(col("ps"), 2), 2).as("p90"),
+          round(element_at(col("ps"), 3), 2).as("p99"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -62,12 +62,15 @@ object LlmOps {
   private def shingleHashes(shingles: Column): Column =
     transform(shingles, sh => pmod(xxhash64(sh), lit(P)))
 
-  /** 32-wide MinHash signature from pre-hashed shingles. */
-  private def minhashSig(hashes: Column): Column = {
-    val hs = minhashCoeffs.map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * a + b, lit(P))))
-    }
-    array(hs: _*)
+  /** 32-wide MinHash signature from pre-hashed shingles, via the fused
+    * codegen expression (one pass computes all 32 minima). */
+  private def minhashSig(s: SparkSession, hashes: Column): Column = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => graft.functions.MinHashSig(exprs.head,
+        minhashCoeffs.map(_._1).toArray, minhashCoeffs.map(_._2).toArray, P),
+      "built-in")
+    call_function("graft_minhash", hashes)
   }
 
   /** LSH band keys: 8 bands of 4 signature slots each. */
@@ -253,7 +256,7 @@ object LlmOps {
       val sig = docsWithShingles(s, d)
         .filter(size(col("shingles")) > 0)
         .withColumn("hx", shingleHashes(col("shingles")))
-        .select(col("doc_id"), minhashSig(col("hx")).as("sig"))
+        .select(col("doc_id"), minhashSig(s, col("hx")).as("sig"))
         .select(col("doc_id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
       val a = sig.select(col("doc_id").as("a_id"), col("band"), col("key"))
       val b = sig.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("key").as("key_b"))
