@@ -79,6 +79,39 @@ object Streaming {
       }
   }
 
+  /** Arbitrary-state sessionizer via flatMapGroupsWithState: per-user
+    * session accumulation with an event-time-ish gap close — emits one
+    * row per CLOSED session (a new event more than `gapSeconds` after
+    * the previous one closes the running session). Demonstrates the
+    * flatMap (0..n outputs per invocation) state shape; watermarked
+    * session_window covers the declarative case.
+    */
+  final case class SessionAgg(user_id: Long, start_epoch: Long, n_events: Long)
+  final case class SessionState(startEpoch: Long, lastEpoch: Long, n: Long)
+  def sessionize(events: Dataset[(Long, Long)], gapSeconds: Long): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+          sorted.foreach { t =>
+            st match {
+              case null => st = SessionState(t, t, 1)
+              case s if t - s.lastEpoch >= gapSeconds =>
+                closed += SessionAgg(user, s.startEpoch, s.n)
+                st = SessionState(t, t, 1)
+              case s => st = SessionState(s.startEpoch, t, s.n + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+      }
+  }
+
   /** Parquet sink with checkpointing (exactly-once file sink). */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()) =

@@ -102,6 +102,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streaming.sessionize(mem.toDS(), gapSeconds = 300)
+      .writeStream.format("memory").queryName("fmgws_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at t=0,60,120 (one session), then t=1000 (closes it)
+      mem.addData(Seq((1L, 0L), (1L, 60L), (1L, 120L))); q.processAllAvailable()
+      mem.addData(Seq((1L, 1000L))); q.processAllAvailable()
+      val closed = spark.table("fmgws_out")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(closed == Set((1L, 0L, 3L)), s"got $closed")
+    } finally q.stop()
+  }
+
   test("exactly-once parquet sink via checkpoint (file-replay source)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // stage fixture events as NTZ-typed parquet for the file source
