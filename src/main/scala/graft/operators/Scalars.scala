@@ -117,6 +117,26 @@ object Scalars {
         .orderBy(col("o_orderkey"))
     },
 
+    // LIKE / null-test predicate surface (the remaining §2B predicate
+    // forms; IN and BETWEEN are exercised in q28/q29).
+    Q("q26b_like_null_preds",
+      """SELECT p_partkey, p_name,
+        |  CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END AS is_widget,
+        |  CASE WHEN p_name LIKE 'sm_ll%' THEN 1 ELSE 0 END AS is_small,
+        |  CASE WHEN nullif(p_brand, 'Brand#1') IS NULL THEN 1 ELSE 0 END AS brand1_nulled
+        |FROM part
+        |WHERE p_name LIKE '%e%' AND p_name NOT LIKE 'zzz%'
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").like("%e%") && !col("p_name").like("zzz%"))
+        .select(col("p_partkey"), col("p_name"),
+          when(col("p_name").like("%widget%"), 1).otherwise(0).as("is_widget"),
+          when(col("p_name").like("sm_ll%"), 1).otherwise(0).as("is_small"),
+          when(nullif(col("p_brand"), lit("Brand#1")).isNull, 1).otherwise(0)
+            .as("brand1_nulled"))
+        .orderBy(col("p_partkey"))
+    },
+
     // JSON surface over events.props ('{"k": N}'): path extraction +
     // typed cast; from_json exercised on the Spark side (same value as
     // the path extraction, so the oracle covers it).
@@ -160,6 +180,21 @@ object Scalars {
           .as("vec_sum"),
         expr("size(filter(embedding, x -> x > 0))").as("n_pos"))
         .orderBy(col("vec_id"))
+    },
+
+    // to_json: serialize a struct of long/string fields (float JSON
+    // formatting differs across engines, so the oracle recomputes the
+    // exact string; field order follows the struct declaration).
+    Q("q30b_to_json",
+      """SELECT event_id,
+        |  '{"id":' || CAST(event_id AS VARCHAR) || ',"type":"' || event_type || '"}' AS j
+        |FROM events
+        |WHERE event_id < 1000
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).filter(col("event_id") < 1000)
+        .select(col("event_id"),
+          to_json(struct(col("event_id").as("id"), col("event_type").as("type"))).as("j"))
+        .orderBy(col("event_id"))
     },
 
     // explode/unnest: word frequencies over documents (top 50).
