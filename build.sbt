@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 66 queries × whole-stage-codegen classes overflow the default 240m
+  // JIT code cache mid-bench ("compiler disabled" → 3-5× slowdowns on
+  // late queries); reserve enough for the full run.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -13,9 +13,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create()
 
-    // Warm up the JVM/codegen paths once so the first measured query
-    // doesn't pay one-time session costs.
+    // Warm up the JVM/codegen/parquet-reader paths once so the first
+    // measured query doesn't absorb one-time session costs.
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
     val names = SparkEntry.registry.map(_.name)
     val results = names.map { name =>

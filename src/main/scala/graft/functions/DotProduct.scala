@@ -54,7 +54,10 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Session-level registration for the engine's native expressions. */
+/** Session-level registration for the engine's native expressions.
+  * Idempotent; GraftSession installs these via [[GraftExtensions]] at
+  * session build, and operators may call register() defensively when
+  * handed a foreign session. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -62,4 +65,21 @@ object GraftFunctions {
 
   /** Column-level handle (requires register(spark) in the session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+}
+
+/** SparkSessionExtensions hook: `builder.withExtensions(new
+  * GraftExtensions)` (or spark.sql.extensions=graft.functions.
+  * GraftExtensions on a real cluster) makes the engine's native
+  * expressions available to every session derived from the build,
+  * including pure-SQL users — the supported injection point for
+  * library-provided Catalyst code. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
 }
