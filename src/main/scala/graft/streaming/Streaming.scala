@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.{Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY §2B streaming): the same
@@ -110,6 +111,32 @@ object Streaming {
           if (st != null) state.update(st)
           closed.iterator
       }
+  }
+
+  /** transformWithState (Spark 4 arbitrary-state API): running per-user
+    * event counts with explicit ValueState. Requires the RocksDB state
+    * store provider (spark.sql.streaming.stateStore.providerClass).
+    * Functionally equivalent to [[runningUserCounts]]; declared because
+    * TWS is the forward-looking state API (TTL, timers, composite
+    * state) the 100 TB deployment would standardize on. */
+  class RunningCountProcessor extends StatefulProcessor[Long, (Long, Long), UserCount] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[UserCount] = {
+      val prev = if (count.exists()) count.get() else 0L
+      val next = prev + rows.size
+      count.update(next)
+      Iterator.single(UserCount(key, next))
+    }
+  }
+
+  def runningUserCountsTws(events: Dataset[(Long, Long)]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Parquet sink with checkpointing (exactly-once file sink). */

@@ -86,6 +86,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows: stream replay == batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.slidingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      fixtureEvents.grouped(500).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("sliding_out")
+        .as[(Instant, String, Long)].collect().toSet
+      val batch = Tables.events(spark, "/root/testdata/sf0.001")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+        .as[(Instant, String, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running counts accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
@@ -116,6 +136,30 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, Long, Long)].collect().toSet
       assert(closed == Set((1L, 0L, 3L)), s"got $closed")
     } finally q.stop()
+  }
+
+  test("transformWithState running counts (RocksDB state store)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long)]
+      val q = Streaming.runningUserCountsTws(mem.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Update).start()
+      try {
+        mem.addData(Seq((1L, 1L), (1L, 2L), (2L, 1L))); q.processAllAvailable()
+        mem.addData(Seq((1L, 3L), (3L, 1L))); q.processAllAvailable()
+        val last = spark.table("tws_out")
+          .groupBy("user_id").agg(max("n").as("n"))
+          .as[(Long, Long)].collect().toMap
+        assert(last == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("exactly-once parquet sink via checkpoint (file-replay source)") {
