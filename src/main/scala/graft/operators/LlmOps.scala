@@ -170,6 +170,94 @@ object LlmOps {
        |FROM sm ORDER BY doc_id""".stripMargin
   }
 
+
+  // ---- n-gram Jaccard (two exact algorithms, one oracle) ----------------
+
+  private val jaccardThreshold10 = 3 // t = 0.3, ×10 for integer math
+
+  private val jaccardOracleSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, lang, n_chars // 100 AS lb,
+      |    list_distinct(list_transform(
+      |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+      |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+      |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |           || ' ' || string_split(text,' ')[i+2])) AS sg
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(floor(10000.0 * len(list_intersect(a.sg, b.sg))
+      |       / len(list_distinct(list_concat(a.sg, b.sg)))) AS BIGINT) AS jaccard_bp
+      |FROM sh a JOIN sh b
+      |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sg, b.sg)) * 10
+      |      >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Distinct shingle sets per doc with blocking keys and set size. */
+  private def shingleBlocks(s: SparkSession, d: String): DataFrame =
+    docsWithShingles(s, d)
+      .select(col("doc_id"), col("lang"), (col("n_chars") / 100).cast("long").as("lb"),
+        col("shingles").as("sg"))
+      .withColumn("sz", size(col("sg")))
+      .filter(col("sz") > 0)
+
+  /** Inverted-index count join: explode distinct shingles, self-join on
+    * (shingle, block), count common shingles per pair, derive
+    * |A∪B| = |A|+|B|−|A∩B|. No array work in the pair loop; cost scales
+    * with shingle co-occurrence volume, not corpus². */
+  private def jaccardCountJoin(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleBlocks(s, d)
+    val ex = sh.select(col("doc_id"), col("lang"), col("lb"), col("sz"),
+      explode(col("sg")).as("shingle"))
+    val a = ex.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
+      col("lang"), col("lb"), col("shingle"))
+    val b = ex.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
+      col("lang").as("langb"), col("lb").as("lbb"), col("shingle").as("shingleb"))
+    a.join(b, col("shingle") === col("shingleb") && col("lang") === col("langb")
+        && col("lb") === col("lbb") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * jaccardThreshold10)
+      .select(col("a_id"), col("b_id"),
+        floor(lit(10000.0) * col("inter") / col("uni")).as("jaccard_bp"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Prefix-filtered candidate generation + exact array verification
+    * (PPJoin-lite). Correct for any corpus; pays off when shingle
+    * document frequencies are skewed. */
+  private def jaccardPrefixJoin(s: SparkSession, d: String): DataFrame = {
+    val t10 = jaccardThreshold10
+    val sh = shingleBlocks(s, d)
+    val ex = sh.select(col("doc_id"), col("lang"), col("lb"), col("sz"),
+      explode(col("sg")).as("shingle"))
+    val dfreq = ex.groupBy(col("lang"), col("lb"), col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, Seq("lang", "lb", "shingle"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+    // prefix length |A| − ceil(t·|A|) + 1  (integer ceil: (sz*t10+9)/10)
+    val prefix = ranked.filter(
+      col("rnk") <= col("sz") - floor((col("sz") * t10 + 9) / 10).cast("int") + 1)
+    val a = prefix.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("shingle"))
+    val b = prefix.select(col("doc_id").as("b_id"), col("lang").as("langb"),
+      col("lb").as("lbb"), col("shingle").as("shingleb"))
+    val cand = a.join(b, col("shingle") === col("shingleb") && col("lang") === col("langb")
+        && col("lb") === col("lbb") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sa = sh.select(col("doc_id").as("a_id"), col("sg").as("sga"), col("sz").as("a_sz"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("sg").as("sgb"), col("sz").as("b_sz"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("inter", size(array_intersect(col("sga"), col("sgb"))))
+      .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * t10)
+      .select(col("a_id"), col("b_id"),
+        floor(lit(10000.0) * col("inter") / col("uni")).as("jaccard_bp"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   // ---- queries ----------------------------------------------------------
 
   val qs: Seq[Q] = Seq(
@@ -206,49 +294,16 @@ object LlmOps {
 
     // n-gram Jaccard near-dup: word-3-gram shingle sets, candidate pairs
     // blocked by (lang, length bucket) — never all-pairs.
-    Q("q43_ngram_jaccard",
-      """WITH sh AS (
-        |  SELECT doc_id, lang, n_chars // 100 AS lb,
-        |    list_distinct(list_transform(
-        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
-        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-        |           || ' ' || string_split(text,' ')[i+2])) AS sg
-        |  FROM documents
-        |)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  CAST(floor(10000.0 * len(list_intersect(a.sg, b.sg))
-        |       / len(list_distinct(list_concat(a.sg, b.sg)))) AS BIGINT) AS jaccard_bp
-        |FROM sh a JOIN sh b
-        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sg, b.sg)) * 10
-        |      >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))
-        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      // Inverted-index formulation (the 100 TB shape): explode distinct
-      // shingles, self-join on (shingle, block) so only docs sharing a
-      // shingle ever meet, count common shingles per pair, then
-      // |A∪B| = |A| + |B| − |A∩B|. No array intersection in the pair
-      // loop, no all-pairs product — the shuffle is keyed on shingles.
-      val sh = docsWithShingles(s, d)
-        .select(col("doc_id"), col("lang"), (col("n_chars") / 100).cast("long").as("lb"),
-          col("shingles").as("sg"))
-        .withColumn("sz", size(col("sg")))
-      val ex = sh.select(col("doc_id"), col("lang"), col("lb"), col("sz"),
-        explode(col("sg")).as("shingle"))
-      val a = ex.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
-        col("lang"), col("lb"), col("shingle"))
-      val b = ex.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
-        col("lang").as("langb"), col("lb").as("lbb"), col("shingle").as("shingleb"))
-      a.join(b, col("shingle") === col("shingleb") && col("lang") === col("langb")
-          && col("lb") === col("lbb") && col("a_id") < col("b_id"))
-        .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
-        .filter(col("inter") * 10 >= col("uni") * 3)
-        .select(col("a_id"), col("b_id"),
-          floor(lit(10000.0) * col("inter") / col("uni")).as("jaccard_bp"))
-        .orderBy(col("a_id"), col("b_id"))
-    },
+    Q("q43_ngram_jaccard", jaccardOracleSql)(jaccardCountJoin),
+
+    // Same result via the PPJoin-style prefix filter (same oracle): for
+    // J(A,B) ≥ t, |A∩B| ≥ ceil(t·|A|), so with shingles in a global
+    // rarest-first canonical order the first |A| − ceil(t·|A|) + 1
+    // shingles of each doc must contain a common element. On corpora
+    // with skewed shingle frequencies (real text) this drops the hot
+    // shingles from candidate generation; on the uniform synthetic
+    // corpus the count join wins (SCALE.md has both measured).
+    Q("q43b_jaccard_prefix", jaccardOracleSql)(jaccardPrefixJoin),
 
     // MinHash-LSH near-dup candidates: Spark-native xxhash64 → rows-only
     // driver check; planted-duplicate recall is asserted in ScalaTest.
