@@ -159,6 +159,64 @@ object Extras {
         .orderBy(col("k"))
     },
 
+    // Pivot (wide aggregation). The oracle uses portable conditional
+    // aggregation — semantically what pivot compiles to.
+    Q("q64_pivot",
+      """SELECT l_returnflag,
+        |  count(*) FILTER (l_linestatus = 'F') AS f_cnt,
+        |  count(*) FILTER (l_linestatus = 'O') AS o_cnt,
+        |  sum(l_quantity) FILTER (l_linestatus = 'F') AS f_qty,
+        |  sum(l_quantity) FILTER (l_linestatus = 'O') AS o_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("qty"))
+        .select(col("l_returnflag"),
+          col("F_cnt").as("f_cnt"), col("O_cnt").as("o_cnt"),
+          col("F_qty").as("f_qty"), col("O_qty").as("o_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Scalar + correlated subqueries through the SQL frontend
+    // (spark.sql): Catalyst rewrites the scalar subquery to a join and
+    // decorrelates the EXISTS.
+    Q("q65_subqueries",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price_r
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("q65_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("q65_lineitem")
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 2) AS price_r
+          |FROM q65_orders o
+          |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM q65_orders)
+          |  AND EXISTS (SELECT 1 FROM q65_lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Ordered collect: sort_array(collect_list) is the deterministic
+    // form of array aggregation (bare collect_list order is
+    // partition-dependent).
+    Q("q66_collect",
+      """SELECT c_nationkey,
+        |  array_to_string(list_sort(array_agg(c_mktsegment)), ',') AS segs
+        |FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer) t
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select("c_nationkey", "c_mktsegment").distinct()
+        .groupBy(col("c_nationkey"))
+        .agg(array_join(sort_array(collect_list(col("c_mktsegment"))), ",").as("segs"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // JSON sink + source round-trip (longs/strings exact in JSON).
     Q("q60_json_roundtrip",
       """SELECT c_custkey, c_name, c_mktsegment

@@ -86,6 +86,27 @@ class EtlSpec extends AnyFunSuite {
     assert(Extract.unionShards(Seq(a, b)).count() == 2)
   }
 
+  test("JobsYaml parses a job list with defaults (extractor.go:255-258 parity)") {
+    val jobs = graft.etl.JobsYaml.parse(
+      """jobs:
+        |  - table: big_table_1
+        |    output: /out/db1/big_table_1
+        |    primary_key: id
+        |    url: jdbc:mysql://127.0.0.1:3307/db_1
+        |  - table: big_table_1
+        |    output: /out/db2/big_table_1
+        |    primary_key: id
+        |    url: /data/in.parquet
+        |    format: parquet
+        |    stride: 500
+        |    max_records_per_file: 1000
+        |""".stripMargin)
+    assert(jobs.length == 2)
+    assert(jobs.head.stride == 10000L && jobs.head.maxRecordsPerFile == 100000L)
+    assert(jobs.head.format == "jdbc")
+    assert(jobs(1).format == "parquet" && jobs(1).stride == 500L)
+  }
+
   test("runJob end-to-end on a file source (A13)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_job").toString
     spark.range(100).selectExpr("id", "CAST(concat('v', id) AS BINARY) AS data")
