@@ -113,6 +113,25 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval join: each left event joins right events of
+    * the same user within [left.ts − window, left.ts]. Both sides carry
+    * watermarks so Spark can bound the join state and emit/purge —
+    * unbounded-state stream joins are rejected by the planner. */
+  def intervalJoin(left: DataFrame, right: DataFrame, windowSpec: String): DataFrame = {
+    val l = left.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"), col("event_type").as("l_type"))
+    val r = right.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"), col("event_type").as("r_type"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowSpec") &&
+        col("r_ts") <= col("l_ts"))
+  }
+
   /** transformWithState (Spark 4 arbitrary-state API): running per-user
     * event counts with explicit ValueState. Requires the RocksDB state
     * store provider (spark.sql.streaming.stateStore.providerClass).

@@ -138,6 +138,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[Ev]
+    val memR = MemoryStream[Ev]
+    val clicks = fixtureEvents.filter(_.event_type == "click")
+    val views = fixtureEvents.filter(_.event_type == "view")
+    val q = Streaming.intervalJoin(memL.toDF(), memR.toDF(), "10 MINUTES")
+      .select("l_id", "r_id")
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      memL.addData(clicks); memR.addData(views); q.processAllAvailable()
+      // push both watermarks far past the data so all joint rows emit
+      val flushL = clicks.head.copy(event_id = -1L,
+        ts = clicks.map(_.ts).max.plusSeconds(86400))
+      val flushR = flushL.copy(event_id = -2L)
+      memL.addData(Seq(flushL)); memR.addData(Seq(flushR)); q.processAllAvailable()
+      val streamed = spark.table("ssjoin_out")
+        .filter(col("l_id") >= 0 && col("r_id") >= 0)
+        .as[(Long, Long)].collect().toSet
+      val batchL = clicks.toDF().withColumn("ts", col("ts").cast("timestamp"))
+      val batchR = views.toDF().withColumn("ts", col("ts").cast("timestamp"))
+      val batch = batchL.as("l").join(batchR.as("r"),
+          col("l.user_id") === col("r.user_id") &&
+            col("r.ts") >= col("l.ts") - expr("INTERVAL 10 MINUTES") &&
+            col("r.ts") <= col("l.ts"))
+        .select(col("l.event_id"), col("r.event_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("transformWithState running counts (RocksDB state store)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
