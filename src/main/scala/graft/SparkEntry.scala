@@ -16,7 +16,8 @@ object SparkEntry {
       operators.EventsOps.qs ++
       operators.LlmOps.qs ++
       operators.Multimodal.qs ++
-      operators.Extras.qs
+      operators.Extras.qs ++
+      operators.IvfAnn.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -64,6 +64,22 @@ class VectorSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  test("IVF ANN finds the planted exact copies (recall@1 = 1.0)") {
+    val ivf = SparkEntry.queries("q67_ann_ivf")(spark, plantedDir)
+      .as[(Long, Int, Long)].collect()
+    (0L until 10L).foreach { q =>
+      val rank1 = ivf.find(r => r._1 == q && r._2 == 1)
+      assert(rank1.isDefined && rank1.get._3 == 100L + q,
+        s"query $q: IVF rank-1 = $rank1, want ${100 + q}")
+    }
+  }
+
+  test("IVF ANN is deterministic across runs") {
+    val r1 = SparkEntry.queries("q67_ann_ivf")(spark, plantedDir).collect().toSeq
+    val r2 = SparkEntry.queries("q67_ann_ivf")(spark, plantedDir).collect().toSeq
+    assert(r1 == r2)
+  }
+
   test("approx_count_distinct within rsd of exact on events fixture") {
     val d = "/root/testdata/sf0.001"
     val approx = SparkEntry.queries("q54_approx_distinct")(spark, d)
