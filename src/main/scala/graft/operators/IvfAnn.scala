@@ -65,6 +65,14 @@ object IvfAnn {
     (assign(corpus, centroids), centroids)
   }
 
+  /** Persist the corpus clustered by IVF cell: `partitionBy(cell)` is
+    * the on-disk form of the inverted file — a probe then reads only
+    * nprobe/nlist of the data via partition pruning (proved in
+    * VectorSpec). */
+  def writeClustered(corpus: DataFrame, assigned: DataFrame, path: String): Unit =
+    corpus.join(assigned, "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
   val qs: Seq[Q] = Seq(
     // IVF ANN top-5 for queries vec_id < 10, probing 4 of 16 cells.
     // Spark-native (iterative k-means not expressible in one DuckDB

@@ -117,7 +117,8 @@ object Streaming {
     * the same user within [left.ts − window, left.ts]. Both sides carry
     * watermarks so Spark can bound the join state and emit/purge —
     * unbounded-state stream joins are rejected by the planner. */
-  def intervalJoin(left: DataFrame, right: DataFrame, windowSpec: String): DataFrame = {
+  def intervalJoin(left: DataFrame, right: DataFrame, windowSpec: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "10 minutes")
       .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
@@ -129,7 +130,8 @@ object Streaming {
     l.join(r,
       col("l_user") === col("r_user") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowSpec") &&
-        col("r_ts") <= col("l_ts"))
+        col("r_ts") <= col("l_ts"),
+      joinType)
   }
 
   /** transformWithState (Spark 4 arbitrary-state API): running per-user

@@ -170,6 +170,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT interval join emits null-padded rows after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[Ev]
+    val memR = MemoryStream[Ev]
+    val base = java.time.Instant.parse("2024-06-01T00:00:00Z")
+    def ev(id: Long, user: Long, secs: Long) =
+      Ev(id, base.plusSeconds(secs), user, "x", 1.0, "{}")
+    val q = Streaming.intervalJoin(memL.toDF(), memR.toDF(), "1 MINUTE", "left_outer")
+      .select("l_id", "r_id")
+      .writeStream.format("memory").queryName("ssleft_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: right event 30s before left (matches); user 2: no right
+      memL.addData(Seq(ev(10, 1, 60), ev(20, 2, 60)))
+      memR.addData(Seq(ev(100, 1, 40)))
+      q.processAllAvailable()
+      // advance both watermarks far past the data so the unmatched left
+      // row can be finalized as (20, null)
+      memL.addData(Seq(ev(-1, 9, 100000))); memR.addData(Seq(ev(-2, 9, 100000)))
+      q.processAllAvailable()
+      val got = spark.table("ssleft_out").filter(col("l_id") > 0)
+        .as[(Long, Option[Long])].collect().toSet
+      assert(got == Set((10L, Some(100L)), (20L, None)), s"got $got")
+    } finally q.stop()
+  }
+
   test("transformWithState running counts (RocksDB state store)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

@@ -80,6 +80,26 @@ class VectorSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  test("IVF clustered layout: probes prune to the probed cells only") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val corpus = Tables.embeddings(spark, plantedDir)
+      .withColumn("emb", org.apache.spark.sql.functions.transform(
+        col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", sqrt(GraftFunctions.dot(col("emb"), col("emb"))))
+      .drop("embedding")
+    val (assigned, _) = graft.operators.IvfAnn.buildIndex(corpus)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    graft.operators.IvfAnn.writeClustered(corpus, assigned, path)
+
+    val probe = spark.read.parquet(path).filter(col("cell").isin(0, 1))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe read is not partition-pruned:\n${plan.take(1200)}")
+    val total = spark.read.parquet(path).count()
+    assert(probe.count() < total)
+  }
+
   test("approx_count_distinct within rsd of exact on events fixture") {
     val d = "/root/testdata/sf0.001"
     val approx = SparkEntry.queries("q54_approx_distinct")(spark, d)
