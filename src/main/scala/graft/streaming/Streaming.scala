@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY §2B streaming): the same
@@ -158,6 +158,69 @@ object Streaming {
     events
       .groupByKey(_._1)
       .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Timer-closed sessionization via transformWithState event-time
+    * timers — the capability TWS adds over flatMapGroupsWithState: a
+    * session EMITS when the watermark passes start-of-silence + gap,
+    * without waiting for the user's next event. State: (startMs,
+    * lastMs, n); each batch re-registers the timer at lastMs + gap, and
+    * a firing timer only closes the session if it is not stale. */
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessState(startMs: Long, lastMs: Long, n: Long)
+
+  class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, UserEvent, SessionAgg] {
+    @transient private var st: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess", Encoders.product[SessState],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[SessionAgg] = {
+      val times = rows.map(_.ts.getTime).toSeq.sorted
+      var cur = if (st.exists()) st.get() else null
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+      times.foreach { t =>
+        cur match {
+          case null => cur = SessState(t, t, 1)
+          case s if t - s.lastMs >= gapMs =>
+            closed += SessionAgg(key, s.startMs / 1000, s.n)
+            cur = SessState(t, t, 1)
+          case s => cur = SessState(s.startMs, t, s.n + 1)
+        }
+      }
+      if (cur != null) {
+        st.update(cur)
+        getHandle.registerTimer(cur.lastMs + gapMs)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionAgg] = {
+      if (st.exists()) {
+        val s = st.get()
+        // stale timers (superseded by later events) fire too — only a
+        // timer at exactly lastMs + gap closes the session
+        if (expiredTimerInfo.getExpiryTimeInMs() >= s.lastMs + gapMs) {
+          st.clear()
+          return Iterator.single(SessionAgg(key, s.startMs / 1000, s.n))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  def sessionizeTws(events: Dataset[UserEvent], gapSeconds: Long): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapSeconds * 1000),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Parquet sink with checkpointing (exactly-once file sink). */

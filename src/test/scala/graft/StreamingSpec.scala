@@ -220,6 +220,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState event-time timers close idle sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Streaming.UserEvent]
+      def ue(user: Long, epochS: Long) =
+        Streaming.UserEvent(user, new java.sql.Timestamp(epochS * 1000))
+      val q = Streaming.sessionizeTws(mem.toDS(), gapSeconds = 300)
+        .writeStream.format("memory").queryName("tws_timer_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // user 1: three events, then silence. No user-1 event ever
+        // closes the session — only the timer can.
+        mem.addData(Seq(ue(1, 1000), ue(1, 1060), ue(1, 1120)))
+        q.processAllAvailable()
+        assert(spark.table("tws_timer_out").isEmpty)
+        // another user's event advances the watermark past 1120+300
+        mem.addData(Seq(ue(2, 5000)))
+        q.processAllAvailable()
+        mem.addData(Seq(ue(2, 9000))) // one more batch so timers fire
+        q.processAllAvailable()
+        val got = spark.table("tws_timer_out")
+          .filter(col("user_id") === 1)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(got == Set((1L, 1000L, 3L)), s"got $got")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("exactly-once parquet sink via checkpoint (file-replay source)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // stage fixture events as NTZ-typed parquet for the file source
