@@ -43,6 +43,30 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // "Resize" stub: the byte-level shape of a media downscale — slice
+    // the payload to a target byte budget (binary substring), emit the
+    // typed metadata struct a real resizer would fill. The decode/
+    // re-encode core is the deterministic stand-in (no media libs in
+    // this container); the binary column plumbing is real.
+    Q("q52b_multimodal_resize",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS orig_bytes,
+        |  CAST(least(octet_length(encode(text)), 64) AS INTEGER) AS resized_bytes,
+        |  sha256(substr(text, 1, 64)) AS resized_sha,
+        |  CAST(doc_id % 4 + 1 AS INTEGER) AS scale_factor
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("resized", substring(col("payload"), 1, 64))
+        .select(col("doc_id"),
+          length(col("payload")).as("orig_bytes"),
+          length(col("resized")).as("resized_bytes"),
+          sha2(col("resized"), 256).as("resized_sha"),
+          (col("doc_id") % 4 + 1).cast("int").as("scale_factor"))
+        .orderBy(col("doc_id"))
+    },
+
     // Frame-sampling pipeline: typed Dataset + mapPartitions (the batch
     // shape a real decoder UDF would use — one partition = one batch of
     // payloads), exploding each document into (n_chars mod 5)+1 frame
