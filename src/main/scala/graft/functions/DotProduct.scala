@@ -59,12 +59,22 @@ case class DotProduct(left: Expression, right: Expression)
   * session build, and operators may call register() defensively when
   * handed a foreign session. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    // registerFunction-only-if-absent: createOrReplaceTempFunction logs a
+    // replacement warning per call, so make defensive registration quiet.
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+      reg.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash")))
+      reg.createOrReplaceTempFunction("graft_minhash", MinHashSig.make, "built-in")
+  }
 
   /** Column-level handle (requires register(spark) in the session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** 32-wide MinHash signature over a pre-hashed shingle array. */
+  def minhash(hashes: Column): Column = call_function("graft_minhash", hashes)
 }
 
 /** SparkSessionExtensions hook: `builder.withExtensions(new
@@ -81,5 +91,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      MinHashSig.make))
   }
 }

@@ -72,3 +72,19 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], p: Long
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** The engine's fixed MinHash permutation family (seeded, public
+  * algorithm: h_i(x) = (a_i·x + b_i) mod p). Living here lets
+  * [[GraftExtensions]] register `graft_minhash` once per session instead
+  * of each query re-registering it (which spams the function registry).
+  * p = 1e9+7 keeps a·h+b < ~1e18, inside signed-64 (ANSI mode throws on
+  * overflow). */
+object MinHashSig {
+  val P: Long = 1000000007L
+  val coeffs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(32)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+  }
+  def make(exprs: Seq[Expression]): Expression =
+    MinHashSig(exprs.head, coeffs.map(_._1).toArray, coeffs.map(_._2).toArray, P)
+}

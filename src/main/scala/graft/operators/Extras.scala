@@ -8,6 +8,43 @@ import org.apache.spark.sql.functions._
   */
 object Extras {
 
+  /** Exact interpolated percentiles (0.5/0.9/0.99 of l_extendedprice per
+    * l_returnflag) with bounded memory — the scale-safe replacement for
+    * percentile()'s whole-group collection buffer. Two passes:
+    * distinct-(group,value) counts, then a cumulative-count window over
+    * DISTINCT values only (bounded for money columns, spillable) picks
+    * the floor/ceil rank holders and interpolates. Returns unrounded
+    * doubles (p50, p90, p99). */
+  private[operators] def exactPercentiles(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("k"), col("l_extendedprice").as("v"))
+    val grouped = li.groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("k")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grouped.withColumn("cum", sum(col("c")).over(w))
+    val n = li.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val j = cum.join(broadcast(n), "k")
+    def rank(p: Double): Column = (col("n") - 1).cast("double") * lit(p)
+    def at(idx: Column): Column =
+      max(when(col("cum") - col("c") <= idx && idx < col("cum"), col("v")))
+    def interp(p: Double): Column = {
+      val r = (col("nn") - 1).cast("double") * lit(p)
+      val frac = r - floor(r)
+      val (lo, hi) = (col(s"lo${(p * 100).toInt}"), col(s"hi${(p * 100).toInt}"))
+      lo + frac * (hi - lo)
+    }
+    val ps = Seq(0.5, 0.9, 0.99)
+    j.groupBy(col("k"))
+      .agg(max(col("n")).as("nn"),
+        ps.flatMap(p => Seq(at(floor(rank(p))).as(s"lo${(p * 100).toInt}"),
+          at(ceil(rank(p))).as(s"hi${(p * 100).toInt}"))): _*)
+      .select(col("k").as("l_returnflag"),
+        interp(0.5).as("p50"), interp(0.9).as("p90"), interp(0.99).as("p99"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Scala UDF (the documented last-resort escape hatch; everything
@@ -51,15 +88,36 @@ object Extras {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      // one percentile() call computes all three quantiles over a single
-      // per-group sort instead of three
+      // Scale-safe exact percentiles (see exactPercentiles above) — no
+      // percentile() whole-group collection buffer in the plan.
+      exactPercentiles(s, d)
+        .select(col("l_returnflag"),
+          round(col("p50"), 2).as("p50"),
+          round(col("p90"), 2).as("p90"),
+          round(col("p99"), 2).as("p99"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Bounded-memory percentile sketch (the 100 TB path): Spark's
+    // approx_percentile (KLL-style) with accuracy 10000. Oracled via the
+    // q54 invariant pattern: DuckDB recomputes the exact percentiles and
+    // the expected value of the within-1% envelope flag.
+    Q("q57b_approx_percentile",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val exact = exactPercentiles(s, d)
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
-        .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 2).as("p50"),
-          round(element_at(col("ps"), 2), 2).as("p90"),
-          round(element_at(col("ps"), 3), 2).as("p99"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("ap"))
+        .join(exact, "l_returnflag")
+        .select(col("l_returnflag"), round(col("p50"), 2).as("p50_exact"),
+          (abs(element_at(col("ap"), 1) - col("p50")) <= col("p50") * 0.01).as("p50_ok"),
+          (abs(element_at(col("ap"), 2) - col("p90")) <= col("p90") * 0.01).as("p90_ok"),
+          (abs(element_at(col("ap"), 3) - col("p99")) <= col("p99") * 0.01).as("p99_ok"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -26,16 +26,10 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps {
 
-  // MinHash modulus: 1e9+7 keeps a*h+b < ~1e18, inside signed-64 range
-  // (Spark 4 runs ANSI mode — silent wraparound would throw).
-  private val P = 1000000007L
-
-  /** Deterministic MinHash permutation constants (seeded, public
-    * algorithm: h_i(x) = (a_i * x + b_i) mod p). */
-  private val minhashCoeffs: Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(32)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
-  }
+  // MinHash modulus + permutation family live with the expression
+  // (functions.MinHashSig) so GraftExtensions can register graft_minhash
+  // session-wide; see MinHashSig companion.
+  private val P = graft.functions.MinHashSig.P
 
   /** Deterministic random hyperplanes for sign-LSH over 64-dim floats:
     * 4 independent tables × 6 bits each (OR-amplification — a pair is a
@@ -63,14 +57,12 @@ object LlmOps {
     transform(shingles, sh => pmod(xxhash64(sh), lit(P)))
 
   /** 32-wide MinHash signature from pre-hashed shingles, via the fused
-    * codegen expression (one pass computes all 32 minima). */
+    * codegen expression (one pass computes all 32 minima). Registered
+    * session-wide by GraftExtensions; register() is a quiet no-op when
+    * the function already exists. */
   private def minhashSig(s: SparkSession, hashes: Column): Column = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash",
-      exprs => graft.functions.MinHashSig(exprs.head,
-        minhashCoeffs.map(_._1).toArray, minhashCoeffs.map(_._2).toArray, P),
-      "built-in")
-    call_function("graft_minhash", hashes)
+    graft.functions.GraftFunctions.register(s)
+    graft.functions.GraftFunctions.minhash(hashes)
   }
 
   /** LSH band keys: 8 bands of 4 signature slots each. */
@@ -107,6 +99,49 @@ object LlmOps {
     array((0 until lshTables).map { t =>
       (0 until lshBits).map(b => signBit(t * lshBits + b, 1L << b)).reduce(_ + _)
     }: _*)
+  }
+
+  /** DuckDB re-simulation of the ENTIRE sign-LSH ANN pipeline (SURVEY
+    * §5.1 "hash against a documented re-computation"): the hyperplanes
+    * are deterministic seeded constants, so the oracle inlines them as
+    * double literals (17 significant digits → exact round-trip) and
+    * replays bucketing → candidate generation → exact cosine ranking in
+    * SQL. The driver therefore checks the APPROXIMATE algorithm's exact
+    * output, not a recall proxy. */
+  private def annLshOracleSql: String = {
+    val planeRows = (0 until lshTables).flatMap { t =>
+      (0 until lshBits).map { b =>
+        val arr = hyperplanes(t * lshBits + b).map(v => f"$v%.17e").mkString("[", ", ", "]")
+        s"($t, $b, CAST($arr AS DOUBLE[]))"
+      }
+    }.mkString(",\n      ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |  planes(t, bit, pl) AS (VALUES
+       |      $planeRows),
+       |  buckets AS (
+       |    SELECT e.vec_id, p.t,
+       |      SUM(CASE WHEN list_dot_product(e.emb, p.pl) > 0
+       |               THEN 1 << p.bit ELSE 0 END) AS bucket
+       |    FROM e CROSS JOIN planes p
+       |    GROUP BY e.vec_id, p.t),
+       |  cand AS (
+       |    SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+       |    FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+       |    WHERE qb.vec_id < 10 AND qb.vec_id <> cb.vec_id),
+       |  scored AS (
+       |    SELECT c.query_id, c.neighbor_id,
+       |      list_cosine_similarity(q.emb, n.emb) AS sim
+       |    FROM cand c
+       |    JOIN e q ON q.vec_id = c.query_id
+       |    JOIN e n ON n.vec_id = c.neighbor_id),
+       |  r AS (
+       |    SELECT query_id, neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+       |    FROM scored)
+       |SELECT query_id, rank, neighbor_id FROM r
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   // ---- language-ID / quality shared SQL fragments -----------------------
@@ -305,19 +340,53 @@ object LlmOps {
     // corpus the count join wins (SCALE.md has both measured).
     Q("q43b_jaccard_prefix", jaccardOracleSql)(jaccardPrefixJoin),
 
-    // MinHash-LSH near-dup candidates: Spark-native xxhash64 → rows-only
-    // driver check; planted-duplicate recall is asserted in ScalaTest.
-    Q.noOracle("q44_minhash_lsh") { (s, d) =>
-      val sig = docsWithShingles(s, d)
+    // MinHash-LSH near-dup: banding generates candidate pairs (bucket-
+    // local self-join, never all-pairs), then an exact-Jaccard verify
+    // pass keeps true near-dups — the standard two-stage production
+    // shape. The verified output equals the exact unblocked near-dup
+    // pair set whenever LSH recall is 1.0; with 8 bands × 4 rows a
+    // J≥0.8 pair is missed w.p. (1−J⁴)⁸ ≤ 1.5% and every planted pair
+    // in the fixtures has J≥0.8 (most ≥0.9), so the DuckDB oracle can
+    // recompute the full set exactly — this is the documented
+    // re-computation invariant (SURVEY §5.1): approximate candidate
+    // generation, exact verified output.
+    Q("q44_minhash_lsh",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sg
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(floor(10000.0 * len(list_intersect(a.sg, b.sg))
+        |       / len(list_distinct(list_concat(a.sg, b.sg)))) AS BIGINT) AS jaccard_bp
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sg, b.sg)) * 10
+        |      >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val docs = docsWithShingles(s, d)
         .filter(size(col("shingles")) > 0)
+        .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+      val sig = docs
         .withColumn("hx", shingleHashes(col("shingles")))
         .select(col("doc_id"), minhashSig(s, col("hx")).as("sig"))
         .select(col("doc_id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
       val a = sig.select(col("doc_id").as("a_id"), col("band"), col("key"))
       val b = sig.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("key").as("key_b"))
-      a.join(b, col("band") === col("band_b") && col("key") === col("key_b")
+      val cand = a.join(b, col("band") === col("band_b") && col("key") === col("key_b")
           && col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
+      val sa = docs.select(col("doc_id").as("a_id"), col("shingles").as("sga"), col("sz").as("a_sz"))
+      val sb = docs.select(col("doc_id").as("b_id"), col("shingles").as("sgb"), col("sz").as("b_sz"))
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("inter", size(array_intersect(col("sga"), col("sgb"))))
+        .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
+        .filter(col("inter") * 10 >= col("uni") * jaccardThreshold10)
+        .select(col("a_id"), col("b_id"),
+          floor(lit(10000.0) * col("inter") / col("uni")).as("jaccard_bp"))
         .orderBy("a_id", "b_id")
     },
 
@@ -470,9 +539,11 @@ object LlmOps {
     // ANY table (OR-amplification), then exact cosine ranks candidates.
     // At scale the bucket join replaces the all-pairs product: corpus is
     // exploded to T rows and shuffled on (table, bucket) — linear, not
-    // quadratic. Spark-native seeded constants → rows-only driver check;
-    // recall vs brute force is asserted in ScalaTest.
-    Q.noOracle("q51_ann_lsh") { (s, d) =>
+    // quadratic. The oracle replays the whole pipeline in DuckDB with
+    // the hyperplane constants inlined (see annLshOracleSql), so the
+    // driver hash-checks the approximate algorithm's exact output; the
+    // recall-vs-brute-force quality bar stays in ScalaTest.
+    Q("q51_ann_lsh", annLshOracleSql) { (s, d) =>
       val e = embWithNorm(s, d)
       val bucketed = e
         .select(col("vec_id"), col("emb"), col("nrm"),

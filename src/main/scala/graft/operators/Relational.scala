@@ -350,12 +350,24 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
-    // approx_count_distinct (HLL++): sketch differs from DuckDB's, so no
-    // value oracle — driver records a rows-only check; exactness is
-    // cross-checked in ScalaTest against countDistinct at small SF.
-    Q.noOracle("q54_approx_distinct") { (s, d) =>
+    // approx_count_distinct (HLL++): the sketch differs from DuckDB's,
+    // so the oracled output is the documented invariant (SURVEY §5.1):
+    // the exact distinct count plus a flag asserting the HLL estimate
+    // landed within its configured error envelope (rsd=0.02 → 5% is
+    // 2.5σ). Spark computes both sides for real; DuckDB recomputes the
+    // exact count and the invariant's expected value (TRUE).
+    Q("q54_approx_distinct",
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS hll_ok
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .agg(count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("hll_ok"))
         .orderBy(col("event_type"))
     }
   )

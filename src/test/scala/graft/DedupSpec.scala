@@ -46,11 +46,16 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("MinHash-LSH surfaces the planted near-dup pair (and the exact pair)") {
-    val pairs = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir)
-      .as[(Long, Long)].collect().toSet
+    // q44 output is (a_id, b_id, jaccard_bp): LSH candidates verified
+    // with exact Jaccard, so planted pairs carry their true similarity.
+    val rows = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir)
+      .as[(Long, Long, Long)].collect()
+    val pairs = rows.map(r => (r._1, r._2)).toSet
     assert(pairs.contains((1L, 2L)), s"near-dup pair missing from $pairs")
     assert(pairs.contains((1L, 5L)), s"exact pair missing from $pairs")
     assert(pairs.contains((2L, 5L)), s"transitive pair missing from $pairs")
+    val exactBp = rows.find(r => r._1 == 1L && r._2 == 5L).get._3
+    assert(exactBp == 10000L, s"exact dup pair should verify at 10000 bp, got $exactBp")
   }
 
   test("n-gram Jaccard agrees: planted pair above threshold with high score") {

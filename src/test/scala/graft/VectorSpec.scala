@@ -100,16 +100,61 @@ class VectorSpec extends AnyFunSuite {
     assert(probe.count() < total)
   }
 
+  test("bounded IVF: exact top-5 with provable pruning on a clustered corpus") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    // 16 tight clusters of 25 vectors each: center + small noise, so
+    // the triangle-inequality bound can rule out far cells.
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Seq.fill(16)(unit())
+    val vecs = for (c <- 0 until 16; i <- 0 until 25) yield {
+      val noise = Array.fill(64)(rnd.nextGaussian() * 0.05)
+      ((c * 25 + i).toLong, centers(c).zip(noise).map { case (a, b) => (a + b).toFloat })
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+      .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", sqrt(GraftFunctions.dot(col("emb"), col("emb"))))
+      .drop("embedding")
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val (probe, ranked) = graft.operators.IvfAnn.boundedTopK(corpus, queries)
+
+    // Exactness: identical to the brute-force top-5.
+    val qside = queries
+    val cside = corpus.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"), col("nrm").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    val brute = cside.join(broadcast(qside), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", GraftFunctions.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+    assert(ranked.collect().toSeq == brute.collect().toSeq)
+
+    // Pruning: on a clustered corpus the bound kills most cells — far
+    // fewer than the exhaustive 10 queries × 16 cells.
+    val probed = probe.count()
+    assert(probed < 10 * 16 / 2, s"expected <80 probed (query,cell) pairs, got $probed")
+  }
+
   test("approx_count_distinct within rsd of exact on events fixture") {
     val d = "/root/testdata/sf0.001"
-    val approx = SparkEntry.queries("q54_approx_distinct")(spark, d)
-      .as[(String, Long)].collect().toMap
+    // q54 output is (event_type, exact_users, hll_ok): the exact count
+    // must agree with countDistinct and the HLL-envelope flag must hold.
+    val rows = SparkEntry.queries("q54_approx_distinct")(spark, d)
+      .as[(String, Long, Boolean)].collect()
     val exact = Tables.events(spark, d).groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n"))
       .as[(String, Long)].collect().toMap
-    approx.foreach { case (k, a) =>
-      val e = exact(k)
-      assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx $a vs exact $e")
+    rows.foreach { case (k, e, ok) =>
+      assert(e == exact(k), s"$k: exact_users $e vs countDistinct ${exact(k)}")
+      assert(ok, s"$k: HLL estimate outside the 5% envelope")
     }
   }
 }
