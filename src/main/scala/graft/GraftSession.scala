@@ -25,6 +25,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Checkpoint file checksums target object-store checkpoints; on a
+      // local FS the checksum-write future can deadlock RocksDB snapshot
+      // uploads (observed: tasks parked forever in
+      // ChecksumCancellableFSDataOutputStream.close during TTL-state
+      // commits). Local checkpoints don't need them.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def create(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {

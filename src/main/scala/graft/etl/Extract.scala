@@ -35,6 +35,29 @@ final case class TableJob(
     declaredSchema: Option[StructType] = None,
     properties: java.util.Properties = new java.util.Properties())
 
+object TableJob {
+  /** MySQL-dialect job defaults mirroring the reference's production
+    * source (docker-compose.yaml:1-15 — two MySQL 8 shards; pool caps
+    * extractor.go:250-251): `SetMaxOpenConns(20)` maps to the
+    * 20-partition cap in [[Extract.jdbcRangeRead]], streaming fetch
+    * replaces the Go driver's row-at-a-time cursor, and
+    * READ_COMMITTED matches the go-sql-driver default session. The
+    * sandbox has no MySQL server, so semantics are proven on embedded
+    * Derby (JdbcSpec): Spark's JDBC partitioning/pushdown layer is
+    * dialect-independent (JdbcDialects only maps types/quoting), which
+    * is the Derby-equivalence argument — the generated stride
+    * predicates and pushed aggregates are identical SQL either way. */
+  def mysql(tableName: String, output: String, primaryKey: String,
+      url: String): TableJob = {
+    val p = new java.util.Properties()
+    p.setProperty("driver", "com.mysql.cj.jdbc.Driver")
+    p.setProperty("fetchsize", "10000")          // stream, don't buffer the stride
+    p.setProperty("isolationLevel", "READ_COMMITTED")
+    p.setProperty("pushDownAggregate", "true")   // MIN/MAX planning at the source
+    TableJob(tableName, output, primaryKey, url, properties = p)
+  }
+}
+
 object Extract {
 
   /** A5 stride math (driver-side): half-open [start, end) slices of
@@ -68,6 +91,22 @@ object Extract {
     val numPartitions = math.min(wanted, maxConnections.toLong).toInt
     spark.read.jdbc(job.url, job.tableName, job.primaryKey,
       lower, upper, numPartitions, job.properties)
+  }
+
+  /** Register a DSv2 JDBC catalog (JDBCTableCatalog) for a source, the
+    * path on which Catalyst pushes aggregates (MIN/MAX planning) and
+    * filters INTO the remote database — `SELECT min(pk), max(pk) FROM
+    * cat.schema.table` plans as a `PushedAggregates` scan (asserted in
+    * JdbcSpec). The DSv1 `spark.read.jdbc` path still computes the same
+    * bounds, just source-side unpushed. */
+  def registerJdbcCatalog(spark: SparkSession, name: String, url: String,
+      driver: String, extra: Map[String, String] = Map.empty): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.url", url)
+    spark.conf.set(s"spark.sql.catalog.$name.driver", driver)
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownAggregate", "true")
+    extra.foreach { case (k, v) => spark.conf.set(s"spark.sql.catalog.$name.$k", v) }
   }
 
   /** A7: coerce every BinaryType column to StringType (UTF-8), leave the

@@ -80,11 +80,15 @@ object Extras {
 
     // Exact interpolated percentiles (both engines: sort + linear
     // interpolation at rank p*(n-1)).
+    // Outputs are floor-scaled integer cents: round() flips on exact
+    // half-cent interpolation midpoints (Spark HALF_UP on the decimal
+    // repr vs DuckDB on the binary value) while floor of the identical
+    // doubles cannot.
     Q("q57_percentile",
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+        |  CAST(floor(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS p50_c,
+        |  CAST(floor(quantile_cont(l_extendedprice, 0.9) * 100) AS BIGINT) AS p90_c,
+        |  CAST(floor(quantile_cont(l_extendedprice, 0.99) * 100) AS BIGINT) AS p99_c
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
@@ -92,9 +96,9 @@ object Extras {
       // percentile() whole-group collection buffer in the plan.
       exactPercentiles(s, d)
         .select(col("l_returnflag"),
-          round(col("p50"), 2).as("p50"),
-          round(col("p90"), 2).as("p90"),
-          round(col("p99"), 2).as("p99"))
+          floor(col("p50") * 100).as("p50_c"),
+          floor(col("p90") * 100).as("p90_c"),
+          floor(col("p99") * 100).as("p99_c"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -104,7 +108,7 @@ object Extras {
     // the expected value of the within-1% envelope flag.
     Q("q57b_approx_percentile",
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+        |  CAST(floor(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS p50_exact_c,
         |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
         |FROM lineitem
         |GROUP BY l_returnflag
@@ -114,7 +118,7 @@ object Extras {
         .groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("ap"))
         .join(exact, "l_returnflag")
-        .select(col("l_returnflag"), round(col("p50"), 2).as("p50_exact"),
+        .select(col("l_returnflag"), floor(col("p50") * 100).as("p50_exact_c"),
           (abs(element_at(col("ap"), 1) - col("p50")) <= col("p50") * 0.01).as("p50_ok"),
           (abs(element_at(col("ap"), 2) - col("p90")) <= col("p90") * 0.01).as("p90_ok"),
           (abs(element_at(col("ap"), 3) - col("p99")) <= col("p99") * 0.01).as("p99_ok"))

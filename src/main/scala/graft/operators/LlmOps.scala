@@ -261,8 +261,15 @@ object LlmOps {
   }
 
   /** Prefix-filtered candidate generation + exact array verification
-    * (PPJoin-lite). Correct for any corpus; pays off when shingle
-    * document frequencies are skewed. */
+    * (PPJoin). Correct for any corpus; pays off when shingle document
+    * frequencies are skewed. Three filters shrink the candidate set
+    * before the distinct/verify stages:
+    *  - prefix filter: a pair with J ≥ t must share one of the first
+    *    |X| − ⌈t·|X|⌉ + 1 shingles in the global rarest-first order;
+    *  - length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t;
+    *  - positional filter: a shared prefix shingle at ranks (pa, pb)
+    *    caps the overlap at 1 + min(|A|−pa, |B|−pb), which must still
+    *    reach α = ⌈ t/(1+t)·(|A|+|B|) ⌉ (J ≥ t ⟺ |A∩B| ≥ α). */
   private def jaccardPrefixJoin(s: SparkSession, d: String): DataFrame = {
     val t10 = jaccardThreshold10
     val sh = shingleBlocks(s, d)
@@ -276,11 +283,18 @@ object LlmOps {
     // prefix length |A| − ceil(t·|A|) + 1  (integer ceil: (sz*t10+9)/10)
     val prefix = ranked.filter(
       col("rnk") <= col("sz") - floor((col("sz") * t10 + 9) / 10).cast("int") + 1)
-    val a = prefix.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("shingle"))
+    val a = prefix.select(col("doc_id").as("a_id"), col("lang"), col("lb"),
+      col("shingle"), col("sz").as("a_sz"), col("rnk").as("a_rnk"))
     val b = prefix.select(col("doc_id").as("b_id"), col("lang").as("langb"),
-      col("lb").as("lbb"), col("shingle").as("shingleb"))
+      col("lb").as("lbb"), col("shingle").as("shingleb"),
+      col("sz").as("b_sz"), col("rnk").as("b_rnk"))
+    val alpha = ceil((col("a_sz") + col("b_sz")) * t10 / lit(10.0 + t10))
+    val ubound = lit(1) + least(col("a_sz") - col("a_rnk"), col("b_sz") - col("b_rnk"))
     val cand = a.join(b, col("shingle") === col("shingleb") && col("lang") === col("langb")
-        && col("lb") === col("lbb") && col("a_id") < col("b_id"))
+        && col("lb") === col("lbb") && col("a_id") < col("b_id")
+        && col("b_sz") * 10 >= col("a_sz") * t10
+        && col("a_sz") * 10 >= col("b_sz") * t10)
+      .filter(ubound >= alpha)
       .select("a_id", "b_id").distinct()
     val sa = sh.select(col("doc_id").as("a_id"), col("sg").as("sga"), col("sz").as("a_sz"))
     val sb = sh.select(col("doc_id").as("b_id"), col("sg").as("sgb"), col("sz").as("b_sz"))

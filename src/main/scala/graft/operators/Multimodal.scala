@@ -7,15 +7,27 @@ import org.apache.spark.sql.{Encoder, Encoders}
 /** Multimodal-column plumbing (north star): media payloads are opaque
   * BinaryType columns with typed metadata; decode / feature-extract /
   * frame-sample run as per-partition batch functions over the binary
-  * column. The decode step itself is STUBBED deterministically (no
-  * image/audio libs in this container — see the builder contract); the
-  * Spark-side plumbing (schema, partitioning, batch iteration, explode
-  * of per-frame rows) is real and oracle-checked.
+  * column. q52/q52b/q53 use deterministic byte-level stand-ins; q52c is
+  * a REAL image pipeline — PNG encode → javax.imageio decode →
+  * nearest-neighbor resize → pixel hash — oracled end-to-end because
+  * the synthetic pixel function is deterministic integer math DuckDB
+  * can recompute (a wrong decode or resize breaks the hash).
   */
 object Multimodal {
 
   /** Typed row for the frame-sampling pipeline output. */
   final case class Frame(doc_id: Long, frame_idx: Int, frame_sha: String)
+
+  /** Binary media column row (doc_id + PNG payload). */
+  final case class Png(doc_id: Long, png: Array[Byte])
+
+  /** Decoded+resized image summary row. */
+  final case class Decoded(doc_id: Long, orig_w: Int, orig_h: Int, pixel_sha: String)
+
+  /** Deterministic grayscale pixel function — the ONLY shared contract
+    * between the Spark pipeline and the DuckDB oracle. */
+  private def pixel(docId: Long, x: Int, y: Int): Int =
+    ((docId * 31 + x * 7 + y * 13) % 256).toInt
 
   private def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -64,6 +76,67 @@ object Multimodal {
           length(col("resized")).as("resized_bytes"),
           sha2(col("resized"), 256).as("resized_sha"),
           (col("doc_id") % 4 + 1).cast("int").as("scale_factor"))
+        .orderBy(col("doc_id"))
+    },
+
+    // REAL image decode: synthesize a PNG per document (stage 1 — the
+    // stand-in for stored media files), then genuinely decode it with
+    // javax.imageio, nearest-neighbor-resize to 4×4, and hash the
+    // resized pixels (stage 2). Between the stages the payload is an
+    // opaque BinaryType column, exactly the shape a media lakehouse
+    // table has. The oracle recomputes the resized pixel values from
+    // the deterministic pixel function — if the PNG round-trip, the
+    // decode, or the resize indexing were wrong, the hash would differ.
+    Q("q52c_multimodal_decode",
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 9 AS INTEGER) AS orig_w,
+        |  CAST(8 + doc_id % 7 AS INTEGER) AS orig_h,
+        |  sha256(list_aggregate(list_transform(range(0, 16),
+        |    i -> CAST((doc_id*31 + ((i % 4) * (8 + doc_id % 9) // 4) * 7
+        |             + ((i // 4) * (8 + doc_id % 7) // 4) * 13) % 256 AS VARCHAR)),
+        |    'string_agg', ',')) AS pixel_sha
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import javax.imageio.ImageIO
+      import java.awt.image.BufferedImage
+      implicit val idEnc: Encoder[Long] = Encoders.scalaLong
+      implicit val pngEnc: Encoder[Png] = Encoders.product[Png]
+      implicit val decEnc: Encoder[Decoded] = Encoders.product[Decoded]
+      // Stage 1: binary media column (real PNG bytes, deterministic).
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 + id % 9).toInt
+            val h = (8 + id % 7).toInt
+            val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = pixel(id, x, y)
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            ImageIO.write(img, "png", baos)
+            Png(id, baos.toByteArray)
+          }
+        }
+      // Stage 2: decode the binary column and resize for real.
+      media
+        .mapPartitions { it =>
+          it.map { p =>
+            val img = ImageIO.read(new java.io.ByteArrayInputStream(p.png))
+            val (w, h) = (img.getWidth, img.getHeight)
+            val vals = for (y <- 0 until 4; x <- 0 until 4)
+              yield img.getRGB(x * w / 4, y * h / 4) & 0xFF
+            Decoded(p.doc_id, w, h, sha256Hex(vals.mkString(",")))
+          }
+        }
+        .toDF()
         .orderBy(col("doc_id"))
     },
 

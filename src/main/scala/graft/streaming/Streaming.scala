@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY §2B streaming): the same
@@ -221,6 +221,35 @@ object Streaming {
       .groupByKey(_.user_id)
       .transformWithState(new SessionTimerProcessor(gapSeconds * 1000),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** TWS composite state with TTL: a ListState buffer of recent event
+    * ids per user whose entries EXPIRE after `ttl` of processing time —
+    * the state-hygiene primitive a 100 TB streaming deployment relies
+    * on (state size stays bounded without hand-rolled cleanup timers).
+    * Emits the currently-live buffer on every batch. */
+  final case class UserRecent(user_id: Long, ids: Seq[Long])
+
+  class RecentIdsTtlProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, (Long, Long), UserRecent] {
+    @transient private var ids: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ids = getHandle.getListState[Long]("ids", Encoders.scalaLong, TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[UserRecent] = {
+      rows.foreach(r => ids.appendValue(r._2))
+      Iterator.single(UserRecent(key, ids.get().toSeq))
+    }
+  }
+
+  def recentIdsTtl(events: Dataset[(Long, Long)], ttl: java.time.Duration): Dataset[UserRecent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      // TTL is processing-time based, so the operator runs in
+      // TimeMode.ProcessingTime (event-time TTL is not defined).
+      .transformWithState(new RecentIdsTtlProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   /** Parquet sink with checkpointing (exactly-once file sink). */

@@ -44,6 +44,27 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
+  /** Zipfian-skew documents corpus: word ranks are log-uniform over a
+    * 1000-word vocabulary (frequency ∝ 1/rank — Zipf(1)), so a handful
+    * of hot shingles dominate co-occurrence. This is the regime real
+    * text lives in and where the count join degrades quadratically while
+    * PPJoin's prefix filter drops the hot shingles from candidate
+    * generation. */
+  def synthesizeZipf(spark: SparkSession, dir: String, nDocs: Long): Unit = {
+    spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", expr(
+          """transform(sequence(1, 40 + CAST(pmod(xxhash64(id), 40) AS INT)),
+            | i -> concat('w', CAST(pow(50.0,
+            |   CAST(pmod(xxhash64(concat(CAST(id AS STRING), '~', CAST(i AS STRING))), 100000) AS DOUBLE) / 100000.0)
+            |   AS INT)))""".stripMargin)).as("text"),
+        element_at(array(lit("en"), lit("de"), lit("es"), lit("fr"), lit("zh")),
+          (pmod(xxhash64(col("id") + 7), lit(5)) + 1).cast("int")).as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val base = "/root/testdata/sf0.1"
@@ -66,6 +87,18 @@ object ScaleSmoke {
       val t1 = run(name, base)
       val t2 = run(name, big)
       println(f"SCALE $name%-26s $t1%10.2f $t2%16.2f ${t2 / t1}%7.1f")
+    }
+
+    // Skew shoot-out: count join vs PPJoin prefix filter on uniform
+    // (sf0.1-shaped) vs Zipfian shingle frequencies. Same oracle
+    // semantics; the winner flips with the corpus.
+    val zipf = "/tmp/graft_zipf"
+    synthesizeZipf(spark, zipf, nDocs = 30000L)
+    Seq("q43_ngram_jaccard", "q43b_jaccard_prefix").foreach { name =>
+      run(name, zipf) // warm
+      val tu = run(name, base)
+      val tz = run(name, zipf)
+      println(f"SKEW $name%-26s uniform(sf0.1) $tu%7.2f zipf(20k docs) $tz%7.2f")
     }
     spark.stop()
   }

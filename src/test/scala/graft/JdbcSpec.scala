@@ -61,6 +61,48 @@ class JdbcSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 20) // 50 wanted strides, capped at 20
   }
 
+  test("stride WHERE clauses match the reference's half-open slices (A5)") {
+    val job = TableJob("BIG_TABLE_1", output = "", primaryKey = "ID",
+      url = dbUrl, format = "jdbc", stride = 1000L, properties = props)
+    val df = Extract.jdbcRangeRead(spark, job, 1L, nRows.toLong)
+    // JDBCPartition.toString carries the generated predicate verbatim.
+    // Spark divides the span evenly rather than snapping to stride
+    // multiples like the reference, but the semantics match: half-open
+    // [lo, hi) ranges, a null-tolerant first slice, and an unbounded
+    // tail (the reference's max+1 fix-up expressed as >= only).
+    val parts = df.rdd.partitions.map(_.toString).toSeq
+    assert(parts.length == 5)
+    assert(parts.exists(p => p.contains(""""ID" < """) && p.contains("""or "ID" is null""")),
+      s"null-tolerant first stride missing in $parts")
+    assert(parts.count(p => p.contains(""""ID" >= """) && p.contains(""" AND "ID" < """)) == 3,
+      s"middle half-open strides missing in $parts")
+    assert(parts.exists(p => p.contains(""""ID" >= """) && !p.contains(""" < """)),
+      s"tail stride should be unbounded above: $parts")
+  }
+
+  test("DSv2 catalog pushes MIN/MAX planning into the source (A4)") {
+    Extract.registerJdbcCatalog(spark, "derbysrc", dbUrl,
+      "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val plan = spark.sql(
+      "SELECT min(ID) AS lo, max(ID) AS hi FROM derbysrc.APP.BIG_TABLE_1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [MIN(ID), MAX(ID)]"),
+      s"MIN/MAX not pushed:\n${plan.take(1500)}")
+    val row = spark.sql(
+      "SELECT min(ID) AS lo, max(ID) AS hi FROM derbysrc.APP.BIG_TABLE_1").head()
+    assert((row.getLong(0), row.getLong(1)) == (1L, nRows.toLong))
+  }
+
+  test("mysql TableJob defaults mirror the reference pool/session settings") {
+    val job = TableJob.mysql("big_table_1", "out.parquet", "id",
+      "jdbc:mysql://127.0.0.1:3307/jerry")
+    assert(job.properties.getProperty("driver") == "com.mysql.cj.jdbc.Driver")
+    assert(job.properties.getProperty("fetchsize") == "10000")
+    assert(job.properties.getProperty("isolationLevel") == "READ_COMMITTED")
+    assert(job.properties.getProperty("pushDownAggregate") == "true")
+    assert(job.stride == 10000L && job.maxRecordsPerFile == 100000L)
+  }
+
   test("runJob: full JDBC → snappy parquet extract (A13 end-to-end)") {
     val out = java.nio.file.Files.createTempDirectory("graft_jdbc_out").toString + "/t"
     Extract.runJob(spark, TableJob("BIG_TABLE_1", output = out, primaryKey = "ID",

@@ -196,6 +196,77 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER interval join emits nulls on both sides") {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[Ev]
+    val memR = MemoryStream[Ev]
+    val base = java.time.Instant.parse("2024-06-01T00:00:00Z")
+    def ev(id: Long, user: Long, secs: Long) =
+      Ev(id, base.plusSeconds(secs), user, "x", 1.0, "{}")
+    val q = Streaming.intervalJoin(memL.toDF(), memR.toDF(), "1 MINUTE", "full_outer")
+      .select("l_id", "r_id")
+      .writeStream.format("memory").queryName("ssfull_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 matches; user 2 exists only left; user 3 only right
+      memL.addData(Seq(ev(10, 1, 60), ev(20, 2, 60)))
+      memR.addData(Seq(ev(100, 1, 40), ev(200, 3, 50)))
+      q.processAllAvailable()
+      // advance both watermarks so both unmatched rows finalize
+      memL.addData(Seq(ev(-1, 9, 100000))); memR.addData(Seq(ev(-2, 9, 100000)))
+      q.processAllAvailable()
+      val got = spark.table("ssfull_out")
+        .filter(coalesce(col("l_id"), lit(0L)) >= 0 && coalesce(col("r_id"), lit(0L)) >= 0)
+        .as[(Option[Long], Option[Long])].collect().toSet
+      assert(got == Set((Some(10L), Some(100L)), (Some(20L), None), (None, Some(200L))),
+        s"got $got")
+    } finally q.stop()
+  }
+
+  test("transformWithState ListState entries expire under TTL") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val mem = MemoryStream[(Long, Long)]
+    val ttl = java.time.Duration.ofSeconds(2)
+    // ProcessingTime-mode TWS always reports "run another batch" (TTL
+    // eviction needs the clock), so processAllAvailable() never settles
+    // for this operator — poll the sink with a deadline instead.
+    def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (System.currentTimeMillis() < deadline) {
+        if (cond) return true
+        Thread.sleep(500)
+      }
+      cond
+    }
+    val q = Streaming.recentIdsTtl(mem.toDS(), ttl)
+      .writeStream.format("memory").queryName("ttl_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(Seq((1L, 100L), (1L, 101L)))
+      assert(eventually(60000) {
+        spark.table("ttl_out").as[(Long, Seq[Long])].collect()
+          .exists(r => r._1 == 1L && r._2.sorted == Seq(100L, 101L))
+      }, "live buffer never held both ids")
+      Thread.sleep(ttl.toMillis + 1500) // let the TTL horizon pass
+      mem.addData(Seq((1L, 200L)))
+      assert(eventually(60000) {
+        val rows = spark.table("ttl_out").as[(Long, Seq[Long])].collect()
+        val afterTtl = rows.filter(r => r._1 == 1L && r._2.contains(200L))
+        afterTtl.nonEmpty && afterTtl.forall(_._2 == Seq(200L))
+      }, "pre-TTL ids did not expire")
+    } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running counts (RocksDB state store)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
