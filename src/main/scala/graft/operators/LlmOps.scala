@@ -241,7 +241,11 @@ object LlmOps {
     * (shingle, block), count common shingles per pair, derive
     * |A∪B| = |A|+|B|−|A∩B|. No array work in the pair loop; cost scales
     * with shingle co-occurrence volume, not corpus². */
-  private def jaccardCountJoin(s: SparkSession, d: String): DataFrame = {
+  private def jaccardCountJoin(s: SparkSession, d: String): DataFrame =
+    jaccardCountJoinAt(s, d, jaccardThreshold10)
+
+  private[graft] def jaccardCountJoinAt(s: SparkSession, d: String, t10: Int): DataFrame = {
+    val jaccardThreshold10 = t10
     val sh = shingleBlocks(s, d)
     val ex = sh.select(col("doc_id"), col("lang"), col("lb"), col("sz"),
       explode(col("sg")).as("shingle"))
@@ -270,8 +274,10 @@ object LlmOps {
     *  - positional filter: a shared prefix shingle at ranks (pa, pb)
     *    caps the overlap at 1 + min(|A|−pa, |B|−pb), which must still
     *    reach α = ⌈ t/(1+t)·(|A|+|B|) ⌉ (J ≥ t ⟺ |A∩B| ≥ α). */
-  private def jaccardPrefixJoin(s: SparkSession, d: String): DataFrame = {
-    val t10 = jaccardThreshold10
+  private def jaccardPrefixJoin(s: SparkSession, d: String): DataFrame =
+    jaccardPrefixJoinAt(s, d, jaccardThreshold10)
+
+  private[graft] def jaccardPrefixJoinAt(s: SparkSession, d: String, t10: Int): DataFrame = {
     val sh = shingleBlocks(s, d)
     val ex = sh.select(col("doc_id"), col("lang"), col("lb"), col("sz"),
       explode(col("sg")).as("shingle"))

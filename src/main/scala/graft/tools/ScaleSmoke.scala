@@ -55,7 +55,7 @@ object ScaleSmoke {
       .select(col("id").as("doc_id"),
         concat_ws(" ", expr(
           """transform(sequence(1, 40 + CAST(pmod(xxhash64(id), 40) AS INT)),
-            | i -> concat('w', CAST(pow(50.0,
+            | i -> concat('w', CAST(pow(20.0,
             |   CAST(pmod(xxhash64(concat(CAST(id AS STRING), '~', CAST(i AS STRING))), 100000) AS DOUBLE) / 100000.0)
             |   AS INT)))""".stripMargin)).as("text"),
         element_at(array(lit("en"), lit("de"), lit("es"), lit("fr"), lit("zh")),
@@ -80,13 +80,21 @@ object ScaleSmoke {
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
-    println(f"${"op"}%-26s ${"1x(sf0.1)"}%10s ${"10x-docs/5x-vecs"}%16s ${"ratio"}%7s")
-    ops.foreach { name =>
-      run(name, base) // warm: whole-stage codegen compiles once, untimed
-      val t1 = run(name, base)
-      val t2 = run(name, big)
-      println(f"SCALE $name%-26s $t1%10.2f $t2%16.2f ${t2 / t1}%7.1f")
+    val skewOnly = sys.env.contains("SPARK_GRAFT_SKEW_ONLY")
+    if (!skewOnly) {
+      println(f"${"op"}%-26s ${"1x(sf0.1)"}%10s ${"10x-docs/5x-vecs"}%16s ${"ratio"}%7s")
+      ops.foreach { name =>
+        run(name, base) // warm: whole-stage codegen compiles once, untimed
+        val t1 = run(name, base)
+        val t2 = run(name, big)
+        println(f"SCALE $name%-26s $t1%10.2f $t2%16.2f ${t2 / t1}%7.1f")
+      }
     }
 
     // Skew shoot-out: count join vs PPJoin prefix filter on uniform
@@ -95,11 +103,75 @@ object ScaleSmoke {
     val zipf = "/tmp/graft_zipf"
     synthesizeZipf(spark, zipf, nDocs = 30000L)
     Seq("q43_ngram_jaccard", "q43b_jaccard_prefix").foreach { name =>
-      run(name, zipf) // warm
-      val tu = run(name, base)
-      val tz = run(name, zipf)
-      println(f"SKEW $name%-26s uniform(sf0.1) $tu%7.2f zipf(20k docs) $tz%7.2f")
+      // warm per corpus (codegen + JIT profile), then min of 2 reps —
+      // the zipf co-occurrence shuffle is noisy run-to-run
+      run(name, base)
+      val tu = math.min(run(name, base), run(name, base))
+      run(name, zipf)
+      val tz = math.min(run(name, zipf), run(name, zipf))
+      println(f"SKEW $name%-26s uniform(sf0.1) $tu%7.2f zipf(30k docs) $tz%7.2f")
     }
+
+    // The algorithmic crossover lives in the THRESHOLD: at t=0.3 each
+    // doc's prefix is 70% of its shingles (weak pruning — count join
+    // wins everywhere); at t=0.8, the production near-dup setting, the
+    // prefix shrinks to ~27% and drops every hot shingle on a skewed
+    // corpus. Same exact semantics at both thresholds.
+    import graft.operators.LlmOps
+    def runDf(df: => org.apache.spark.sql.DataFrame): Double = time(noop(df))
+    Seq(("count", (d: String, t: Int) => LlmOps.jaccardCountJoinAt(spark, d, t)),
+        ("prefix", (d: String, t: Int) => LlmOps.jaccardPrefixJoinAt(spark, d, t)))
+      .foreach { case (label, f) =>
+        runDf(f(zipf, 8)) // warm
+        val tz = math.min(runDf(f(zipf, 8)), runDf(f(zipf, 8)))
+        println(f"SKEWT8 jaccard-$label%-19s zipf(30k docs, t=0.8) $tz%7.2f")
+      }
+
+    // Hot-key skew: 40M-row fact where key 0 carries 70% of all rows —
+    // the hot shuffle partition (~450MB) exceeds AQE's 256MB default
+    // split threshold, as a production hot key would.
+    import org.apache.spark.sql.DataFrame
+    val fact = spark.range(40000000L)
+      .select(
+        when(pmod(xxhash64(col("id")), lit(10)) < 7, 0L)
+          .otherwise(pmod(xxhash64(col("id") + 1), lit(100000))).as("key"),
+        (col("id") % 1000).cast("double").as("v"))
+    fact.write.mode("overwrite").parquet("/tmp/graft_skew/fact.parquet")
+    val factP = spark.read.parquet("/tmp/graft_skew/fact.parquet")
+
+    // Salted vs direct aggregation. Expected finding: for ALGEBRAIC
+    // aggregates Spark's map-side partial aggregation already absorbs
+    // the hot key, so salting about ties (it pays only when partial
+    // aggregation is ineffective — holistic aggs / exploded maps).
+    noop(factP.groupBy("key").agg(sum("v"), count(lit(1)))) // warm
+    val tDirect = time(noop(factP.groupBy("key").agg(sum("v").as("total"), count(lit(1)).as("n"))))
+    val tSalted = time(noop(graft.operators.Skew.saltedSum(factP, col("key"), col("v"), col("v"))))
+    println(f"SKEWAGG direct $tDirect%7.2f salted $tSalted%7.2f (partial agg absorbs algebraic hot keys)")
+
+    // AQE skew join: force SMJ (no broadcast) of the skewed fact against
+    // a 100k-row dim, with AQE skew-join splitting OFF vs ON. The join
+    // must be STAGE-TERMINAL: a fused partial aggregate above the SMJ
+    // suppresses OptimizeSkewedJoin in Spark 4.1 (plan-proved in
+    // AqeSkewSpec) — a real pipeline would stage the agg separately.
+    val dim = spark.range(100000L).select(col("id").as("key"),
+      concat(lit("d"), col("id")).as("attr"))
+    def skewJoin(): DataFrame = factP.join(dim, "key")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    // shuffle blocks are compressed, so the ~450MB hot partition can
+    // land under the 256MB default threshold — size to cores instead
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    noop(skewJoin()) // warm
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val tNoSkew = math.min(time(noop(skewJoin())), time(noop(skewJoin())))
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    val tSkew = math.min(time(noop(skewJoin())), time(noop(skewJoin())))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    println(f"SKEWJOIN aqe-off $tNoSkew%7.2f aqe-on $tSkew%7.2f (SMJ, hot key = 70%% of 40M rows)")
     spark.stop()
   }
 }
