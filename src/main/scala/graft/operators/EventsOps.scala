@@ -97,6 +97,44 @@ object EventsOps {
         .filter(col("rn") === 1)
         .select("user_id", "event_type", "event_id", "ts")
         .orderBy("user_id", "event_type")
+    },
+
+    // As-of join (time-series point-in-time lookup): each click joins
+    // the latest purchase of the same user at or before its timestamp.
+    // Spark has no ASOF join operator; the scale-correct decomposition
+    // is union both sides tagged, one shuffle+sort per user, and a
+    // last-ignoreNulls carry-forward window — O(n log n) per key, no
+    // range-join explosion. The purchase side is pre-aggregated to
+    // unique (user, ts) so tie behavior is engine-independent. DuckDB's
+    // native ASOF LEFT JOIN is the oracle.
+    Q("q68_asof_join",
+      """WITH c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS p_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, c.ts,
+        |  p.ts AS purchase_ts, p.p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"),
+          lit(null).cast("timestamp_ntz").as("p_ts"), lit(null).cast("double").as("p_val"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("p_val"))
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"), col("ts").as("p_ts"), col("p_val"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      clicks.unionByName(purchases)
+        .withColumn("purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+        .withColumn("p_value", last(col("p_val"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select("user_id", "event_id", "ts", "purchase_ts", "p_value")
+        .orderBy("user_id", "event_id")
     }
   )
 }

@@ -27,14 +27,15 @@ object IvfAnn {
   /** corpus: (vec_id, emb array<double>, nrm). Returns (vec_id, cell). */
   private def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     // nearest centroid by cosine (dot/norm since query norm is constant
-    // per row): broadcast the tiny centroid set, rank, keep rank 1.
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))
+    // per row): broadcast the tiny centroid set and take the argmax as
+    // a hash AGGREGATION (max_by over (score, -cell)) — no per-vector
+    // sort, partial-aggregated map-side, unlike a window row_number.
+    // Tie-break matches the window form: best score, then lowest cell.
     corpus.join(broadcast(centroids))
       .withColumn("score",
         GraftFunctions.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("score"), (-col("cell")).as("nc"))).as("cell"))
   }
 
   /** Elementwise mean of member vectors per cell. */

@@ -554,6 +554,91 @@ object LlmOps {
         .orderBy("a_id", "b_id")
     },
 
+    // INT8 symmetric quantization of embeddings — the storage/bandwidth
+    // lever for ANN at 100 TB (4× smaller vectors, SIMD-friendly dot
+    // products). Per-vector max-abs scale; q_i = floor(x_i·scale + 0.5)
+    // (identical double ops in both engines — round() would diverge on
+    // exact .5). Output is integer summaries so the hash is exact:
+    // quantized sum, saturation count, and the scale in basis points.
+    Q("q69_embed_quantize",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |     m AS (SELECT vec_id, emb,
+        |             list_max(list_transform(emb, x -> abs(x))) AS mx FROM e),
+        |     q AS (SELECT vec_id,
+        |             CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale, emb, mx
+        |           FROM m)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(emb, x -> CAST(floor(x * scale + 0.5) AS BIGINT))) AS BIGINT) AS q_sum,
+        |  CAST(len(list_filter(list_transform(emb, x -> CAST(floor(x * scale + 0.5) AS BIGINT)),
+        |       v -> abs(v) = 127)) AS BIGINT) AS n_sat,
+        |  CAST(floor(scale * 10000) AS BIGINT) AS scale_bp
+        |FROM q
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("mx", array_max(transform(col("emb"), x => abs(x))))
+        .withColumn("scale", when(col("mx") === 0, lit(0.0)).otherwise(lit(127.0) / col("mx")))
+        .withColumn("q", transform(col("emb"), x => floor(x * col("scale") + lit(0.5))))
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+          size(filter(col("q"), v => abs(v) === 127)).cast("long").as("n_sat"),
+          floor(col("scale") * 10000).as("scale_bp"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Near-dup CLUSTERS: connected components over the exact Jaccard
+    // pair graph — production dedup keeps one doc per component, not
+    // per pair. Spark side: iterative min-label propagation (join +
+    // min-aggregate per round; 6 rounds covers diameter 6, plenty for
+    // near-dup clusters — at 100 TB the same loop runs with the
+    // large-star/small-star optimization). Oracle: DuckDB recursive-CTE
+    // transitive closure, min label per node.
+    Q("q70_dedup_clusters", {
+      val pairSql =
+        """SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM sh a JOIN sh b
+          |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.sg, b.sg)) * 10
+          |        >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))""".stripMargin
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, lang, n_chars // 100 AS lb,
+         |    list_distinct(list_transform(
+         |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+         |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         |           || ' ' || string_split(text,' ')[i+2])) AS sg
+         |  FROM documents
+         |), pairs AS (
+         |  $pairSql
+         |), edges AS (
+         |  SELECT a_id AS a, b_id AS b FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |)
+         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id,
+         |  CAST(min(b) = a AS BOOLEAN) AS keeper
+         |FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges) t
+         |GROUP BY a
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val pairs = jaccardCountJoin(s, d).select(col("a_id"), col("b_id"))
+      val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+        .toDF("a", "b")
+      var labels = edges.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node"))
+      for (_ <- 1 to 6) {
+        val prop = edges.join(labels, edges("b") === labels("node"))
+          .select(edges("a").as("node"), col("label"))
+        labels = labels.union(prop).groupBy("node").agg(min("label").as("label"))
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          (col("label") === col("node")).as("keeper"))
+        .orderBy(col("doc_id"))
+    },
+
     // LSH-bucketed ANN: multi-table sign-LSH; a corpus vector is a
     // candidate when it shares a (table, bucket) cell with the query in
     // ANY table (OR-amplification), then exact cosine ranks candidates.
