@@ -60,10 +60,14 @@ object IvfAnn {
       .filter(pmod(col("vec_id"), lit(step)) === 0 && col("vec_id") / step < nlist)
       .select((col("vec_id") / step).cast("int").as("cell"),
         col("emb").as("cemb"), col("nrm").as("cnrm"))
+    // Truncate lineage per Lloyd round and on the index outputs:
+    // centroids are referenced by radii + probe scoring downstream, and
+    // without the eager localCheckpoint every reference re-executes the
+    // whole k-means chain (on a cluster: reliable checkpoint instead).
     val centroids = (1 to lloydIters).foldLeft(init) { (cents, _) =>
-      recompute(corpus, assign(corpus, cents))
+      recompute(corpus, assign(corpus, cents)).localCheckpoint()
     }
-    (assign(corpus, centroids), centroids)
+    (assign(corpus, centroids).localCheckpoint(), centroids)
   }
 
   /** Exact IVF top-k with a triangle-inequality probe bound. For a cell

@@ -624,15 +624,21 @@ object LlmOps {
          |GROUP BY a
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
+      // Iterative algorithms MUST truncate lineage per round: without
+      // the eager localCheckpoint the union references the previous
+      // round twice and the pair join is recomputed exponentially
+      // (measured: 22s vs ~3s at sf0.1). On a cluster the same loop
+      // would checkpoint to reliable storage instead.
       val pairs = jaccardCountJoin(s, d).select(col("a_id"), col("b_id"))
       val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
-        .toDF("a", "b")
+        .toDF("a", "b").localCheckpoint()
       var labels = edges.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node"))
+        .withColumn("label", col("node")).localCheckpoint()
       for (_ <- 1 to 6) {
         val prop = edges.join(labels, edges("b") === labels("node"))
           .select(edges("a").as("node"), col("label"))
         labels = labels.union(prop).groupBy("node").agg(min("label").as("label"))
+          .localCheckpoint()
       }
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
           (col("label") === col("node")).as("keeper"))
