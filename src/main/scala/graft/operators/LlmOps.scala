@@ -645,6 +645,64 @@ object LlmOps {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic train/val/test split — every training-data pipeline
+    // needs one, and it must be CONTENT-derived (stable under
+    // re-partitioning, re-ingestion, and doc_id reassignment), never
+    // rand(). The split key is the Karp-Rabin rolling hash of the text
+    // (exact integer fold, q48-proven cross-engine) mod 100 →
+    // 80/10/10. Pure per-row math: embarrassingly parallel at any SF.
+    Q("q71_train_split",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket", TextFns.rollingHash(col("text")) % 100)
+        .select(col("doc_id"), col("bucket"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Sequence packing: assign documents to fixed-budget context bins
+    // (4096 whitespace tokens) by cumulative token count — the batch
+    // shape LLM pretraining dataloaders consume. Packing runs per
+    // (lang) partition so the cumulative window parallelizes; a 100 TB
+    // job would sub-bucket each lang by hash range first (same
+    // arithmetic, more partitions). Offsets are exact integers.
+    Q("q72_sequence_pack",
+      """WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
+        |  FROM t
+        |)
+        |SELECT doc_id, lang,
+        |  CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(cum_before // 4096 AS BIGINT) AS pack_id,
+        |  CAST(cum_before % 4096 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(TextFns.tokens(col("text"))).cast("long"))
+        .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          floor(col("cum_before") / 4096).as("pack_id"),
+          pmod(col("cum_before"), lit(4096)).as("pack_offset"))
+        .orderBy(col("doc_id"))
+    },
+
     // LSH-bucketed ANN: multi-table sign-LSH; a corpus vector is a
     // candidate when it shares a (table, bucket) cell with the query in
     // ANY table (OR-amplification), then exact cosine ranks candidates.
