@@ -106,6 +106,16 @@ object Extras {
     // approx_percentile (KLL-style) with accuracy 10000. Oracled via the
     // q54 invariant pattern: DuckDB recomputes the exact percentiles and
     // the expected value of the within-1% envelope flag.
+    //
+    // Envelope headroom: the sketch guarantees RANK error <= n/accuracy
+    // regardless of partition/merge layout (Greenwald-Khanna bound), so
+    // with per-group n ~ 20k at sf0.01 the returned value sits within
+    // +/-2 ranks of exact. The fixture's l_extendedprice is dense (~20k
+    // distinct values spanning ~1e5), so a 2-rank slip moves the value
+    // by ~0.01% — two orders of magnitude inside the 1% envelope. The
+    // flags are therefore layout-independent TRUE on any fixture whose
+    // per-group value density keeps (rank_err/n) * spread << 1% of the
+    // percentile value; they are an envelope check, not a layout probe.
     Q("q57b_approx_percentile",
       """SELECT l_returnflag,
         |  CAST(floor(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS p50_exact_c,

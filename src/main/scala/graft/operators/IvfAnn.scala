@@ -117,9 +117,13 @@ object IvfAnn {
       .withColumn("rnk", row_number().over(wk))
       .filter(col("rnk") === k)
       .select(col("query_id"), col("sim").as("lb"))
-    // Phase 2: probe surviving cells and rank exactly.
+    // Phase 2: probe surviving cells and rank exactly. Pruning slack:
+    // acos amplifies double rounding to ~1e-8 absolute angle error when
+    // the clamped cosine is near ±1 (tight clusters, members at their
+    // centroid), so 1e-6 — generous on purpose: extra slack only costs
+    // extra probes, never correctness.
     val probe2 = scoredCells.join(lbound, Seq("query_id"), "left")
-      .filter(col("lb").isNull || col("ub") >= col("lb") - lit(1e-9))
+      .filter(col("lb").isNull || col("ub") >= col("lb") - lit(1e-6))
       .select(col("query_id"), col("qe"), col("qn"), col("cell"))
     val wr = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     val ranked = cells

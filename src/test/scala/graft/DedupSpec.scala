@@ -78,6 +78,20 @@ class DedupSpec extends AnyFunSuite {
     assert(hammingFar > hamming, "unrelated doc should be farther than near-dup")
   }
 
+  test("MinHash-LSH output equals the unblocked exact J>=0.8 pair set (sf0.01)") {
+    // Certifies the q44 oracle's soundness deterministically: banding is
+    // probabilistic over the (fixed) hash choice, so on the shipped
+    // verify fixture we check recall is EXACTLY 1.0 — the verified LSH
+    // output must equal the O(n^2) exact pair set at the same threshold.
+    val d = "/root/testdata/sf0.01"
+    val lsh = SparkEntry.queries("q44_minhash_lsh")(spark, d)
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = graft.operators.LlmOps.exactJaccardPairsAt(spark, d, 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(lsh == exact,
+      s"missed=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
+  }
+
   test("MinHash-LSH is deterministic across runs") {
     val run1 = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir).collect().toSeq
     val run2 = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir).collect().toSeq
