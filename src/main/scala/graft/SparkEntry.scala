@@ -17,7 +17,8 @@ object SparkEntry {
       operators.LlmOps.qs ++
       operators.Multimodal.qs ++
       operators.Extras.qs ++
-      operators.IvfAnn.qs
+      operators.IvfAnn.qs ++
+      operators.TrainingOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,279 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond dedup/ANN: benchmark
+  * decontamination, PII redaction, repetition (Gopher-style) quality
+  * stats, deterministic stratified sampling, vocabulary induction with
+  * OOV rates, and corpus-frequency token rarity. All are exact integer /
+  * string outputs with full DuckDB oracles, and every pipeline is the
+  * shape that survives 100 TB: per-doc map work, one bounded aggregation,
+  * or a broadcast join against a small derived table — never all-pairs,
+  * never a driver-side collect.
+  */
+object TrainingOps {
+
+  /** Documents tokenized once: (doc_id, words, n words). */
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("words"))
+      .withColumn("nw", size(col("words")))
+
+  /** DuckDB word-5-gram list expression over string_split alias `w`. */
+  private val duckGrams5 =
+    """list_distinct(list_transform(
+      |      range(1, CASE WHEN len(w) >= 5 THEN len(w) - 3 ELSE 1 END),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))""".stripMargin
+
+  /** Deterministic synthetic-PII text derived from doc fields, defined
+    * identically in Spark and the oracle: the fixture corpus contains no
+    * PII, so the redaction operator is exercised against planted
+    * addresses/IPs/phones whose multiplicity varies with doc_id. */
+  private def piiText(textCol: Column, id: Column): Column =
+    concat(
+      textCol,
+      lit(" contact user"), id.cast("string"), lit("@example.com"),
+      when(id % 2 === 1,
+        concat(lit(" cc user"), id.cast("string"), lit("b@mail.org")))
+        .otherwise(lit("")),
+      lit(" ip 10."), (id % 256).cast("string"), lit(".0."), (id % 100).cast("string"),
+      lit(" phone 555-01"), lpad((id % 100).cast("string"), 2, "0"))
+
+  // Single line: this gets re-embedded in a stripMargin template, which
+  // would eat the first '|' of any line-leading '||'.
+  private val duckPiiText =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' || " +
+      "CASE WHEN doc_id % 2 = 1 THEN ' cc user' || CAST(doc_id AS VARCHAR) || 'b@mail.org' ELSE '' END || " +
+      "' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) || " +
+      "' phone 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+
+  // Regexes kept in the subset Java regex and RE2 (DuckDB) treat
+  // identically: no backrefs, no lookaround, leftmost+greedy only.
+  private val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val ipRe = "\\d+\\.\\d+\\.\\d+\\.\\d+"
+  private val phoneRe = "555-\\d{4}"
+
+  val qs: Seq[Q] = Seq(
+
+    // Benchmark decontamination: flag training docs sharing any word
+    // 5-gram with a held-out eval set (doc_id % 97 == 0 stands in for
+    // the benchmark). Eval grams are deduped and BROADCAST — eval sets
+    // are tiny relative to the corpus, so the training side streams
+    // through a map-side hash join and one per-doc count; the corpus is
+    // never shuffled on text. The standard n-gram-overlap decontamination
+    // from published LM data work (e.g. GPT-3 appendix C shape).
+    Q("q73_decontaminate",
+      s"""WITH g AS (
+         |  SELECT doc_id, $duckGrams5 AS gs
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |), eval_g AS (
+         |  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 97 = 0
+         |), train AS (
+         |  SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 <> 0
+         |), hits AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS shared
+         |  FROM train t JOIN eval_g e USING (gram) GROUP BY t.doc_id
+         |)
+         |SELECT g.doc_id, COALESCE(h.shared, 0) AS shared_5grams,
+         |  COALESCE(h.shared, 0) > 0 AS contaminated
+         |FROM g LEFT JOIN hits h USING (doc_id)
+         |WHERE g.doc_id % 97 <> 0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = tokenized(s, d)
+        .select(col("doc_id"),
+          array_distinct(TextFns.shingles(col("words"), 5)).as("gs"))
+      val evalGrams = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("gs")).as("gram")).distinct()
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val hits = train.select(col("doc_id"), explode(col("gs")).as("gram"))
+        .join(broadcast(evalGrams), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+      train.select("doc_id").join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("shared"), lit(0L)).as("shared_5grams"),
+          (coalesce(col("shared"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // PII redaction: count and scrub emails / IPv4s / phone numbers
+    // (planted deterministically — see piiText) with sequential
+    // regexp_replace passes. Pure per-row map work, no shuffle at all;
+    // the oracle replays the identical regexes in DuckDB (RE2) with the
+    // 'g' flag matching Spark's replace-all semantics.
+    Q("q74_pii_scrub",
+      s"""WITH p AS (
+         |  SELECT doc_id, $duckPiiText AS pt FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pt, '$emailRe')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(pt, '$ipRe')) AS INTEGER) AS n_ips,
+         |  CAST(len(regexp_extract_all(pt, '$phoneRe')) AS INTEGER) AS n_phones,
+         |  substr(sha256(
+         |    regexp_replace(regexp_replace(regexp_replace(pt,
+         |      '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
+         |      '$phoneRe', '<PHONE>', 'g')), 1, 16) AS clean_fp
+         |FROM p
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val p = Tables.documents(s, d)
+        .select(col("doc_id"), piiText(col("text"), col("doc_id")).as("pt"))
+      p.select(col("doc_id"),
+          regexp_count(col("pt"), lit(emailRe)).cast("int").as("n_emails"),
+          regexp_count(col("pt"), lit(ipRe)).cast("int").as("n_ips"),
+          regexp_count(col("pt"), lit(phoneRe)).cast("int").as("n_phones"),
+          substring(sha2(
+            regexp_replace(regexp_replace(regexp_replace(col("pt"),
+              emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"), 256),
+            1, 16).as("clean_fp"))
+        .orderBy("doc_id")
+    },
+
+    // Repetition / quality stats in the MassiveText (Gopher) style:
+    // duplicate-word fraction, top-unigram fraction, top-bigram
+    // fraction, each as exact basis points, plus the composite repetition
+    // flag. Per-doc explode + two bounded aggregations; at 100 TB this
+    // is a map-side-combine groupBy on (doc_id, gram) — no global state.
+    Q("q75_repetition_stats",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), uc AS (
+        |  SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w
+        |), u AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw,
+        |    CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS mx
+        |  FROM uc GROUP BY doc_id
+        |), bt AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, CASE WHEN len(w) >= 2 THEN len(w) ELSE 1 END),
+        |    i -> w[i] || ' ' || w[i+1])) AS b
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |), bc AS (
+        |  SELECT doc_id, b, count(*) AS c FROM bt GROUP BY doc_id, b
+        |), bg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, CAST(max(c) AS BIGINT) AS bmx
+        |  FROM bc GROUP BY doc_id
+        |)
+        |SELECT u.doc_id,
+        |  CAST(floor(10000.0 * (u.nw - u.nd) / u.nw) AS BIGINT) AS dup_word_bp,
+        |  CAST(floor(10000.0 * u.mx / u.nw) AS BIGINT) AS top_unigram_bp,
+        |  CAST(CASE WHEN bg.nb IS NULL OR bg.nb = 0 THEN 0
+        |       ELSE floor(10000.0 * bg.bmx / bg.nb) END AS BIGINT) AS top_bigram_bp,
+        |  (CAST(floor(10000.0 * (u.nw - u.nd) / u.nw) AS BIGINT) > 7000
+        |   OR CAST(floor(10000.0 * u.mx / u.nw) AS BIGINT) > 3000) AS repetitive
+        |FROM u LEFT JOIN bg ON u.doc_id = bg.doc_id
+        |ORDER BY u.doc_id""".stripMargin) { (s, d) =>
+      val toks = tokenized(s, d)
+      val uni = toks.select(col("doc_id"), explode(col("words")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("nw"), count(lit(1)).as("nd"), max(col("c")).as("mx"))
+      val bi = toks
+        .select(col("doc_id"), explode(TextFns.shingles(col("words"), 2)).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("nb"), max(col("c")).as("bmx"))
+      val dup = floor(lit(10000.0) * (col("nw") - col("nd")) / col("nw"))
+      val topUni = floor(lit(10000.0) * col("mx") / col("nw"))
+      uni.join(bi, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          dup.as("dup_word_bp"),
+          topUni.as("top_unigram_bp"),
+          when(col("nb").isNull || col("nb") === 0, lit(0L))
+            .otherwise(floor(lit(10000.0) * col("bmx") / col("nb")))
+            .as("top_bigram_bp"),
+          (dup > 7000 || topUni > 3000).as("repetitive"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic stratified sampling with per-source quotas (data
+    // mixing): rank docs inside each source by a salted content-free
+    // hash and keep the first 10 — reproducible across runs, engines,
+    // and partitionings. One window per source partition; at 100 TB the
+    // rank is a per-source top-k (TakeOrdered within partition), never
+    // a global sort.
+    Q("q76_stratified_sample",
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY sha256(CAST(doc_id AS VARCHAR) || ':graft'), doc_id)
+        |      AS INTEGER) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(sha2(concat(col("doc_id").cast("string"), lit(":graft")), 256),
+          col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 10)
+        .orderBy("source", "rk")
+    },
+
+    // Vocabulary induction + OOV: top-32 corpus tokens by (count desc,
+    // token asc) form the vocab; each doc reports its OOV rate in basis
+    // points. Vocab is a bounded derived table (BROADCAST); docs stream
+    // through a map-side join — corpus shuffled only by (doc_id) for
+    // the final count, with map-side combine.
+    Q("q77_vocab_oov",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), v AS (
+        |  SELECT w FROM (SELECT w, count(*) AS c FROM t GROUP BY w)
+        |  ORDER BY c DESC, w LIMIT 32
+        |)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(floor(10000.0 * count(CASE WHEN v.w IS NULL THEN 1 END) / count(*))
+        |    AS BIGINT) AS oov_bp
+        |FROM t LEFT JOIN v ON t.w = v.w
+        |GROUP BY t.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = tokenized(s, d).select(col("doc_id"), explode(col("words")).as("w"))
+      val vocab = t.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(32)
+        .select(col("w"), lit(1).as("in_v"))
+      t.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          floor(lit(10000.0) * count(when(col("in_v").isNull, 1)) / count(lit(1)))
+            .as("oov_bp"))
+        .orderBy("doc_id")
+    },
+
+    // Token rarity: dense-rank every token by corpus frequency (rank 1 =
+    // most frequent; ties broken by token text) and score each doc by its
+    // mean token rank ×100 — an exact-integer stand-in for unigram
+    // log-likelihood scoring (floating-point ln is libm-dependent across
+    // engines, so the proxy keeps the oracle hash-exact). Frequency
+    // table is bounded by vocabulary size → broadcast.
+    Q("q78_token_rarity",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), c AS (
+        |  SELECT w, count(*) AS c FROM t GROUP BY w
+        |), r AS (
+        |  SELECT w, CAST(dense_rank() OVER (ORDER BY c DESC, w) AS BIGINT) AS rk
+        |  FROM c
+        |)
+        |SELECT t.doc_id,
+        |  CAST(floor(100.0 * sum(r.rk) / count(*)) AS BIGINT) AS mean_rank_x100,
+        |  CAST(max(r.rk) AS BIGINT) AS rarest_rank
+        |FROM t JOIN r ON t.w = r.w
+        |GROUP BY t.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = tokenized(s, d).select(col("doc_id"), explode(col("words")).as("w"))
+      val ranks = t.groupBy("w").agg(count(lit(1)).as("c"))
+        .select(col("w"), dense_rank().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("w")))
+          .cast("long").as("rk"))
+      t.join(broadcast(ranks), "w")
+        .groupBy("doc_id")
+        .agg(floor(lit(100.0) * sum(col("rk")) / count(lit(1))).as("mean_rank_x100"),
+          max(col("rk")).as("rarest_rank"))
+        .orderBy("doc_id")
+    }
+  )
+}

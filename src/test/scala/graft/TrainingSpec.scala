@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for the training-data curation operators (q73-q78)
+  * on a planted fixture: contamination via a copied 5-gram, PII
+  * multiplicity by doc_id parity, a pathologically repetitive doc, and
+  * quota/determinism properties of the stratified sample. */
+class TrainingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  /** doc 0 is the eval doc (0 % 97 == 0); doc 1 copies one of its word
+    * 5-grams; docs 2-3 share no 5-gram with it; doc 3 is one repeated
+    * word. */
+  lazy val plantedDir: String = {
+    val rows = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again", "en", "srcA"),
+      (1L, "padding words quick brown fox jumps over more padding", "en", "srcA"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota", "en", "srcB"),
+      (3L, "spam spam spam spam spam spam", "en", "srcB")
+    ).map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_train").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("decontamination flags the doc sharing a 5-gram with the eval set") {
+    val byId = SparkEntry.queries("q73_decontaminate")(spark, plantedDir)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!byId.contains(0L), "eval doc must be excluded from the train output")
+    assert(byId(1L)._2 && byId(1L)._1 >= 1, s"doc 1 should be contaminated: $byId")
+    assert(!byId(2L)._2 && byId(2L)._1 == 0, s"doc 2 should be clean: $byId")
+    assert(!byId(3L)._2, s"doc 3 should be clean: $byId")
+  }
+
+  test("PII scrub counts planted emails/IPs/phones and removes them all") {
+    val byId = SparkEntry.queries("q74_pii_scrub")(spark, plantedDir)
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // Odd doc_id gets a second planted email; everyone gets 1 IP, 1 phone.
+    assert(byId(0L) == ((1, 1, 1)), s"doc 0: ${byId(0L)}")
+    assert(byId(1L) == ((2, 1, 1)), s"doc 1: ${byId(1L)}")
+    assert(byId(2L) == ((1, 1, 1)) && byId(3L) == ((2, 1, 1)))
+    // Redaction is complete: re-scrubbing the redacted text finds nothing.
+    import org.apache.spark.sql.functions._
+    val pii = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com ip 10.1.0.2 phone 555-0142"))
+    val redacted = regexp_replace(regexp_replace(regexp_replace(pii,
+      "[a-z0-9]+@[a-z]+\\.[a-z]+", "<EMAIL>"),
+      "\\d+\\.\\d+\\.\\d+\\.\\d+", "<IP>"), "555-\\d{4}", "<PHONE>")
+    val leftovers = Tables.documents(spark, plantedDir)
+      .select(regexp_count(redacted, lit("[a-z0-9]+@[a-z]+\\.[a-z]+|\\d+\\.\\d+\\.\\d+\\.\\d+|555-\\d{4}")).as("n"))
+      .agg(sum(col("n"))).as[Long].head()
+    assert(leftovers == 0L, s"$leftovers PII matches survived redaction")
+  }
+
+  test("repetition stats flag the degenerate doc and pass normal text") {
+    val byId = SparkEntry.queries("q75_repetition_stats")(spark, plantedDir)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val spam = byId(3L)
+    assert(spam._2 == 8333L, s"dup_word_bp of 'spam'x6: ${spam._2}") // (6-1)/6
+    assert(spam._3 == 10000L && spam._5, s"spam doc must be repetitive: $spam")
+    assert(!byId(2L)._5, s"distinct-word doc must not be repetitive: ${byId(2L)}")
+    // doc 0 repeats 'the' twice in 10 words: dup 1/10, top unigram 2/10.
+    assert(byId(0L)._2 == 1000L && byId(0L)._3 == 2000L)
+  }
+
+  test("stratified sample respects quotas and is deterministic") {
+    val rows = SparkEntry.queries("q76_stratified_sample")(spark, plantedDir)
+      .as[(String, Long, Int)].collect().toSeq
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.forall(_._2.size <= 10))
+    assert(bySource.forall { case (_, g) => g.map(_._3).sorted == (1 to g.size).toList })
+    val rows2 = SparkEntry.queries("q76_stratified_sample")(spark, plantedDir)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(rows == rows2, "sample must be deterministic across runs")
+  }
+
+  test("vocab induction: all-in-vocab corpus has zero OOV on dominant doc") {
+    // Planted corpus has < 32 distinct tokens, so the vocab covers every
+    // token and every doc must report oov_bp = 0.
+    val oov = SparkEntry.queries("q77_vocab_oov")(spark, plantedDir)
+      .as[(Long, Long, Long)].collect()
+    assert(oov.forall(_._3 == 0L), s"expected all-zero OOV: ${oov.toSeq}")
+    // Token rarity: the spam doc's tokens are the most frequent token
+    // (rank 1), so its mean rank is exactly 100 (x100 scaling).
+    val rare = SparkEntry.queries("q78_token_rarity")(spark, plantedDir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rare(3L) == ((100L, 1L)), s"spam doc rarity: ${rare(3L)}")
+  }
+}
