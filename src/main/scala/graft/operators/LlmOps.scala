@@ -654,23 +654,15 @@ object LlmOps {
          |GROUP BY a
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      // Iterative algorithms MUST truncate lineage per round: without
-      // the eager localCheckpoint the union references the previous
-      // round twice and the pair join is recomputed exponentially
-      // (measured: 22s vs ~3s at sf0.1). On a cluster the same loop
-      // would checkpoint to reliable storage instead.
+      // Cluster collapse = connected components over the near-dup pair
+      // graph, via alternating large-star/small-star with convergence
+      // detection (graft.plans.ConnectedComponents): O(log n) rounds at
+      // any diameter, vs O(diameter) for plain min-label propagation —
+      // a chain A~B~C~… of pairwise near-dups is the common adversarial
+      // shape at corpus scale.
       val pairs = jaccardCountJoin(s, d).select(col("a_id"), col("b_id"))
-      val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
-        .toDF("a", "b").localCheckpoint()
-      var labels = edges.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node")).localCheckpoint()
-      for (_ <- 1 to 6) {
-        val prop = edges.join(labels, edges("b") === labels("node"))
-          .select(edges("a").as("node"), col("label"))
-        labels = labels.union(prop).groupBy("node").agg(min("label").as("label"))
-          .localCheckpoint()
-      }
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
+      graft.plans.ConnectedComponents.components(pairs)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
           (col("label") === col("node")).as("keeper"))
         .orderBy(col("doc_id"))
     },
