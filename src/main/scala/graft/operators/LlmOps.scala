@@ -324,16 +324,38 @@ object LlmOps {
       col("sz").as("b_sz"), col("rnk").as("b_rnk"))
     val alpha = ceil((col("a_sz") + col("b_sz")) * t10 / lit(10.0 + t10))
     val ubound = lit(1) + least(col("a_sz") - col("a_rnk"), col("b_sz") - col("b_rnk"))
+    // Candidate aggregation doubles as the first half of PPJoin's
+    // verification: cnt = exact |prefix(A) ∩ prefix(B)|, (pa, pb) = the
+    // two positions of the canonically-LARGEST matched prefix shingle
+    // (independent maxes agree because both docs are sorted by the same
+    // global (df, shingle) order), and the pair survives if any match
+    // passes the positional overlap bound.
     val cand = a.join(b, col("shingle") === col("shingleb") && col("lang") === col("langb")
         && col("lb") === col("lbb") && col("a_id") < col("b_id")
         && col("b_sz") * 10 >= col("a_sz") * t10
         && col("a_sz") * 10 >= col("b_sz") * t10)
-      .filter(ubound >= alpha)
-      .select("a_id", "b_id").distinct()
-    val sa = sh.select(col("doc_id").as("a_id"), col("sg").as("sga"), col("sz").as("a_sz"))
-    val sb = sh.select(col("doc_id").as("b_id"), col("sg").as("sgb"), col("sz").as("b_sz"))
+      .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("a_rnk")).as("pa"), max(col("b_rnk")).as("pb"),
+        max(when(ubound >= alpha, 1).otherwise(0)).as("ok"))
+      .filter(col("ok") === 1)
+      .drop("ok")
+    // Docs re-materialized in the canonical (df, shingle) order so the
+    // positions from candidate generation index into them.
+    val sorted = ranked.groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("rnk"), col("shingle")))),
+        x => x.getField("shingle")).as("ssg"))
+    val sa = sorted.select(col("doc_id").as("a_id"), col("ssg").as("sga"))
+    val sb = sorted.select(col("doc_id").as("b_id"), col("ssg").as("sgb"))
+    // PPJoin suffix verification: every common shingle not already in
+    // cnt is canonically larger than the last matched one, hence sits
+    // strictly after position pa in A AND after pb in B — so the exact
+    // overlap is cnt + |A[pa+1..] ∩ B[pb+1..]|, never a whole-array
+    // re-intersection.
     cand.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("inter", size(array_intersect(col("sga"), col("sgb"))))
+      .withColumn("inter", col("cnt") + size(array_intersect(
+        slice(col("sga"), col("pa") + 1, greatest(col("a_sz") - col("pa"), lit(0))),
+        slice(col("sgb"), col("pb") + 1, greatest(col("b_sz") - col("pb"), lit(0))))))
       .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * t10)
       .select(col("a_id"), col("b_id"),
