@@ -56,6 +56,26 @@ object TrainingOps {
   private val ipRe = "\\d+\\.\\d+\\.\\d+\\.\\d+"
   private val phoneRe = "555-\\d{4}"
 
+  /** Distinct word-5-grams per doc. */
+  private[graft] def docGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 5)).as("gs"))
+
+  /** Shared decontamination core: per-doc count of grams hitting the
+    * (small, broadcast) eval-gram set. explode_outer keeps docs with no
+    * grams at shared = 0, so no second pass over the doc list is
+    * needed — and the pipeline is a plain stream-static broadcast join +
+    * aggregation, so it runs unchanged over a streaming `docs` source
+    * (parity-tested in TrainingSpec). */
+  private[graft] def contaminationCounts(docs: DataFrame, evalGrams: DataFrame): DataFrame =
+    docGrams(docs)
+      .select(col("doc_id"), explode_outer(col("gs")).as("gram"))
+      .join(broadcast(evalGrams.select(col("gram"), lit(1).as("hit"))), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(when(col("hit") === 1, 1)).as("shared_5grams"))
+      .select(col("doc_id"), col("shared_5grams"),
+        (col("shared_5grams") > 0).as("contaminated"))
+
   val qs: Seq[Q] = Seq(
 
     // Benchmark decontamination: flag training docs sharing any word
@@ -82,19 +102,10 @@ object TrainingOps {
          |FROM g LEFT JOIN hits h USING (doc_id)
          |WHERE g.doc_id % 97 <> 0
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val docs = tokenized(s, d)
-        .select(col("doc_id"),
-          array_distinct(TextFns.shingles(col("words"), 5)).as("gs"))
-      val evalGrams = docs.filter(col("doc_id") % 97 === 0)
+      val docs = Tables.documents(s, d)
+      val evalGrams = docGrams(docs.filter(col("doc_id") % 97 === 0))
         .select(explode(col("gs")).as("gram")).distinct()
-      val train = docs.filter(col("doc_id") % 97 =!= 0)
-      val hits = train.select(col("doc_id"), explode(col("gs")).as("gram"))
-        .join(broadcast(evalGrams), "gram")
-        .groupBy("doc_id").agg(count(lit(1)).as("shared"))
-      train.select("doc_id").join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("shared"), lit(0L)).as("shared_5grams"),
-          (coalesce(col("shared"), lit(0L)) > 0).as("contaminated"))
+      contaminationCounts(docs.filter(col("doc_id") % 97 =!= 0), evalGrams)
         .orderBy("doc_id")
     },
 
@@ -273,6 +284,55 @@ object TrainingOps {
         .groupBy("doc_id")
         .agg(floor(lit(100.0) * sum(col("rk")) / count(lit(1))).as("mean_rank_x100"),
           max(col("rk")).as("rarest_rank"))
+        .orderBy("doc_id")
+    },
+
+    // Data-mixture selection: pick a 20%-of-corpus token budget split
+    // across 4 domains at fixed weights (40/30/20/10%), greedily by
+    // salted-hash order within each domain — the deterministic
+    // "mixing weights" step of training-data assembly. Budget math is
+    // cross-multiplied integers (no division, no float rounding); the
+    // per-domain prefix is one window cumsum, and the scalar corpus
+    // total rides a broadcast cross join. Scales as: one corpus
+    // aggregation + one window per domain partition.
+    Q("q79_data_mixture",
+      """WITH d AS (
+        |  SELECT doc_id, CAST(substr(source, 4) AS INTEGER) % 4 AS domain,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+        |  FROM documents
+        |), tot AS (
+        |  SELECT CAST(sum(nw) AS BIGINT) AS t FROM d
+        |), w(domain, wbp) AS (
+        |  VALUES (0, 4000), (1, 3000), (2, 2000), (3, 1000)
+        |), r AS (
+        |  SELECT doc_id, domain, nw,
+        |    CAST(sum(nw) OVER (PARTITION BY domain
+        |      ORDER BY sha256(CAST(doc_id AS VARCHAR) || ':mix'), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM d
+        |)
+        |SELECT r.doc_id, CAST(r.domain AS INTEGER) AS domain, r.cum AS cum_tokens
+        |FROM r JOIN w ON r.domain = w.domain CROSS JOIN tot
+        |WHERE r.cum * 10000 <= (tot.t // 5) * w.wbp
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          (substring(col("source"), 4, 10).cast("int") % 4).as("domain"),
+          size(TextFns.tokens(col("text"))).cast("long").as("nw"))
+      val tot = docs.agg(sum(col("nw")).as("t"))
+      val weights = Seq((0, 4000L), (1, 3000L), (2, 2000L), (3, 1000L))
+        .toDF("domain", "wbp")
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain"))
+        .orderBy(sha2(concat(col("doc_id").cast("string"), lit(":mix")), 256), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      docs.withColumn("cum", sum(col("nw")).over(win))
+        .join(broadcast(weights), "domain")
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") * 10000 <= floor(col("t") / 5).cast("long") * col("wbp"))
+        .select(col("doc_id"), col("domain").cast("int").as("domain"),
+          col("cum").as("cum_tokens"))
         .orderBy("doc_id")
     }
   )

@@ -79,6 +79,53 @@ class TrainingSpec extends AnyFunSuite {
     assert(rows == rows2, "sample must be deterministic across runs")
   }
 
+  test("streaming decontamination matches batch (stream-static broadcast join)") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val evalGrams = graft.operators.TrainingOps
+      .docGrams(docs.filter(col("doc_id") % 97 === 0))
+      .select(explode(col("gs")).as("gram")).distinct()
+    val batch = graft.operators.TrainingOps
+      .contaminationCounts(docs.filter(col("doc_id") % 97 =!= 0), evalGrams)
+      .as[(Long, Long, Boolean)].collect().toSet
+    // readStream needs a directory; the fixture is a single file.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      streamDir.resolve("part-0.parquet"))
+    val streamDocs = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString)
+      .filter(col("doc_id") % 97 =!= 0)
+    val q = graft.operators.TrainingOps.contaminationCounts(streamDocs, evalGrams)
+      .writeStream.format("memory").queryName("stream_decon")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_decon")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("data mixture respects per-domain budgets and greedy prefix order") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q79_data_mixture")(spark, d)
+      .as[(Long, Int, Long)].collect()
+    val totalTokens = Tables.documents(spark, d)
+      .select(sum(size(split(col("text"), " ")))).as[Long].head()
+    val budget = totalTokens / 5
+    val caps = Map(0 -> 4000L, 1 -> 3000L, 2 -> 2000L, 3 -> 1000L)
+    rows.groupBy(_._2).foreach { case (dom, g) =>
+      val maxCum = g.map(_._3).max
+      assert(maxCum * 10000 <= budget * caps(dom),
+        s"domain $dom cum $maxCum exceeds budget share")
+    }
+    assert(rows.nonEmpty && rows.map(_._2).distinct.sorted.sameElements(Array(0, 1, 2, 3)))
+  }
+
   test("vocab induction: all-in-vocab corpus has zero OOV on dominant doc") {
     // Planted corpus has < 32 distinct tokens, so the vocab covers every
     // token and every doc must report oov_bp = 0.
