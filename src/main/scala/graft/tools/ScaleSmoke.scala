@@ -86,6 +86,30 @@ object ScaleSmoke {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // CC-only mode: connected components through the FORCED distributed
+    // star rounds (union-find finish disabled) on a chain-heavy graph —
+    // the diameter-adversarial shape where label propagation would need
+    // O(diameter) rounds. 2^16-node chain + 500k random edges / 600k
+    // nodes.
+    if (sys.env.contains("SPARK_GRAFT_CC_ONLY")) {
+      import graft.plans.ConnectedComponents
+      val chain = spark.range(65536L).select((col("id") + 1).as("a"), col("id").as("b"))
+      val rand = spark.range(500000L).select(
+        pmod(xxhash64(col("id")), lit(600000L)).as("a"),
+        pmod(xxhash64(col("id") + 13), lit(600000L)).as("b"))
+      chain.union(rand).write.mode("overwrite").parquet("/tmp/graft_cc/edges.parquet")
+      val e = spark.read.parquet("/tmp/graft_cc/edges.parquet")
+      def ccRun(): Double =
+        time(noop(ConnectedComponents.components(e, smallGraphEdges = 0L)))
+      val t = math.min(ccRun(), ccRun())
+      val comp = ConnectedComponents.components(e, smallGraphEdges = 0L)
+        .agg(countDistinct(col("label")), count(lit(1))).head()
+      println(f"CC star-rounds 566k-edge chain-heavy graph $t%7.2f s " +
+        f"(${comp.getLong(0)} components over ${comp.getLong(1)} nodes)")
+      spark.stop()
+      return
+    }
+
     val skewOnly = sys.env.contains("SPARK_GRAFT_SKEW_ONLY")
     if (!skewOnly) {
       println(f"${"op"}%-26s ${"1x(sf0.1)"}%10s ${"10x-docs/5x-vecs"}%16s ${"ratio"}%7s")
