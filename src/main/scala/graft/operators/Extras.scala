@@ -302,6 +302,47 @@ object Extras {
       s.read.schema("c_custkey LONG, c_name STRING, c_mktsegment STRING")
         .json(s"$tmp/json")
         .orderBy(col("c_custkey"))
+    },
+
+    // ORC sink/source round-trip (columnar alternative to parquet, ships
+    // in stock Spark): values must survive write → read unchanged, so
+    // the oracle is simply the source data.
+    Q("q80_orc_roundtrip",
+      """SELECT s_suppkey, s_name, s_nationkey, CAST(floor(s_acctbal * 100) AS BIGINT) AS acct_c
+        |FROM supplier
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          floor(col("s_acctbal") * 100).as("acct_c"))
+        .write.mode("overwrite").orc(s"$tmp/orc")
+      s.read.orc(s"$tmp/orc").orderBy(col("s_suppkey"))
+    },
+
+    // SQL frontend driving the extension-registered codegen expression:
+    // graft_dot (GraftExtensions) called from spark.sql over a temp
+    // view. Quantized to integer-valued doubles first, so the dot
+    // product is exact and the DuckDB oracle (list_dot_product over the
+    // same quantization) hash-matches bit-for-bit.
+    Q("q81_sql_custom_expr",
+      """SELECT vec_id,
+        |  CAST(list_dot_product(
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 100)),
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 100))) AS BIGINT) AS qnorm2
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("graft_embeddings")
+      // floor() returns BIGINT and graft_dot cannot declare inputTypes
+      // (ExpectsInputTypes is private[sql] in Spark 4.1), so no implicit
+      // cast fires — quantized values are cast back to DOUBLE explicitly.
+      s.sql(
+        """SELECT vec_id,
+          |  CAST(graft_dot(
+          |    transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS DOUBLE)),
+          |    transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS DOUBLE))) AS BIGINT) AS qnorm2
+          |FROM graft_embeddings
+          |ORDER BY vec_id""".stripMargin)
     }
   )
 }
