@@ -219,8 +219,8 @@ object LlmOps {
     * fixtures is certified exactly 1.0 by DedupSpec). */
   private val minhashThreshold10 = 8
 
-  private val jaccardOracleSql: String =
-    """WITH sh AS (
+  private def jaccardOracleSqlAt(t10: Int): String =
+    s"""WITH sh AS (
       |  SELECT doc_id, lang, n_chars // 100 AS lb,
       |    list_distinct(list_transform(
       |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
@@ -235,8 +235,10 @@ object LlmOps {
       |FROM sh a JOIN sh b
       |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
       |WHERE len(list_intersect(a.sg, b.sg)) * 10
-      |      >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))
+      |      >= $t10 * len(list_distinct(list_concat(a.sg, b.sg)))
       |ORDER BY a_id, b_id""".stripMargin
+
+  private val jaccardOracleSql: String = jaccardOracleSqlAt(jaccardThreshold10)
 
   /** Distinct shingle sets per doc with blocking keys and set size. */
   private def shingleBlocks(s: SparkSession, d: String): DataFrame =
@@ -302,8 +304,6 @@ object LlmOps {
     *  - positional filter: a shared prefix shingle at ranks (pa, pb)
     *    caps the overlap at 1 + min(|A|−pa, |B|−pb), which must still
     *    reach α = ⌈ t/(1+t)·(|A|+|B|) ⌉ (J ≥ t ⟺ |A∩B| ≥ α). */
-  private def jaccardPrefixJoin(s: SparkSession, d: String): DataFrame =
-    jaccardPrefixJoinAt(s, d, jaccardThreshold10)
 
   private[graft] def jaccardPrefixJoinAt(s: SparkSession, d: String, t10: Int): DataFrame = {
     val sh = shingleBlocks(s, d)
@@ -401,14 +401,17 @@ object LlmOps {
     // blocked by (lang, length bucket) — never all-pairs.
     Q("q43_ngram_jaccard", jaccardOracleSql)(jaccardCountJoin),
 
-    // Same result via the PPJoin-style prefix filter (same oracle): for
-    // J(A,B) ≥ t, |A∩B| ≥ ceil(t·|A|), so with shingles in a global
-    // rarest-first canonical order the first |A| − ceil(t·|A|) + 1
-    // shingles of each doc must contain a common element. On corpora
-    // with skewed shingle frequencies (real text) this drops the hot
-    // shingles from candidate generation; on the uniform synthetic
-    // corpus the count join wins (SCALE.md has both measured).
-    Q("q43b_jaccard_prefix", jaccardOracleSql)(jaccardPrefixJoin),
+    // The PPJoin-style prefix filter, declared at t = 0.8 — its design
+    // regime (the production near-dup dedup threshold): for J(A,B) ≥ t,
+    // |A∩B| ≥ ceil(t·|A|), so with shingles in a global rarest-first
+    // canonical order the first |A| − ⌈t·|A|⌉ + 1 shingles of each doc
+    // must contain a common element; at t = 0.8 that prefix is ~27% of
+    // each doc and drops every hot shingle from candidate generation
+    // (3-4× over the count join under Zipfian skew — SCALE.md). At low
+    // thresholds the prefix prunes little and the count join (q43)
+    // wins; the engine picks by threshold. Same exact semantics, own
+    // oracle at its own threshold.
+    Q("q43b_jaccard_prefix", jaccardOracleSqlAt(8))((s, d) => jaccardPrefixJoinAt(s, d, 8)),
 
     // MinHash-LSH near-dup: banding generates candidate pairs (bucket-
     // local self-join, never all-pairs), then an exact-Jaccard verify

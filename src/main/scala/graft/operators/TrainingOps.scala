@@ -259,7 +259,12 @@ object TrainingOps {
     // mean token rank ×100 — an exact-integer stand-in for unigram
     // log-likelihood scoring (floating-point ln is libm-dependent across
     // engines, so the proxy keeps the oracle hash-exact). Frequency
-    // table is bounded by vocabulary size → broadcast.
+    // table is bounded by vocabulary size → broadcast; the global rank
+    // window runs over that bounded table, not the corpus. If the
+    // vocabulary itself outgrew one partition (open-domain web tokens),
+    // the scale variant replaces the rank with a per-token log2(count)
+    // bucket — a pure map over the frequency table with the same
+    // exact-integer property and no global window at all.
     Q("q78_token_rarity",
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
