@@ -692,6 +692,66 @@ object LlmOps {
         .orderBy(col("doc_id"))
     },
 
+    // End-to-end near-dup REMOVAL: exact-dup collapse + near-dup
+    // cluster collapse composed into the surviving corpus — the full
+    // curation step a pipeline actually ships. Survivors: the minimum
+    // doc_id of each sha-identical group, minus any doc belonging to a
+    // near-dup cluster it does not lead (cluster min = keeper). Both
+    // collapse phases are the scale shapes proved above (hash groupBy;
+    // bucketed pair join + star-contraction components).
+    Q("q82_dedup_pipeline", {
+      val pairSql =
+        """SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM sh a JOIN sh b
+          |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.sg, b.sg)) * 10
+          |        >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))""".stripMargin
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, lang, n_chars // 100 AS lb,
+         |    list_distinct(list_transform(
+         |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+         |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         |           || ' ' || string_split(text,' ')[i+2])) AS sg
+         |  FROM documents
+         |), pairs AS (
+         |  $pairSql
+         |), edges AS (
+         |  SELECT a_id AS a, b_id AS b FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |), clusters AS (
+         |  SELECT a AS doc_id, min(b) AS cluster_id
+         |  FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges) t
+         |  GROUP BY a
+         |), exact_keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+         |)
+         |SELECT k.doc_id, d.lang, d.source
+         |FROM exact_keep k
+         |JOIN documents d ON d.doc_id = k.doc_id
+         |LEFT JOIN clusters c ON c.doc_id = k.doc_id
+         |WHERE c.doc_id IS NULL OR c.cluster_id = k.doc_id
+         |ORDER BY k.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val exactKeep = docs.groupBy(sha2(col("text"), 256))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val pairs = jaccardCountJoin(s, d).select(col("a_id"), col("b_id"))
+      val clusters = graft.plans.ConnectedComponents.components(pairs)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      exactKeep
+        .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
     // Deterministic train/val/test split — every training-data pipeline
     // needs one, and it must be CONTENT-derived (stable under
     // re-partitioning, re-ingestion, and doc_id reassignment), never
