@@ -296,10 +296,16 @@ object TrainingOps {
     // across 4 domains at fixed weights (40/30/20/10%), greedily by
     // salted-hash order within each domain — the deterministic
     // "mixing weights" step of training-data assembly. Budget math is
-    // cross-multiplied integers (no division, no float rounding); the
-    // per-domain prefix is one window cumsum, and the scalar corpus
-    // total rides a broadcast cross join. Scales as: one corpus
-    // aggregation + one window per domain partition.
+    // cross-multiplied integers (no division, no float rounding).
+    //
+    // The per-domain running total is a DISTRIBUTED PREFIX SCAN, not a
+    // whole-domain window (which would drag an entire domain into one
+    // partition at scale): docs bucket by the first byte of their sort
+    // hash (so bucket order == hash order), the cumsum runs within
+    // (domain, bucket) partitions, and each bucket adds its
+    // preceding-buckets offset from a broadcast 256-rows-per-domain
+    // side table. Identical output to the naive single window — the
+    // oracle IS that naive window in DuckDB.
     Q("q79_data_mixture",
       """WITH d AS (
         |  SELECT doc_id, CAST(substr(source, 4) AS INTEGER) % 4 AS domain,
@@ -321,18 +327,31 @@ object TrainingOps {
         |WHERE r.cum * 10000 <= (tot.t // 5) * w.wbp
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
           (substring(col("source"), 4, 10).cast("int") % 4).as("domain"),
           size(TextFns.tokens(col("text"))).cast("long").as("nw"))
+        .withColumn("h", sha2(concat(col("doc_id").cast("string"), lit(":mix")), 256))
+        // first hex byte of the sort hash: bucket order == hash order
+        .withColumn("bkt", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
       val tot = docs.agg(sum(col("nw")).as("t"))
       val weights = Seq((0, 4000L), (1, 3000L), (2, 2000L), (3, 1000L))
         .toDF("domain", "wbp")
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("domain"))
-        .orderBy(sha2(concat(col("doc_id").cast("string"), lit(":mix")), 256), col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      docs.withColumn("cum", sum(col("nw")).over(win))
+      // Offsets: total tokens of all PRECEDING buckets per domain —
+      // ≤256 rows per domain, so this window is trivially bounded.
+      val offWin = Window.partitionBy(col("domain")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy(col("domain"), col("bkt"))
+        .agg(sum(col("nw")).as("bt"))
+        .withColumn("off", coalesce(sum(col("bt")).over(offWin), lit(0L)))
+        .select(col("domain"), col("bkt"), col("off"))
+      val localWin = Window.partitionBy(col("domain"), col("bkt"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      docs.withColumn("lc", sum(col("nw")).over(localWin))
+        .join(broadcast(offsets), Seq("domain", "bkt"))
+        .withColumn("cum", col("lc") + col("off"))
         .join(broadcast(weights), "domain")
         .crossJoin(broadcast(tot))
         .filter(col("cum") * 10000 <= floor(col("t") / 5).cast("long") * col("wbp"))
