@@ -308,7 +308,8 @@ object TrainingOps {
     // oracle IS that naive window in DuckDB.
     Q("q79_data_mixture",
       """WITH d AS (
-        |  SELECT doc_id, CAST(substr(source, 4) AS INTEGER) % 4 AS domain,
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(sha256(source), 2, 1)) - 1) % 4 AS domain,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
         |  FROM documents
         |), tot AS (
@@ -328,9 +329,14 @@ object TrainingOps {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      // Domain key = a sha hex digit of the source, not a parse of its
+      // suffix: total for ANY source string (an ANSI cast of 'srcA'
+      // would throw) and exactly reproducible in the oracle via strpos
+      // over the hex alphabet.
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
-          (substring(col("source"), 4, 10).cast("int") % 4).as("domain"),
+          (conv(substring(sha2(col("source"), 256), 2, 1), 16, 10).cast("long") % 4)
+            .cast("int").as("domain"),
           size(TextFns.tokens(col("text"))).cast("long").as("nw"))
         .withColumn("h", sha2(concat(col("doc_id").cast("string"), lit(":mix")), 256))
         // first hex byte of the sort hash: bucket order == hash order

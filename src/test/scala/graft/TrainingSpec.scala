@@ -126,6 +126,25 @@ class TrainingSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.map(_._2).distinct.sorted.sameElements(Array(0, 1, 2, 3)))
   }
 
+  test("curation operators tolerate degenerate docs (empty, one-word, long-run)") {
+    val rows = Seq(
+      (0L, "", "en", "srcA"),
+      (1L, "word", "en", "srcA"),
+      (2L, "a b", "en", "srcB"),
+      (3L, ("x " * 500).trim, "en", "srcB")
+    ).map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    for (q <- Seq("q73_decontaminate", "q74_pii_scrub", "q75_repetition_stats",
+        "q76_stratified_sample", "q77_vocab_oov", "q78_token_rarity",
+        "q79_data_mixture", "q43_ngram_jaccard", "q43b_jaccard_prefix",
+        "q44_minhash_lsh", "q45_simhash", "q82_dedup_pipeline")) {
+      val out = SparkEntry.queries(q)(spark, dir).collect()
+      assert(out != null, s"$q crashed on degenerate corpus")
+    }
+  }
+
   test("vocab induction: all-in-vocab corpus has zero OOV on dominant doc") {
     // Planted corpus has < 32 distinct tokens, so the vocab covers every
     // token and every doc must report oov_bp = 0.
