@@ -57,12 +57,18 @@ object ConnectedComponents {
     def sym(l: DataFrame): DataFrame =
       l.select(col("u"), col("v")).union(l.select(col("v").as("u"), col("u").as("v")))
 
-    def fingerprint(l: DataFrame): (Long, Long) = {
-      // pmod keeps the per-row term < 2^30 so the ANSI-mode sum cannot
+    def fingerprint(l: DataFrame): (Long, Long, Long) = {
+      // Two INDEPENDENT modular hash sums + the count: a single sum
+      // could (astronomically rarely) collide across different link
+      // sets and terminate a round early with wrong labels; two
+      // independent 2^30-range sums push collision odds below 1e-18.
+      // pmod keeps per-row terms < 2^30 so ANSI-mode sums cannot
       // overflow a long at any realistic edge count.
       val r = l.agg(count(lit(1)),
-        sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L)))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))),
+        sum(pmod(xxhash64(lit(77L), col("u"), col("v")), lit(998244353L)))).head()
+      def s(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+      (r.getLong(0), s(1), s(2))
     }
 
     /** One star pass over a symmetric closure → distinct links (x, m),
@@ -81,10 +87,15 @@ object ConnectedComponents {
         .select(col("x").as("u"), col("m").as("v"))
     }
 
+    // Star contraction needs O(log n) rounds; 64 covers any graph that
+    // fits in 64-bit ids. The cap is a runaway backstop, not a budget —
+    // hitting it without converging (or shrinking under the union-find
+    // threshold) means something is genuinely wrong, and silently
+    // collapsing a still-huge graph into one task would hide it.
     var fp = fingerprint(links)
     var converged = false
     var round = 0
-    while (!converged && fp._1 > smallGraphEdges && round < 25) {
+    while (!converged && fp._1 > smallGraphEdges && round < 64) {
       links = star(sym(star(sym(links), large = true)), large = false)
         .localCheckpoint()
       val fp2 = fingerprint(links)
@@ -92,6 +103,8 @@ object ConnectedComponents {
       fp = fp2
       round += 1
     }
+    require(converged || fp._1 <= smallGraphEdges,
+      s"connected components failed to converge after $round rounds (${fp._1} links)")
     val parents =
       if (converged) {
         // Converged star state: links already hold (node, root).
