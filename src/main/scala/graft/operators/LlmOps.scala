@@ -90,10 +90,14 @@ object LlmOps {
     * of hyperplanes [t*bits, (t+1)*bits). Returned as an array so the
     * caller can posexplode into (table, bucket) rows. */
   private def lshBuckets(emb: Column): Column = {
+    // Each plane dot runs through the codegen'd DotProduct primitive
+    // (same left-to-right summation as the zip_with+aggregate form it
+    // replaced, so bucket bits are bit-identical) against a constant
+    // hyperplane array — 24 fused loops per row instead of 24 HOF
+    // expression trees each allocating an intermediate array.
     def signBit(planeIdx: Int, weight: Long): Column = {
-      val dot = aggregate(
-        zip_with(emb, array(hyperplanes(planeIdx).map(lit): _*), (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = graft.functions.GraftFunctions.dot(
+        emb, array(hyperplanes(planeIdx).map(lit): _*))
       when(dot > 0, lit(weight)).otherwise(lit(0L))
     }
     array((0 until lshTables).map { t =>
