@@ -111,4 +111,23 @@ class JdbcSpec extends AnyFunSuite {
     assert(back.count() == nRows)
     assert(back.columns.map(_.toUpperCase).toSeq == Seq("ID", "DATA"))
   }
+
+  test("JDBC SINK: DataFrame.write.jdbc round-trips through Derby") {
+    // The reverse direction of the reference pipeline (db → parquet):
+    // loading engine output INTO a SQL store, batched inserts handled
+    // by Spark's JDBC writer.
+    import org.apache.spark.sql.functions._
+    val src = spark.range(1, 501)
+      .select(col("id").as("ID"), concat(lit("row_"), col("id")).as("DATA"))
+    src.write.mode("overwrite").jdbc(dbUrl, "SINK_TABLE", props)
+    val back = spark.read.jdbc(dbUrl, "SINK_TABLE", props)
+    assert(back.count() == 500)
+    val row42 = back.filter(col("ID") === 42).collect()
+    assert(row42.length == 1 && row42(0).getString(1) == "row_42")
+    // Append mode accumulates (the writer's batched-insert path).
+    src.filter(col("ID") <= 10)
+      .withColumn("ID", col("ID") + 1000)
+      .write.mode("append").jdbc(dbUrl, "SINK_TABLE", props)
+    assert(spark.read.jdbc(dbUrl, "SINK_TABLE", props).count() == 510)
+  }
 }
