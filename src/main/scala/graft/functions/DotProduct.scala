@@ -68,6 +68,9 @@ object GraftFunctions {
         "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash")))
       reg.createOrReplaceTempFunction("graft_minhash", MinHashSig.make, "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rollhash")))
+      reg.createOrReplaceTempFunction(
+        "graft_rollhash", exprs => RollingHash(exprs(0)), "built-in")
   }
 
   /** Column-level handle (requires register(spark) in the session). */
@@ -75,6 +78,9 @@ object GraftFunctions {
 
   /** 32-wide MinHash signature over a pre-hashed shingle array. */
   def minhash(hashes: Column): Column = call_function("graft_minhash", hashes)
+
+  /** Karp-Rabin rolling hash of a string column. */
+  def rollhash(text: Column): Column = call_function("graft_rollhash", text)
 }
 
 /** SparkSessionExtensions hook: `builder.withExtensions(new
@@ -95,5 +101,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       MinHashSig.make))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rollhash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rollhash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs(0))))
   }
 }

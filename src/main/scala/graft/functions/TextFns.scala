@@ -42,8 +42,16 @@ object TextFns {
 
   /** Karp-Rabin rolling polynomial hash over the characters of `text`:
     * h = fold(chars, 0, (acc, c) -> (acc * 31 + ascii(c)) mod 1e9+7).
-    * Left-to-right fold, exact 64-bit integer arithmetic. */
+    * Left-to-right fold, exact 64-bit integer arithmetic. Runs through
+    * the fused [[graft.functions.RollingHash]] codegen loop (requires
+    * GraftFunctions.register / GraftExtensions in the session);
+    * [[rollingHashHof]] keeps the built-ins-only formulation for the
+    * equivalence test. */
   def rollingHash(text: Column): Column =
+    GraftFunctions.rollhash(text)
+
+  /** HOF reference implementation of [[rollingHash]] (identical fold). */
+  def rollingHashHof(text: Column): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),

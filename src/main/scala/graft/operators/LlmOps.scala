@@ -557,6 +557,7 @@ object LlmOps {
         |  substr(sha256(lower(text)), 1, 16) AS sha_fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"),
           TextFns.rollingHash(col("text")).as("rolling_hash"),
@@ -775,6 +776,7 @@ object LlmOps {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d)
         .withColumn("bucket", TextFns.rollingHash(col("text")) % 100)
         .select(col("doc_id"), col("bucket"),

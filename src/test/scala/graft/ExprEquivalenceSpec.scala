@@ -61,4 +61,16 @@ class ExprEquivalenceSpec extends AnyFunSuite {
     val got = df.select(call_function("test_minhash0", col("hx"))).collect()
     assert(got.head.isNullAt(0))
   }
+
+  test("RollingHash ≡ split+ascii+aggregate HOF baseline (incl. empty string)") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(53)
+    val texts = Seq("") ++ Seq.fill(200)(
+      Seq.fill(rnd.nextInt(120))((32 + rnd.nextInt(95)).toChar).mkString)
+    val cmp = texts.toDF("t").select(
+      graft.functions.GraftFunctions.rollhash(col("t")).as("fast"),
+      graft.functions.TextFns.rollingHashHof(col("t")).as("slow"))
+      .as[(Long, Long)].collect()
+    cmp.foreach { case (f, sl) => assert(f == sl, s"$f != $sl") }
+  }
 }
