@@ -11,10 +11,15 @@ object Extras {
   /** Exact interpolated percentiles (0.5/0.9/0.99 of l_extendedprice per
     * l_returnflag) with bounded memory — the scale-safe replacement for
     * percentile()'s whole-group collection buffer. Two passes:
-    * distinct-(group,value) counts, then a cumulative-count window over
-    * DISTINCT values only (bounded for money columns, spillable) picks
-    * the floor/ceil rank holders and interpolates. Returns unrounded
-    * doubles (p50, p90, p99). */
+    * distinct-(group,value) counts, then a cumulative count over
+    * DISTINCT values picks the floor/ceil rank holders and interpolates.
+    *
+    * The cumulative count is a DISTRIBUTED PREFIX SCAN (same shape as
+    * q79's): values bucket by range (bucket order == value order), the
+    * cumsum runs within (group, bucket) partitions, and each bucket adds
+    * the preceding-buckets total from a broadcast side table — so no
+    * single partition ever sorts a whole group's distinct values.
+    * Returns unrounded doubles (p50, p90, p99). */
   private[operators] def exactPercentiles(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Column
@@ -22,9 +27,18 @@ object Extras {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("k"), col("l_extendedprice").as("v"))
     val grouped = li.groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("k")).orderBy(col("v"))
+      .withColumn("bkt", floor(col("v") / 1000.0).cast("long"))
+    val offWin = Window.partitionBy(col("k")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = grouped.groupBy(col("k"), col("bkt"))
+      .agg(sum(col("c")).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(offWin), lit(0L)))
+      .select(col("k"), col("bkt"), col("off"))
+    val localWin = Window.partitionBy(col("k"), col("bkt")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = grouped.withColumn("cum", sum(col("c")).over(w))
+    val cum = grouped.withColumn("lc", sum(col("c")).over(localWin))
+      .join(broadcast(offsets), Seq("k", "bkt"))
+      .withColumn("cum", col("lc") + col("off"))
     val n = li.groupBy(col("k")).agg(count(lit(1)).as("n"))
     val j = cum.join(broadcast(n), "k")
     def rank(p: Double): Column = (col("n") - 1).cast("double") * lit(p)
