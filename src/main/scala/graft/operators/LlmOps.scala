@@ -315,12 +315,20 @@ object LlmOps {
       explode(col("sg")).as("shingle"))
     val dfreq = ex.groupBy(col("lang"), col("lb"), col("shingle"))
       .agg(count(lit(1)).as("df"))
-    val ranked = ex.join(dfreq, Seq("lang", "lb", "shingle"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+    // ONE aggregation builds the canonical view: each doc's shingles
+    // sorted by the global rarest-first (df, shingle) order. Ranks are
+    // just positions in this array, so no separate row_number window —
+    // the prefix re-explodes from a slice of it.
+    val sorted = ex.join(dfreq, Seq("lang", "lb", "shingle"))
+      .groupBy(col("doc_id"), col("lang"), col("lb"), col("sz"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("shingle")))),
+        x => x.getField("shingle")).as("ssg"))
     // prefix length |A| − ceil(t·|A|) + 1  (integer ceil: (sz*t10+9)/10)
-    val prefix = ranked.filter(
-      col("rnk") <= col("sz") - floor((col("sz") * t10 + 9) / 10).cast("int") + 1)
+    val prefLen = col("sz") - floor((col("sz") * t10 + 9) / 10).cast("int") + 1
+    val prefix = sorted
+      .select(col("doc_id"), col("lang"), col("lb"), col("sz"),
+        posexplode(slice(col("ssg"), lit(1), greatest(prefLen, lit(0)))).as(Seq("pos", "shingle")))
+      .withColumn("rnk", col("pos") + 1)
     val a = prefix.select(col("doc_id").as("a_id"), col("lang"), col("lb"),
       col("shingle"), col("sz").as("a_sz"), col("rnk").as("a_rnk"))
     val b = prefix.select(col("doc_id").as("b_id"), col("lang").as("langb"),
@@ -344,11 +352,6 @@ object LlmOps {
         max(when(ubound >= alpha, 1).otherwise(0)).as("ok"))
       .filter(col("ok") === 1)
       .drop("ok")
-    // Docs re-materialized in the canonical (df, shingle) order so the
-    // positions from candidate generation index into them.
-    val sorted = ranked.groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(struct(col("rnk"), col("shingle")))),
-        x => x.getField("shingle")).as("ssg"))
     val sa = sorted.select(col("doc_id").as("a_id"), col("ssg").as("sga"))
     val sb = sorted.select(col("doc_id").as("b_id"), col("ssg").as("sgb"))
     // PPJoin suffix verification: every common shingle not already in
