@@ -28,17 +28,8 @@ object Extras {
       .select(col("l_returnflag").as("k"), col("l_extendedprice").as("v"))
     val grouped = li.groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
       .withColumn("bkt", floor(col("v") / 1000.0).cast("long"))
-    val offWin = Window.partitionBy(col("k")).orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = grouped.groupBy(col("k"), col("bkt"))
-      .agg(sum(col("c")).as("bc"))
-      .withColumn("off", coalesce(sum(col("bc")).over(offWin), lit(0L)))
-      .select(col("k"), col("bkt"), col("off"))
-    val localWin = Window.partitionBy(col("k"), col("bkt")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = grouped.withColumn("lc", sum(col("c")).over(localWin))
-      .join(broadcast(offsets), Seq("k", "bkt"))
-      .withColumn("cum", col("lc") + col("off"))
+    val cum = graft.plans.PrefixScan.cumsum(grouped, part = Seq("k"),
+      bucket = "bkt", order = Seq("v"), value = "c", out = "cum")
     val n = li.groupBy(col("k")).agg(count(lit(1)).as("n"))
     val j = cum.join(broadcast(n), "k")
     def rank(p: Double): Column = (col("n") - 1).cast("double") * lit(p)

@@ -85,9 +85,10 @@ object IvfAnn {
     * needs: one extra aggregation pass at build time, nlist-row result.
     * Both outputs are localCheckpoint'ed — this pair IS the reusable
     * index (on a cluster: writeClustered + a persisted centroid table). */
+  private def clamp(c: Column): Column = greatest(lit(-1.0), least(lit(1.0), c))
+
   def buildIndexWithRadii(corpus: DataFrame): (DataFrame, DataFrame) = {
     val (assigned, centroids) = buildIndex(corpus)
-    def clamp(c: Column): Column = greatest(lit(-1.0), least(lit(1.0), c))
     val radii = corpus.join(assigned, "vec_id").join(broadcast(centroids), "cell")
       .withColumn("ang", acos(clamp(
         GraftFunctions.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))))
@@ -104,8 +105,21 @@ object IvfAnn {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
 
-  def cachedIndex(corpus: DataFrame, s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    indexCache.computeIfAbsent((s, dir), _ => buildIndexWithRadii(corpus))
+  /** Full-fixture corpus with norms — the ONLY corpus an index may be
+    * cached for: the cache key is (session, dir), so building the
+    * corpus inside this object (rather than trusting a caller-supplied
+    * frame) makes a stale-index-for-filtered-corpus mismatch
+    * impossible. */
+  private[graft] def fullCorpus(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.embeddings(s, dir)
+      .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", sqrt(GraftFunctions.dot(col("emb"), col("emb"))))
+      .drop("embedding")
+  }
+
+  def cachedIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    indexCache.computeIfAbsent((s, dir), _ => buildIndexWithRadii(fullCorpus(s, dir)))
 
   def boundedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       index: Option[(DataFrame, DataFrame)] = None)
@@ -114,7 +128,6 @@ object IvfAnn {
     val member = corpus.join(assigned, "vec_id")
     val cells = member.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
       col("nrm").as("cn"), col("cell"))
-    def clamp(c: Column): Column = greatest(lit(-1.0), least(lit(1.0), c))
 
     // Score every (query, cell): θ(q,c) and the member-cosine bound.
     val scoredCells = queries.join(broadcast(cmeta))
@@ -187,14 +200,10 @@ object IvfAnn {
         |SELECT query_id, rank, neighbor_id FROM r
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-      GraftFunctions.register(s)
-      val corpus = Tables.embeddings(s, d)
-        .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
-        .withColumn("nrm", sqrt(GraftFunctions.dot(col("emb"), col("emb"))))
-        .drop("embedding")
+      val corpus = fullCorpus(s, d)
       boundedTopK(corpus, corpus.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn")),
-        index = Some(cachedIndex(corpus, s, d)))._2
+        index = Some(cachedIndex(s, d)))._2
     }
   )
 }

@@ -218,10 +218,13 @@ object LlmOps {
 
   private val jaccardThreshold10 = 3 // t = 0.3, ×10 for integer math
 
-  /** q44's verify threshold, matched to the 8×4 banding S-curve: miss
-    * probability (1−t⁴)⁸ ≤ 1.5% at t = 0.8 (and recall on the shipped
-    * fixtures is certified exactly 1.0 by DedupSpec). */
-  private val minhashThreshold10 = 8
+  /** THE production near-dup threshold (t = 0.8), shared by q44's
+    * verify filter + oracle, q43b's declaration, DedupSpec's recall
+    * certification, and RecallCheck — one constant so a retune cannot
+    * leave the verify filter and the oracle/certificate at different
+    * thresholds. Matched to the 8×4 banding S-curve: miss probability
+    * (1−t⁴)⁸ ≤ 1.5% at t = 0.8. */
+  private[graft] val productionThreshold10 = 8
 
   private def jaccardOracleSqlAt(t10: Int): String =
     s"""WITH sh AS (
@@ -418,7 +421,8 @@ object LlmOps {
     // thresholds the prefix prunes little and the count join (q43)
     // wins; the engine picks by threshold. Same exact semantics, own
     // oracle at its own threshold.
-    Q("q43b_jaccard_prefix", jaccardOracleSqlAt(8))((s, d) => jaccardPrefixJoinAt(s, d, 8)),
+    Q("q43b_jaccard_prefix", jaccardOracleSqlAt(productionThreshold10))(
+      (s, d) => jaccardPrefixJoinAt(s, d, productionThreshold10)),
 
     // MinHash-LSH near-dup: banding generates candidate pairs (bucket-
     // local self-join, never all-pairs), then an exact-Jaccard verify
@@ -433,7 +437,7 @@ object LlmOps {
     // This is the documented re-computation invariant (SURVEY §5.1):
     // approximate candidate generation, exact verified output.
     Q("q44_minhash_lsh",
-      """WITH sh AS (
+      s"""WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(
         |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
@@ -447,7 +451,7 @@ object LlmOps {
         |       / len(list_distinct(list_concat(a.sg, b.sg)))) AS BIGINT) AS jaccard_bp
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sg, b.sg)) * 10
-        |      >= 8 * len(list_distinct(list_concat(a.sg, b.sg)))
+        |      >= $productionThreshold10 * len(list_distinct(list_concat(a.sg, b.sg)))
         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       val docs = docsWithShingles(s, d)
         .filter(size(col("shingles")) > 0)
@@ -466,7 +470,7 @@ object LlmOps {
       cand.join(sa, "a_id").join(sb, "b_id")
         .withColumn("inter", size(array_intersect(col("sga"), col("sgb"))))
         .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
-        .filter(col("inter") * 10 >= col("uni") * minhashThreshold10)
+        .filter(col("inter") * 10 >= col("uni") * productionThreshold10)
         .select(col("a_id"), col("b_id"),
           floor(lit(10000.0) * col("inter") / col("uni")).as("jaccard_bp"))
         .orderBy("a_id", "b_id")
@@ -651,11 +655,11 @@ object LlmOps {
 
     // Near-dup CLUSTERS: connected components over the exact Jaccard
     // pair graph — production dedup keeps one doc per component, not
-    // per pair. Spark side: iterative min-label propagation (join +
-    // min-aggregate per round; 6 rounds covers diameter 6, plenty for
-    // near-dup clusters — at 100 TB the same loop runs with the
-    // large-star/small-star optimization). Oracle: DuckDB recursive-CTE
-    // transitive closure, min label per node.
+    // per pair. Spark side: alternating large-star/small-star with
+    // convergence detection (plans.ConnectedComponents — O(log n)
+    // rounds at ANY diameter; small residual graphs finish in one
+    // union-find task). Oracle: DuckDB recursive-CTE transitive
+    // closure, min label per node.
     Q("q70_dedup_clusters", {
       val pairSql =
         """SELECT a.doc_id AS a_id, b.doc_id AS b_id

@@ -344,20 +344,8 @@ object TrainingOps {
       val tot = docs.agg(sum(col("nw")).as("t"))
       val weights = Seq((0, 4000L), (1, 3000L), (2, 2000L), (3, 1000L))
         .toDF("domain", "wbp")
-      // Offsets: total tokens of all PRECEDING buckets per domain —
-      // ≤256 rows per domain, so this window is trivially bounded.
-      val offWin = Window.partitionBy(col("domain")).orderBy(col("bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = docs.groupBy(col("domain"), col("bkt"))
-        .agg(sum(col("nw")).as("bt"))
-        .withColumn("off", coalesce(sum(col("bt")).over(offWin), lit(0L)))
-        .select(col("domain"), col("bkt"), col("off"))
-      val localWin = Window.partitionBy(col("domain"), col("bkt"))
-        .orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      docs.withColumn("lc", sum(col("nw")).over(localWin))
-        .join(broadcast(offsets), Seq("domain", "bkt"))
-        .withColumn("cum", col("lc") + col("off"))
+      graft.plans.PrefixScan.cumsum(docs, part = Seq("domain"), bucket = "bkt",
+          order = Seq("h", "doc_id"), value = "nw", out = "cum")
         .join(broadcast(weights), "domain")
         .crossJoin(broadcast(tot))
         .filter(col("cum") * 10000 <= floor(col("t") / 5).cast("long") * col("wbp"))

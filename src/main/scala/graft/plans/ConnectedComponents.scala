@@ -128,7 +128,11 @@ object ConnectedComponents {
               val (ra, rb) = (find(a), find(b))
               if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
             }
-            parent.keysIterator.map(x => (x, find(x))).filter(t => t._1 != t._2)
+            // Materialize keys BEFORE mapping: find() path-compresses
+            // (mutates the map) and iterating a mutable HashMap while
+            // writing to it is unspecified even for value-only updates.
+            parent.keys.toArray.iterator
+              .map(x => (x, find(x))).filter(t => t._1 != t._2)
           }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
           .toDF("u", "parent")
       }

@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix sum — the scalable replacement for a running
+  * total windowed over a whole group (which drags every group into ONE
+  * window partition): rows carry a `bucket` column whose order agrees
+  * with the intended sort order (a range bucket, a hash prefix, …);
+  * the cumulative sum runs within (part, bucket) partitions, and each
+  * bucket adds the total of all preceding buckets from a broadcast
+  * side table (one aggregated row per (part, bucket) — tiny by
+  * construction). Exactly equal to the naive single window as long as
+  * ordering by (bucket, order...) equals ordering by (order...), i.e.
+  * the bucket is a monotone function of the sort key.
+  */
+object PrefixScan {
+
+  /** Adds `out` = running sum of `value` over rows ordered by
+    * (`bucket`, `order`...) within each `part` group. `value` must be
+    * a LongType column (the offsets default to 0L). */
+  def cumsum(df: DataFrame, part: Seq[String], bucket: String,
+      order: Seq[String], value: String, out: String): DataFrame = {
+    val pb = part :+ bucket
+    val offWin = Window.partitionBy(part.map(col): _*).orderBy(col(bucket))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(pb.map(col): _*)
+      .agg(sum(col(value)).as("__bc"))
+      .withColumn("__off", coalesce(sum(col("__bc")).over(offWin), lit(0L)))
+      .select(pb.map(col) :+ col("__off"): _*)
+    val localWin = Window.partitionBy(pb.map(col): _*)
+      .orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__lc", sum(col(value)).over(localWin))
+      .join(broadcast(offsets), pb)
+      .withColumn(out, col("__lc") + col("__off"))
+      .drop("__lc", "__off")
+  }
+}

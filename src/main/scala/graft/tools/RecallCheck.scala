@@ -10,7 +10,7 @@ object RecallCheck {
     // t=0.8): every blocked pair is an exact pair, so LSH must contain
     // all of them; the reverse containment is enforced by q44's exact
     // verify stage.
-    val blocked = graft.operators.LlmOps.jaccardCountJoinAt(spark, d, 8)
+    val blocked = graft.operators.LlmOps.jaccardCountJoinAt(spark, d, graft.operators.LlmOps.productionThreshold10)
       .select("a_id", "b_id").collect().toSet
     println(s"RECALL $d: lsh=${lsh.size} blocked_exact=${blocked.size} " +
       s"missed=${(blocked -- lsh).size}")

@@ -86,7 +86,7 @@ class DedupSpec extends AnyFunSuite {
     val d = "/root/testdata/sf0.01"
     val lsh = SparkEntry.queries("q44_minhash_lsh")(spark, d)
       .as[(Long, Long, Long)].collect().toSet
-    val exact = graft.operators.LlmOps.exactJaccardPairsAt(spark, d, 8)
+    val exact = graft.operators.LlmOps.exactJaccardPairsAt(spark, d, graft.operators.LlmOps.productionThreshold10)
       .as[(Long, Long, Long)].collect().toSet
     assert(lsh == exact,
       s"missed=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
