@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Multimodal.qs ++
       operators.Extras.qs ++
       operators.IvfAnn.qs ++
-      operators.TrainingOps.qs
+      operators.TrainingOps.qs ++
+      operators.CurationOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -52,6 +52,58 @@ object EtlOps {
         .orderBy(col("slice_id"))
     },
 
+    // CDC upsert merge (merge-on-read compaction): base snapshot +
+    // derived change batch (updates for o_orderkey % 7 = 0, inserts as
+    // fresh negative keys for % 13 = 0), latest version per key wins via
+    // one row_number window keyed on the merge key. This is the ETL
+    // step the reference's batch pipe feeds into: at 100 TB the union
+    // shuffles once on the key (the same partitioning the compacted
+    // table is written back in via partitionBy/bucketBy, so successive
+    // merges reuse it), the window is per-key top-1 — planned as
+    // WindowGroupLimit, never a global sort. Money is exact integer
+    // cents; versions are distinct per key, so the winner is
+    // deterministic.
+    Q("q83_cdc_merge",
+      """WITH base AS (
+        |  SELECT o_orderkey AS key, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c, 0 AS ver
+        |  FROM orders
+        |), upd AS (
+        |  SELECT o_orderkey AS key, 'U' AS status,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) + 500 AS price_c, 1 AS ver
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |), ins AS (
+        |  SELECT -o_orderkey AS key, 'N' AS status,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c, 1 AS ver
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |), merged AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY ver DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |        UNION ALL SELECT * FROM ins) u
+        |)
+        |SELECT key, status, price_c, CAST(ver AS INTEGER) AS ver
+        |FROM merged WHERE rn = 1
+        |ORDER BY key""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).as("price_c"))
+      val base = o.select(col("o_orderkey").as("key"),
+        col("o_orderstatus").as("status"), col("price_c"), lit(0).as("ver"))
+      val upd = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("key"), lit("U").as("status"),
+          (col("price_c") + 500).as("price_c"), lit(1).as("ver"))
+      val ins = o.filter(col("o_orderkey") % 13 === 0)
+        .select((-col("o_orderkey")).as("key"), lit("N").as("status"),
+          col("price_c"), lit(1).as("ver"))
+      val w = Window.partitionBy(col("key")).orderBy(col("ver").desc)
+      base.unionAll(upd).unionAll(ins)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("key"), col("status"), col("price_c"), col("ver").cast("int").as("ver"))
+        .orderBy(col("key"))
+    },
+
     // A14 seed-generator parity: deterministic replacement for the
     // reference's 20-char random payloads (tmp/data_seed.go:36-71) —
     // sha256 of the key, both engines produce identical lowercase hex.
