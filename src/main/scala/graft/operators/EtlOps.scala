@@ -54,7 +54,9 @@ object EtlOps {
 
     // CDC upsert merge (merge-on-read compaction): base snapshot +
     // derived change batch (updates for o_orderkey % 7 = 0, inserts as
-    // fresh negative keys for % 13 = 0), latest version per key wins via
+    // fresh negative keys -k-1 for % 13 = 0 — the -1 keeps key 0's
+    // insert off its own base row, so every (key, ver) pair is unique
+    // and the winner is deterministic), latest version per key wins via
     // one row_number window keyed on the merge key. This is the ETL
     // step the reference's batch pipe feeds into: at 100 TB the union
     // shuffles once on the key (the same partitioning the compacted
@@ -73,7 +75,7 @@ object EtlOps {
         |    CAST(floor(o_totalprice * 100) AS BIGINT) + 500 AS price_c, 1 AS ver
         |  FROM orders WHERE o_orderkey % 7 = 0
         |), ins AS (
-        |  SELECT -o_orderkey AS key, 'N' AS status,
+        |  SELECT -o_orderkey - 1 AS key, 'N' AS status,
         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c, 1 AS ver
         |  FROM orders WHERE o_orderkey % 13 = 0
         |), merged AS (
@@ -94,7 +96,7 @@ object EtlOps {
         .select(col("o_orderkey").as("key"), lit("U").as("status"),
           (col("price_c") + 500).as("price_c"), lit(1).as("ver"))
       val ins = o.filter(col("o_orderkey") % 13 === 0)
-        .select((-col("o_orderkey")).as("key"), lit("N").as("status"),
+        .select((-col("o_orderkey") - 1).as("key"), lit("N").as("status"),
           col("price_c"), lit(1).as("ver"))
       val w = Window.partitionBy(col("key")).orderBy(col("ver").desc)
       base.unionAll(upd).unionAll(ins)

@@ -56,6 +56,24 @@ object TrainingOps {
   private val ipRe = "\\d+\\.\\d+\\.\\d+\\.\\d+"
   private val phoneRe = "555-\\d{4}"
 
+  /** PII scrub core over (doc_id, pt): per-type match counts plus a
+    * fingerprint of the scrubbed text. Pure stateless per-row map work —
+    * no shuffle, no state — so the identical pipeline runs over a
+    * streaming source unchanged (parity-tested in TrainingSpec alongside
+    * the streaming decontamination test). */
+  private[graft] def piiScrub(p: DataFrame): DataFrame =
+    p.select(col("doc_id"),
+      regexp_count(col("pt"), lit(emailRe)).cast("int").as("n_emails"),
+      regexp_count(col("pt"), lit(ipRe)).cast("int").as("n_ips"),
+      regexp_count(col("pt"), lit(phoneRe)).cast("int").as("n_phones"),
+      substring(sha2(
+        regexp_replace(regexp_replace(regexp_replace(col("pt"),
+          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"), 256),
+        1, 16).as("clean_fp"))
+
+  private[graft] def withPiiText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), piiText(col("text"), col("doc_id")).as("pt"))
+
   /** Distinct word-5-grams per doc. */
   private[graft] def docGrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -128,17 +146,7 @@ object TrainingOps {
          |      '$phoneRe', '<PHONE>', 'g')), 1, 16) AS clean_fp
          |FROM p
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val p = Tables.documents(s, d)
-        .select(col("doc_id"), piiText(col("text"), col("doc_id")).as("pt"))
-      p.select(col("doc_id"),
-          regexp_count(col("pt"), lit(emailRe)).cast("int").as("n_emails"),
-          regexp_count(col("pt"), lit(ipRe)).cast("int").as("n_ips"),
-          regexp_count(col("pt"), lit(phoneRe)).cast("int").as("n_phones"),
-          substring(sha2(
-            regexp_replace(regexp_replace(regexp_replace(col("pt"),
-              emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"), 256),
-            1, 16).as("clean_fp"))
-        .orderBy("doc_id")
+      piiScrub(withPiiText(Tables.documents(s, d))).orderBy("doc_id")
     },
 
     // Repetition / quality stats in the MassiveText (Gopher) style:

@@ -139,7 +139,8 @@ class TrainingSpec extends AnyFunSuite {
     for (q <- Seq("q73_decontaminate", "q74_pii_scrub", "q75_repetition_stats",
         "q76_stratified_sample", "q77_vocab_oov", "q78_token_rarity",
         "q79_data_mixture", "q43_ngram_jaccard", "q43b_jaccard_prefix",
-        "q44_minhash_lsh", "q45_simhash", "q82_dedup_pipeline")) {
+        "q44_minhash_lsh", "q45_simhash", "q82_dedup_pipeline",
+        "q85_chunk_dedup")) {
       val out = SparkEntry.queries(q)(spark, dir).collect()
       assert(out != null, s"$q crashed on degenerate corpus")
     }
@@ -156,5 +157,53 @@ class TrainingSpec extends AnyFunSuite {
     val rare = SparkEntry.queries("q78_token_rarity")(spark, plantedDir)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(rare(3L) == ((100L, 1L)), s"spam doc rarity: ${rare(3L)}")
+  }
+
+  test("streaming PII scrub matches batch (stateless per-row map)") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val batch = graft.operators.TrainingOps
+      .piiScrub(graft.operators.TrainingOps.withPiiText(docs))
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_pii")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      streamDir.resolve("part-0.parquet"))
+    val streamDocs = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString)
+    // Stateless map work → append mode, no watermark, no state store.
+    val q = graft.operators.TrainingOps
+      .piiScrub(graft.operators.TrainingOps.withPiiText(streamDocs))
+      .writeStream.format("memory").queryName("stream_pii")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_pii")
+        .as[(Long, Int, Int, Int, String)].collect().toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("CDC merge applies updates, appends inserts, keeps untouched rows") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q83_cdc_merge")(spark, d)
+      .as[(Long, String, Long, Int)].collect()
+    val byKey = rows.map(r => r._1 -> r).toMap
+    assert(byKey.size == rows.length, "merge key must be unique in the output")
+    val orders = Tables.orders(spark, d)
+      .select("o_orderkey").as[Long].collect()
+    val updated = orders.filter(_ % 7 == 0)
+    val inserted = orders.filter(_ % 13 == 0)
+    assert(rows.length == orders.length + inserted.length,
+      "output = base keys + inserted keys")
+    updated.foreach { k =>
+      assert(byKey(k)._2 == "U" && byKey(k)._4 == 1, s"key $k should be updated") }
+    inserted.foreach { k =>
+      assert(byKey(-k - 1)._2 == "N" && byKey(-k - 1)._4 == 1,
+        s"key ${-k - 1} should be inserted") }
+    orders.filterNot(_ % 7 == 0).foreach { k =>
+      assert(byKey(k)._4 == 0, s"key $k should be the untouched base version") }
   }
 }
