@@ -49,6 +49,22 @@ object CurationOps {
   // sha256("") prefix — the fingerprint of a fully-deduplicated doc.
   private val emptyFp = "e3b0c44298fc1c14"
 
+  /** Deterministic seeded anchor vectors for nearest-anchor domain
+    * routing (q87) — fixed "topic centroids" a mixing pipeline tags
+    * documents with. Data-independent, so the oracle inlines them. */
+  private val nAnchors = 4
+  private[graft] val anchors: Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(1717)
+    Seq.fill(nAnchors)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  private def anchorRowsSql: String =
+    anchors.zipWithIndex.map { case (a, i) =>
+      val arr = a.map(v => String.format(java.util.Locale.ROOT, "%.17e", Double.box(v)))
+        .mkString("[", ", ", "]")
+      s"($i, CAST($arr AS DOUBLE[]))"
+    }.mkString(",\n      ")
+
   val qs: Seq[Q] = Seq(
 
     // SemDeDup: bucket embeddings into sign-LSH cells, then inside each
@@ -89,6 +105,47 @@ object CurationOps {
         .withColumn("is_dropped", lit(1))
       e.join(dropped, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"), col("is_dropped").isNull.as("kept"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Nearest-anchor embedding classification (domain routing for data
+    // mixing): tag each vector with the argmax-cosine anchor, ties to
+    // the lowest anchor id. Pure per-row math against a broadcast
+    // constant — embarrassingly parallel at any scale (the learned-
+    // centroid variant of the same shape is IvfAnn.assign). The oracle
+    // replays the scoring with the anchor constants inlined; only the
+    // ORDERING of similarities matters, and a window rank with the
+    // identical tie-break reproduces the argmax exactly.
+    Q("q87_anchor_classify",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |  anchors(aid, av) AS (VALUES
+         |      $anchorRowsSql),
+         |  scored AS (
+         |    SELECT e.vec_id, a.aid, list_cosine_similarity(e.emb, a.av) AS sim
+         |    FROM e CROSS JOIN anchors a),
+         |  r AS (
+         |    SELECT vec_id, aid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, aid) AS rn
+         |    FROM scored)
+         |SELECT vec_id, CAST(aid AS INTEGER) AS domain
+         |FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = IvfAnn.fullCorpus(s, d)
+      // One fused dot per anchor (constant array literal), argmax as a
+      // hash aggregation over the exploded (vec, anchor) scores —
+      // max_by(struct(sim, -aid)) is the window form's (sim DESC, aid
+      // ASC) tie-break without a per-vector sort.
+      val scored = e.select(col("vec_id") +: anchors.indices.map { i =>
+        val a = anchors(i)
+        val nrmA = math.sqrt(a.map(x => x * x).sum)
+        (GraftFunctions.dot(col("emb"), array(a.map(lit): _*))
+          / (col("nrm") * lit(nrmA))).as(s"sim_$i")
+      }: _*)
+      scored.select(col("vec_id"), posexplode(
+          array(anchors.indices.map(i => col(s"sim_$i")): _*)).as(Seq("aid", "sim")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("aid"), struct(col("sim"), (-col("aid")).as("na"))).as("domain"))
+        .select(col("vec_id"), col("domain").cast("int").as("domain"))
         .orderBy(col("vec_id"))
     },
 

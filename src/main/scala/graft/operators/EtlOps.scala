@@ -106,6 +106,35 @@ object EtlOps {
         .orderBy(col("key"))
     },
 
+    // Incremental aggregate maintenance (materialized-view refresh):
+    // the running aggregate is kept as MERGEABLE partials (count, sum) —
+    // a delta batch is aggregated alone and MERGED into the base
+    // partials by re-aggregation, never by rescanning the base fact
+    // table. count/sum/min/max are algebraic, so partial ∪ partial →
+    // re-agg equals the direct aggregate over base+delta (which is
+    // exactly what the oracle computes). At 100 TB the base partials
+    // are a tiny stored table (one row per group) and each refresh
+    // touches only the delta — the incremental-ETL contract.
+    Q("q88_incremental_agg",
+      """SELECT o_orderpriority AS pri,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders
+        |GROUP BY pri
+        |ORDER BY pri""".stripMargin) { (s, d) =>
+      val f = Tables.orders(s, d).select(col("o_orderkey").as("key"),
+        col("o_orderpriority").as("pri"),
+        floor(col("o_totalprice") * 100).as("cents"))
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("pri")).agg(count(lit(1)).as("n"), sum(col("cents")).as("t"))
+      val basePartials = partials(f.filter(col("key") % 10 =!= 9))
+      val deltaPartials = partials(f.filter(col("key") % 10 === 9))
+      basePartials.unionAll(deltaPartials)
+        .groupBy(col("pri"))
+        .agg(sum(col("n")).as("n_orders"), sum(col("t")).as("total_c"))
+        .orderBy(col("pri"))
+    },
+
     // A14 seed-generator parity: deterministic replacement for the
     // reference's 20-char random payloads (tmp/data_seed.go:36-71) —
     // sha256 of the key, both engines produce identical lowercase hex.

@@ -340,6 +340,25 @@ object Extras {
       s.read.orc(s"$tmp/orc").orderBy(col("s_suppkey"))
     },
 
+    // Line-delimited `text` sink + source round-trip (the remaining
+    // stock-Spark file format after parquet/CSV/JSON/ORC): one string
+    // column per line, so the record is serialized as "doc_id\ttext"
+    // and split back on read. Fixture text is single-line and tab-free;
+    // the split limit (2) would keep any payload tabs intact anyway.
+    // The oracle reads the original table — the trip must be identity.
+    Q("q86_text_roundtrip",
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""") { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_text").toString
+      Tables.documents(s, d)
+        .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("value"))
+        .write.mode("overwrite").text(s"$tmp/text")
+      s.read.text(s"$tmp/text")
+        .select(split(col("value"), "\t", 2).as("kv"))
+        .select(element_at(col("kv"), 1).cast("long").as("doc_id"),
+          element_at(col("kv"), 2).as("text"))
+        .orderBy(col("doc_id"))
+    },
+
     // SQL frontend driving the extension-registered codegen expression:
     // graft_dot (GraftExtensions) called from spark.sql over a temp
     // view. Quantized to integer-valued doubles first, so the dot

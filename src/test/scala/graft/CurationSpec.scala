@@ -37,6 +37,22 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.count(!_._3) == 2, s"only the two copies drop: ${rows.toSeq}")
   }
 
+  test("anchor classification routes a vector equal to an anchor to that anchor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_anchor").toString
+    val anchors = graft.operators.CurationOps.anchors
+    // vec i = anchor i exactly (cosine 1.0 with itself, < 1 elsewhere),
+    // plus one scaled copy (cosine is scale-invariant).
+    val rows = anchors.zipWithIndex.map { case (a, i) =>
+      (i.toLong, a.map(_.toFloat), 0)
+    } :+ ((100L, anchors(1).map(x => (x * 3.0).toFloat), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q87_anchor_classify")(spark, dir)
+      .as[(Long, Int)].collect().toMap
+    anchors.indices.foreach(i => assert(got(i.toLong) == i, s"vec $i → anchor $i: $got"))
+    assert(got(100L) == 1, s"scaled copy routes to anchor 1: $got")
+  }
+
   /** doc 0: 32 unique words (2 chunks). doc 1: copies doc 0's first
     * chunk then adds its own. doc 2: exact copy of doc 0. doc 3: short
     * unique doc (1 chunk). doc 4: one chunk repeated twice intra-doc. */
