@@ -252,6 +252,37 @@ object Streaming {
         TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
+  /** Streaming CDC upsert — the streaming form of q83's merge-on-read
+    * compaction: ValueState holds the current winning row per merge
+    * key; a batch emits the key's new winner only when a strictly
+    * higher version arrives (late/duplicate lower versions are
+    * absorbed silently, so replays are idempotent). An update-mode
+    * sink of this stream IS the continuously-maintained upserted
+    * table. State is one row per live key — the same footprint the
+    * batch merge shuffles, kept incremental. */
+  final case class CdcRow(key: Long, status: String, price_c: Long, ver: Int)
+
+  class UpsertProcessor extends StatefulProcessor[Long, CdcRow, CdcRow] {
+    @transient private var cur: ValueState[CdcRow] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[CdcRow]("cur", Encoders.product[CdcRow], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CdcRow],
+        timerValues: TimerValues): Iterator[CdcRow] = {
+      val prev = if (cur.exists()) cur.get() else null
+      val best = rows.foldLeft(prev) { (b, r) => if (b == null || r.ver > b.ver) r else b }
+      if (best != null && (prev == null || best.ver > prev.ver)) {
+        cur.update(best)
+        Iterator.single(best)
+      } else Iterator.empty
+    }
+  }
+
+  def upsertStream(rows: Dataset[CdcRow]): Dataset[CdcRow] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .transformWithState(new UpsertProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Parquet sink with checkpointing (exactly-once file sink). */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()) =

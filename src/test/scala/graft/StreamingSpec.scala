@@ -337,4 +337,47 @@ class StreamingSpec extends AnyFunSuite {
     try { q.processAllAvailable() } finally q.stop()
     assert(spark.read.parquet(s"$tmp/out").count() == 1000)
   }
+
+  test("streaming CDC upsert keeps the highest version per key, idempotent on replays") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.CdcRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[CdcRow]
+      val q = Streaming.upsertStream(mem.toDS())
+        .writeStream.format("memory").queryName("cdc_upsert")
+        .outputMode(OutputMode.Update).start()
+      try {
+        // batch 1: base snapshot (ver 0)
+        mem.addData((0L until 20L).map(k => CdcRow(k, "B", k * 100, 0)))
+        q.processAllAvailable()
+        // batch 2: updates for k % 7 == 0, one brand-new key
+        mem.addData((0L until 20L).filter(_ % 7 == 0)
+          .map(k => CdcRow(k, "U", k * 100 + 500, 1)) :+ CdcRow(-1L, "N", 42L, 1))
+        q.processAllAvailable()
+        // batch 3: stale replay (ver 0 again) — must be absorbed silently
+        mem.addData(Seq(CdcRow(0L, "B", 0, 0), CdcRow(7L, "B", 700, 0)))
+        q.processAllAvailable()
+        val sink = spark.table("cdc_upsert").as[CdcRow].collect()
+        // current table = per-key row with the max emitted version
+        val live = sink.groupBy(_.key).map { case (_, rs) => rs.maxBy(_.ver) }
+        val byKey = live.map(r => r.key -> r).toMap
+        assert(byKey.size == 21)
+        (0L until 20L).foreach { k =>
+          if (k % 7 == 0) assert(byKey(k) == CdcRow(k, "U", k * 100 + 500, 1))
+          else assert(byKey(k) == CdcRow(k, "B", k * 100, 0))
+        }
+        assert(byKey(-1L) == CdcRow(-1L, "N", 42L, 1))
+        // keys 0 and 7 emitted in batches 1+2 only — the stale batch 3
+        // replay must emit nothing
+        assert(sink.count(_.key == 0L) == 2 && sink.count(_.key == 7L) == 2,
+          s"stale replays must emit nothing: ${sink.filter(r => r.key == 0L || r.key == 7L).toSeq}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
