@@ -149,6 +149,64 @@ object CurationOps {
         .orderBy(col("vec_id"))
     },
 
+    // Composite quality GATE — the keep/drop decision a curation
+    // pipeline actually ships, in the C4/Gopher style: word-count
+    // bounds, duplicate-word fraction, top-unigram fraction, and mean
+    // word length, folded into one reason bitmask (keep ⇔ mask = 0, so
+    // a dropped doc carries WHY it dropped — the audit trail data work
+    // needs). All signals are exact integers recomputed identically by
+    // the oracle; per-doc map work + one bounded (doc, word)
+    // aggregation — linear at any scale.
+    Q("q90_quality_gate",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), uc AS (
+        |  SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w
+        |), u AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw,
+        |    CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS mx
+        |  FROM uc GROUP BY doc_id
+        |), s AS (
+        |  SELECT d.doc_id, u.nw,
+        |    floor(10000.0 * (u.nw - u.nd) / u.nw) AS dup_bp,
+        |    floor(10000.0 * u.mx / u.nw) AS top_bp,
+        |    floor(100.0 * (length(d.text) - u.nw + 1) / u.nw) AS awl_x100
+        |  FROM documents d JOIN u USING (doc_id)
+        |)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN nw < 20 THEN 1 ELSE 0 END
+        |     + CASE WHEN nw > 10000 THEN 2 ELSE 0 END
+        |     + CASE WHEN dup_bp > 7000 THEN 4 ELSE 0 END
+        |     + CASE WHEN top_bp > 3000 THEN 8 ELSE 0 END
+        |     + CASE WHEN awl_x100 < 300 OR awl_x100 > 1000 THEN 16 ELSE 0 END
+        |    AS INTEGER) AS reason_mask,
+        |  (CASE WHEN nw < 20 THEN 1 ELSE 0 END
+        |     + CASE WHEN nw > 10000 THEN 2 ELSE 0 END
+        |     + CASE WHEN dup_bp > 7000 THEN 4 ELSE 0 END
+        |     + CASE WHEN top_bp > 3000 THEN 8 ELSE 0 END
+        |     + CASE WHEN awl_x100 < 300 OR awl_x100 > 1000 THEN 16 ELSE 0 END) = 0 AS keep
+        |FROM s
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val u = docs
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("nw"), count(lit(1)).as("nd"), max(col("c")).as("mx"))
+      val sig = docs.select(col("doc_id"), length(col("text")).as("len")).join(u, "doc_id")
+        .withColumn("dup_bp", floor(lit(10000.0) * (col("nw") - col("nd")) / col("nw")))
+        .withColumn("top_bp", floor(lit(10000.0) * col("mx") / col("nw")))
+        .withColumn("awl_x100", floor(lit(100.0) * (col("len") - col("nw") + 1) / col("nw")))
+      val mask =
+        when(col("nw") < 20, 1).otherwise(0) +
+          when(col("nw") > 10000, 2).otherwise(0) +
+          when(col("dup_bp") > 7000, 4).otherwise(0) +
+          when(col("top_bp") > 3000, 8).otherwise(0) +
+          when(col("awl_x100") < 300 || col("awl_x100") > 1000, 16).otherwise(0)
+      sig.select(col("doc_id"), mask.cast("int").as("reason_mask"), (mask === 0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // Cross-document span dedup at fixed 16-word chunk granularity:
     // every chunk keeps exactly its globally-first occurrence (ordered
     // by doc_id, then position — intra-doc repeats dedup too), and each

@@ -501,6 +501,52 @@ object LlmOps {
         .orderBy("a_id", "b_id")
     },
 
+    // Shingle CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ 0.5 —
+    // catches near-SUBSET relations (a doc quoting or embedding a
+    // smaller doc) that Jaccard structurally misses when sizes are
+    // skewed (J ≤ min/max regardless of overlap). Because the
+    // interesting pairs are exactly the cross-size ones, blocking is by
+    // language ONLY — no length bucket (q43's lb blocking would throw
+    // away every asymmetric pair). Same inverted-index count-join
+    // shape: cost is shingle co-occurrence volume within a language,
+    // never corpus².
+    Q("q89_containment",
+      """WITH sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(
+        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sg
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(floor(10000.0 * len(list_intersect(a.sg, b.sg))
+        |       / least(len(a.sg), len(b.sg))) AS BIGINT) AS containment_bp
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(a.sg) > 0 AND len(b.sg) > 0
+        |  AND len(list_intersect(a.sg, b.sg)) * 10
+        |      >= 5 * least(len(a.sg), len(b.sg))
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val sh = shingleBlocks(s, d)
+      val ex = sh.select(col("doc_id"), col("lang"), col("sz"),
+        explode(col("sg")).as("shingle"))
+      val a = ex.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
+        col("lang"), col("shingle"))
+      val b = ex.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
+        col("lang").as("langb"), col("shingle").as("shingleb"))
+      a.join(b, col("shingle") === col("shingleb") && col("lang") === col("langb")
+          && col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter") * 10 >= least(col("a_sz"), col("b_sz")) * 5)
+        .select(col("a_id"), col("b_id"),
+          floor(lit(10000.0) * col("inter") / least(col("a_sz"), col("b_sz")))
+            .as("containment_bp"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // 32-bit SimHash document signatures, sha256-derived so the oracle
     // recomputes them exactly (generated SQL, see simhashOracleSql).
     Q("q45_simhash", simhashOracleSql) { (s, d) =>
