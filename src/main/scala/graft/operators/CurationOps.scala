@@ -138,8 +138,12 @@ object CurationOps {
       val scored = e.select(col("vec_id") +: anchors.indices.map { i =>
         val a = anchors(i)
         val nrmA = math.sqrt(a.map(x => x * x).sum)
-        (GraftFunctions.dot(col("emb"), array(a.map(lit): _*))
-          / (col("nrm") * lit(nrmA))).as(s"sim_$i")
+        // zero-norm guard (cosineWithNorms): an all-zero embedding must
+        // classify (sim 0 everywhere → anchor 0), not throw ANSI
+        // DIVIDE_BY_ZERO
+        VectorFns.cosineWithNorms(
+          GraftFunctions.dot(col("emb"), array(a.map(lit): _*)),
+          col("nrm"), lit(nrmA)).as(s"sim_$i")
       }: _*)
       scored.select(col("vec_id"), posexplode(
           array(anchors.indices.map(i => col(s"sim_$i")): _*)).as(Seq("aid", "sim")))
@@ -157,8 +161,14 @@ object CurationOps {
     // needs). All signals are exact integers recomputed identically by
     // the oracle; per-doc map work + one bounded (doc, word)
     // aggregation — linear at any scale.
-    Q("q90_quality_gate",
-      """WITH t AS (
+    Q("q90_quality_gate", {
+      val maskSql =
+        s"""CASE WHEN nw < 20 THEN 1 ELSE 0 END
+           |     + CASE WHEN nw > 10000 THEN 2 ELSE 0 END
+           |     + CASE WHEN dup_bp > ${TrainingOps.dupWordBpMax} THEN 4 ELSE 0 END
+           |     + CASE WHEN top_bp > ${TrainingOps.topUnigramBpMax} THEN 8 ELSE 0 END
+           |     + CASE WHEN awl_x100 < 300 OR awl_x100 > 1000 THEN 16 ELSE 0 END""".stripMargin
+      s"""WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
         |), uc AS (
         |  SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w
@@ -174,25 +184,15 @@ object CurationOps {
         |  FROM documents d JOIN u USING (doc_id)
         |)
         |SELECT doc_id,
-        |  CAST(CASE WHEN nw < 20 THEN 1 ELSE 0 END
-        |     + CASE WHEN nw > 10000 THEN 2 ELSE 0 END
-        |     + CASE WHEN dup_bp > 7000 THEN 4 ELSE 0 END
-        |     + CASE WHEN top_bp > 3000 THEN 8 ELSE 0 END
-        |     + CASE WHEN awl_x100 < 300 OR awl_x100 > 1000 THEN 16 ELSE 0 END
+        |  CAST($maskSql
         |    AS INTEGER) AS reason_mask,
-        |  (CASE WHEN nw < 20 THEN 1 ELSE 0 END
-        |     + CASE WHEN nw > 10000 THEN 2 ELSE 0 END
-        |     + CASE WHEN dup_bp > 7000 THEN 4 ELSE 0 END
-        |     + CASE WHEN top_bp > 3000 THEN 8 ELSE 0 END
-        |     + CASE WHEN awl_x100 < 300 OR awl_x100 > 1000 THEN 16 ELSE 0 END) = 0 AS keep
+        |  ($maskSql) = 0 AS keep
         |FROM s
-        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val u = docs
-        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("nw"), count(lit(1)).as("nd"), max(col("c")).as("mx"))
+      // unigram sub-pipeline + thresholds shared with q75 (TrainingOps)
+      val u = TrainingOps.unigramStats(docs)
       val sig = docs.select(col("doc_id"), length(col("text")).as("len")).join(u, "doc_id")
         .withColumn("dup_bp", floor(lit(10000.0) * (col("nw") - col("nd")) / col("nw")))
         .withColumn("top_bp", floor(lit(10000.0) * col("mx") / col("nw")))
@@ -200,8 +200,8 @@ object CurationOps {
       val mask =
         when(col("nw") < 20, 1).otherwise(0) +
           when(col("nw") > 10000, 2).otherwise(0) +
-          when(col("dup_bp") > 7000, 4).otherwise(0) +
-          when(col("top_bp") > 3000, 8).otherwise(0) +
+          when(col("dup_bp") > TrainingOps.dupWordBpMax, 4).otherwise(0) +
+          when(col("top_bp") > TrainingOps.topUnigramBpMax, 8).otherwise(0) +
           when(col("awl_x100") < 300 || col("awl_x100") > 1000, 16).otherwise(0)
       sig.select(col("doc_id"), mask.cast("int").as("reason_mask"), (mask === 0).as("keep"))
         .orderBy(col("doc_id"))

@@ -263,7 +263,15 @@ object LlmOps {
     * The threshold-independent pair statistics (a_id, b_id, sizes,
     * intersection, union) are computed here; thresholding is a final
     * filter (finishJaccard). */
-  private def blockedPairStats(s: SparkSession, d: String): DataFrame = {
+  private def blockedPairStats(s: SparkSession, d: String): DataFrame =
+    pairStatsBlockedBy(s, d, useLenBucket = true)
+
+  /** One inverted-index pair-join shape, parameterized on the blocking
+    * keys: Jaccard consumers block by (lang, length bucket); the
+    * containment consumer (q89) blocks by lang only, because its whole
+    * point is the asymmetric-size pairs the length bucket discards. */
+  private def pairStatsBlockedBy(
+      s: SparkSession, d: String, useLenBucket: Boolean): DataFrame = {
     val sh = shingleBlocks(s, d)
     val ex = sh.select(col("doc_id"), col("lang"), col("lb"), col("sz"),
       explode(col("sg")).as("shingle"))
@@ -271,8 +279,9 @@ object LlmOps {
       col("lang"), col("lb"), col("shingle"))
     val b = ex.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
       col("lang").as("langb"), col("lb").as("lbb"), col("shingle").as("shingleb"))
-    a.join(b, col("shingle") === col("shingleb") && col("lang") === col("langb")
-        && col("lb") === col("lbb") && col("a_id") < col("b_id"))
+    val base = col("shingle") === col("shingleb") && col("lang") === col("langb") &&
+      col("a_id") < col("b_id")
+    a.join(b, if (useLenBucket) base && col("lb") === col("lbb") else base)
       .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
@@ -529,17 +538,7 @@ object LlmOps {
         |  AND len(list_intersect(a.sg, b.sg)) * 10
         |      >= 5 * least(len(a.sg), len(b.sg))
         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val sh = shingleBlocks(s, d)
-      val ex = sh.select(col("doc_id"), col("lang"), col("sz"),
-        explode(col("sg")).as("shingle"))
-      val a = ex.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
-        col("lang"), col("shingle"))
-      val b = ex.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
-        col("lang").as("langb"), col("shingle").as("shingleb"))
-      a.join(b, col("shingle") === col("shingleb") && col("lang") === col("langb")
-          && col("a_id") < col("b_id"))
-        .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
-        .agg(count(lit(1)).as("inter"))
+      pairStatsBlockedBy(s, d, useLenBucket = false)
         .filter(col("inter") * 10 >= least(col("a_sz"), col("b_sz")) * 5)
         .select(col("a_id"), col("b_id"),
           floor(lit(10000.0) * col("inter") / least(col("a_sz"), col("b_sz")))

@@ -56,6 +56,20 @@ object TrainingOps {
   private val ipRe = "\\d+\\.\\d+\\.\\d+\\.\\d+"
   private val phoneRe = "555-\\d{4}"
 
+  /** Per-doc unigram stats — total words, distinct words, top count —
+    * shared by q75's repetition stats and q90's quality gate (one
+    * definition so the two can't drift). */
+  private[graft] def unigramStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("nw"), count(lit(1)).as("nd"), max(col("c")).as("mx"))
+
+  /** Gopher-style repetition thresholds (basis points), shared by
+    * q75's `repetitive` flag and q90's gate bits. */
+  private[graft] val dupWordBpMax = 7000L
+  private[graft] val topUnigramBpMax = 3000L
+
   /** PII scrub core over (doc_id, pt): per-type match counts plus a
     * fingerprint of the scrubbed text. Pure stateless per-row map work —
     * no shuffle, no state — so the identical pipeline runs over a
@@ -155,7 +169,7 @@ object TrainingOps {
     // flag. Per-doc explode + two bounded aggregations; at 100 TB this
     // is a map-side-combine groupBy on (doc_id, gram) — no global state.
     Q("q75_repetition_stats",
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
         |), uc AS (
         |  SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w
@@ -179,15 +193,12 @@ object TrainingOps {
         |  CAST(floor(10000.0 * u.mx / u.nw) AS BIGINT) AS top_unigram_bp,
         |  CAST(CASE WHEN bg.nb IS NULL OR bg.nb = 0 THEN 0
         |       ELSE floor(10000.0 * bg.bmx / bg.nb) END AS BIGINT) AS top_bigram_bp,
-        |  (CAST(floor(10000.0 * (u.nw - u.nd) / u.nw) AS BIGINT) > 7000
-        |   OR CAST(floor(10000.0 * u.mx / u.nw) AS BIGINT) > 3000) AS repetitive
+        |  (CAST(floor(10000.0 * (u.nw - u.nd) / u.nw) AS BIGINT) > $dupWordBpMax
+        |   OR CAST(floor(10000.0 * u.mx / u.nw) AS BIGINT) > $topUnigramBpMax) AS repetitive
         |FROM u LEFT JOIN bg ON u.doc_id = bg.doc_id
         |ORDER BY u.doc_id""".stripMargin) { (s, d) =>
       val toks = tokenized(s, d)
-      val uni = toks.select(col("doc_id"), explode(col("words")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum(col("c")).as("nw"), count(lit(1)).as("nd"), max(col("c")).as("mx"))
+      val uni = unigramStats(Tables.documents(s, d))
       val bi = toks
         .select(col("doc_id"), explode(TextFns.shingles(col("words"), 2)).as("b"))
         .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
@@ -202,7 +213,7 @@ object TrainingOps {
           when(col("nb").isNull || col("nb") === 0, lit(0L))
             .otherwise(floor(lit(10000.0) * col("bmx") / col("nb")))
             .as("top_bigram_bp"),
-          (dup > 7000 || topUni > 3000).as("repetitive"))
+          (dup > dupWordBpMax || topUni > topUnigramBpMax).as("repetitive"))
         .orderBy("doc_id")
     },
 

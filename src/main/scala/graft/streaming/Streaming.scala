@@ -269,7 +269,14 @@ object Streaming {
     override def handleInputRows(key: Long, rows: Iterator[CdcRow],
         timerValues: TimerValues): Iterator[CdcRow] = {
       val prev = if (cur.exists()) cur.get() else null
-      val best = rows.foldLeft(prev) { (b, r) => if (b == null || r.ver > b.ver) r else b }
+      // Versions are unique per key by contract, but an at-least-once
+      // source CAN redeliver the same version twice in one batch with
+      // divergent payloads — break that tie deterministically (status,
+      // then price) so state never depends on shuffle iteration order.
+      def beats(r: CdcRow, b: CdcRow): Boolean =
+        r.ver > b.ver || (r.ver == b.ver &&
+          (r.status > b.status || (r.status == b.status && r.price_c > b.price_c)))
+      val best = rows.foldLeft(prev) { (b, r) => if (b == null || beats(r, b)) r else b }
       if (best != null && (prev == null || best.ver > prev.ver)) {
         cur.update(best)
         Iterator.single(best)
