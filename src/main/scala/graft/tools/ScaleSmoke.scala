@@ -113,6 +113,25 @@ object ScaleSmoke {
       return
     }
 
+    // Round-4 ops mode: scaling check for the curation operators added
+    // in round 4 (documents/embeddings-based only — the synthetic big
+    // corpus has no TPC-H tables). Expected: all near-linear except
+    // q89, whose language-only blocking makes cost track within-
+    // language co-occurrence volume (documented in SCALE.md).
+    if (sys.env.contains("SPARK_GRAFT_R4_ONLY")) {
+      val r4ops = Seq("q84_semdedup", "q85_chunk_dedup", "q87_anchor_classify",
+        "q89_containment", "q90_quality_gate")
+      println(f"${"op"}%-26s ${"1x(sf0.1)"}%10s ${"10x-docs/5x-vecs"}%16s ${"ratio"}%7s")
+      r4ops.foreach { name =>
+        run(name, base) // warm
+        val t1 = run(name, base)
+        val t2 = run(name, big)
+        println(f"SCALE $name%-26s $t1%10.2f $t2%16.2f ${t2 / t1}%7.1f")
+      }
+      spark.stop()
+      return
+    }
+
     val skewOnly = sys.env.contains("SPARK_GRAFT_SKEW_ONLY")
     if (!skewOnly) {
       println(f"${"op"}%-26s ${"1x(sf0.1)"}%10s ${"10x-docs/5x-vecs"}%16s ${"ratio"}%7s")
