@@ -120,4 +120,21 @@ class EtlSpec extends AnyFunSuite {
     assert(out.count() == 100)
     assert(out.schema("data").dataType == StringType)
   }
+
+  test("parquet schema evolution: mergeSchema unions evolving batch schemas") {
+    // An ingestion directory accumulates batches whose schema grows over
+    // time (a column added upstream). mergeSchema reads the union
+    // schema; older rows surface the new column as null — the
+    // schema-drift contract a long-lived ETL landing zone relies on.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$tmp/t/batch=1")
+    Seq((3L, "c", 42L)).toDF("id", "name", "score")
+      .write.parquet(s"$tmp/t/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+    assert(merged.columns.sorted.toSeq == Seq("batch", "id", "name", "score"))
+    val byId = merged.select("id", "score").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(byId(1L).isEmpty && byId(2L).isEmpty && byId(3L).contains(42L))
+  }
 }

@@ -63,6 +63,18 @@ class LawsSpec extends AnyFunSuite {
     assert(bc == sj)
   }
 
+  test("memoized pair-graph path ≡ uncached recomputation (q43 at t=0.3)") {
+    // Certifies the shared-derivation cache contract: the cached pair
+    // statistics q43/q70/q82 consume must be bit-identical to a fresh
+    // computation (jaccardCountJoinAt never touches the cache).
+    val d = "/root/testdata/sf0.001"
+    val cached = SparkEntry.queries("q43_ngram_jaccard")(spark, d)
+      .collect().toSeq.sorted(RowOrd)
+    val fresh = graft.operators.LlmOps.jaccardCountJoinAt(spark, d, 3)
+      .collect().toSeq.sorted(RowOrd)
+    assert(cached == fresh)
+  }
+
   private object RowOrd extends Ordering[org.apache.spark.sql.Row] {
     def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int =
       a.toString.compareTo(b.toString)
