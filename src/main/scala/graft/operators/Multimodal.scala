@@ -106,6 +106,10 @@ object Multimodal {
       val media = Tables.documents(s, d)
         .select(col("doc_id")).as[Long]
         .mapPartitions { it =>
+          // ImageIO's default ImageInputStream cache is a TEMP FILE per
+          // image — pure overhead for in-memory byte arrays (~35% of
+          // the decode stage); keep codec I/O on the heap.
+          ImageIO.setUseCache(false)
           it.map { id =>
             val w = (8 + id % 9).toInt
             val h = (8 + id % 7).toInt
@@ -128,6 +132,7 @@ object Multimodal {
       // Stage 2: decode the binary column and resize for real.
       media
         .mapPartitions { it =>
+          ImageIO.setUseCache(false)
           it.map { p =>
             val img = ImageIO.read(new java.io.ByteArrayInputStream(p.png))
             val (w, h) = (img.getWidth, img.getHeight)
