@@ -26,28 +26,38 @@ object Bench {
     // was negligible and min(t0,t1) is the steady state, otherwise run
     // a third time and report the min of the two warm runs. Reported
     // numbers are reproducible across bench invocations to ~10%.
-    val results = names.map { name =>
+    val results: Seq[(String, Option[Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
-      def once(): Double = {
+      def once(): Double = { // throws on query failure
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val t0 = once()
-      val t1 = once()
-      val steady =
-        if (math.abs(t0 - t1) <= 0.1 * math.min(t0, t1)) math.min(t0, t1)
-        else math.min(t1, once())
+      // A failed query must NOT masquerade as a (near-zero) timing in
+      // the JSON — it is excluded from `queries` and listed in `failed`.
+      val steady = try {
+        val t0 = once()
+        val t1 = once()
+        Some(
+          if (math.abs(t0 - t1) <= 0.1 * math.min(t0, t1)) math.min(t0, t1)
+          else math.min(t1, once()))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+      }
       name -> steady
     }
     // Locale.ROOT keeps the JSON line parseable under comma-decimal locales.
-    val qs = results.map { case (k, v) =>
+    val qs = results.collect { case (k, Some(v)) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val failedField =
+      if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -74,10 +74,13 @@ object Extract {
 
   /** A4: MIN/MAX of the primary key. On JDBC sources Catalyst pushes
     * this aggregate down to the remote DB (spark.sql.jdbc.pushDownAggregate),
-    * exactly like the reference's `SELECT MIN(pk), MAX(pk)`. */
-  def keyBounds(df: DataFrame, pk: String): (Long, Long) = {
+    * exactly like the reference's `SELECT MIN(pk), MAX(pk)`. An EMPTY
+    * table aggregates to null bounds → None: the caller extracts
+    * nothing (an empty span, matching the reference's no-slices path)
+    * instead of NPEing on Row.getLong(null). */
+  def keyBounds(df: DataFrame, pk: String): Option[(Long, Long)] = {
     val row = df.agg(min(col(pk)).cast("long"), max(col(pk)).cast("long")).head()
-    (row.getLong(0), row.getLong(1))
+    if (row.isNullAt(0)) None else Some((row.getLong(0), row.getLong(1)))
   }
 
   /** A1: partitioned JDBC scan. numPartitions = ceil(span/stride) keeps
@@ -150,9 +153,13 @@ object Extract {
   def runJob(spark: SparkSession, job: TableJob): Unit = {
     val raw = job.format match {
       case "jdbc" =>
-        val bounds = keyBounds(
-          spark.read.jdbc(job.url, job.tableName, job.properties), job.primaryKey)
-        jdbcRangeRead(spark, job, bounds._1, bounds._2)
+        val full = spark.read.jdbc(job.url, job.tableName, job.properties)
+        keyBounds(full, job.primaryKey) match {
+          case Some((lo, hi)) => jdbcRangeRead(spark, job, lo, hi)
+          // empty table: no slices to plan — extract the (empty) frame
+          // directly rather than fabricating a [0,0] stride
+          case None => full
+        }
       case "parquet" => spark.read.parquet(job.url)
       case "csv"     => spark.read.option("header", "true").csv(job.url)
       case "json"    => spark.read.json(job.url)

@@ -52,14 +52,14 @@ object EventsOps {
     // intervals merge only when they overlap).
     Q("q39_events_session",
       """WITH flagged AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS new_s
         |  FROM (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events) e
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), numbered AS (
         |  SELECT user_id, ts, value,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM flagged
         |)

@@ -58,13 +58,18 @@ object Extras {
     * fixture dir is immutable, so the cached frame is bit-identical to a
     * recomputation. localCheckpoint truncates lineage so reuse does not
     * re-run the two-pass scan. */
-  private val pctCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]()
+  private val pctCache = new graft.plans.DerivationCache[org.apache.spark.sql.DataFrame]
 
   private def cachedPercentiles(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    pctCache.computeIfAbsent((s, d), _ => exactPercentiles(s, d).localCheckpoint())
+    pctCache.getOrCompute(s, d)(exactPercentiles(s, d).localCheckpoint())
+
+  /** Fixed per-format scratch dir for the sink round-trips: repeated
+    * Bench/Verify invocations OVERWRITE the same path instead of
+    * accumulating a fresh temp directory (and a full table dump) per
+    * run. */
+  private def roundTripDir(fmt: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$fmt"
 
   val qs: Seq[Q] = Seq(
 
@@ -183,7 +188,7 @@ object Extras {
         |FROM orders
         |WHERE o_orderkey < 5000
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val tmp = roundTripDir("csv")
       Tables.orders(s, d).filter(col("o_orderkey") < 5000)
         .select("o_orderkey", "o_orderstatus", "o_orderpriority")
         .write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
@@ -316,7 +321,7 @@ object Extras {
         |FROM customer
         |WHERE c_custkey < 500
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val tmp = roundTripDir("json")
       Tables.customer(s, d).filter(col("c_custkey") < 500)
         .select("c_custkey", "c_name", "c_mktsegment")
         .write.mode("overwrite").json(s"$tmp/json")
@@ -332,7 +337,7 @@ object Extras {
       """SELECT s_suppkey, s_name, s_nationkey, CAST(floor(s_acctbal * 100) AS BIGINT) AS acct_c
         |FROM supplier
         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val tmp = roundTripDir("orc")
       Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
           floor(col("s_acctbal") * 100).as("acct_c"))
@@ -348,7 +353,7 @@ object Extras {
     // The oracle reads the original table — the trip must be identity.
     Q("q86_text_roundtrip",
       """SELECT doc_id, text FROM documents ORDER BY doc_id""") { (s, d) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_text").toString
+      val tmp = roundTripDir("text")
       Tables.documents(s, d)
         .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("value"))
         .write.mode("overwrite").text(s"$tmp/text")

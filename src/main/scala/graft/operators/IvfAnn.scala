@@ -102,8 +102,7 @@ object IvfAnn {
     * would be used at 100 TB (prebuilt via writeClustered, not
     * reclustered per query). Deterministic: the build itself is
     * RNG-free, so a cached index yields bit-identical results. */
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private val indexCache = new graft.plans.DerivationCache[(DataFrame, DataFrame)]
 
   /** Full-fixture corpus with norms — the ONLY corpus an index may be
     * cached for: the cache key is (session, dir), so building the
@@ -119,7 +118,7 @@ object IvfAnn {
   }
 
   def cachedIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    indexCache.computeIfAbsent((s, dir), _ => buildIndexWithRadii(fullCorpus(s, dir)))
+    indexCache.getOrCompute(s, dir)(buildIndexWithRadii(fullCorpus(s, dir)))
 
   def boundedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       index: Option[(DataFrame, DataFrame)] = None)

@@ -241,11 +241,24 @@ object LlmOps {
       |       / len(list_distinct(list_concat(a.sg, b.sg)))) AS BIGINT) AS jaccard_bp
       |FROM sh a JOIN sh b
       |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-      |WHERE len(list_intersect(a.sg, b.sg)) * 10
+      |WHERE len(a.sg) > 0 AND len(b.sg) > 0
+      |  AND len(list_intersect(a.sg, b.sg)) * 10
       |      >= $t10 * len(list_distinct(list_concat(a.sg, b.sg)))
       |ORDER BY a_id, b_id""".stripMargin
 
   private val jaccardOracleSql: String = jaccardOracleSqlAt(jaccardThreshold10)
+
+  /** t = 0.3 blocked pair predicate shared by the q70/q82 oracles — ONE
+    * definition so a threshold or blocking edit cannot leave the two
+    * recursive-CTE oracles at different semantics. Guarded against
+    * empty shingle sets like the Spark side (shingleBlocks sz > 0). */
+  private val ccPairSql =
+    """SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      |  WHERE len(a.sg) > 0 AND len(b.sg) > 0
+      |    AND len(list_intersect(a.sg, b.sg)) * 10
+      |        >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))""".stripMargin
 
   /** Distinct shingle sets per doc with blocking keys and set size. */
   private def shingleBlocks(s: SparkSession, d: String): DataFrame =
@@ -302,11 +315,10 @@ object LlmOps {
     * immutable fixture dir, so the cached frame equals a recomputation
     * bit-for-bit). Tools that MEASURE the join itself (ScaleSmoke,
     * RecallCheck) call jaccardCountJoinAt, which stays uncached. */
-  private val pairStatsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val pairStatsCache = new graft.plans.DerivationCache[DataFrame]
 
   private def cachedPairStats(s: SparkSession, d: String): DataFrame =
-    pairStatsCache.computeIfAbsent((s, d), _ => blockedPairStats(s, d).localCheckpoint())
+    pairStatsCache.getOrCompute(s, d)(blockedPairStats(s, d).localCheckpoint())
 
   private def jaccardCountJoin(s: SparkSession, d: String): DataFrame =
     finishJaccard(cachedPairStats(s, d), jaccardThreshold10)
@@ -484,7 +496,8 @@ object LlmOps {
         |  CAST(floor(10000.0 * len(list_intersect(a.sg, b.sg))
         |       / len(list_distinct(list_concat(a.sg, b.sg)))) AS BIGINT) AS jaccard_bp
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sg, b.sg)) * 10
+        |WHERE len(a.sg) > 0 AND len(b.sg) > 0
+        |  AND len(list_intersect(a.sg, b.sg)) * 10
         |      >= $productionThreshold10 * len(list_distinct(list_concat(a.sg, b.sg)))
         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       val docs = docsWithShingles(s, d)
@@ -731,12 +744,7 @@ object LlmOps {
     // union-find task). Oracle: DuckDB recursive-CTE transitive
     // closure, min label per node.
     Q("q70_dedup_clusters", {
-      val pairSql =
-        """SELECT a.doc_id AS a_id, b.doc_id AS b_id
-          |  FROM sh a JOIN sh b
-          |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-          |  WHERE len(list_intersect(a.sg, b.sg)) * 10
-          |        >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))""".stripMargin
+      val pairSql = ccPairSql
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id, lang, n_chars // 100 AS lb,
          |    list_distinct(list_transform(
@@ -782,12 +790,7 @@ object LlmOps {
     // collapse phases are the scale shapes proved above (hash groupBy;
     // bucketed pair join + star-contraction components).
     Q("q82_dedup_pipeline", {
-      val pairSql =
-        """SELECT a.doc_id AS a_id, b.doc_id AS b_id
-          |  FROM sh a JOIN sh b
-          |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-          |  WHERE len(list_intersect(a.sg, b.sg)) * 10
-          |        >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))""".stripMargin
+      val pairSql = ccPairSql
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id, lang, n_chars // 100 AS lb,
          |    list_distinct(list_transform(
@@ -904,20 +907,26 @@ object LlmOps {
     // recall-vs-brute-force quality bar stays in ScalaTest.
     Q("q51_ann_lsh", annLshOracleSql) { (s, d) =>
       val e = embWithNorm(s, d)
-      val bucketed = e
-        .select(col("vec_id"), col("emb"), col("nrm"),
-          posexplode(lshBuckets(col("emb"))).as(Seq("tbl", "bucket")))
-      val qside = bucketed.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("emb").as("qe"),
-          col("nrm").as("qn"), col("tbl").as("qt"), col("bucket").as("qb"))
-      val cside = bucketed.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
-        col("nrm").as("cn"), col("tbl"), col("bucket"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-      cside.join(broadcast(qside),
+      // Candidate generation carries IDS ONLY: the multi-table collision
+      // dedup (distinct) would otherwise shuffle ~1 KB of vector payload
+      // per candidate row; payloads join back after the dedup (query
+      // side broadcast, corpus side one hash join on neighbor_id).
+      val bucketed = e.select(col("vec_id"),
+        posexplode(lshBuckets(col("emb"))).as(Seq("tbl", "bucket")))
+      val qb = bucketed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("tbl").as("qt"), col("bucket").as("qb"))
+      val cand = bucketed.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
+        .join(broadcast(qb),
           col("tbl") === col("qt") && col("bucket") === col("qb")
             && col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"), col("qe"), col("qn"), col("ce"), col("cn"))
-        .distinct() // collapse multi-table collisions
+        .select("query_id", "neighbor_id")
+        .distinct() // collapse multi-table collisions (id pairs only)
+      val qpay = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      val cpay = e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
+        col("nrm").as("cn"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+      cand.join(broadcast(qpay), "query_id").join(cpay, "neighbor_id")
         .withColumn("sim", VectorFns.cosineWithNorms(
           fastDot(col("qe"), col("ce")), col("qn"), col("cn")))
         .withColumn("rank", row_number().over(w))

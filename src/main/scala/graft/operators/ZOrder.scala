@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Morton code of two non-negative int columns (low `bits` bits). */
+  /** Morton code of two non-negative int columns (low `bits` bits).
+    * Bits are widened to LONG before the left shift: shiftleft on an
+    * IntegerType wraps at 32 bits, so y's bit 15 (shift 31) would
+    * otherwise land on the int sign bit and produce negative z-values
+    * that scramble the range partitioning. */
   def zvalue(x: Column, y: Column, bits: Int = 16): Column =
     (0 until bits).map { b =>
-      (shiftleft(shiftright(x, b).bitwiseAND(lit(1)), 2 * b) +
-        shiftleft(shiftright(y, b).bitwiseAND(lit(1)), 2 * b + 1)).cast("long")
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1)).cast("long"), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1)).cast("long"), 2 * b + 1)
     }.reduce(_ + _)
 
   /** Write `df` clustered by the z-order of two bucketed dimensions.

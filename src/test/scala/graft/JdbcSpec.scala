@@ -41,7 +41,9 @@ class JdbcSpec extends AnyFunSuite {
 
   test("keyBounds pushes MIN/MAX planning to the source (A4)") {
     val df = spark.read.jdbc(dbUrl, "BIG_TABLE_1", props)
-    assert(Extract.keyBounds(df, "ID") == (1L, nRows.toLong))
+    assert(Extract.keyBounds(df, "ID").contains((1L, nRows.toLong)))
+    assert(Extract.keyBounds(df.filter("ID < 0"), "ID").isEmpty,
+      "empty table must yield no bounds, not an NPE")
   }
 
   test("jdbcRangeRead partitions by key strides and reads everything (A1+A5)") {

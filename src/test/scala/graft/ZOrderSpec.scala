@@ -37,6 +37,19 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("zvalue stays positive and exact for high bits (no 32-bit shift wrap)") {
+    import spark.implicits._
+    // y's bit 15 shifts to position 31 — an IntegerType shiftleft would
+    // wrap it onto the int sign bit and emit negative z-values.
+    val df = Seq((0, 40000), (1, 65535), (32767, 32768)).toDF("x", "y")
+    val got = df.select(graft.operators.ZOrder.zvalue(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).map(b => (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).sum
+    assert(got == Seq(morton(0, 40000), morton(1, 65535), morton(32767, 32768)))
+    assert(got.forall(_ > 0), s"z-values must stay positive: $got")
+  }
+
   test("2-D box query overlaps far fewer files under z-order than linear sort") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_z").toString
     val orders = Tables.orders(spark, "/root/testdata/sf0.01") // 15k rows
