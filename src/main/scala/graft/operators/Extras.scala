@@ -364,6 +364,42 @@ object Extras {
         .orderBy(col("doc_id"))
     },
 
+    // Fuzzy entity matching (data-cleaning ETL): a deterministic dirty
+    // copy of every 10th customer name (one character overwritten at a
+    // key-derived position) is matched back against the clean table by
+    // Levenshtein distance ≤ 1 within a nation BLOCK — the standard
+    // blocked-candidate shape (never all-pairs; the block key bounds
+    // the comparison volume, exactly like q43's shingle blocking). A
+    // corrupted digit position can legitimately match a neighboring
+    // key at distance 1 too; both engines enumerate the same pairs.
+    Q("q92_fuzzy_match",
+      """WITH dirty AS (
+        |  SELECT c_custkey AS dirty_key, c_nationkey,
+        |    substr(c_name, 1, CAST(c_custkey % 10 + 1 AS INTEGER)) || 'x'
+        |      || substr(c_name, CAST(c_custkey % 10 + 3 AS INTEGER)) AS dirty_name
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |)
+        |SELECT d.dirty_key, c.c_custkey AS match_key,
+        |  CAST(levenshtein(d.dirty_name, c.c_name) AS INTEGER) AS dist
+        |FROM dirty d JOIN customer c ON d.c_nationkey = c.c_nationkey
+        |WHERE levenshtein(d.dirty_name, c.c_name) <= 1
+        |ORDER BY dirty_key, match_key""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      // corrupt position k = custkey % 10 + 2 (1-based), always inside
+      // the constant "Customer#" prefix or the first digits — never 'x'
+      // already, so dist(dirty, source) is exactly 1
+      val k = (col("c_custkey") % 10 + 2).cast("int")
+      val dirty = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("dirty_key"), col("c_nationkey").as("dn"),
+          concat(col("c_name").substr(lit(1), k - 1), lit("x"),
+            col("c_name").substr(k + 1, lit(64))).as("dirty_name"))
+      dirty.join(cust, col("dn") === col("c_nationkey")
+          && levenshtein(col("dirty_name"), col("c_name")) <= 1)
+        .select(col("dirty_key"), col("c_custkey").as("match_key"),
+          levenshtein(col("dirty_name"), col("c_name")).cast("int").as("dist"))
+        .orderBy(col("dirty_key"), col("match_key"))
+    },
+
     // SQL frontend driving the extension-registered codegen expression:
     // graft_dot (GraftExtensions) called from spark.sql over a temp
     // view. Quantized to integer-valued doubles first, so the dot

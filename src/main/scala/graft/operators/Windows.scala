@@ -37,6 +37,31 @@ object Windows {
         .orderBy(col("c_nationkey"), col("rn"))
     },
 
+    // Distribution window functions: percent_rank/cume_dist emit
+    // floor-scaled basis points (the ratios are small-integer divisions
+    // — bit-identical across engines), nth_value over the running frame
+    // anchors each row to its partition's 3rd member.
+    Q("q91_window_dist",
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(floor(10000 * percent_rank() OVER w) AS BIGINT) AS pr_bp,
+        |  CAST(floor(10000 * cume_dist() OVER w) AS BIGINT) AS cd_bp,
+        |  nth_value(c_custkey, 3) OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(lit(10000) * percent_rank().over(w)).as("pr_bp"),
+          floor(lit(10000) * cume_dist().over(w)).as("cd_bp"),
+          nth_value(col("c_custkey"), 3).over(wf).as("third_key"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    },
+
     // Running (cumulative) sum + lag/lead. The running sum is evaluated
     // in frame order on both engines, but still rounded defensively.
     Q("q18_window_running",
