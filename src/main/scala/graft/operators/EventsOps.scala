@@ -135,6 +135,75 @@ object EventsOps {
         .filter(col("side") === 1)
         .select("user_id", "event_id", "ts", "purchase_ts", "p_value")
         .orderBy("user_id", "event_id")
+    },
+
+    // Conversion funnel (view → click → purchase, strictly ordered in
+    // event time): stage k's timestamp is the FIRST qualifying event
+    // after stage k−1's. Three aggregations and two joins, all keyed on
+    // user_id — one shuffle partitioning reused end-to-end; no
+    // per-user event buffering (each stage is a conditional min).
+    Q("q93_funnel",
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS v_ts FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+        |SELECT u.user_id, v.v_ts, c.c_ts, p.p_ts,
+        |  CAST(CASE WHEN p.p_ts IS NOT NULL THEN 3
+        |            WHEN c.c_ts IS NOT NULL THEN 2
+        |            WHEN v.v_ts IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+      e.select("user_id").distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
+          when(col("p_ts").isNotNull, 3).when(col("c_ts").isNotNull, 2)
+            .when(col("v_ts").isNotNull, 1).otherwise(0).cast("int").as("stage"))
+        .orderBy("user_id")
+    },
+
+    // Cohort retention: users cohorted by the week of their first
+    // event; one row per (cohort week, week offset) counts the cohort
+    // members active that week. Two aggregations on user_id + one
+    // bounded (cohort, offset) aggregation — the classic warehouse
+    // retention matrix, no window over the whole event stream.
+    Q("q94_retention",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM e)
+        |SELECT CAST(f.cohort AS DATE) AS cohort_week,
+        |  CAST(datediff('day', CAST(f.cohort AS DATE), CAST(a.wk AS DATE)) // 7 AS INTEGER)
+        |    AS week_offset,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val f = e.groupBy("user_id").agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      val a = e.select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+      a.join(f, "user_id")
+        .select(col("cohort").cast("date").as("cohort_week"),
+          floor(datediff(col("wk").cast("date"), col("cohort").cast("date")) / 7)
+            .cast("int").as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
     }
   )
 }

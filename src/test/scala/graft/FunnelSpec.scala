@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for the batch event-analytics operators (q93/q94)
+  * on planted fixtures. The funnel is strictly ordered in event time:
+  * stage k's timestamp is the first qualifying event AFTER stage k−1's,
+  * so a click that precedes (or ties) the first view must not advance
+  * the user. Retention cohorts users by the week of their first event
+  * and counts distinct actives per (cohort, week offset). */
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def t(day: Int, h: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  /** (user, type, ts) rows written as an events table fixture. */
+  private def eventsDir(rows: Seq[(Long, String, Timestamp)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    rows.zipWithIndex
+      .map { case ((u, et, ts), i) => (i.toLong, ts, u, et, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("funnel stages respect strict event-time ordering") {
+    val dir = eventsDir(Seq(
+      // u1: clean view → click → purchase = stage 3
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)),
+      // u2: click BEFORE first view, never after = stage 1
+      (2L, "click", t(1)), (2L, "view", t(2)),
+      // u3: view only = stage 1
+      (3L, "view", t(1)),
+      // u4: purchase before the first post-view click doesn't count;
+      //     the later purchase does = stage 3 with p_ts = day 4
+      (4L, "view", t(1)), (4L, "purchase", t(2)), (4L, "click", t(3)),
+      (4L, "purchase", t(4)),
+      // u5: no view at all = stage 0
+      (5L, "click", t(1)), (5L, "purchase", t(2)),
+      // u6: click TIES the first view (strict > excludes it) = stage 1
+      (6L, "view", t(1)), (6L, "click", t(1))))
+    val rows = SparkEntry.queries("q93_funnel")(spark, dir)
+      .select("user_id", "stage").as[(Long, Int)].collect().toMap
+    assert(rows == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 3, 5L -> 0, 6L -> 1))
+    val u4 = SparkEntry.queries("q93_funnel")(spark, dir)
+      .filter($"user_id" === 4L).select("p_ts").as[Timestamp].head()
+    assert(u4 == t(4), "u4's purchase must be the one after its click")
+  }
+
+  test("retention counts cohort members by week offset from first event") {
+    // 2024-01-01 is a Monday: days 1-7 are week 0, 8-14 week 1, 15-21 week 2.
+    val dir = eventsDir(Seq(
+      (1L, "view", t(2)), (1L, "view", t(9)),   // cohort w0, active w0+w1
+      (2L, "view", t(3)), (2L, "view", t(16)),  // cohort w0, active w0+w2
+      (3L, "view", t(10))))                     // cohort w1, active w1 only
+    val rows = SparkEntry.queries("q94_retention")(spark, dir)
+      .select("cohort_week", "week_offset", "n_active")
+      .as[(java.sql.Date, Int, Long)].collect().toSet
+    val w0 = java.sql.Date.valueOf("2024-01-01")
+    val w1 = java.sql.Date.valueOf("2024-01-08")
+    assert(rows == Set((w0, 0, 2L), (w0, 1, 1L), (w0, 2, 1L), (w1, 0, 1L)))
+  }
+}
