@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Extras.qs ++
       operators.IvfAnn.qs ++
       operators.TrainingOps.qs ++
-      operators.CurationOps.qs
+      operators.CurationOps.qs ++
+      operators.GraphOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

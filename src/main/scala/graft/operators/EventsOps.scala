@@ -204,6 +204,35 @@ object EventsOps {
         .groupBy("cohort_week", "week_offset")
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // Event-type transition matrix (first-order Markov): per-user
+    // event-time ordering gives (prev, cur) bigrams; counts plus a
+    // row-normalized probability in basis points. One shuffle on
+    // user_id for the lag window; the matrix itself is tiny (|types|²)
+    // so the normalization window costs nothing at any scale.
+    Q("q95_transitions",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS prev, event_type AS cur FROM e)
+        |SELECT prev, cur, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(floor(10000.0 * count(*) /
+        |    sum(count(*)) OVER (PARTITION BY prev)) AS BIGINT) AS p_bp
+        |FROM p WHERE prev IS NOT NULL
+        |GROUP BY prev, cur
+        |ORDER BY prev, cur""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))
+      pairs.groupBy(col("prev"), col("event_type").as("cur"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_bp", floor(lit(10000.0) * col("n") / sum(col("n")).over(wp)))
+        .orderBy("prev", "cur")
     }
   )
 }

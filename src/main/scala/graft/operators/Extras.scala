@@ -424,6 +424,46 @@ object Extras {
           |    transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS DOUBLE))) AS BIGINT) AS qnorm2
           |FROM graft_embeddings
           |ORDER BY vec_id""".stripMargin)
+    },
+
+    // Bucketed interval (range) join: customers whose balance falls in
+    // a supplier-derived band [s_acctbal, s_acctbal + 200). The naive
+    // plan for point-in-interval is a BroadcastNestedLoop/cartesian —
+    // O(n·m) and a scale-killer. Here every interval spans ≤ 2
+    // fixed-width buckets (width == band width), so exploding intervals
+    // to their covered buckets turns the theta join into an EQUI-join
+    // on the bucket id (shuffle- or broadcast-hash), with the band
+    // predicate as a residual filter. The oracle states the naive theta
+    // join; only the physical strategy differs. Empty bands are kept
+    // via the outer join back to the interval table.
+    Q("q96_interval_join",
+      """WITH iv AS (SELECT s_suppkey AS interval_id, s_acctbal AS lo,
+        |              s_acctbal + 200.0 AS hi FROM supplier),
+        |j AS (SELECT iv.interval_id, c.c_acctbal AS p FROM iv
+        |      JOIN customer c ON c.c_acctbal >= iv.lo AND c.c_acctbal < iv.hi)
+        |SELECT iv.interval_id, CAST(count(j.p) AS BIGINT) AS n_matches,
+        |  CAST(coalesce(sum(CAST(floor(j.p * 100) AS BIGINT)), 0) AS BIGINT)
+        |    AS sum_cents
+        |FROM iv LEFT JOIN j USING (interval_id)
+        |GROUP BY iv.interval_id
+        |ORDER BY iv.interval_id""".stripMargin) { (s, d) =>
+      val bw = 200.0 // bucket width == band width → each interval hits ≤ 2 buckets
+      val iv = Tables.supplier(s, d).select(col("s_suppkey").as("interval_id"),
+        col("s_acctbal").as("lo"), (col("s_acctbal") + 200.0).as("hi"))
+      val ivb = iv.withColumn("b",
+        explode(sequence(floor(col("lo") / bw).cast("long"),
+          floor(col("hi") / bw).cast("long"))))
+      val pts = Tables.customer(s, d)
+        .select(col("c_acctbal").as("p"), floor(col("c_acctbal") / bw).cast("long").as("b"))
+      val matched = ivb.join(pts, Seq("b"))
+        .filter(col("p") >= col("lo") && col("p") < col("hi"))
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_matches"),
+          sum(floor(col("p") * 100).cast("long")).as("sum_cents"))
+      iv.select("interval_id").join(matched, Seq("interval_id"), "left")
+        .select(col("interval_id"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
+        .orderBy("interval_id")
     }
   )
 }

@@ -371,6 +371,71 @@ object TrainingOps {
         .select(col("doc_id"), col("domain").cast("int").as("domain"),
           col("cum").as("cum_tokens"))
         .orderBy("doc_id")
+    },
+
+    // BM25 keyword retrieval (k1 = 1.2, b = 0.75): five 2-term queries
+    // whose terms are derived deterministically from the corpus itself
+    // (document-frequency ranks 6-15, skipping the ubiquitous head), so
+    // the same query set exists at every scale. Rank-only output (qid,
+    // rank, doc_id): float scores never hit the hash compare, and ties
+    // (e.g. duplicate documents) break by doc_id.
+    //
+    // Scale shape: tf is one (doc_id, term) aggregation with map-side
+    // combine; df and the term table are tiny aggregates; scoring joins
+    // tf against BROADCAST terms (the corpus never reshuffles for the
+    // query set); top-k per query is a WindowGroupLimit — partial
+    // top-10 before the single tiny shuffle on qid.
+    Q("q97_bm25",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY doc_id, w),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |terms AS (SELECT w, df, CAST((rk - 6) // 2 AS BIGINT) AS qid FROM (
+        |  SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS rk FROM df)
+        |  WHERE rk BETWEEN 6 AND 15),
+        |sc AS (SELECT terms.qid, tf.doc_id,
+        |    sum(ln(1 + (st.n - terms.df + 0.5) / (terms.df + 0.5)) *
+        |        tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+        |      AS score
+        |  FROM tf JOIN terms ON tf.w = terms.w
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  GROUP BY terms.qid, tf.doc_id)
+        |SELECT qid, CAST(rk AS INTEGER) AS rank, doc_id FROM (
+        |  SELECT qid, doc_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+        |  FROM sc)
+        |WHERE rk <= 10
+        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      val tf = t.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val st = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      // top-15 via TakeOrderedAndProject (distributed partial top-k),
+      // THEN the rank window over just 15 rows — never a whole-vocab
+      // single-partition window.
+      val wrk = org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("w"))
+      val terms = df.orderBy(col("df").desc, col("w")).limit(15)
+        .withColumn("rk", row_number().over(wrk))
+        .filter(col("rk").between(6, 15))
+        .select(col("w"), col("df"), floor((col("rk") - 6) / 2).as("qid"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+      tf.join(broadcast(terms), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .groupBy("qid", "doc_id")
+        .agg(sum(log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("score"))
+        .withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("doc_id"))
+        .orderBy("qid", "rank")
     }
   )
 }

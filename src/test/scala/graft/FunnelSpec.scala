@@ -51,6 +51,20 @@ class FunnelSpec extends AnyFunSuite {
     assert(u4 == t(4), "u4's purchase must be the one after its click")
   }
 
+  test("transition matrix counts ordered bigrams with basis-point rows") {
+    val dir = eventsDir(Seq(
+      // u1: view→click→view ; u2: view→click→purchase
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "view", t(3)),
+      (2L, "view", t(1)), (2L, "click", t(2)), (2L, "purchase", t(3))))
+    val rows = SparkEntry.queries("q95_transitions")(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSet
+    // view→click twice (p=10000 of view's outgoing); click splits 50/50.
+    assert(rows == Set(
+      ("view", "click", 2L, 10000L),
+      ("click", "view", 1L, 5000L),
+      ("click", "purchase", 1L, 5000L)))
+  }
+
   test("retention counts cohort members by week offset from first event") {
     // 2024-01-01 is a Monday: days 1-7 are week 0, 8-14 week 1, 15-21 week 2.
     val dir = eventsDir(Seq(

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for q98's fixed-point PageRank on a planted star
+  * graph: the hub must outrank every leaf, structurally-symmetric
+  * leaves must get EXACTLY equal integer ranks (fixed-point arithmetic
+  * has no float drift), and total mass stays bounded by the scale. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  /** Orders/lineitem fixture: each (cust, supp) pair becomes one order
+    * (key = index) with one lineitem. */
+  private def graphDir(pairs: Seq[(Long, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph").toString
+    pairs.zipWithIndex.map { case ((c, _), i) => (i.toLong, c) }
+      .toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    pairs.zipWithIndex.map { case ((_, sp), i) => (i.toLong, sp) }
+      .toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("star graph: hub supplier outranks symmetric leaf customers") {
+    // customers 1..4 each buy only from supplier 7 → star with hub 7*2+1.
+    val dir = graphDir(Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 7L)))
+    val rows = SparkEntry.queries("q98_pagerank")(spark, dir)
+      .as[(Long, Long)].collect()
+    val hub = 7L * 2 + 1
+    assert(rows.head._1 == hub, s"hub must rank first: ${rows.toSeq}")
+    val leafRanks = rows.filter(_._1 != hub).map(_._2).toSet
+    assert(leafRanks.size == 1, s"symmetric leaves must tie exactly: ${rows.toSeq}")
+    assert(rows.head._2 > leafRanks.head, "hub rank strictly above leaves")
+    // Mass: ranks are 1e-9 units of a distribution — total never exceeds
+    // the scale (integer floors only lose mass).
+    assert(rows.map(_._2).sum <= 1000000000L)
+    // 5 nodes total (4 leaves + hub), all in the top-20 output.
+    assert(rows.length == 5)
+  }
+
+  test("two disconnected stars rank by component size") {
+    // big star: 3 customers → supplier 1; small star: 1 customer → supplier 2.
+    val dir = graphDir(Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 2L)))
+    val rows = SparkEntry.queries("q98_pagerank")(spark, dir)
+      .as[(Long, Long)].collect()
+    val bigHub = 1L * 2 + 1
+    assert(rows.head._1 == bigHub, "bigger hub wins")
+  }
+}
