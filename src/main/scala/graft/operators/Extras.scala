@@ -367,11 +367,18 @@ object Extras {
     // Fuzzy entity matching (data-cleaning ETL): a deterministic dirty
     // copy of every 10th customer name (one character overwritten at a
     // key-derived position) is matched back against the clean table by
-    // Levenshtein distance ≤ 1 within a nation BLOCK — the standard
-    // blocked-candidate shape (never all-pairs; the block key bounds
-    // the comparison volume, exactly like q43's shingle blocking). A
-    // corrupted digit position can legitimately match a neighboring
-    // key at distance 1 too; both engines enumerate the same pairs.
+    // Levenshtein distance ≤ 1 within a nation BLOCK. The ORACLE states
+    // the blocked quadratic spec; the Spark plan is SYMMETRIC-DELETE
+    // (SymSpell) blocking — two strings at distance ≤ 1 necessarily
+    // share a member of {s} ∪ {single-char deletions of s}, so
+    // exploding each side to its ≤ len+1 variants turns the candidate
+    // step into an EQUI-join on (nation, variant): near-linear in rows
+    // instead of quadratic per block, which is what survives 100 TB.
+    // Shared variants over-generate (e.g. transpositions), so every
+    // candidate is verified with a thresholded levenshtein — the output
+    // is exactly the spec'd pair set. A corrupted digit position can
+    // legitimately match a neighboring key at distance 1 too; both
+    // engines enumerate the same pairs.
     Q("q92_fuzzy_match",
       """WITH dirty AS (
         |  SELECT c_custkey AS dirty_key, c_nationkey,
@@ -393,10 +400,32 @@ object Extras {
         .select(col("c_custkey").as("dirty_key"), col("c_nationkey").as("dn"),
           concat(col("c_name").substr(lit(1), k - 1), lit("x"),
             col("c_name").substr(k + 1, lit(64))).as("dirty_name"))
-      dirty.join(cust, col("dn") === col("c_nationkey")
-          && levenshtein(col("dirty_name"), col("c_name")) <= 1)
-        .select(col("dirty_key"), col("c_custkey").as("match_key"),
-          levenshtein(col("dirty_name"), col("c_name")).cast("int").as("dist"))
+      // {s} ∪ single-deletions of s. The lambda only references the
+      // bound index and the materialized name ATTRIBUTE (both sides
+      // select the name first), so the optimizer can't inline a
+      // computed expression into the per-element loop.
+      def variants(name: org.apache.spark.sql.Column) =
+        array_append(
+          transform(sequence(lit(1), length(name)),
+            i => concat(name.substr(lit(1), i - 1), name.substr(i + 1, lit(64)))),
+          name)
+      val dirtyV = dirty.withColumn("v", explode(variants(col("dirty_name"))))
+      val custV = cust
+        .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+        .withColumn("v", explode(variants(col("c_name"))))
+      // candidates share (nation, variant); distinct collapses pairs
+      // reachable through several variants. Verification is a
+      // thresholded levenshtein (returns −1 above the bound): one
+      // O(threshold·len) banded DP per candidate, not O(len²) per
+      // block-pair.
+      dirtyV.join(custV,
+          col("dn") === col("c_nationkey") && dirtyV("v") === custV("v"))
+        .select(col("dirty_key"), col("dirty_name"), col("c_custkey"), col("c_name"))
+        .distinct()
+        .withColumn("dist",
+          levenshtein(col("dirty_name"), col("c_name"), 1).cast("int"))
+        .filter(col("dist") >= 0)
+        .select(col("dirty_key"), col("c_custkey").as("match_key"), col("dist"))
         .orderBy(col("dirty_key"), col("match_key"))
     },
 
