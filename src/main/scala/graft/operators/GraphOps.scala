@@ -60,21 +60,31 @@ object GraphOps {
       val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val eSym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      // out-degree rides the edge table: built once, checkpointed once —
+      // no per-iteration deg join. (count(*) over a window keyed like
+      // the groupBy would be a second shuffle; the self-join agg shape
+      // lets both sides share the src partitioning.)
+      val deg = eSym.groupBy("src").agg(count(lit(1)).as("deg"))
+      val edges = eSym.join(deg, "src").localCheckpoint()
       val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
       val n = nodes.count()
       val base = 15L * Scale / (100L * n)
+      // ranks (one row per node) is orders of magnitude smaller than
+      // edges — broadcast it each round and leave the edge table in
+      // place; the only shuffle per iteration is the map-side-combined
+      // sum on dst. Lineage stays linear (each rank df is consumed by
+      // exactly one successor), so no per-iteration checkpoint is
+      // needed; on a real cluster with huge node counts the broadcast
+      // becomes a shuffle join on the reused src partitioning.
       var ranks = nodes.withColumn("rank", lit(Scale / n))
       for (_ <- 1 to 3) {
-        val contrib = edges.join(ranks, col("src") === col("id")).join(deg, "src")
+        val contrib = edges.join(broadcast(ranks), col("src") === col("id"))
           .select(col("dst").as("id"),
             expr("(rank * 85) div (100 * deg)").as("c"))
           .groupBy("id").agg(sum(col("c")).as("s"))
         ranks = nodes.join(contrib, Seq("id"), "left")
           .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
-          .localCheckpoint()
       }
       ranks.orderBy(col("rank").desc, col("id")).limit(20)
         .select(col("id"), col("rank"))
