@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Remaining §2B surface: UDF/UDAF escape hatches, exact percentiles,
@@ -68,6 +69,67 @@ object Extras {
     * Bench/Verify invocations OVERWRITE the same path instead of
     * accumulating a fresh temp directory (and a full table dump) per
     * run. */
+  /** Dirty copies of every 10th customer name: position k = key%10+2
+    * (1-based) overwritten with 'x' — always inside the constant
+    * "Customer#" prefix or the first digits, never already 'x', so
+    * dist(dirty, source) is exactly 1. */
+  private def dirtyCustomers(cust: org.apache.spark.sql.DataFrame) = {
+    val k = (col("c_custkey") % 10 + 2).cast("int")
+    cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("dirty_key"), col("c_nationkey").as("dn"),
+        concat(col("c_name").substr(lit(1), k - 1), lit("x"),
+          col("c_name").substr(k + 1, lit(64))).as("dirty_name"))
+  }
+
+  /** q92's production plan: SYMMETRIC-DELETE (SymSpell) candidate
+    * blocking. Two strings at distance ≤ 1 necessarily share a member
+    * of {s} ∪ {single-char deletions of s}, so the candidate step is an
+    * EQUI-join on (nation, variant) — near-linear in rows. Every
+    * candidate is verified with a thresholded levenshtein (returns −1
+    * above the bound; O(threshold·len) banded DP), so the output is
+    * exactly the blocked-quadratic spec. */
+  def fuzzyMatchSymSpell(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val dirty = dirtyCustomers(cust)
+    // {s} ∪ single-deletions of s. The lambda only references the
+    // bound index and the materialized name ATTRIBUTE (both sides
+    // select the name first), so the optimizer can never inline a
+    // computed expression into the per-element loop.
+    def variants(name: Column) =
+      array_append(
+        transform(sequence(lit(1), length(name)),
+          i => concat(name.substr(lit(1), i - 1), name.substr(i + 1, lit(64)))),
+        name)
+    val dirtyV = dirty.withColumn("v", explode(variants(col("dirty_name"))))
+    val custV = cust
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+      .withColumn("v", explode(variants(col("c_name"))))
+    dirtyV.join(custV,
+        col("dn") === col("c_nationkey") && dirtyV("v") === custV("v"))
+      .select(col("dirty_key"), col("dirty_name"), col("c_custkey"), col("c_name"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("dirty_name"), col("c_name"), 1).cast("int"))
+      .filter(col("dist") >= 0)
+      .select(col("dirty_key"), col("c_custkey").as("match_key"), col("dist"))
+      .orderBy(col("dirty_key"), col("match_key"))
+  }
+
+  /** The blocked-quadratic baseline (the oracle's literal shape): every
+    * (dirty, clean) pair within a nation block gets a thresholded
+    * levenshtein. Correct, but block-pair volume grows quadratically in
+    * rows-per-nation — kept for ScaleSmoke's measured comparison. */
+  def fuzzyMatchBlocked(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    dirtyCustomers(cust)
+      .join(cust, col("dn") === col("c_nationkey"))
+      .withColumn("dist",
+        levenshtein(col("dirty_name"), col("c_name"), 1).cast("int"))
+      .filter(col("dist") >= 0)
+      .select(col("dirty_key"), col("c_custkey").as("match_key"), col("dist"))
+      .orderBy(col("dirty_key"), col("match_key"))
+  }
+
   private def roundTripDir(fmt: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$fmt"
 
@@ -391,42 +453,7 @@ object Extras {
         |FROM dirty d JOIN customer c ON d.c_nationkey = c.c_nationkey
         |WHERE levenshtein(d.dirty_name, c.c_name) <= 1
         |ORDER BY dirty_key, match_key""".stripMargin) { (s, d) =>
-      val cust = Tables.customer(s, d)
-      // corrupt position k = custkey % 10 + 2 (1-based), always inside
-      // the constant "Customer#" prefix or the first digits — never 'x'
-      // already, so dist(dirty, source) is exactly 1
-      val k = (col("c_custkey") % 10 + 2).cast("int")
-      val dirty = cust.filter(col("c_custkey") % 10 === 0)
-        .select(col("c_custkey").as("dirty_key"), col("c_nationkey").as("dn"),
-          concat(col("c_name").substr(lit(1), k - 1), lit("x"),
-            col("c_name").substr(k + 1, lit(64))).as("dirty_name"))
-      // {s} ∪ single-deletions of s. The lambda only references the
-      // bound index and the materialized name ATTRIBUTE (both sides
-      // select the name first), so the optimizer can't inline a
-      // computed expression into the per-element loop.
-      def variants(name: org.apache.spark.sql.Column) =
-        array_append(
-          transform(sequence(lit(1), length(name)),
-            i => concat(name.substr(lit(1), i - 1), name.substr(i + 1, lit(64)))),
-          name)
-      val dirtyV = dirty.withColumn("v", explode(variants(col("dirty_name"))))
-      val custV = cust
-        .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
-        .withColumn("v", explode(variants(col("c_name"))))
-      // candidates share (nation, variant); distinct collapses pairs
-      // reachable through several variants. Verification is a
-      // thresholded levenshtein (returns −1 above the bound): one
-      // O(threshold·len) banded DP per candidate, not O(len²) per
-      // block-pair.
-      dirtyV.join(custV,
-          col("dn") === col("c_nationkey") && dirtyV("v") === custV("v"))
-        .select(col("dirty_key"), col("dirty_name"), col("c_custkey"), col("c_name"))
-        .distinct()
-        .withColumn("dist",
-          levenshtein(col("dirty_name"), col("c_name"), 1).cast("int"))
-        .filter(col("dist") >= 0)
-        .select(col("dirty_key"), col("c_custkey").as("match_key"), col("dist"))
-        .orderBy(col("dirty_key"), col("match_key"))
+      fuzzyMatchSymSpell(s, d)
     },
 
     // SQL frontend driving the extension-registered codegen expression:

@@ -132,6 +132,37 @@ object ScaleSmoke {
       return
     }
 
+    // Fuzzy-match-only mode: SymSpell variant blocking vs the blocked-
+    // quadratic baseline at 1× (sf0.1, 15k customers) and 10× (150k
+    // synthetic customers, same 25 nations and name shape). Block-pair
+    // volume grows ~100× at 10× rows; SymSpell candidates grow ~10×.
+    if (sys.env.contains("SPARK_GRAFT_FUZZY_ONLY")) {
+      import graft.operators.Extras
+      val fdir = "/tmp/graft_fuzzy"
+      spark.range(150000L)
+        .select((col("id") + 1).as("c_custkey"),
+          pmod(col("id"), lit(25)).as("c_nationkey"),
+          format_string("Customer#%09d", col("id") + 1).as("c_name"))
+        .write.mode("overwrite").parquet(s"$fdir/customer.parquet")
+      val fdir40 = "/tmp/graft_fuzzy40"
+      spark.range(600000L)
+        .select((col("id") + 1).as("c_custkey"),
+          pmod(col("id"), lit(25)).as("c_nationkey"),
+          format_string("Customer#%09d", col("id") + 1).as("c_name"))
+        .write.mode("overwrite").parquet(s"$fdir40/customer.parquet")
+      def tRun(df: => org.apache.spark.sql.DataFrame): Double = time(noop(df))
+      Seq(("blocked", Extras.fuzzyMatchBlocked _),
+          ("symspell", Extras.fuzzyMatchSymSpell _)).foreach { case (label, f) =>
+        tRun(f(spark, base)) // warm
+        val t1 = math.min(tRun(f(spark, base)), tRun(f(spark, base)))
+        val t10 = math.min(tRun(f(spark, fdir)), tRun(f(spark, fdir)))
+        val t40 = tRun(f(spark, fdir40)) // single rep: the point is the asymptote
+        println(f"FUZZY $label%-10s 1x(15k) $t1%7.2f  10x(150k) $t10%7.2f  40x(600k) $t40%8.2f")
+      }
+      spark.stop()
+      return
+    }
+
     val skewOnly = sys.env.contains("SPARK_GRAFT_SKEW_ONLY")
     if (!skewOnly) {
       println(f"${"op"}%-26s ${"1x(sf0.1)"}%10s ${"10x-docs/5x-vecs"}%16s ${"ratio"}%7s")
