@@ -290,6 +290,50 @@ object Streaming {
       .transformWithState(new UpsertProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming form of q93's conversion funnel: a per-user stage
+    * machine in a ValueState. Events are processed in event-time order
+    * within each batch (batch rows sorted; ties are order-insensitive —
+    * a stage only advances on a STRICTLY later timestamp, matching the
+    * batch query's `ts > prev_stage_ts`), so under per-key event-time-
+    * ordered delivery — the watermark discipline every other parity
+    * test uses — the final state equals the batch result exactly.
+    * State is three epoch-millis longs per user (bounded, no event
+    * buffering); a view arriving late (below an already-locked stage)
+    * can lower v_ts but never retro-unlocks c/p — the documented
+    * divergence under out-of-order replay beyond the watermark. */
+  final case class FunnelEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  final case class FunnelState(v: Long, c: Long, p: Long)
+  final case class FunnelRow(user_id: Long, v_ms: Long, c_ms: Long, p_ms: Long, stage: Int)
+
+  class FunnelProcessor extends StatefulProcessor[Long, FunnelEvent, FunnelRow] {
+    @transient private var st: ValueState[FunnelState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[FunnelRow] = {
+      var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
+      rows.toArray.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        e.event_type match {
+          case "view"     => if (s.v < 0) s = s.copy(v = t)
+          case "click"    => if (s.v >= 0 && t > s.v && s.c < 0) s = s.copy(c = t)
+          case "purchase" => if (s.c >= 0 && t > s.c && s.p < 0) s = s.copy(p = t)
+          case _          => ()
+        }
+      }
+      st.update(s)
+      val stage = if (s.p >= 0) 3 else if (s.c >= 0) 2 else if (s.v >= 0) 1 else 0
+      Iterator.single(FunnelRow(key, s.v, s.c, s.p, stage))
+    }
+  }
+
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Parquet sink with checkpointing (exactly-once file sink). */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()) =

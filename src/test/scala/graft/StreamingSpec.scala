@@ -380,4 +380,46 @@ class StreamingSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("transformWithState funnel: event-time-ordered stream replay == batch q93") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.FunnelEvent
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val mem = MemoryStream[FunnelEvent]
+    val q = Streaming.funnelStream(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // per-key event-time order via a global sort (the watermark
+      // discipline); 3 chunks so state crosses batch boundaries
+      val evs = fixtureEvents.sortBy(e => (e.ts.toEpochMilli, e.event_id))
+        .map(e => FunnelEvent(e.user_id, e.event_type, java.sql.Timestamp.from(e.ts)))
+      evs.grouped(400).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      // stage is monotone per user and timestamps are write-once, so the
+      // most advanced emission per user IS the final state
+      val streamed = spark.table("funnel_out")
+        .as[Streaming.FunnelRow].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.stage) }
+      val batch = SparkEntry.queries("q93_funnel")(spark, "/root/testdata/sf0.001")
+        .select(col("user_id"),
+          coalesce(unix_millis(col("v_ts").cast("timestamp")), lit(-1L)).as("v"),
+          coalesce(unix_millis(col("c_ts").cast("timestamp")), lit(-1L)).as("c"),
+          coalesce(unix_millis(col("p_ts").cast("timestamp")), lit(-1L)).as("p"),
+          col("stage"))
+        .as[(Long, Long, Long, Long, Int)].collect()
+      assert(streamed.keySet == batch.map(_._1).toSet)
+      batch.foreach { case (u, v, c, p, st) =>
+        val r = streamed(u)
+        assert((r.v_ms, r.c_ms, r.p_ms, r.stage) == ((v, c, p, st)),
+          s"user $u: streamed $r vs batch ($v,$c,$p,$st)")
+      }
+    } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

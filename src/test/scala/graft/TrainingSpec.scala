@@ -140,7 +140,8 @@ class TrainingSpec extends AnyFunSuite {
         "q76_stratified_sample", "q77_vocab_oov", "q78_token_rarity",
         "q79_data_mixture", "q43_ngram_jaccard", "q43b_jaccard_prefix",
         "q44_minhash_lsh", "q45_simhash", "q82_dedup_pipeline",
-        "q85_chunk_dedup", "q89_containment", "q90_quality_gate")) {
+        "q85_chunk_dedup", "q89_containment", "q90_quality_gate",
+        "q97_bm25")) {
       val out = SparkEntry.queries(q)(spark, dir).collect()
       assert(out != null, s"$q crashed on degenerate corpus")
     }
