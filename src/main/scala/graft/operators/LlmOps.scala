@@ -419,6 +419,69 @@ object LlmOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Containment-specialized prefix join (q89's scale lever, NOTES
+    * backlog #4): same output as the language-blocked count join, but
+    * candidates come from an ASYMMETRIC prefix filter. For containment
+    * |A∩B|/min ≥ 0.5 the SMALLER doc must contribute ≥ ⌈m/2⌉
+    * intersection elements, so at least one lies in its ⌊m/2⌋+1
+    * RAREST shingles — the prefix. The smaller side explodes only that
+    * prefix; the larger side explodes fully (containment puts no bound
+    * on where matches sit in the larger doc). Hot shingles almost never
+    * make a prefix (they sort last in the rarest-first canonical
+    * order), so hot-shingle candidate volume collapses from df² to
+    * df·(few) — the skewed-corpus regime, measured in SCALE.md.
+    * Verification reuses PPJoin's suffix trick: both docs share one
+    * global (df, shingle) sort, so the exact intersection is the
+    * matched-prefix count plus one suffix-slice array_intersect. */
+  private[graft] def containmentPrefixJoin(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleBlocks(s, d)
+    val ex = sh.select(col("doc_id"), col("lang"), col("sz"),
+      explode(col("sg")).as("shingle"))
+    val dfreq = ex.groupBy(col("lang"), col("shingle")).agg(count(lit(1)).as("df"))
+    val sorted = ex.join(dfreq, Seq("lang", "shingle"))
+      .groupBy(col("doc_id"), col("lang"), col("sz"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("shingle")))),
+        x => x.getField("shingle")).as("ssg"))
+    val prefLen = (floor(col("sz") / 2) + 1).cast("int")
+    val prefix = sorted
+      .select(col("doc_id"), col("lang"), col("sz"),
+        posexplode(slice(col("ssg"), lit(1), prefLen)).as(Seq("pos", "shingle")))
+      .withColumn("rnk", col("pos") + 1)
+    val full = sorted
+      .select(col("doc_id"), col("lang"), col("sz"),
+        posexplode(col("ssg")).as(Seq("pos", "shingle")))
+      .withColumn("rnk", col("pos") + 1)
+    val a = prefix.select(col("doc_id").as("s_id"), col("lang"), col("shingle"),
+      col("sz").as("s_sz"), col("rnk").as("s_rnk"))
+    val b = full.select(col("doc_id").as("l_id"), col("lang").as("langb"),
+      col("shingle").as("shingleb"), col("sz").as("l_sz"), col("rnk").as("l_rnk"))
+    // (s) is the canonically smaller doc; ties break by id so every
+    // pair is generated exactly once, from its smaller side's prefix.
+    val smallerFirst = col("s_sz") < col("l_sz") ||
+      (col("s_sz") === col("l_sz") && col("s_id") < col("l_id"))
+    val alpha = floor((col("s_sz") + 1) / 2) // ceil(m/2)
+    val ubound = lit(1) + least(col("s_sz") - col("s_rnk"), col("l_sz") - col("l_rnk"))
+    val cand = a.join(b, col("shingle") === col("shingleb")
+        && col("lang") === col("langb") && smallerFirst)
+      .groupBy(col("s_id"), col("l_id"), col("s_sz"), col("l_sz"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("s_rnk")).as("pa"), max(col("l_rnk")).as("pb"),
+        max(when(ubound >= alpha, 1).otherwise(0)).as("ok"))
+      .filter(col("ok") === 1)
+      .drop("ok")
+    val sa = sorted.select(col("doc_id").as("s_id"), col("ssg").as("sga"))
+    val sb = sorted.select(col("doc_id").as("l_id"), col("ssg").as("sgb"))
+    cand.join(sa, "s_id").join(sb, "l_id")
+      .withColumn("inter", col("cnt") + size(array_intersect(
+        slice(col("sga"), col("pa") + 1, greatest(col("s_sz") - col("pa"), lit(0))),
+        slice(col("sgb"), col("pb") + 1, greatest(col("l_sz") - col("pb"), lit(0))))))
+      .filter(col("inter") * 10 >= col("s_sz") * 5)
+      .select(least(col("s_id"), col("l_id")).as("a_id"),
+        greatest(col("s_id"), col("l_id")).as("b_id"),
+        floor(lit(10000.0) * col("inter") / col("s_sz")).as("containment_bp"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   // ---- queries ----------------------------------------------------------
 
   val qs: Seq[Q] = Seq(

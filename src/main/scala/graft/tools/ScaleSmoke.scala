@@ -132,6 +132,26 @@ object ScaleSmoke {
       return
     }
 
+    // Containment-only mode: q89's count join vs the asymmetric prefix
+    // filter (containmentPrefixJoin) on the uniform sf0.1 corpus and on
+    // the Zipfian corpus where hot-shingle co-occurrence dominates.
+    if (sys.env.contains("SPARK_GRAFT_CONTAIN_ONLY")) {
+      import graft.operators.LlmOps
+      val zdir = "/tmp/graft_zipf_c"
+      synthesizeZipf(spark, zdir, nDocs = 30000L)
+      def tRun(df: => org.apache.spark.sql.DataFrame): Double = time(noop(df))
+      Seq(("count", (dir: String) => SparkEntry.queries("q89_containment")(spark, dir)),
+          ("prefix", (dir: String) => LlmOps.containmentPrefixJoin(spark, dir)))
+        .foreach { case (label, f) =>
+          tRun(f(base)) // warm
+          val tu = math.min(tRun(f(base)), tRun(f(base)))
+          val tz = math.min(tRun(f(zdir)), tRun(f(zdir)))
+          println(f"CONTAIN $label%-8s uniform(sf0.1) $tu%7.2f  zipf(30k docs) $tz%7.2f")
+        }
+      spark.stop()
+      return
+    }
+
     // Fuzzy-match-only mode: SymSpell variant blocking vs the blocked-
     // quadratic baseline at 1× (sf0.1, 15k customers) and 10× (150k
     // synthetic customers, same 25 nations and name shape). Block-pair

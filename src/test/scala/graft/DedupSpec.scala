@@ -92,6 +92,20 @@ class DedupSpec extends AnyFunSuite {
       s"missed=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
   }
 
+  test("containment prefix join equals the q89 count join (sf0.001 and sf0.01)") {
+    // The asymmetric prefix filter (smaller doc's rarest ⌊m/2⌋+1
+    // shingles must hit) is exact, not approximate — its verified
+    // output must equal the inverted-index count join's pair set.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val pref = graft.operators.LlmOps.containmentPrefixJoin(spark, d)
+        .as[(Long, Long, Long)].collect().toSet
+      val count = SparkEntry.queries("q89_containment")(spark, d)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(pref == count,
+        s"$d: missed=${(count -- pref).take(5)} extra=${(pref -- count).take(5)}")
+    }
+  }
+
   test("MinHash-LSH is deterministic across runs") {
     val run1 = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir).collect().toSeq
     val run2 = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir).collect().toSeq
