@@ -106,6 +106,50 @@ object EtlOps {
         .orderBy(col("key"))
     },
 
+    // SCD Type-2 dimension build: q83's version stream materialized as
+    // HISTORY instead of latest-wins — one row per (key, version) with
+    // [eff_from, eff_to) validity and a current flag. eff_to is simply
+    // lead(eff_from) over the per-key version order: one shuffle on
+    // key, bounded state (the window frame is a single row lookahead),
+    // no per-key history buffering. The merge-on-read pattern's other
+    // half: q83 answers "what is", q99 answers "what was when".
+    Q("q99_scd2",
+      """WITH base AS (
+        |  SELECT o_orderkey AS key, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c, 0 AS ver,
+        |    o_orderdate AS eff_from
+        |  FROM orders
+        |), upd AS (
+        |  SELECT o_orderkey AS key, 'U' AS status,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) + 500 AS price_c, 1 AS ver,
+        |    CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS eff_from
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |)
+        |SELECT key, CAST(ver AS INTEGER) AS ver, status, price_c, eff_from,
+        |  lead(eff_from) OVER (PARTITION BY key ORDER BY ver) AS eff_to,
+        |  (lead(eff_from) OVER (PARTITION BY key ORDER BY ver) IS NULL) AS is_current
+        |FROM (SELECT * FROM base UNION ALL SELECT * FROM upd) u
+        |ORDER BY key, ver""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).as("price_c"), col("o_orderdate"))
+      val base = o.select(col("o_orderkey").as("key"),
+        col("o_orderstatus").as("status"), col("price_c"), lit(0).as("ver"),
+        col("o_orderdate").as("eff_from"))
+      val upd = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("key"), lit("U").as("status"),
+          (col("price_c") + 500).as("price_c"), lit(1).as("ver"),
+          date_add(col("o_orderdate"), 30).as("eff_from"))
+      val w = Window.partitionBy(col("key")).orderBy(col("ver"))
+      base.unionAll(upd)
+        .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+        .select(col("key"), col("ver").cast("int").as("ver"), col("status"),
+          col("price_c"), col("eff_from"), col("eff_to"),
+          col("eff_to").isNull.as("is_current"))
+        .orderBy(col("key"), col("ver"))
+    },
+
     // Incremental aggregate maintenance (materialized-view refresh):
     // the running aggregate is kept as MERGEABLE partials (count, sum) —
     // a delta batch is aggregated alone and MERGED into the base

@@ -1,6 +1,7 @@
 package graft
 
 import graft.etl.{Extract, SchemaYaml, TableJob}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -136,5 +137,27 @@ class EtlSpec extends AnyFunSuite {
     val byId = merged.select("id", "score").as[(Long, Option[Long])]
       .collect().toMap
     assert(byId(1L).isEmpty && byId(2L).isEmpty && byId(3L).contains(42L))
+  }
+
+  test("q99 SCD2 history: intervals chain and exactly one current row per key") {
+    val rows = SparkEntry.queries("q99_scd2")(spark, "/root/testdata/sf0.001")
+      .select(col("key"), col("ver"), col("eff_from").cast("timestamp"),
+        col("eff_to").cast("timestamp"), col("is_current"))
+      .as[(Long, Int, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect()
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // exactly one open (current) interval, and it is the last version
+      assert(vs.count(_._5) == 1 && sorted.last._5, s"key $k: $vs")
+      // closed intervals chain: eff_to(ver i) == eff_from(ver i+1)
+      sorted.sliding(2).foreach {
+        case Array(prev, next) =>
+          assert(prev._4.contains(next._3), s"key $k gap: $prev -> $next")
+        case _ => ()
+      }
+    }
+    // two-version keys exist (every key % 7 == 0 with ver-1 update)
+    assert(byKey.values.exists(_.length == 2))
   }
 }
