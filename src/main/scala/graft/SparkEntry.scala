@@ -20,7 +20,8 @@ object SparkEntry {
       operators.IvfAnn.qs ++
       operators.TrainingOps.qs ++
       operators.CurationOps.qs ++
-      operators.GraphOps.qs
+      operators.GraphOps.qs ++
+      operators.AnalyticsOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

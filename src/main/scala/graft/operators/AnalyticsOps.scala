@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-6 analytics additions:
+  *
+  *  - q100 sliding-window document chunking (RAG-style): fixed token
+  *    window with overlap, one output row per chunk. Pure per-row
+  *    explode — embarrassingly parallel, no shuffle at all.
+  *  - q101 exact histograms at scale: equi-width by integer formula,
+  *    and an equi-depth histogram computed from VALUE-LEVEL cumulative
+  *    counts (PrefixScan two-level scan, same machinery as q57) — the
+  *    scalable replacement for a row-level ntile, which would drag the
+  *    whole table through one window partition. Bucket assignment is
+  *    integer arithmetic (rank·k div n), so the DuckDB oracle can
+  *    replay it row-by-row and the hashes match bit-for-bit.
+  *  - q102 data-mixture divergence: total-variation distance between
+  *    each source's token distribution and the corpus distribution in
+  *    EXACT INTEGER arithmetic — TV·(2·N·N_s) = Σ_t |c_st·N − C_t·N_s|
+  *    needs no logarithms (unlike KL), so cross-engine float drift is
+  *    structurally impossible. Absent tokens are folded in closed form
+  *    (Σ_{t∉s} C_t·N_s = N_s·(N − Σ_{t∈s} C_t)), so only observed
+  *    (source, token) rows are ever materialized.
+  *  - q104 XML round-trip over Spark 4's built-in XML data source.
+  */
+object AnalyticsOps {
+
+  private val chunkWidth = 32
+  private val chunkStride = 24 // overlap = 8 tokens
+
+  private def roundTripDir(fmt: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$fmt"
+
+  /** Equi-depth histogram from value-level counts: for each distinct
+    * value, its rank range [s, e] within the total order, then the
+    * overlap of that range with each touched bucket's rank range.
+    * Bucket of rank r (1-based) is (r−1)·k div n; bucket b covers
+    * ranks [ceil(b·n/k)+1, ceil((b+1)·n/k)]. Shuffle cost is the
+    * value-level groupBy + the PrefixScan — nothing row-level. */
+  private[graft] def equiDepthHist(values: DataFrame, k: Int): DataFrame = {
+    val byVal = values.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bkt", (col("c") / 100000L).cast("long"))
+    val cum = graft.plans.PrefixScan.cumsum(byVal, part = Seq(), bucket = "bkt",
+      order = Seq("c"), value = "cnt", out = "cum")
+    val tot = byVal.agg(sum(col("cnt")).as("n"))
+    val j = cum.crossJoin(broadcast(tot))
+      .withColumn("sv", col("cum") - col("cnt") + 1)
+      .withColumn("ev", col("cum"))
+      .withColumn("blo", expr(s"((sv - 1) * $k) div n"))
+      .withColumn("bhi", expr(s"((ev - 1) * $k) div n"))
+      .select(col("c"), col("sv"), col("ev"), col("n"),
+        explode(sequence(col("blo"), col("bhi"))).as("bin"))
+      .withColumn("lob", expr(s"(bin * n + ${k - 1}) div $k + 1"))
+      .withColumn("hib", expr(s"((bin + 1) * n + ${k - 1}) div $k"))
+      .withColumn("ov", least(col("ev"), col("hib")) - greatest(col("sv"), col("lob")) + 1)
+    j.groupBy("bin").agg(sum(col("ov")).as("cnt"),
+      min(col("c")).as("lo_c"), max(col("c")).as("hi_c"))
+  }
+
+  /** Equi-width histogram by integer formula over precomputed integer
+    * values: bin = (c − min)·k div (max − min + 1). One aggregate for
+    * the bounds, one for the bins. */
+  private[graft] def equiWidthHist(values: DataFrame, k: Int): DataFrame = {
+    val bounds = values.agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+    values.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"((c - mn) * $k) div (mx - mn + 1)"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"),
+        min(col("c")).as("lo_c"), max(col("c")).as("hi_c"))
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // Sliding-window token chunking with overlap: window 32, stride 24.
+    // Chunk starts are 0, 24, 48, … while start < n_tokens, so every
+    // token lands in ≥1 chunk and consecutive chunks share exactly 8
+    // tokens (last chunk may be short). Per-row generate + slice — the
+    // plan has no exchange; at 100 TB this runs at scan speed.
+    Q("q100_doc_chunks",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |st AS (SELECT doc_id, toks, n, unnest(range(0, n, $chunkStride)) AS start FROM n)
+         |SELECT doc_id, start // $chunkStride AS chunk_id,
+         |  len(list_slice(toks, start + 1, least(start + $chunkWidth, n))) AS n_tok,
+         |  array_to_string(list_slice(toks, start + 1, least(start + $chunkWidth, n)), ' ') AS chunk_text
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      chunkDocs(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // Exact equi-depth + equi-width price histograms (8 bins each,
+    // cents-integer domain). The oracle assigns equi-depth bins
+    // row-by-row with row_number(); the engine derives identical bins
+    // from value-level rank ranges — same integer formula, no
+    // single-partition row-level window anywhere in the plan.
+    Q("q101_price_histogram",
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+        |p AS (SELECT c, row_number() OVER (ORDER BY c) - 1 AS r0,
+        |             count(*) OVER () AS n FROM c),
+        |d AS (SELECT 'depth' AS method, (r0 * 8) // n AS bin, count(*) AS cnt,
+        |             min(c) AS lo_c, max(c) AS hi_c FROM p GROUP BY 1, 2),
+        |bounds AS (SELECT min(c) AS mn, max(c) AS mx FROM c),
+        |w AS (SELECT 'width' AS method, ((c - mn) * 8) // (mx - mn + 1) AS bin,
+        |             count(*) AS cnt, min(c) AS lo_c, max(c) AS hi_c
+        |      FROM c CROSS JOIN bounds GROUP BY 1, 2)
+        |SELECT * FROM (SELECT * FROM d UNION ALL SELECT * FROM w)
+        |ORDER BY method, bin""".stripMargin) { (s, d) =>
+      val cents = Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("c"))
+      val depth = equiDepthHist(cents, 8).withColumn("method", lit("depth"))
+      val width = equiWidthHist(cents, 8).withColumn("method", lit("width"))
+      depth.unionByName(width)
+        .select(col("method"), col("bin"), col("cnt"), col("lo_c"), col("hi_c"))
+        .orderBy(col("method"), col("bin"))
+    },
+
+    // Per-source total-variation distance from the corpus token
+    // distribution, in basis points (integer-exact; see object docs).
+    // Two shuffles: (source, token) counts, then token totals via a
+    // token-partitioned window riding the same layout. At extreme
+    // token counts (N ≳ 3e9) the c·N products would need the same
+    // fixed-point rescale q98 uses for rank mass.
+    Q("q102_mixture_tvd",
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |st AS (SELECT source, w, count(*) AS cst FROM t GROUP BY source, w),
+        |wc AS (SELECT source, w, cst,
+        |       CAST(sum(cst) OVER (PARTITION BY w) AS BIGINT) AS ct FROM st),
+        |ns AS (SELECT source, CAST(sum(cst) AS BIGINT) AS n_tokens FROM st GROUP BY source),
+        |tot AS (SELECT CAST(sum(cst) AS BIGINT) AS nn FROM st),
+        |a AS (SELECT wc.source, max(ns.n_tokens) AS n_tokens, max(tot.nn) AS nn,
+        |             CAST(sum(abs(wc.cst * tot.nn - wc.ct * ns.n_tokens)) AS BIGINT) AS t1,
+        |             CAST(sum(wc.ct) AS BIGINT) AS covered
+        |      FROM wc JOIN ns ON wc.source = ns.source CROSS JOIN tot
+        |      GROUP BY wc.source)
+        |SELECT source, n_tokens,
+        |  (5000 * (t1 + n_tokens * (nn - covered))) // (nn * n_tokens) AS tvd_bp
+        |FROM a ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cst"))
+      val wc = st.withColumn("ct", sum(col("cst")).over(Window.partitionBy("w")))
+      val ns = st.groupBy("source").agg(sum(col("cst")).as("n_tokens"))
+      val tot = ns.agg(sum(col("n_tokens")).as("nn"))
+      wc.join(broadcast(ns), "source").crossJoin(broadcast(tot))
+        .groupBy("source").agg(
+          max(col("n_tokens")).as("n_tokens"), max(col("nn")).as("nn"),
+          sum(abs(col("cst") * col("nn") - col("ct") * col("n_tokens"))).as("t1"),
+          sum(col("ct")).as("covered"))
+        .select(col("source"), col("n_tokens"),
+          expr("(5000 * (t1 + n_tokens * (nn - covered))) div (nn * n_tokens)").as("tvd_bp"))
+        .orderBy(col("source"))
+    },
+
+    // XML round-trip through Spark 4's built-in XML source (rowTag
+    // records, explicit schema on read — no inference pass). Writer
+    // escapes markup, reader unescapes: content survives byte-exact,
+    // proven by the same parquet-sourced oracle as the other formats.
+    Q("q104_xml_roundtrip",
+      """SELECT s_suppkey, s_name, s_nationkey, CAST(floor(s_acctbal * 100) AS BIGINT) AS acct_c
+        |FROM supplier
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val tmp = roundTripDir("xml")
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          floor(col("s_acctbal") * 100).as("acct_c"))
+        .write.mode("overwrite").option("rowTag", "supplier").xml(s"$tmp/xml")
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType), StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType), StructField("acct_c", LongType)))
+      s.read.option("rowTag", "supplier").schema(schema).xml(s"$tmp/xml")
+        .orderBy(col("s_suppkey"))
+    }
+  )
+
+  /** Sliding-window chunker (exposed for tests): doc_id, chunk_id,
+    * n_tok, chunk_text — one row per (window, stride) chunk. */
+  private[graft] def chunkDocs(docs: DataFrame): DataFrame = {
+    val chunk = slice(col("toks"), col("start") + 1, lit(chunkWidth))
+    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(chunkStride))).as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(chunk).cast("long").as("n_tok"),
+        array_join(chunk, " ").as("chunk_text"))
+  }
+}

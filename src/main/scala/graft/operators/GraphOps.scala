@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on the order graph (customers ↔ suppliers
@@ -27,6 +28,64 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   private val Scale = 1000000000L // rank unit = 1e-9
+
+  /** Symmetric (both directions) edge set of the bipartite order graph:
+    * customer 2k ↔ supplier 2k+1 for every (custkey, suppkey) linked by
+    * a lineitem. One lineitem⋈orders join + distinct; shared by q98
+    * PageRank and q105 BFS. */
+  private[operators] def symEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Per-node triangle participation counts, degree-ordered wedge
+    * enumeration. Orients every undirected edge from its lower
+    * (degree, id) endpoint to the higher; wedges are enumerated only
+    * from each node's oriented out-neighborhood and closed against an
+    * oriented edge, so each triangle is generated exactly once and the
+    * join fan-out per node is O(out-degree²) with out-degree bounded by
+    * O(√E) on any graph — the standard bound that keeps wedge volume
+    * near-linear on skewed degree distributions (a hub of degree 10⁶
+    * contributes no wedges as a center unless its neighbors are even
+    * hotter). Input: one undirected edge per pair with `a < b`. */
+  private[graft] def triangleCounts(und: DataFrame): DataFrame = {
+    val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("dg"))
+    // total orientation key: (degree, id) packed into one long (ids are
+    // bounded far below 1e6 in every fixture; at larger id spaces use a
+    // struct comparison instead of packing).
+    val keyed = sym
+      .join(deg.select(col("a"), (col("dg") * 1000000L + col("a")).as("ka")), "a")
+      .join(deg.select(col("a").as("b"), (col("dg") * 1000000L + col("a")).as("kb")), "b")
+    val o = keyed.where(col("ka") < col("kb"))
+      .select(col("a").as("src"), col("b").as("dst"), col("kb").as("kdst"))
+    val wedges = o.as("e1").join(o.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("u"), col("e2.dst").as("v"))
+    val tris = wedges.join(o.as("e3"),
+      col("u") === col("e3.src") && col("v") === col("e3.dst"))
+    tris.select(explode(array(col("x"), col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  /** Min-distance BFS levels: `rounds` unrolled iterations of
+    * dist ← min(dist, min over in-neighbors + 1). Each round is one
+    * shuffle (min-combine on id); the frontier table is node-sized, the
+    * edge table is scanned in place. */
+  private[graft] def bfsLevels(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    var dist = seeds.select(col("id"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val cand = edges.join(dist, col("src") === col("id"))
+        .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(cand).groupBy("id").agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
 
   val qs: Seq[Q] = Seq(
     Q("q98_pagerank",
@@ -55,12 +114,7 @@ object GraphOps {
         |         GROUP BY e.dst) c ON nodes.id = c.id)
         |SELECT id, CAST(rank AS BIGINT) AS rank FROM r3
         |ORDER BY rank DESC, id LIMIT 20""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      val eSym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val eSym = symEdges(s, d)
       // out-degree rides the edge table: built once, checkpointed once —
       // no per-iteration deg join. (count(*) over a window keyed like
       // the groupBy would be a second shuffle; the self-join agg shape
@@ -88,6 +142,67 @@ object GraphOps {
       }
       ranks.orderBy(col("rank").desc, col("id")).limit(20)
         .select(col("id"), col("rank"))
+    },
+
+    // Triangle counting on the supplier co-occurrence graph (suppliers
+    // linked when they both ship a high-quantity line of the same
+    // order; the quantity filter keeps the projection sparse — an
+    // unfiltered order-co-occurrence projection of a dense bipartite
+    // graph approaches a complete graph and wedge volume explodes).
+    // The Spark side uses degree-ordered orientation (triangleCounts);
+    // the oracle enumerates with plain id-ordering — triangle sets are
+    // orientation-invariant, so the per-node counts agree exactly.
+    Q("q103_triangle_count",
+      """WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        |            WHERE l_quantity >= 48),
+        |e AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT unnest([x, y, z]) AS node FROM t)
+        |SELECT node, count(*) AS tri_cnt FROM n GROUP BY node
+        |ORDER BY tri_cnt DESC, node LIMIT 15""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).where(col("l_quantity") >= 48)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val und = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
+      triangleCounts(und)
+        .orderBy(col("tri_cnt").desc, col("node")).limit(15)
+    },
+
+    // k-hop BFS reachability from a fixed seed fleet (suppliers 1-5 —
+    // non-empty at every scale factor) over the order graph: 3 unrolled
+    // min-distance rounds (distances are small integers — hash-exact in
+    // any engine). Level counts, not per-node rows, so the output stays
+    // tiny at any scale.
+    Q("q105_bfs_levels",
+      """WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |b0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS id, 0 AS dist
+        |       FROM supplier WHERE s_suppkey <= 5),
+        |b1 AS (SELECT id, min(dist) AS dist FROM (
+        |         SELECT id, dist FROM b0
+        |         UNION ALL SELECT e.dst, b.dist + 1 FROM e JOIN b0 b ON e.src = b.id)
+        |       GROUP BY id),
+        |b2 AS (SELECT id, min(dist) AS dist FROM (
+        |         SELECT id, dist FROM b1
+        |         UNION ALL SELECT e.dst, b.dist + 1 FROM e JOIN b1 b ON e.src = b.id)
+        |       GROUP BY id),
+        |b3 AS (SELECT id, min(dist) AS dist FROM (
+        |         SELECT id, dist FROM b2
+        |         UNION ALL SELECT e.dst, b.dist + 1 FROM e JOIN b2 b ON e.src = b.id)
+        |       GROUP BY id)
+        |SELECT CAST(dist AS BIGINT) AS dist, count(*) AS cnt
+        |FROM b3 GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
+      val edges = symEdges(s, d).localCheckpoint()
+      val seeds = Tables.supplier(s, d).where(col("s_suppkey") <= 5)
+        .select((col("s_suppkey") * 2 + 1).as("id")).distinct()
+      bfsLevels(edges, seeds, rounds = 3)
+        .groupBy("dist").agg(count(lit(1)).as("cnt"))
+        .orderBy("dist")
     }
   )
 }

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for the round-6 analytics operators: chunking
+  * invariants (coverage, overlap, reassembly), value-level equi-depth
+  * histogram == row-level rank replay, integer TVD endpoints, triangle
+  * counting (planted cliques + orientation-invariance vs the naive
+  * enumeration), and BFS min-distance semantics. */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // ---- q100 chunking -------------------------------------------------
+
+  private def chunksOf(text: String) =
+    operators.AnalyticsOps.chunkDocs(Seq((1L, text)).toDF("doc_id", "text"))
+      .orderBy("chunk_id")
+      .select("chunk_id", "n_tok", "chunk_text")
+      .as[(Long, Long, String)].collect().toSeq
+
+  test("chunking: window/stride invariants and full coverage") {
+    val words = (1 to 100).map(i => s"w$i")
+    val ch = chunksOf(words.mkString(" "))
+    // starts at 0, 24, 48, 72, 96 → 5 chunks; windows clip at n=100
+    assert(ch.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(ch.map(_._2) == Seq(32L, 32L, 32L, 28L, 4L))
+    // consecutive chunks agree on their shared suffix/prefix: what
+    // follows the stride in chunk i is exactly the head of chunk i+1
+    ch.sliding(2).foreach {
+      case Seq(a, b) =>
+        val tail = a._3.split(' ').drop(24).toSeq
+        assert(tail == b._3.split(' ').take(tail.size).toSeq)
+      case _ => ()
+    }
+    // first 24 tokens of each chunk plus the whole final chunk
+    // reassembles the original document exactly
+    val rebuilt = ch.init.flatMap(_._3.split(' ').take(24)) ++
+      ch.last._3.split(' ').toSeq
+    assert(rebuilt == words)
+  }
+
+  test("chunking: short doc yields one short chunk; empty doc none") {
+    val one = chunksOf("a b c")
+    assert(one == Seq((0L, 3L, "a b c")))
+    // a single token still chunks (split(' ') of "" is [""], n=1 — the
+    // fixture has no empty docs; single-space split never yields 0 tokens)
+    assert(chunksOf("solo") == Seq((0L, 1L, "solo")))
+  }
+
+  // ---- q101 equi-depth histogram ------------------------------------
+
+  test("equi-depth from value-level counts == row-level rank replay") {
+    // ties straddling bucket boundaries + values across PrefixScan's
+    // 100000-wide range buckets
+    val vs: Seq[Long] = Seq(5, 5, 5, 5, 1, 1, 2, 9, 9, 9, 3, 3, 3, 3, 3,
+      99999, 100001, 250000, 250000, 7, 7, 7, 11, 13, 13).map(_.toLong)
+    for (k <- Seq(3, 4, 8)) {
+      val df = vs.toDF("c")
+      val got = operators.AnalyticsOps.equiDepthHist(df, k)
+        .orderBy("bin").as[(Long, Long, Long, Long)].collect().toSeq
+      val exp = df
+        .withColumn("r0", row_number().over(Window.orderBy("c")) - 1)
+        .withColumn("bin", expr(s"(r0 * $k) div ${vs.size}"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"),
+          min("c").as("lo_c"), max("c").as("hi_c"))
+        .orderBy("bin").as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == exp, s"k=$k")
+      assert(got.map(_._2).sum == vs.size.toLong, s"k=$k covers every row")
+    }
+  }
+
+  // ---- q102 mixture TVD ---------------------------------------------
+
+  test("mixture TVD: single source is 0 bp; disjoint halves are 5000 bp") {
+    def run(docs: Seq[(Long, String, String)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tvd").toString
+      docs.toDF("doc_id", "source", "text")
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      SparkEntry.queries("q102_mixture_tvd")(spark, dir)
+        .as[(String, Long, Long)].collect().toSeq
+    }
+    // one source: its distribution IS the corpus distribution
+    assert(run(Seq((1L, "a", "x y z"), (2L, "a", "x y"))) ==
+      Seq(("a", 5L, 0L)))
+    // two sources, disjoint vocabularies, equal token mass:
+    // TV(p_s, corpus) = 1/2 exactly → 5000 bp
+    val out = run(Seq((1L, "a", "x y x y"), (2L, "b", "u v u v")))
+    assert(out == Seq(("a", 4L, 5000L), ("b", 4L, 5000L)))
+  }
+
+  // ---- q103 triangles ------------------------------------------------
+
+  private def tri(edges: Seq[(Long, Long)]) =
+    operators.GraphOps.triangleCounts(edges.toDF("a", "b"))
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+
+  test("triangles: K4 gives every node C(3,2)=3; path gives none") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(tri(k4) == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+  }
+
+  test("triangles: degree-oriented enumeration == naive id-ordered join") {
+    // deterministic pseudo-random sparse graph with skewed degrees
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 120).map { _ =>
+      val a = rnd.nextInt(20).toLong + 1
+      val b = rnd.nextInt(20).toLong + 1
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val e = edges.toDF("a", "b")
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e2.a") === col("e1.b"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(tri(edges) == naive)
+  }
+
+  // ---- q105 BFS ------------------------------------------------------
+
+  test("bfs: min distance wins when multiple paths reach a node") {
+    // path 1→2→3→4 plus shortcut 1→4; symmetric edges
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val edges = und.toDF("src", "dst")
+      .unionByName(und.map(_.swap).toDF("src", "dst"))
+    val seeds = Seq(1L).toDF("id")
+    val dist = operators.GraphOps.bfsLevels(edges, seeds, rounds = 3)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(dist == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 1L)))
+  }
+}
