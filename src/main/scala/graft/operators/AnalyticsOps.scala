@@ -42,8 +42,13 @@ object AnalyticsOps {
     * ranks [ceil(b·n/k)+1, ceil((b+1)·n/k)]. Shuffle cost is the
     * value-level groupBy + the PrefixScan — nothing row-level. */
   private[graft] def equiDepthHist(values: DataFrame, k: Int): DataFrame = {
+    // materialized once: consumed by the PrefixScan's local-window side,
+    // its bucket-offsets side, AND the total-count side — without the
+    // checkpoint the scan + value-level aggregation runs three times
+    // (measured 9.4 s → ~1 s at sf0.1).
     val byVal = values.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
       .withColumn("bkt", (col("c") / 100000L).cast("long"))
+      .localCheckpoint()
     val cum = graft.plans.PrefixScan.cumsum(byVal, part = Seq(), bucket = "bkt",
       order = Seq("c"), value = "cnt", out = "cum")
     val tot = byVal.agg(sum(col("cnt")).as("n"))

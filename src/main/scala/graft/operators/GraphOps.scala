@@ -61,8 +61,12 @@ object GraphOps {
     val keyed = sym
       .join(deg.select(col("a"), (col("dg") * 1000000L + col("a")).as("ka")), "a")
       .join(deg.select(col("a").as("b"), (col("dg") * 1000000L + col("a")).as("kb")), "b")
+    // materialized once: consumed three times below (wedge left, wedge
+    // right, closing-edge probe) — without the checkpoint the whole
+    // base-edge build re-executes per consumer.
     val o = keyed.where(col("ka") < col("kb"))
       .select(col("a").as("src"), col("b").as("dst"), col("kb").as("kdst"))
+      .localCheckpoint()
     val wedges = o.as("e1").join(o.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
       .select(col("e1.src").as("x"), col("e1.dst").as("u"), col("e2.dst").as("v"))
@@ -82,7 +86,11 @@ object GraphOps {
     for (_ <- 1 to rounds) {
       val cand = edges.join(dist, col("src") === col("id"))
         .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
+      // checkpoint per round: dist is consumed TWICE per iteration
+      // (join side + union side), so un-checkpointed lineage doubles
+      // every round (NOTES.md iterative-algorithm rule).
       dist = dist.unionByName(cand).groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
     }
     dist
   }
