@@ -178,8 +178,140 @@ object AnalyticsOps {
         StructField("s_nationkey", IntegerType), StructField("acct_c", LongType)))
       s.read.option("rowTag", "supplier").schema(schema).xml(s"$tmp/xml")
         .orderBy(col("s_suppkey"))
+    },
+
+    // Exact second-moment statistics per (returnflag, ship-month):
+    // covariance and variance NUMERATORS over integer dollars/units —
+    // n·Σxy − Σx·Σy needs no subtraction of float means, so partial
+    // aggregation order can't drift and the oracle hash-matches
+    // bit-for-bit. Magnitudes stay < 1e15 at sf0.1 per group; beyond
+    // ~1e9 rows/group the accumulators would move to DECIMAL(38,0)
+    // (both engines exact) — documented, not needed at the gate SFs.
+    Q("q106_grouped_cov",
+      """WITH v AS (SELECT l_returnflag AS flag,
+        |    CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS x,
+        |    CAST(floor(l_quantity) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (SELECT flag, ym, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM v GROUP BY flag, ym)
+        |SELECT flag, ym, n, n * sxy - sx * sy AS covn,
+        |       n * sxx - sx * sx AS varxn, n * syy - sy * sy AS varyn
+        |FROM a ORDER BY flag, ym""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("ym"),
+          floor(col("l_extendedprice")).cast("long").as("x"),
+          floor(col("l_quantity")).cast("long").as("y"))
+        .groupBy("flag", "ym")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("flag"), col("ym"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("covn"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("varxn"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("varyn"))
+        .orderBy(col("flag"), col("ym"))
+    },
+
+    // Rank-based IQR outlier pruning: q1/q3 are exact DISCRETE order
+    // statistics (values from the data, cents-integer — no
+    // interpolation, no floats), found from value-level cumulative
+    // counts like q101; whiskers at ±1.5·IQR in integer arithmetic;
+    // then one broadcast join counts the rows beyond each whisker.
+    // The oracle replays ranks row-by-row with row_number().
+    Q("q107_iqr_outliers",
+      """WITH c AS (SELECT l_returnflag AS k,
+        |             CAST(floor(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+        |p AS (SELECT k, c, row_number() OVER (PARTITION BY k ORDER BY c) - 1 AS r0,
+        |             count(*) OVER (PARTITION BY k) AS n FROM c),
+        |q AS (SELECT k, max(n) AS n,
+        |             max(CASE WHEN r0 = ((n - 1) * 25) // 100 THEN c END) AS q1,
+        |             max(CASE WHEN r0 = ((n - 1) * 75) // 100 THEN c END) AS q3
+        |      FROM p GROUP BY k),
+        |w AS (SELECT k, n, q1, q3,
+        |             q1 - (3 * (q3 - q1)) // 2 AS wlo,
+        |             q3 + (3 * (q3 - q1)) // 2 AS whi FROM q)
+        |SELECT w.k AS l_returnflag, w.n, w.q1, w.q3,
+        |  CAST(sum(CASE WHEN c.c < w.wlo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(sum(CASE WHEN c.c > w.whi THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM c JOIN w ON c.k = w.k
+        |GROUP BY w.k, w.n, w.q1, w.q3
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val c = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("k"),
+          floor(col("l_extendedprice") * 100).cast("long").as("c"))
+      val byVal = c.groupBy("k", "c").agg(count(lit(1)).as("cnt"))
+        .withColumn("bkt", (col("c") / 100000L).cast("long"))
+        .localCheckpoint() // feeds cumsum's two sides + the count side
+      val cum = graft.plans.PrefixScan.cumsum(byVal, part = Seq("k"),
+        bucket = "bkt", order = Seq("c"), value = "cnt", out = "cum")
+      val n = byVal.groupBy("k").agg(sum(col("cnt")).as("n"))
+      def at(idx: org.apache.spark.sql.Column) =
+        max(when(col("cum") - col("cnt") <= idx && idx < col("cum"), col("c")))
+      val q = cum.join(broadcast(n), "k").groupBy("k")
+        .agg(max(col("n")).as("n"),
+          at(expr("((n - 1) * 25) div 100")).as("q1"),
+          at(expr("((n - 1) * 75) div 100")).as("q3"))
+      val w = q
+        .withColumn("wlo", expr("q1 - (3 * (q3 - q1)) div 2"))
+        .withColumn("whi", expr("q3 + (3 * (q3 - q1)) div 2"))
+      c.join(broadcast(w), "k").groupBy("k")
+        .agg(max(col("n")).as("n"), max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+          sum(when(col("c") < col("wlo"), 1L).otherwise(0L)).as("n_below"),
+          sum(when(col("c") > col("whi"), 1L).otherwise(0L)).as("n_above"))
+        .select(col("k").as("l_returnflag"), col("n"), col("q1"), col("q3"),
+          col("n_below"), col("n_above"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Per-brand Pareto frontier (skyline) of parts maximizing
+    // (retail price, size): the classic sweep — a point survives iff
+    // its y is the max of its x-group AND strictly beats the max y
+    // among all strictly-higher x — runs on VALUE-LEVEL rows via the
+    // suffixMaxExcl two-level scan, so no brand ever collapses into a
+    // single window partition (the row-level sweep would). The oracle
+    // is the quadratic NOT EXISTS dominance definition itself, so the
+    // sweep's equivalence to the definition is hash-checked.
+    Q("q108_pareto_frontier",
+      """WITH p AS (SELECT p_partkey, p_brand,
+        |    CAST(floor(p_retailprice * 100) AS BIGINT) AS x,
+        |    CAST(p_size AS BIGINT) AS y FROM part)
+        |SELECT a.p_brand, a.p_partkey, a.x, a.y
+        |FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b WHERE b.p_brand = a.p_brand
+        |  AND b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
+        |ORDER BY a.p_brand, a.p_partkey""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+        floor(col("p_retailprice") * 100).cast("long").as("x"),
+        col("p_size").cast("long").as("y"))
+      paretoFrontier(p, Seq("p_brand"))
+        .select(col("p_brand"), col("p_partkey"), col("x"), col("y"))
+        .orderBy(col("p_brand"), col("p_partkey"))
     }
   )
+
+  /** 2-D Pareto frontier (maximize x and y) within each `part` group:
+    * keeps exactly the rows no other same-group row dominates
+    * (x' ≥ x ∧ y' ≥ y, strict in one). Value-level sweep: max y per
+    * (group, x), exclusive suffix-max over descending x via the
+    * two-level scan, then one join back to recover surviving rows
+    * (duplicate frontier points are all kept — none dominates its
+    * twin). Input needs columns x, y (long). */
+  private[graft] def paretoFrontier(df: DataFrame, part: Seq[String]): DataFrame = {
+    val byX = df.groupBy((part :+ "x").map(col): _*).agg(max(col("y")).as("ymax"))
+      .withColumn("bkt", (col("x") / 100000L).cast("long"))
+    val suff = graft.plans.PrefixScan.suffixMaxExcl(byX, part, bucket = "bkt",
+      order = Seq("x"), value = "ymax", out = "sm")
+    val frontier = suff.where(col("ymax") > col("sm"))
+      .select((part :+ "x" :+ "ymax").map(col): _*)
+    df.join(broadcast(frontier), part :+ "x")
+      .where(col("y") === col("ymax")).drop("ymax")
+  }
 
   /** Sliding-window chunker (exposed for tests): doc_id, chunk_id,
     * n_tok, chunk_text — one row per (window, stride) chunk. */

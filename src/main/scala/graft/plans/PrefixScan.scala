@@ -37,4 +37,31 @@ object PrefixScan {
       .withColumn(out, col("__lc") + col("__off"))
       .drop("__lc", "__off")
   }
+
+  /** Adds `out` = EXCLUSIVE running max of `value` over rows ordered by
+    * (`bucket`, `order`...) DESCENDING within each `part` group — i.e.
+    * the max of `value` among all strictly-preceding rows in descending
+    * order (the skyline sweep primitive). Same two-level shape as
+    * cumsum: per-(part, bucket) local window + broadcast bucket maxima,
+    * so no group ever collapses into one window partition. Rows with no
+    * predecessor get Long.MinValue. `bucket` must be a monotone
+    * function of the sort key (both walked descending). */
+  def suffixMaxExcl(df: DataFrame, part: Seq[String], bucket: String,
+      order: Seq[String], value: String, out: String): DataFrame = {
+    val floor = Long.MinValue
+    val pb = part :+ bucket
+    val offWin = Window.partitionBy(part.map(col): _*).orderBy(col(bucket).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(pb.map(col): _*)
+      .agg(max(col(value)).as("__bm"))
+      .withColumn("__om", coalesce(max(col("__bm")).over(offWin), lit(floor)))
+      .select(pb.map(col) :+ col("__om"): _*)
+    val localWin = Window.partitionBy(pb.map(col): _*)
+      .orderBy(order.map(c => col(c).desc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__lm", coalesce(max(col(value)).over(localWin), lit(floor)))
+      .join(broadcast(offsets), pb)
+      .withColumn(out, greatest(col("__lm"), col("__om")))
+      .drop("__lm", "__om")
+  }
 }

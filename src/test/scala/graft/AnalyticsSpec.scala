@@ -121,6 +121,89 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(tri(edges) == naive)
   }
 
+  // ---- q106 integer covariance ---------------------------------------
+
+  test("grouped covariance: exact correlation makes covn² == varxn·varyn") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cov").toString
+    val ts = java.sql.Timestamp.valueOf("1995-03-15 00:00:00")
+    // y = quantity, x = 7·quantity (perfectly correlated) for flag A;
+    // x = −3·quantity + 200 (perfectly anti-correlated) for flag B
+    val rows = (1 to 40).map(q => ("A", ts, (7 * q).toDouble, q.toDouble)) ++
+      (1 to 40).map(q => ("B", ts, (200 - 3 * q).toDouble, q.toDouble))
+    rows.toDF("l_returnflag", "l_shipdate", "l_extendedprice", "l_quantity")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q106_grouped_cov")(spark, dir)
+      .select("flag", "covn", "varxn", "varyn")
+      .as[(String, Long, Long, Long)].collect().toMap2
+    val (covA, vxA, vyA) = out("A")
+    assert(covA > 0 && covA * covA == vxA * vyA, "flag A: corr = +1 exactly")
+    val (covB, vxB, vyB) = out("B")
+    assert(covB < 0 && covB * covB == vxB * vyB, "flag B: corr = -1 exactly")
+  }
+
+  private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  // ---- q107 IQR outliers ---------------------------------------------
+
+  test("IQR outliers: quartiles and whisker counts match brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_iqr").toString
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(200)(rnd.nextInt(1000) + 1000) ++ Seq(50, 60, 99999, 88888)
+    vals.map(v => ("A", v / 100.0))
+      .toDF("l_returnflag", "l_extendedprice")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val Seq((n, q1, q3, nb, na)) = SparkEntry.queries("q107_iqr_outliers")(spark, dir)
+      .select("n", "q1", "q3", "n_below", "n_above")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // brute force on the sorted cents values with the same formulas
+    val cents = vals.map(v => math.floor(v / 100.0 * 100).toLong).sorted
+    val eq1 = cents(((cents.size - 1) * 25 / 100).toInt)
+    val eq3 = cents(((cents.size - 1) * 75 / 100).toInt)
+    val (wlo, whi) = (eq1 - 3 * (eq3 - eq1) / 2, eq3 + 3 * (eq3 - eq1) / 2)
+    assert((n, q1, q3) == ((cents.size.toLong, eq1, eq3)))
+    assert(nb == cents.count(_ < wlo).toLong)
+    assert(na == cents.count(_ > whi).toLong)
+    assert(na >= 2L, "the planted high outliers must be beyond the whisker")
+  }
+
+  // ---- q108 Pareto frontier ------------------------------------------
+
+  test("pareto frontier: sweep == quadratic dominance definition") {
+    val rnd = new scala.util.Random(13)
+    val pts = (1 to 300).map(i =>
+      (s"g${i % 3}", i.toLong, rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val df = pts.toDF("p_brand", "p_partkey", "x", "y")
+    val got = operators.AnalyticsOps.paretoFrontier(df, Seq("p_brand"))
+      .select("p_brand", "p_partkey").as[(String, Long)].collect().toSet
+    val exp = pts.filter { a =>
+      !pts.exists(b => b._1 == a._1 && b._3 >= a._3 && b._4 >= a._4 &&
+        (b._3 > a._3 || b._4 > a._4))
+    }.map(p => (p._1, p._2)).toSet
+    assert(got == exp)
+    assert(got.nonEmpty && got.size < pts.size)
+  }
+
+  test("suffixMaxExcl == single-window exclusive running max") {
+    val rnd = new scala.util.Random(99)
+    val rows = (1 to 500).map(i =>
+      (s"p${i % 2}", rnd.nextInt(400000).toLong, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("g", "x", "v").withColumn("bkt", (col("x") / 1000L).cast("long"))
+    val got = graft.plans.PrefixScan.suffixMaxExcl(df, Seq("g"), "bkt",
+      Seq("x"), "v", "sm")
+    val win = Window.partitionBy("g").orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val exp = df.withColumn("sm", coalesce(max(col("v")).over(win), lit(Long.MinValue)))
+    // x values collide almost never at this density; drop duplicate-x
+    // groups where tie order makes the row-level window ambiguous
+    val dupX = rows.groupBy(r => (r._1, r._2)).filter(_._2.size > 1).keySet
+    def clean(d: org.apache.spark.sql.DataFrame) =
+      d.select("g", "x", "v", "sm").as[(String, Long, Long, Long)]
+        .collect().toSeq.filterNot(r => dupX((r._1, r._2))).sortBy(r => (r._1, r._2, r._3))
+    assert(clean(got) == clean(exp))
+  }
+
   // ---- q105 BFS ------------------------------------------------------
 
   test("bfs: min distance wins when multiple paths reach a node") {
