@@ -292,8 +292,51 @@ object AnalyticsOps {
       paretoFrontier(p, Seq("p_brand"))
         .select(col("p_brand"), col("p_partkey"), col("x"), col("y"))
         .orderBy(col("p_brand"), col("p_partkey"))
+    },
+
+    // PPS systematic sampling: K=20 darts at (k·W) div K over the
+    // cumulative token-count line — every document is selected with
+    // probability ∝ its token count, heavy docs can win multiple darts
+    // (sampling with replacement), and the whole procedure is integer
+    // arithmetic over a deterministic doc_id order, so the oracle
+    // replays it exactly. The cumulative line is the PrefixScan
+    // two-level sum (no row-level global window); dart→interval lookup
+    // is a 20-row broadcast theta join — linear in the corpus. For
+    // K ≫ broadcast size the darts would bucket-join on dart div B
+    // against interval buckets (q96's shape) instead.
+    Q("q109_pps_sample",
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nw FROM documents),
+        |c AS (SELECT doc_id, nw,
+        |             CAST(sum(nw) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t),
+        |w AS (SELECT CAST(sum(nw) AS BIGINT) AS wtot FROM t),
+        |k AS (SELECT unnest(range(0, 20)) AS k),
+        |d AS (SELECT k.k, (k.k * w.wtot) // 20 AS dart FROM k CROSS JOIN w)
+        |SELECT d.k, c.doc_id, c.nw
+        |FROM d JOIN c ON c.cum - c.nw <= d.dart AND d.dart < c.cum
+        |ORDER BY d.k""".stripMargin) { (s, d) =>
+      ppsSample(Tables.documents(s, d)
+        .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("nw")),
+        k = 20)
+        .orderBy(col("k"))
     }
   )
+
+  /** Systematic PPS sample (exposed for tests): input needs (doc_id,
+    * nw); returns one row per dart k = 0..K−1 with the selected
+    * (doc_id, nw). */
+  private[graft] def ppsSample(t: DataFrame, k: Int): DataFrame = {
+    val byRow = t.withColumn("bkt", (col("doc_id") / 100L).cast("long"))
+    val cum = graft.plans.PrefixScan.cumsum(byRow, part = Seq(), bucket = "bkt",
+      order = Seq("doc_id"), value = "nw", out = "cum")
+    val w = t.agg(sum(col("nw")).as("wtot"))
+    val darts = t.sparkSession.range(k).select(col("id").as("k"))
+      .crossJoin(broadcast(w))
+      .select(col("k"), expr(s"(k * wtot) div $k").as("dart"))
+    cum.join(broadcast(darts),
+        col("cum") - col("nw") <= col("dart") && col("dart") < col("cum"))
+      .select(col("k"), col("doc_id"), col("nw"))
+  }
 
   /** 2-D Pareto frontier (maximize x and y) within each `part` group:
     * keeps exactly the rows no other same-group row dominates

@@ -204,6 +204,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(clean(got) == clean(exp))
   }
 
+  // ---- q109 PPS sampling ---------------------------------------------
+
+  test("pps sampling: darts replay brute force; heavy doc wins its share") {
+    val rows = Seq((0L, 5L), (1L, 5L), (2L, 80L), (3L, 5L), (4L, 5L))
+    val got = operators.AnalyticsOps.ppsSample(rows.toDF("doc_id", "nw"), k = 10)
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    // brute-force replay on the cumulative line (W = 100, darts at 10·k)
+    val cum = rows.scanLeft((0L, 0L, 0L)) { case ((_, _, c), (id, w)) => (id, w, c + w) }.tail
+    val exp = (0L until 10L).map { k =>
+      val dart = k * 100 / 10
+      val (id, w, _) = cum.find { case (_, w, c) => c - w <= dart && dart < c }.get
+      (k, id, w)
+    }
+    assert(got == exp)
+    // doc 2 holds 80% of the mass → exactly 8 of 10 darts
+    assert(got.count(_._2 == 2L) == 8)
+  }
+
   // ---- q105 BFS ------------------------------------------------------
 
   test("bfs: min distance wins when multiple paths reach a node") {
