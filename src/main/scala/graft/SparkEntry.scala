@@ -21,7 +21,8 @@ object SparkEntry {
       operators.TrainingOps.qs ++
       operators.CurationOps.qs ++
       operators.GraphOps.qs ++
-      operators.AnalyticsOps.qs
+      operators.AnalyticsOps.qs ++
+      operators.MiningOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

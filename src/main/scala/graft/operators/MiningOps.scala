@@ -1,0 +1,287 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 mining / curation additions:
+  *
+  *  - q110 inter-document duplicated n-gram fraction (the Lee et al.
+  *    2021 "Deduplicating Training Data" signal): per document, the
+  *    share of its distinct 3-gram shingles that occur in ≥ 2 distinct
+  *    documents corpus-wide. Two shuffles (shingle→doc-count, join
+  *    back), both map-side-combinable — never pairwise.
+  *  - q111 collocation detection: adjacent-token bigrams ranked by
+  *    PMI, computed as an INTEGER cross-ratio (c_xy·N·10⁴) div
+  *    (c_x·c_y) — the log in PMI is monotone, so ranking by the
+  *    ratio is ranking by PMI with zero float drift. At N ≳ 10⁹
+  *    tokens the product needs the q98-style fixed-point rescale.
+  *  - q112 trailing-window spike detection: per (event_type, day),
+  *    flag days whose revenue exceeds 1.3× the trailing-7-day mean —
+  *    expressed as cents·70 > 13·sum7 so the mean never materializes
+  *    as a float. Bounded window over a per-key DAILY series (the
+  *    window state is days, not events).
+  *  - q113 sorted-neighborhood dedup blocking (Hernández–Stolfo):
+  *    documents sorted by (lang, n_chars, doc_id), each paired with
+  *    its next w=4 neighbors, exact shingle-Jaccard verify. The rank
+  *    comes from PrefixScan (distributed two-level scan), NOT a
+  *    single-partition row_number — the classic SNM pair generator
+  *    with a cluster-safe sort. Pair count is exactly w·n: linear,
+  *    unlike blocking schemes whose hot blocks go quadratic.
+  *  - q114 co-purchase top-k ("frequently bought together"):
+  *    order-scoped part pairs → counts → per-part top-5 by
+  *    row_number, which Spark executes as WindowGroupLimit (rank
+  *    pushed below the shuffle). Pair volume is Σ_o |o|², bounded by
+  *    the small per-order basket size, never corpus².
+  *  - q115 calendar gap-fill + linear interpolation: per-priority
+  *    daily revenue, missing days materialized from a per-group
+  *    sequence() calendar and filled by integer linear interpolation
+  *    pv + (nv−pv)·Δ/span — rearranged as (pv·(span−Δ) + nv·Δ) div
+  *    span so every operand is non-negative and DuckDB's floor
+  *    division equals Spark's truncating div. Window partitions hold
+  *    DAYS per priority, not orders — bounded by the calendar.
+  */
+object MiningOps {
+
+  /** Neighbor window for sorted-neighborhood pairing. */
+  private val snmWindow = 4
+
+  /** Distinct 3-gram shingle CTE shared by the q110/q113 oracles —
+    * textually identical to the q43 family's (LlmOps.jaccardOracleSqlAt)
+    * so every shingle consumer agrees on tokenization. Single-line:
+    * embedded fragments must not contain line-leading `|` (stripMargin
+    * would eat them). */
+  private val shingleSqlExpr =
+    "list_distinct(list_transform(range(1, CASE WHEN len(string_split(text,' ')) >= 3 " +
+      "THEN len(string_split(text,' ')) - 1 ELSE 1 END), " +
+      "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] " +
+      "|| ' ' || string_split(text,' ')[i+2]))"
+
+  /** (doc_id, lang, n_chars, sg) with non-empty distinct 3-gram
+    * shingle sets — same construction as LlmOps.docsWithShingles. */
+  private def shingledDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("sg", array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3)))
+      .filter(size(col("sg")) > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("sg"))
+
+  val qs: Seq[Q] = Seq(
+
+    // Duplicated n-gram fraction: a shingle is "duplicated" when ≥ 2
+    // distinct documents contain it (per-doc sets are distinct, so the
+    // plain count per shingle IS the distinct-doc count). dup_bp is
+    // basis points in pure integer arithmetic.
+    Q("q110_dup_ngram_fraction",
+      s"""WITH sh AS (SELECT doc_id, $shingleSqlExpr AS sg FROM documents),
+         |e AS (SELECT doc_id, unnest(sg) AS sg FROM sh WHERE len(sg) > 0),
+         |c AS (SELECT sg, CAST(count(*) AS BIGINT) AS ndoc FROM e GROUP BY sg)
+         |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN c.ndoc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+         |  (10000 * CAST(sum(CASE WHEN c.ndoc >= 2 THEN 1 ELSE 0 END) AS BIGINT))
+         |    // CAST(count(*) AS BIGINT) AS dup_bp
+         |FROM e JOIN c USING (sg)
+         |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val e = shingledDocs(s, d).select(col("doc_id"), explode(col("sg")).as("sg"))
+      val c = e.groupBy("sg").agg(count(lit(1)).as("ndoc"))
+      e.join(c, "sg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("ndoc") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+        .withColumn("dup_bp", expr("(10000 * dup_grams) div n_grams"))
+        .orderBy("doc_id")
+    },
+
+    // Collocations by integer PMI rank: score = (c_xy·N·10⁴) div
+    // (c_x·c_y); log-free, so the DuckDB replay is bit-exact. Bigrams
+    // are 2-gram shingles (the same zip_with machinery as q43's
+    // 3-grams). Two linear aggregations + two equi-joins on the
+    // bigram's endpoints; AQE broadcasts the vocab side at test SF and
+    // falls back to shuffle joins at scale — both correct.
+    Q("q111_collocations",
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |u AS (SELECT unnest(tk) AS w FROM t),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |b AS (SELECT unnest(list_slice(tk, 1, len(tk) - 1)) AS x,
+        |             unnest(list_slice(tk, 2, len(tk))) AS y
+        |      FROM t WHERE len(tk) >= 2),
+        |bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cxy FROM b GROUP BY x, y)
+        |SELECT bc.x, bc.y, bc.cxy,
+        |  CAST((bc.cxy * n.n * 10000) // (ux.c * uy.c) AS BIGINT) AS pmi_score
+        |FROM bc JOIN uc ux ON bc.x = ux.w JOIN uc uy ON bc.y = uy.w CROSS JOIN n
+        |WHERE bc.cxy >= 5
+        |ORDER BY pmi_score DESC, x, y LIMIT 20""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).select(TextFns.tokens(col("text")).as("tk"))
+      val uni = toks.select(explode(col("tk")).as("w"))
+      val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+      val n = uni.agg(count(lit(1)).as("n"))
+      val bc = toks
+        .select(explode(TextFns.shingles(col("tk"), 2)).as("bg"))
+        .select(split(col("bg"), " ").as("p"))
+        .select(col("p").getItem(0).as("x"), col("p").getItem(1).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 5)
+      bc.join(uc.select(col("w").as("x"), col("c").as("cx")), "x")
+        .join(uc.select(col("w").as("y"), col("c").as("cy")), "y")
+        .crossJoin(broadcast(n))
+        .select(col("x"), col("y"), col("cxy"),
+          expr("(cxy * n * 10000) div (cx * cy)").as("pmi_score"))
+        .orderBy(col("pmi_score").desc, col("x"), col("y"))
+        .limit(20)
+    },
+
+    // Trailing-window revenue spikes: day beats 1.3× its trailing-7-day
+    // mean, full weeks only (c7 = 7). Integer comparison cents·70 >
+    // 13·s7 — no float mean. The window runs over the per-key daily
+    // aggregate, so frame state is 7 rows regardless of event volume.
+    Q("q112_spike_detection",
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s7,
+        |  count(*) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS c7
+        |  FROM d)
+        |SELECT event_type, day, cents, s7 FROM w
+        |WHERE c7 = 7 AND cents * 70 > 13 * s7
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+      daily
+        .withColumn("s7", sum(col("cents")).over(w))
+        .withColumn("c7", count(lit(1)).over(w))
+        .filter(col("c7") === 7 && col("cents") * 70 > col("s7") * 13)
+        .select(col("event_type"), col("day"), col("cents"), col("s7"))
+        .orderBy("event_type", "day")
+    },
+
+    // Sorted-neighborhood dedup: rank within lang by (n_chars, doc_id)
+    // via PrefixScan (bucket = n_chars div 100 is monotone in the sort
+    // key, so the two-level scan equals the global row_number), pair
+    // each doc with its next 4 neighbors (explode of a 4-element
+    // sequence — exactly w·n pairs), verify exact Jaccard ≥ 0.3.
+    Q("q113_sorted_neighborhood",
+      s"""WITH sh AS (SELECT doc_id, lang, n_chars, $shingleSqlExpr AS sg FROM documents),
+         |f AS (SELECT * FROM sh WHERE len(sg) > 0),
+         |r AS (SELECT doc_id, lang, sg,
+         |  row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk FROM f)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST((10000 * len(list_intersect(a.sg, b.sg)))
+         |    // (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS BIGINT)
+         |    AS jaccard_bp
+         |FROM r a JOIN r b
+         |  ON a.lang = b.lang AND b.rnk BETWEEN a.rnk + 1 AND a.rnk + $snmWindow
+         |WHERE len(list_intersect(a.sg, b.sg)) * 10
+         |  >= 3 * (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val ranked = graft.plans.PrefixScan.cumsum(
+        shingledDocs(s, d)
+          .withColumn("nb", (col("n_chars") / 100).cast("long"))
+          .withColumn("one", lit(1L)),
+        part = Seq("lang"), bucket = "nb",
+        order = Seq("n_chars", "doc_id"), value = "one", out = "rnk")
+      val a = ranked.select(col("doc_id").as("a_id"), col("lang"), col("sg").as("a_sg"),
+        explode(sequence(col("rnk") + 1, col("rnk") + snmWindow)).as("nbr"))
+      val b = ranked.select(col("doc_id").as("b_id"), col("lang").as("langb"),
+        col("sg").as("b_sg"), col("rnk").as("rnkb"))
+      a.join(b, col("lang") === col("langb") && col("nbr") === col("rnkb"))
+        .withColumn("inter", size(array_intersect(col("a_sg"), col("b_sg"))).cast("long"))
+        .withColumn("uni", size(col("a_sg")).cast("long") + size(col("b_sg")) - col("inter"))
+        .filter(col("inter") * 10 >= col("uni") * 3)
+        .select(col("a_id"), col("b_id"),
+          expr("(10000 * inter) div uni").as("jaccard_bp"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // Frequently-bought-together: distinct (order, part), order-scoped
+    // pair counts, per-part top-5 (row_number ≤ 5 → WindowGroupLimit,
+    // rank filter runs below the final shuffle).
+    Q("q114_copurchase_topk",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS part, b.l_partkey AS co_part,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT part, co_part, cnt,
+        |  CAST(row_number() OVER (PARTITION BY part ORDER BY cnt DESC, co_part)
+        |    AS INTEGER) AS rk FROM p)
+        |SELECT part, rk, co_part, cnt FROM r WHERE rk <= 5
+        |ORDER BY part, rk""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pc = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("part"), col("b.l_partkey").as("co_part"))
+        .groupBy("part", "co_part").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("part").orderBy(col("cnt").desc, col("co_part"))
+      pc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("part"), col("rk"), col("co_part"), col("cnt"))
+        .orderBy("part", "rk")
+    },
+
+    // Calendar gap-fill with integer linear interpolation. The filled
+    // value (pv·(span−Δ) + nv·Δ) div span keeps every operand ≥ 0 so
+    // DuckDB `//` (floor) and Spark `div` (truncate) agree; calendar
+    // rows are bounded by each priority's [min, max] day span, so no
+    // interpolated row lacks a neighbor on either side.
+    Q("q115_gap_fill",
+      """WITH d AS (SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT pri, min(day) AS mn, max(day) AS mx FROM d GROUP BY pri),
+        |cal AS (SELECT pri, CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |  CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM s),
+        |f AS (SELECT cal.pri, cal.day, d.cents FROM cal
+        |  LEFT JOIN d ON cal.pri = d.pri AND cal.day = d.day),
+        |w AS (SELECT pri, day, cents,
+        |  last_value(cents IGNORE NULLS) OVER
+        |    (PARTITION BY pri ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER
+        |    (PARTITION BY pri ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |  first_value(cents IGNORE NULLS) OVER
+        |    (PARTITION BY pri ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER
+        |    (PARTITION BY pri ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM f)
+        |SELECT pri, day,
+        |  CASE WHEN cents IS NOT NULL THEN 'actual' ELSE 'interp' END AS kind,
+        |  CAST(CASE WHEN cents IS NOT NULL THEN cents
+        |    ELSE (pv * (date_diff('day', pd, nd) - date_diff('day', pd, day))
+        |          + nv * date_diff('day', pd, day)) // date_diff('day', pd, nd)
+        |  END AS BIGINT) AS cents_f
+        |FROM w ORDER BY pri, day""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val span = daily.groupBy("pri").agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val cal = span.select(col("pri"),
+        explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+      val full = cal.join(daily, Seq("pri", "day"), "left")
+      val prevW = Window.partitionBy("pri").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val nextW = Window.partitionBy("pri").orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+      full
+        .withColumn("pv", last(col("cents"), ignoreNulls = true).over(prevW))
+        .withColumn("pd", last(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(prevW))
+        .withColumn("nv", first(col("cents"), ignoreNulls = true).over(nextW))
+        .withColumn("nd", first(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(nextW))
+        .withColumn("delta", datediff(col("day"), col("pd")).cast("long"))
+        .withColumn("span", datediff(col("nd"), col("pd")).cast("long"))
+        .select(col("pri"), col("day"),
+          when(col("cents").isNotNull, lit("actual")).otherwise(lit("interp")).as("kind"),
+          when(col("cents").isNotNull, col("cents"))
+            .otherwise(expr("(pv * (span - delta) + nv * delta) div span")).as("cents_f"))
+        .orderBy("pri", "day")
+    }
+  )
+}

@@ -1,0 +1,152 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for the round-7 mining operators on planted
+  * fixtures: duplicated-n-gram fractions on verbatim/partial copies,
+  * PMI collocation ranking (exclusive pair beats promiscuous pair,
+  * min-count cut), trailing-window spike semantics (full weeks only),
+  * sorted-neighborhood window hits/misses, co-purchase counting with
+  * multi-line dedup, and integer linear interpolation endpoints. */
+class MiningSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def writeDocs(dir: String, rows: Seq[(Long, String, String)]): Unit =
+    rows.map { case (id, text, lang) => (id, text, lang, "src", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  // ---- q110 duplicated n-gram fraction ------------------------------
+
+  test("dup-ngram fraction: verbatim copy 10000 bp, unique doc 0 bp, partial overlap exact") {
+    val a = (1 to 10).map(i => s"w$i").mkString(" ")
+    val c = (1 to 10).map(i => s"c$i").mkString(" ")
+    // d shares exactly its first two shingles (w1 w2 w3, w2 w3 w4) with a/b
+    val d = "w1 w2 w3 w4 " + (5 to 10).map(i => s"d$i").mkString(" ")
+    val dir = tmpDir("graft_dupngram")
+    writeDocs(dir, Seq((1L, a, "en"), (2L, a, "en"), (3L, c, "en"), (4L, d, "en")))
+    val got = SparkEntry.queries("q110_dup_ngram_fraction")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 8L, 8L, 10000L))
+    assert(got(2L) == (2L, 8L, 8L, 10000L))
+    assert(got(3L) == (3L, 8L, 0L, 0L))
+    assert(got(4L) == (4L, 8L, 2L, 2500L))
+  }
+
+  // ---- q111 collocations --------------------------------------------
+
+  test("collocations: exclusive pair ranks first with exact integer score; cxy<5 cut") {
+    // "strong glue" ×5 exclusive; "the" pairs with many partners (low
+    // PMI); "rare pair" ×4 would score high but misses the count cut.
+    val docs = Seq.tabulate(5)(i => (i.toLong, "strong glue", "en")) ++
+      Seq.tabulate(6)(i => ((10 + i).toLong, s"the t$i", "en")) ++
+      Seq.tabulate(4)(i => ((20 + i).toLong, "rare pair", "en"))
+    val dir = tmpDir("graft_colloc")
+    writeDocs(dir, docs)
+    val got = SparkEntry.queries("q111_collocations")(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+    val n = 5 * 2 + 6 * 2 + 4 * 2 // every token once per doc
+    assert(got.head == ("strong", "glue", 5L, 5L * n * 10000L / (5L * 5L)))
+    assert(!got.exists(r => r._1 == "rare"), "cxy=4 must miss the cxy>=5 cut")
+    assert(!got.exists(r => r._1 == "the"), "no 'the *' bigram reaches 5 repeats")
+  }
+
+  // ---- q112 spike detection -----------------------------------------
+
+  test("spike detection: flags only full-window days above 1.3x trailing mean") {
+    def day(i: Int) = Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
+    // days 1..7 flat at 1.00; day 8 at 10.00 (spike); days 9..15 flat
+    // at 10.00 (day 9 trails mean (6*100+1000)/7=228.6 -> 1000 > 1.3x:
+    // still a spike; by day 12 the trailing window is saturated).
+    val rows = (1 to 7).map(i => (i.toLong, day(i), 1L, "buy", 1.0, "{}")) ++
+      (8 to 15).map(i => (i.toLong, day(i), 1L, "buy", 10.0, "{}"))
+    val dir = tmpDir("graft_spike")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q112_spike_detection")(spark, dir)
+      .as[(String, Date, Long, Long)].collect().map(_._2.toString)
+    // spike while s7 < 70000/13 ≈ 5385: day 8 (s7=700) through day 13
+    // (s7=5200); day 14 (s7=6100) and the saturated tail are quiet.
+    assert(got.toSeq == (8 to 13).map(i => f"2024-01-$i%02d"))
+  }
+
+  test("spike detection: no flag without 7 full preceding days") {
+    def day(i: Int) = Timestamp.valueOf(f"2024-02-${i}%02d 12:00:00")
+    val rows = (1 to 5).map(i => (i.toLong, day(i), 1L, "buy", 1.0, "{}")) :+
+      (6L, day(6), 1L, "buy", 100.0, "{}")
+    val dir = tmpDir("graft_spike2")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    assert(SparkEntry.queries("q112_spike_detection")(spark, dir).count() == 0)
+  }
+
+  // ---- q113 sorted neighborhood -------------------------------------
+
+  test("sorted neighborhood: adjacent near-dups found, pairs beyond w=4 missed") {
+    // Two verbatim copies adjacent in (n_chars, doc_id) order → hit.
+    // Two high-Jaccard variants of `base` separated by 5 pads of
+    // intermediate length → the classic SNM miss (rank distance 8 > w=4).
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val base = "m1 m2 m3 m4 m5 m6 m7 m8"
+    val pads = (1 to 5).map(i => ((40 + i).toLong, base + " pad" + ("x" * i), "en"))
+    val dir = tmpDir("graft_snm")
+    writeDocs(dir, Seq(
+      (1L, text, "en"), (2L, text, "en"), // adjacent duplicates
+      (40L, base, "en")) ++ pads :+ ((50L, base + " pad" + ("x" * 9) + "y", "en")))
+    val got = SparkEntry.queries("q113_sorted_neighborhood")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.contains((1L, 2L, 10000L)), s"adjacent verbatim pair must hit: $got")
+    // 40 vs 50 share all of base's shingles but sit 6 ranks apart
+    assert(!got.exists(r => r._1 == 40L && r._2 == 50L),
+      s"pair beyond the w=4 window must be missed: $got")
+  }
+
+  // ---- q114 co-purchase ---------------------------------------------
+
+  test("co-purchase: counts shared orders, multi-line parts dedup, top-5 ordering") {
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 2L), // duplicate (3,2) line must not double-count
+      (4L, 1L), (4L, 4L))
+    val dir = tmpDir("graft_copurchase")
+    li.toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q114_copurchase_topk")(spark, dir)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got.filter(_._1 == 1L) ==
+      Seq((1L, 1, 2L, 3L), (1L, 2, 3L, 1L), (1L, 3, 4L, 1L)))
+    assert(got.filter(_._1 == 4L) == Seq((4L, 1, 1L, 1L)))
+  }
+
+  // ---- q115 gap fill ------------------------------------------------
+
+  test("gap fill: integer linear interpolation between actual days") {
+    def ts(i: Int) = Timestamp.valueOf(f"2024-03-${i}%02d 00:00:00")
+    val rows = Seq(
+      (1L, 1L, "O", 100.0, ts(1), "P1"),
+      (2L, 1L, "O", 400.0, ts(4), "P1"), // gap: Mar 2, Mar 3
+      (3L, 1L, "O", 50.0, ts(1), "P2"),
+      (4L, 1L, "O", 50.0, ts(2), "P2")) // no gap
+    val dir = tmpDir("graft_gapfill")
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q115_gap_fill")(spark, dir)
+      .as[(String, Date, String, Long)].collect()
+      .map(r => (r._1, r._2.toString, r._3, r._4)).toSeq
+    assert(got == Seq(
+      ("P1", "2024-03-01", "actual", 10000L),
+      ("P1", "2024-03-02", "interp", 20000L), // 10000 + (40000-10000)*1/3
+      ("P1", "2024-03-03", "interp", 30000L),
+      ("P1", "2024-03-04", "actual", 40000L),
+      ("P2", "2024-03-01", "actual", 5000L),
+      ("P2", "2024-03-02", "actual", 5000L)))
+  }
+}
