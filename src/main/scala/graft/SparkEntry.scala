@@ -22,7 +22,8 @@ object SparkEntry {
       operators.CurationOps.qs ++
       operators.GraphOps.qs ++
       operators.AnalyticsOps.qs ++
-      operators.MiningOps.qs
+      operators.MiningOps.qs ++
+      operators.AuditOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 audit / profiling additions:
+  *
+  *  - q116 heavy hitters, two-phase exact: a per-partition Misra–Gries
+  *    summary (k = 1024 counters, bounded memory regardless of vocab
+  *    size) nominates candidates, then an exact recount over the
+  *    candidate-filtered stream applies the support threshold
+  *    c·200 > N. Sound because a token with global count > N/200 must
+  *    exceed the n_p/(k+1) survival bound in ≥ 1 partition (averaging
+  *    argument, k+1 = 1025 > 200), so candidates ⊇ qualifiers at ANY
+  *    partitioning — the exact recount then makes the output
+  *    partitioning-independent. The aggregation hashmap only ever
+  *    holds candidate tokens (≤ 1024·partitions), never the vocab:
+  *    this is the bounded-memory top-k shape for 100 TB streams.
+  *  - q117 referential-integrity audit: orphan counts for every FK
+  *    edge of the star schema via left-anti joins. Each edge is one
+  *    shuffle (or a broadcast anti join for the small dimensions) —
+  *    the standard distributed FK check.
+  *  - q118 single-pass column profile: per-column null counts + exact
+  *    NDV for the orders table in ONE aggregate (Spark plans the
+  *    multi-distinct via Expand — a 6× row multiplication in exchange
+  *    for a single scan; switch to approx_count_distinct to drop the
+  *    Expand when exactness isn't required).
+  *  - q119 time-weighted average: per-user TWA of the event value held
+  *    between consecutive events, in exact integer cents·µs. Events
+  *    carry full microsecond precision, so µs is the only unit where
+  *    truncating-difference and boundary-crossing semantics agree
+  *    across engines. Bounds: cents ≤ 5·10⁴, span ≤ 2.6·10¹² µs →
+  *    products ≤ 1.3·10¹⁷ ≪ 2⁶³; at 100× the span, rescale to ms
+  *    after milli-aligning timestamps (the q98 fixed-point pattern).
+  */
+object AuditOps {
+
+  private val mgCounters = 1024
+  private val supportDen = 200L // heavy hitter ⇔ c·200 > N
+
+  private def fkEdge(name: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val nChild = child.agg(count(lit(1)).as("n_child"))
+    val orphans = child.join(parent, child(ck) === parent(pk), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    nChild.crossJoin(orphans)
+      .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    Q("q116_heavy_hitters",
+      s"""WITH u AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY w),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u)
+         |SELECT c.w, c.cnt FROM c CROSS JOIN n
+         |WHERE c.cnt * $supportDen > n.n
+         |ORDER BY cnt DESC, w""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("w")).as[String]
+      // Misra–Gries per partition: k counters; overflow decrements all
+      // (amortized O(1)/item — each sweep retires k+1 arrivals).
+      val k = mgCounters
+      val mg = (it: Iterator[String]) => {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { w =>
+          if (m.contains(w)) m(w) += 1L
+          else if (m.size < k) m(w) = 1L
+          else {
+            val dead = List.newBuilder[String]
+            m.keysIterator.foreach { key =>
+              val v = m(key) - 1L
+              if (v == 0L) dead += key else m(key) = v
+            }
+            dead.result().foreach(m.remove)
+          }
+        }
+        m.keysIterator
+      }
+      val candidates = toks.mapPartitions(mg).toDF("w").distinct()
+      val tot = toks.toDF("w").agg(count(lit(1)).as("n"))
+      toks.toDF("w")
+        .join(broadcast(candidates), Seq("w"), "left_semi")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * supportDen > col("n"))
+        .select(col("w"), col("cnt"))
+        .orderBy(col("cnt").desc, col("w"))
+    },
+
+    Q("q117_fk_audit",
+      """SELECT 'customer->nation' AS edge,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_child,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer c LEFT JOIN nation n
+        |     ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL) AS n_orphans
+        |UNION ALL SELECT 'lineitem->orders',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+        |UNION ALL SELECT 'lineitem->part',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l LEFT JOIN part p
+        |     ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+        |UNION ALL SELECT 'lineitem->supplier',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l LEFT JOIN supplier s
+        |     ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+        |UNION ALL SELECT 'nation->region',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nation),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nation n LEFT JOIN region r
+        |     ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL)
+        |UNION ALL SELECT 'orders->customer',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o LEFT JOIN customer c
+        |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        |UNION ALL SELECT 'supplier->nation',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM supplier s LEFT JOIN nation n
+        |     ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+        |ORDER BY edge""".stripMargin) { (s, d) =>
+      fkEdge("customer->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey")
+        .unionAll(fkEdge("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"))
+        .unionAll(fkEdge("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionAll(fkEdge("lineitem->supplier", Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"))
+        .unionAll(fkEdge("nation->region", Tables.nation(s, d), "n_regionkey",
+          Tables.region(s, d), "r_regionkey"))
+        .unionAll(fkEdge("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .unionAll(fkEdge("supplier->nation", Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey"))
+        .orderBy("edge")
+    },
+
+    Q("q118_column_profile",
+      """SELECT 'o_custkey' AS col_name,
+        |  CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv FROM orders
+        |UNION ALL SELECT 'o_orderdate',
+        |  CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderkey',
+        |  CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderpriority',
+        |  CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderstatus',
+        |  CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_totalprice',
+        |  CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          count_distinct(col(c)).as(s"ndv_$c"))
+      }
+      val stackArgs = cols.map(c => s"'$c', nn_$c, ndv_$c").mkString(", ")
+      Tables.orders(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, ndv)")
+        .orderBy("col_name")
+    },
+
+    Q("q119_time_weighted_avg",
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT user_id, cents,
+        |  date_diff('microsecond', ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS dt
+        |  FROM e),
+        |a AS (SELECT user_id, CAST(sum(cents * dt) AS BIGINT) AS weighted,
+        |  CAST(sum(dt) AS BIGINT) AS span_us
+        |  FROM l WHERE dt IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, span_us, weighted // span_us AS twa_c FROM a
+        |WHERE span_us > 0 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("nts", lead(col("ts"), 1).over(w))
+        .withColumn("dt", expr("timestampdiff(MICROSECOND, ts, nts)"))
+        .filter(col("dt").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(col("cents") * col("dt")).as("weighted"),
+          sum(col("dt")).as("span_us"))
+        .filter(col("span_us") > 0)
+        .select(col("user_id"), col("span_us"),
+          expr("weighted div span_us").as("twa_c"))
+        .orderBy("user_id")
+    }
+  )
+}

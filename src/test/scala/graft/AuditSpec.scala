@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for the round-7 audit operators on planted
+  * fixtures: Misra–Gries candidate soundness past the eviction path
+  * (vocab ≫ counters) with a strict-inequality support edge, orphan
+  * counting on every FK edge, null/NDV profiling, and exact
+  * microsecond time-weighted averaging with degenerate users. */
+class AuditSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ---- q116 heavy hitters -------------------------------------------
+
+  test("heavy hitters: exact past MG eviction; support threshold is strict") {
+    // N = 4000 tokens: 'hot' ×100 qualifies (100·200 > 4000); 'edge'
+    // ×20 sits exactly AT the threshold (20·200 = 4000, strict > fails);
+    // 3880 singleton fillers force vocab 3882 ≫ 1024 counters, so the
+    // per-partition eviction sweep actually runs.
+    val docs = Seq.fill(100)("hot") ++ Seq.fill(20)("edge") ++
+      (1 to 3880).map(i => s"f$i")
+    val dir = tmpDir("graft_hh")
+    docs.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q116_heavy_hitters")(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("hot", 100L)))
+  }
+
+  // ---- q117 FK audit ------------------------------------------------
+
+  test("fk audit: counts planted orphans on every edge") {
+    val dir = tmpDir("graft_fk")
+    Seq((0L, "r0")).toDF("r_regionkey", "r_name")
+      .write.parquet(s"$dir/region.parquet")
+    Seq((0L, "n0", 0L), (1L, "n1", 9L)) // n1 -> region 9 missing
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((0L, 0L), (1L, 5L)) // c1 -> nation 5 missing
+      .toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((0L, 0L), (1L, 0L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq(Tuple1(0L)).toDF("p_partkey").write.parquet(s"$dir/part.parquet")
+    Seq((0L, 0L), (1L, 99L)) // o1 -> customer 99 missing
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((0L, 0L, 0L), (7L, 0L, 0L), (0L, 8L, 0L), (0L, 0L, 9L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q117_fk_audit")(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("customer->nation", 2L, 1L),
+      ("lineitem->orders", 4L, 1L),
+      ("lineitem->part", 4L, 1L),
+      ("lineitem->supplier", 4L, 1L),
+      ("nation->region", 2L, 1L),
+      ("orders->customer", 2L, 1L),
+      ("supplier->nation", 2L, 0L)))
+  }
+
+  // ---- q118 column profile ------------------------------------------
+
+  test("column profile: null counts and exact NDV per column") {
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (1L, Some(10L), "O", 1.0, ts, "P1"),
+      (2L, None, "O", 2.0, ts, "P1"),
+      (3L, None, "F", 2.0, ts, "P2"),
+      (4L, Some(11L), "F", 3.0, ts, "P2"))
+    val dir = tmpDir("graft_profile")
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q118_column_profile")(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("o_custkey", 2L, 2L),
+      ("o_orderdate", 0L, 1L),
+      ("o_orderkey", 0L, 4L),
+      ("o_orderpriority", 0L, 2L),
+      ("o_orderstatus", 0L, 2L),
+      ("o_totalprice", 0L, 3L)))
+  }
+
+  // ---- q119 time-weighted average -----------------------------------
+
+  test("time-weighted average: exact cents-microsecond weighting; degenerate users dropped") {
+    def ts(frac: String) = Timestamp.valueOf(s"2024-01-01 00:00:00.$frac")
+    val rows = Seq(
+      // user 1: 1.00 held 10µs, 3.00 held 20µs → twa = 7000/30 = 233
+      (1L, ts("000000"), 1L, "e", 1.0, "{}"),
+      (2L, ts("000010"), 1L, "e", 3.0, "{}"),
+      (3L, ts("000030"), 1L, "e", 99.0, "{}"), // final value carries no weight
+      // user 2: single event → no interval → dropped
+      (4L, ts("000000"), 2L, "e", 5.0, "{}"),
+      // user 3: two events at the same µs → span 0 → dropped
+      (5L, ts("000000"), 3L, "e", 5.0, "{}"),
+      (6L, ts("000000"), 3L, "e", 7.0, "{}"))
+    val dir = tmpDir("graft_twa")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q119_time_weighted_avg")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 30L, 233L)))
+  }
+}
