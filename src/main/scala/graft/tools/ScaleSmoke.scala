@@ -132,6 +132,34 @@ object ScaleSmoke {
       return
     }
 
+    // Round-7 ops mode: document-based mining operators at 1× vs 10×
+    // (all expected near-linear: q110/q111 are aggregate+join-back
+    // shapes, q113 generates exactly w·n pairs, q116 is MG + recount),
+    // then the SNM headline measurement: on the Zipfian corpus whose
+    // hot shingles blow up q43's inverted-index count join, sorted-
+    // neighborhood pairing stays linear — the two dedup blockers scale
+    // on DIFFERENT axes (co-occurrence volume vs corpus size).
+    if (sys.env.contains("SPARK_GRAFT_R7_ONLY")) {
+      val r7ops = Seq("q110_dup_ngram_fraction", "q111_collocations",
+        "q113_sorted_neighborhood", "q116_heavy_hitters")
+      println(f"${"op"}%-26s ${"1x(sf0.1)"}%10s ${"10x-docs"}%10s ${"ratio"}%7s")
+      r7ops.foreach { name =>
+        run(name, base) // warm
+        val t1 = run(name, base)
+        val t2 = run(name, big)
+        println(f"SCALE $name%-26s $t1%10.2f $t2%10.2f ${t2 / t1}%7.1f")
+      }
+      val zdir = "/tmp/graft_zipf_r7"
+      synthesizeZipf(spark, zdir, 50000L)
+      Seq("q43_ngram_jaccard", "q113_sorted_neighborhood").foreach { name =>
+        run(name, zdir) // warm
+        val t = run(name, zdir)
+        println(f"ZIPF50K $name%-26s $t%10.2f s")
+      }
+      spark.stop()
+      return
+    }
+
     // Containment-only mode: q89's count join vs the asymmetric prefix
     // filter (containmentPrefixJoin) on the uniform sf0.1 corpus and on
     // the Zipfian corpus where hot-shingle co-occurrence dominates.

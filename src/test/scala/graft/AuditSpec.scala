@@ -34,6 +34,28 @@ class AuditSpec extends AnyFunSuite {
     assert(got == Seq(("hot", 100L)))
   }
 
+  test("heavy hitters: output independent of input partitioning") {
+    // The MG candidate SET legitimately varies with partitioning; the
+    // exact recount + strict threshold must erase that variance.
+    val docs = Seq.fill(60)("hot") ++ Seq.fill(40)("warm") ++
+      (1 to 2900).map(i => s"f$i")
+    val rows = docs.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "src", t.length.toLong)
+    }
+    val dirA = tmpDir("graft_hh_p1")
+    val dirB = tmpDir("graft_hh_p7")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dirA/documents.parquet")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(7).write.parquet(s"$dirB/documents.parquet")
+    val a = SparkEntry.queries("q116_heavy_hitters")(spark, dirA)
+      .as[(String, Long)].collect().toSeq
+    val b = SparkEntry.queries("q116_heavy_hitters")(spark, dirB)
+      .as[(String, Long)].collect().toSeq
+    assert(a == Seq(("hot", 60L), ("warm", 40L)))
+    assert(a == b)
+  }
+
   // ---- q117 FK audit ------------------------------------------------
 
   test("fk audit: counts planted orphans on every edge") {
