@@ -150,6 +150,67 @@ object EtlOps {
         .orderBy(col("key"), col("ver"))
     },
 
+    // Point-in-time (temporal) join: each lineitem is joined to the
+    // q99-style SCD2 order history version valid AT its ship date.
+    // Because the dimension shares the fact's equi-key, the scalable
+    // plan is a plain equi-join on the key followed by the interval
+    // containment filter — each fact row meets only its key's few
+    // versions, so the join output is O(|fact|·versions-per-key), never
+    // a range cross product. This completes the temporal-join trio:
+    // q68 (as-of, no equi-key, union trick), q96 (band join, bucketed),
+    // q120 (equi-key + validity interval — the warehouse PIT join).
+    Q("q120_pit_join",
+      """WITH base AS (
+        |  SELECT o_orderkey AS key, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c, 0 AS ver,
+        |    CAST(o_orderdate AS DATE) AS eff_from
+        |  FROM orders
+        |), upd AS (
+        |  SELECT o_orderkey AS key, 'U' AS status,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) + 500 AS price_c, 1 AS ver,
+        |    CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS eff_from
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |), hist AS (
+        |  SELECT key, CAST(ver AS INTEGER) AS ver, status, price_c, eff_from,
+        |    lead(eff_from) OVER (PARTITION BY key ORDER BY ver) AS eff_to
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd) u
+        |), f AS (
+        |  SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship
+        |  FROM lineitem
+        |)
+        |SELECT f.l_orderkey, f.l_linenumber, f.ship, h.ver, h.status, h.price_c
+        |FROM f JOIN hist h ON f.l_orderkey = h.key
+        |WHERE f.ship >= h.eff_from AND (h.eff_to IS NULL OR f.ship < h.eff_to)
+        |ORDER BY l_orderkey, l_linenumber, ship, ver""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).as("price_c"),
+          col("o_orderdate").cast("date").as("od"))
+      val base = o.select(col("o_orderkey").as("key"),
+        col("o_orderstatus").as("status"), col("price_c"), lit(0).as("ver"),
+        col("od").as("eff_from"))
+      val upd = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("key"), lit("U").as("status"),
+          (col("price_c") + 500).as("price_c"), lit(1).as("ver"),
+          date_add(col("od"), 30).as("eff_from"))
+      val w = Window.partitionBy(col("key")).orderBy(col("ver"))
+      val hist = base.unionAll(upd)
+        .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+        .withColumn("ver", col("ver").cast("int"))
+      val f = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("date").as("ship"))
+      f.join(hist, f("l_orderkey") === hist("key"))
+        .filter(col("ship") >= col("eff_from") &&
+          (col("eff_to").isNull || col("ship") < col("eff_to")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("ship"),
+          col("ver"), col("status"), col("price_c"))
+        // (l_orderkey, l_linenumber) repeats in the fixture — ship+ver
+        // make the dump order total, which the hash compare needs.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship"), col("ver"))
+    },
+
     // Incremental aggregate maintenance (materialized-view refresh):
     // the running aggregate is kept as MERGEABLE partials (count, sum) —
     // a delta batch is aggregated alone and MERGED into the base

@@ -233,6 +233,34 @@ object EventsOps {
         .agg(count(lit(1)).as("n"))
         .withColumn("p_bp", floor(lit(10000.0) * col("n") / sum(col("n")).over(wp)))
         .orderBy("prev", "cur")
+    },
+
+    // Rolling 28-day distinct users (MAU) per day, exact, via
+    // support-interval explode: each distinct (user, day) supports the
+    // 28 target days [day, day+27], so rolling distinct becomes a plain
+    // per-day count(DISTINCT user) — one bounded 28× row expansion +
+    // one shuffle, NO self-join of day ranges and no giant sliding
+    // window state. At 100 TB swap the exact per-day distinct for
+    // per-day HLL sketches merged across the window (approx path);
+    // the explode shape itself is already linear.
+    Q("q121_rolling_mau",
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |mx AS (SELECT max(day) AS mx FROM ud),
+        |c AS (SELECT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |  CAST(day AS TIMESTAMP) + INTERVAL 27 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM ud)
+        |SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau
+        |FROM c CROSS JOIN mx WHERE c.day <= mx.mx
+        |GROUP BY c.day ORDER BY c.day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val mx = ud.agg(max(col("day")).as("mx"))
+      ud.select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 27))")).as("day"))
+        .crossJoin(broadcast(mx))
+        .filter(col("day") <= col("mx"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("mau"))
+        .orderBy("day")
     }
   )
 }

@@ -125,6 +125,54 @@ class MiningSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 4L) == Seq((4L, 1, 1L, 1L)))
   }
 
+  // ---- q120 point-in-time join --------------------------------------
+
+  test("pit join: facts land on the version valid at ship date") {
+    def ts(s: String) = Timestamp.valueOf(s"$s 00:00:00")
+    // order 7 (key % 7 == 0) gets a v1 update at +30d with price+5.00;
+    // order 1 has no update. Ship dates straddle the version boundary.
+    val orders = Seq(
+      (7L, 1L, "O", 10.0, ts("2024-01-01"), "P1"),
+      (1L, 1L, "O", 20.0, ts("2024-01-01"), "P1"))
+    val lineitem = Seq(
+      (7L, 100L, 100L, 1, ts("2024-01-05")), // before +30d -> ver 0
+      (7L, 100L, 100L, 2, ts("2024-02-15")), // after  +30d -> ver 1
+      (1L, 100L, 100L, 1, ts("2024-02-15"))) // no update  -> ver 0
+    val dir = tmpDir("graft_pit")
+    orders.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    lineitem.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q120_pit_join")(spark, dir)
+      .as[(Long, Int, Date, Int, String, Long)].collect()
+      .map(r => (r._1, r._2, r._4, r._5, r._6)).toSeq
+    assert(got == Seq(
+      (1L, 1, 0, "O", 2000L),
+      (7L, 1, 0, "O", 1000L),
+      (7L, 2, 1, "U", 1500L)))
+  }
+
+  // ---- q121 rolling MAU ---------------------------------------------
+
+  test("rolling mau: 28-day support windows, clipped at max day, quiet days absent") {
+    def ts(i: Int) = Timestamp.valueOf(f"2024-01-$i%02d 12:00:00")
+    val rows = Seq(
+      (1L, ts(1), 1L, "e", 1.0, "{}"),
+      (2L, ts(1), 2L, "e", 1.0, "{}"),
+      (3L, ts(30), 2L, "e", 1.0, "{}"))
+    val dir = tmpDir("graft_mau")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q121_rolling_mau")(spark, dir)
+      .as[(Date, Long)].collect().map(r => (r._1.toString, r._2)).toSeq
+    // both users support days 1-28; day 29 has no supporter (absent);
+    // day 30's event supports only itself before the mx clip
+    val expected = (1 to 28).map(i => (f"2024-01-$i%02d", 2L)) :+ ("2024-01-30", 1L)
+    assert(got == expected)
+  }
+
   // ---- q115 gap fill ------------------------------------------------
 
   test("gap fill: integer linear interpolation between actual days") {
