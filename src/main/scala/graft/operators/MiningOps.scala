@@ -83,7 +83,11 @@ object MiningOps {
          |    // CAST(count(*) AS BIGINT) AS dup_bp
          |FROM e JOIN c USING (sg)
          |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // materialized once: the exploded shingle table feeds BOTH the
+      // doc-count aggregate and the join-back left side — without the
+      // checkpoint the shingling runs twice (q101's byVal pattern).
       val e = shingledDocs(s, d).select(col("doc_id"), explode(col("sg")).as("sg"))
+        .localCheckpoint()
       val c = e.groupBy("sg").agg(count(lit(1)).as("ndoc"))
       e.join(c, "sg")
         .groupBy("doc_id")
@@ -214,7 +218,10 @@ object MiningOps {
         |    AS INTEGER) AS rk FROM p)
         |SELECT part, rk, co_part, cnt FROM r WHERE rk <= 5
         |ORDER BY part, rk""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+      // both self-join sides read the distinct basket table — checkpoint
+      // so the scan+distinct aggregate runs once, not per side.
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .distinct().localCheckpoint()
       val pc = li.as("a")
         .join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&

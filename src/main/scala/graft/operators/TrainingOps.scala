@@ -436,6 +436,39 @@ object TrainingOps {
         .filter(col("rank") <= 10)
         .select(col("qid"), col("rank"), col("doc_id"))
         .orderBy("qid", "rank")
+    },
+
+    // Universe (join-consistent) sampling: both tables are filtered by
+    // the SAME deterministic hash of the JOIN KEY, so the join of the
+    // samples IS the sample of the join — the property row-level
+    // Bernoulli sampling destroys (independent row picks shred joint
+    // distributions). Knuth multiplicative hash in exact BIGINT
+    // arithmetic (operands pre-reduced mod 2³¹ so products stay < 2⁶³
+    // under ANSI); certified sample-then-join == join-then-filter in
+    // AuditSpec. The 10% universe cuts BOTH scan and join volume 10× —
+    // the way to run joint analyses on a 100 TB star without reading
+    // it.
+    Q("q122_universe_sample",
+      """WITH so AS (SELECT * FROM orders
+        |  WHERE ((o_orderkey % 2147483648) * 2654435761) % 2147483648 % 100 < 10),
+        |sl AS (SELECT * FROM lineitem
+        |  WHERE ((l_orderkey % 2147483648) * 2654435761) % 2147483648 % 100 < 10)
+        |SELECT o_orderpriority,
+        |  CAST(count(DISTINCT so.o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM so JOIN sl ON so.o_orderkey = sl.l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      def inUniverse(k: org.apache.spark.sql.Column) =
+        pmod(pmod(k, lit(2147483648L)) * lit(2654435761L), lit(2147483648L)) % 100 < 10
+      val so = Tables.orders(s, d).filter(inUniverse(col("o_orderkey")))
+      val sl = Tables.lineitem(s, d).filter(inUniverse(col("l_orderkey")))
+      so.join(sl, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+        .orderBy("o_orderpriority")
     }
   )
 }

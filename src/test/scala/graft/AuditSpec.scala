@@ -113,6 +113,27 @@ class AuditSpec extends AnyFunSuite {
       ("o_totalprice", 0L, 3L)))
   }
 
+  // ---- q122 universe sampling ---------------------------------------
+
+  test("universe sampling: join of samples equals sample of join") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val sampled = SparkEntry.queries("q122_universe_sample")(spark, d)
+      .collect().toSeq
+    // join-then-filter: full join, then the SAME key-hash universe cut
+    def inU(c: org.apache.spark.sql.Column) =
+      pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(2147483648L)) % 100 < 10
+    val full = Tables.orders(spark, d)
+      .join(Tables.lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(inU(col("o_orderkey")))
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(sampled.nonEmpty && sampled == full)
+  }
+
   // ---- q119 time-weighted average -----------------------------------
 
   test("time-weighted average: exact cents-microsecond weighting; degenerate users dropped") {
