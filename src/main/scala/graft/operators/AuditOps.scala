@@ -172,6 +172,64 @@ object AuditOps {
         .orderBy("col_name")
     },
 
+    // Per-dimension min-max feature scaling over the embedding corpus.
+    // posexplode → per-dim min/max (64 rows, broadcast back) →
+    // normalized value in millionths. Every arithmetic step runs in
+    // DOUBLE in both engines (floats are cast before any op — Spark
+    // float arithmetic stays float32 while DuckDB promotes, so
+    // operating on raw floats would drift); a single IEEE subtract +
+    // divide + floor on identical inputs is bit-deterministic, unlike
+    // a float SUM (no reduction order exists here — that's what makes
+    // this hashable where q49's cosine had to be rank-only). Stats
+    // come from the FULL corpus; only the dump is sampled (vec_id<20).
+    Q("q123_feature_scale",
+      """WITH e AS (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim)
+        |SELECT e.vec_id, e.dim,
+        |  CAST(CASE WHEN s.mx = s.mn THEN 0
+        |    ELSE floor(1000000.0 * (e.v - s.mn) / (s.mx - s.mn)) END AS BIGINT)
+        |    AS norm_ppm
+        |FROM e JOIN s ON e.dim = s.dim
+        |WHERE e.vec_id < 20
+        |ORDER BY e.vec_id, e.dim""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "vf")))
+        .select(col("vec_id"), col("dim"), col("vf").cast("double").as("v"))
+      val stats = e.groupBy("dim").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      e.join(broadcast(stats), "dim")
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          when(col("mx") === col("mn"), 0L)
+            .otherwise(floor(lit(1000000.0) * (col("v") - col("mn")) / (col("mx") - col("mn"))))
+            .cast("long").as("norm_ppm"))
+        .orderBy("vec_id", "dim")
+    },
+
+    // Top-10 3-step event paths (sequence mining over the transition
+    // trio's machinery): two lag windows per user give each event its
+    // 3-gram path; counts + TakeOrderedAndProject keep 10 rows on the
+    // driver. Window state is 2 rows per user stream — bounded.
+    Q("q124_path_mining",
+      """WITH p AS (SELECT user_id,
+        |  lag(event_type, 2) OVER w AS a, lag(event_type, 1) OVER w AS b,
+        |  event_type AS c FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT a || '>' || b || '>' || c AS path, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM p WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1)
+        |SELECT path, cnt FROM g ORDER BY cnt DESC, path LIMIT 10""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type").as("c"))
+        .withColumn("a", lag(col("c"), 2).over(w))
+        .withColumn("b", lag(col("c"), 1).over(w))
+        .filter(col("a").isNotNull && col("b").isNotNull)
+        .select(concat_ws(">", col("a"), col("b"), col("c")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("path"))
+        .limit(10)
+    },
+
     Q("q119_time_weighted_avg",
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),

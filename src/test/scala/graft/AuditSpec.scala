@@ -134,6 +134,43 @@ class AuditSpec extends AnyFunSuite {
     assert(sampled.nonEmpty && sampled == full)
   }
 
+  // ---- q123 feature scaling -----------------------------------------
+
+  test("feature scaling: per-dim min-max to ppm; constant dim maps to 0") {
+    val rows = Seq(
+      (0L, Array(0.0f, 7.0f), 0),
+      (1L, Array(5.0f, 7.0f), 0),
+      (2L, Array(10.0f, 7.0f), 0))
+    val dir = tmpDir("graft_fs")
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q123_feature_scale")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 0L), (0L, 1L, 0L),       // dim1 is constant -> 0
+      (1L, 0L, 500000L), (1L, 1L, 0L),
+      (2L, 0L, 1000000L), (2L, 1L, 0L)))
+  }
+
+  // ---- q124 path mining ---------------------------------------------
+
+  test("path mining: 3-step paths counted across users, ranked by count") {
+    def ts(i: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    val rows = Seq(
+      (1L, ts(1), 1L, "v", 0.0, "{}"), (2L, ts(2), 1L, "c", 0.0, "{}"),
+      (3L, ts(3), 1L, "p", 0.0, "{}"),
+      (4L, ts(1), 2L, "v", 0.0, "{}"), (5L, ts(2), 2L, "c", 0.0, "{}"),
+      (6L, ts(3), 2L, "p", 0.0, "{}"),
+      (7L, ts(1), 3L, "v", 0.0, "{}"), (8L, ts(2), 3L, "c", 0.0, "{}"),
+      (9L, ts(3), 3L, "x", 0.0, "{}"))
+    val dir = tmpDir("graft_paths")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q124_path_mining")(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("v>c>p", 2L), ("v>c>x", 1L)))
+  }
+
   // ---- q119 time-weighted average -----------------------------------
 
   test("time-weighted average: exact cents-microsecond weighting; degenerate users dropped") {
