@@ -75,6 +75,15 @@ class LawsSpec extends AnyFunSuite {
     assert(cached == fresh)
   }
 
+  test("memoized order-graph edges ≡ uncached recomputation (q98/q105 input)") {
+    val d = "/root/testdata/sf0.001"
+    val cached = graft.operators.GraphOps.symEdges(spark, d)
+      .collect().toSeq.sorted(RowOrd)
+    val fresh = graft.operators.GraphOps.symEdgesUncached(spark, d)
+      .collect().toSeq.sorted(RowOrd)
+    assert(cached.nonEmpty && cached == fresh)
+  }
+
   private object RowOrd extends Ordering[org.apache.spark.sql.Row] {
     def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int =
       a.toString.compareTo(b.toString)
