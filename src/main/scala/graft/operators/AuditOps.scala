@@ -172,6 +172,71 @@ object AuditOps {
         .orderBy("col_name")
     },
 
+    // Join-key skew diagnosis — the report that decides, BEFORE a
+    // 100 TB join runs, whether a key needs salting (Skew.saltedSum) or
+    // AQE skew splitting: per candidate key, cardinality, hottest-key
+    // frequency, and the skew ratio max/mean as an integer ×100 (mean
+    // = rows/keys, so ratio·100 = max·keys·100 div rows — exact). Each
+    // key is one map-side-combined count aggregate; nothing is joined.
+    Q("q125_skew_report",
+      """WITH o AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys, CAST(max(c) AS BIGINT) AS max_freq
+        |  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey) t),
+        |p AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys, CAST(max(c) AS BIGINT) AS max_freq
+        |  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey) t),
+        |s AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys, CAST(max(c) AS BIGINT) AS max_freq
+        |  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_suppkey) t)
+        |SELECT key_col, n_rows, n_keys, max_freq,
+        |  (max_freq * n_keys * 100) // n_rows AS skew_x100 FROM (
+        |  SELECT 'l_orderkey' AS key_col, * FROM o
+        |  UNION ALL SELECT 'l_partkey', * FROM p
+        |  UNION ALL SELECT 'l_suppkey', * FROM s)
+        |ORDER BY key_col""".stripMargin) { (s, d) =>
+      def keyStats(name: String, key: String): DataFrame =
+        Tables.lineitem(s, d).groupBy(col(key).as("k"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+            max(col("c")).as("max_freq"))
+          .select(lit(name).as("key_col"), col("n_rows"), col("n_keys"),
+            col("max_freq"),
+            expr("(max_freq * n_keys * 100) div n_rows").as("skew_x100"))
+      keyStats("l_orderkey", "l_orderkey")
+        .unionAll(keyStats("l_partkey", "l_partkey"))
+        .unionAll(keyStats("l_suppkey", "l_suppkey"))
+        .orderBy("key_col")
+    },
+
+    // q121's declared 100 TB path, validated: the SAME support-interval
+    // explode feeding approx_count_distinct (HLL) instead of the exact
+    // distinct, with the q54 envelope pattern — the oracle asserts the
+    // exact count and a TRUE flag, so an HLL estimate drifting past
+    // ±5% breaks the hash.
+    Q("q126_rolling_mau_approx",
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |mx AS (SELECT max(day) AS mx FROM ud),
+        |c AS (SELECT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |  CAST(day AS TIMESTAMP) + INTERVAL 27 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM ud)
+        |SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau, TRUE AS hll_ok
+        |FROM c CROSS JOIN mx WHERE c.day <= mx.mx
+        |GROUP BY c.day ORDER BY c.day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val mx = ud.agg(max(col("day")).as("mx"))
+      ud.select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 27))")).as("day"))
+        .crossJoin(broadcast(mx))
+        .filter(col("day") <= col("mx"))
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("mau"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_mau"))
+        .select(col("day"), col("mau"),
+          (abs(col("approx_mau") - col("mau")) <= col("mau") * 0.05).as("hll_ok"))
+        .orderBy("day")
+    },
+
     // Per-dimension min-max feature scaling over the embedding corpus.
     // posexplode → per-dim min/max (64 rows, broadcast back) →
     // normalized value in millionths. Every arithmetic step runs in

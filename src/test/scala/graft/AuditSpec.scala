@@ -1,6 +1,6 @@
 package graft
 
-import java.sql.Timestamp
+import java.sql.{Date, Timestamp}
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -132,6 +132,39 @@ class AuditSpec extends AnyFunSuite {
         sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
       .orderBy("o_orderpriority").collect().toSeq
     assert(sampled.nonEmpty && sampled == full)
+  }
+
+  // ---- q125 skew report ---------------------------------------------
+
+  test("skew report: max/mean ratio exact on a planted hot key") {
+    // l_orderkey: [1,1,1,1,2,3] -> 6 rows, 3 keys, max 4, mean 2 -> 200
+    val li = Seq((1L, 10L, 100L), (1L, 11L, 100L), (1L, 12L, 100L),
+      (1L, 13L, 100L), (2L, 10L, 101L), (3L, 10L, 101L))
+    val dir = tmpDir("graft_skewrep")
+    li.toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q125_skew_report")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("l_orderkey", 6L, 3L, 4L, 200L),
+      ("l_partkey", 6L, 4L, 3L, 200L),  // 10:3, 11/12/13:1 -> 3*4*100/6
+      ("l_suppkey", 6L, 2L, 4L, 133L))) // 100:4, 101:2 -> 4*2*100/6
+  }
+
+  // ---- q126 approx rolling MAU --------------------------------------
+
+  test("approx rolling mau: matches exact counts with envelope flag true") {
+    def ts(i: Int) = Timestamp.valueOf(f"2024-01-$i%02d 12:00:00")
+    val rows = (1 to 40).map(u => (u.toLong, ts(1 + u % 5), u.toLong, "e", 1.0, "{}"))
+    val dir = tmpDir("graft_maua")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val approx = SparkEntry.queries("q126_rolling_mau_approx")(spark, dir)
+      .as[(Date, Long, Boolean)].collect().toSeq
+    val exact = SparkEntry.queries("q121_rolling_mau")(spark, dir)
+      .as[(Date, Long)].collect().toSeq
+    assert(approx.map(r => (r._1, r._2)) == exact)
+    assert(approx.forall(_._3), "HLL at rsd 0.02 must sit inside the 5% envelope")
   }
 
   // ---- q123 feature scaling -----------------------------------------
