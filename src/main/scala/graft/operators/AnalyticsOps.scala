@@ -319,6 +319,40 @@ object AnalyticsOps {
         .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("nw")),
         k = 20)
         .orderBy(col("k"))
+    },
+
+    // Weighted median document length per language, weight = token
+    // count: the smallest n_chars whose cumulative token mass reaches
+    // half the language's total. Value-level aggregation + PrefixScan
+    // two-level cumulative (same machinery as q101/q107 — no row-level
+    // window, no whole-language partition anywhere); the oracle replays
+    // the definition with a plain running-sum window. Weighted order
+    // statistics are the right notion when documents are the rows but
+    // TOKENS are the cost unit (training-data budgeting).
+    Q("q127_weighted_median",
+      """WITH t AS (SELECT lang, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w FROM documents),
+        |v AS (SELECT lang, n_chars, CAST(sum(w) AS BIGINT) AS w
+        |  FROM t GROUP BY lang, n_chars),
+        |c AS (SELECT lang, n_chars,
+        |  CAST(sum(w) OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS cum,
+        |  CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS tot FROM v)
+        |SELECT lang, min(n_chars) AS wmedian_nchars, max(tot) AS total_tokens
+        |FROM c WHERE 2 * cum >= tot GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val byVal = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          size(TextFns.tokens(col("text"))).cast("long").as("w0"))
+        .groupBy("lang", "n_chars").agg(sum(col("w0")).as("w"))
+        .withColumn("bkt", (col("n_chars") / 100).cast("long"))
+        .localCheckpoint() // feeds the scan, its offsets side, and tot
+      val cum = graft.plans.PrefixScan.cumsum(byVal, part = Seq("lang"),
+        bucket = "bkt", order = Seq("n_chars"), value = "w", out = "cum")
+      val tot = byVal.groupBy("lang").agg(sum(col("w")).as("tot"))
+      cum.join(broadcast(tot), "lang")
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("lang")
+        .agg(min(col("n_chars")).as("wmedian_nchars"), max(col("tot")).as("total_tokens"))
+        .orderBy("lang")
     }
   )
 

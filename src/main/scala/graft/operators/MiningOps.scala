@@ -235,6 +235,40 @@ object MiningOps {
         .orderBy("part", "rk")
     },
 
+    // Source-overlap matrix: exact token-vocabulary Jaccard between
+    // every pair of sources — the dataset-level view of duplication
+    // ("which corpora are near-copies?") that decides whole-source
+    // drops before any per-document dedup runs. Inverted-index shape:
+    // distinct (source, token) → self-join on token → pair intersection
+    // counts; pair fan-out per token is bounded by sources² (tiny),
+    // never corpus². Same machinery as q43 one level up.
+    Q("q128_source_overlap",
+      """WITH st AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM st GROUP BY source),
+        |pr AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS inter
+        |  FROM st a JOIN st b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT pr.sa, pr.sb, pr.inter,
+        |  (10000 * pr.inter) // (za.sz + zb.sz - pr.inter) AS jaccard_bp
+        |FROM pr JOIN sz za ON pr.sa = za.source JOIN sz zb ON pr.sb = zb.source
+        |ORDER BY sa, sb""".stripMargin) { (s, d) =>
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+        .distinct()
+        .localCheckpoint() // feeds sizes + both self-join sides
+      val sz = st.groupBy("source").agg(count(lit(1)).as("sz"))
+      val pr = st.select(col("source").as("sa"), col("w"))
+        .join(st.select(col("source").as("sb"), col("w").as("wb")),
+          col("w") === col("wb") && col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+      pr.join(broadcast(sz.select(col("source").as("sa"), col("sz").as("za"))), "sa")
+        .join(broadcast(sz.select(col("source").as("sb"), col("sz").as("zb"))), "sb")
+        .select(col("sa"), col("sb"), col("inter"),
+          expr("(10000 * inter) div (za + zb - inter)").as("jaccard_bp"))
+        .orderBy("sa", "sb")
+    },
+
     // Calendar gap-fill with integer linear interpolation. The filled
     // value (pv·(span−Δ) + nv·Δ) div span keeps every operand ≥ 0 so
     // DuckDB `//` (floor) and Spark `div` (truncate) agree; calendar
@@ -266,9 +300,12 @@ object MiningOps {
         |          + nv * date_diff('day', pd, day)) // date_diff('day', pd, nd)
         |  END AS BIGINT) AS cents_f
         |FROM w ORDER BY pri, day""".stripMargin) { (s, d) =>
+      // daily feeds both the span aggregate and the calendar join —
+      // checkpoint so the orders scan+aggregate runs once.
       val daily = Tables.orders(s, d)
         .groupBy(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("day"))
         .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .localCheckpoint()
       val span = daily.groupBy("pri").agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       val cal = span.select(col("pri"),
         explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))

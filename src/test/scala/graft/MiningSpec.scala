@@ -125,6 +125,35 @@ class MiningSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 4L) == Seq((4L, 1, 1L, 1L)))
   }
 
+  // ---- q127 weighted median -----------------------------------------
+
+  test("weighted median: token mass, not doc count, decides the median") {
+    // weights 2/4/6 tokens; total 12, half 6 -> the 4-token doc's length
+    val dir = tmpDir("graft_wmed")
+    writeDocs(dir, Seq(
+      (1L, "a b", "en"),                          // 2 tokens, n_chars 3
+      (2L, "bb bb bb bb", "en"),                  // 4 tokens, n_chars 11
+      (3L, "cccc cccc cccc cccc cccc cccc", "en"))) // 6 tokens, n_chars 29
+    val got = SparkEntry.queries("q127_weighted_median")(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("en", 11L, 12L)))
+  }
+
+  // ---- q128 source overlap ------------------------------------------
+
+  test("source overlap: exact vocabulary jaccard; zero-overlap pairs absent") {
+    val dir = tmpDir("graft_soverlap")
+    val rows = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b x y", "s2"), (3L, "z", "s3"))
+      .map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q128_source_overlap")(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // |{a,b}| = 2, union 6 -> 3333 bp; s3 shares nothing -> no row
+    assert(got == Seq(("s1", "s2", 2L, 3333L)))
+  }
+
   // ---- q120 point-in-time join --------------------------------------
 
   test("pit join: facts land on the version valid at ship date") {
