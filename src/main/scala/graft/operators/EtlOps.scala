@@ -106,6 +106,52 @@ object EtlOps {
         .orderBy(col("key"))
     },
 
+    // Merge-on-read with DELETE tombstones — the third leg of MERGE
+    // semantics (q83 covers insert/update): a delete batch at a higher
+    // version wins its key via the same per-key top-1 WindowGroupLimit,
+    // then tombstone winners drop out in a final filter. Keys divisible
+    // by 7 AND 11 prove precedence: the ver-2 delete beats the ver-1
+    // update. Same single shuffle on the merge key as q83 — deletes add
+    // a filter, not a join.
+    Q("q129_cdc_delete",
+      """WITH base AS (
+        |  SELECT o_orderkey AS key, 'B' AS op,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c, 0 AS ver
+        |  FROM orders
+        |), upd AS (
+        |  SELECT o_orderkey AS key, 'U' AS op,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) + 500 AS price_c, 1 AS ver
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |), del AS (
+        |  SELECT o_orderkey AS key, 'D' AS op, CAST(0 AS BIGINT) AS price_c, 2 AS ver
+        |  FROM orders WHERE o_orderkey % 11 = 0
+        |), merged AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY ver DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |        UNION ALL SELECT * FROM del) u
+        |)
+        |SELECT key, op, price_c, CAST(ver AS INTEGER) AS ver
+        |FROM merged WHERE rn = 1 AND op <> 'D'
+        |ORDER BY key""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), floor(col("o_totalprice") * 100).as("price_c"))
+      val base = o.select(col("o_orderkey").as("key"), lit("B").as("op"),
+        col("price_c"), lit(0).as("ver"))
+      val upd = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("key"), lit("U").as("op"),
+          (col("price_c") + 500).as("price_c"), lit(1).as("ver"))
+      val del = o.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey").as("key"), lit("D").as("op"),
+          lit(0L).as("price_c"), lit(2).as("ver"))
+      val w = Window.partitionBy(col("key")).orderBy(col("ver").desc)
+      base.unionAll(upd).unionAll(del)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("key"), col("op"), col("price_c"), col("ver").cast("int").as("ver"))
+        .orderBy(col("key"))
+    },
+
     // SCD Type-2 dimension build: q83's version stream materialized as
     // HISTORY instead of latest-wins — one row per (key, version) with
     // [eff_from, eff_to) validity and a current flag. eff_to is simply

@@ -134,6 +134,22 @@ class AuditSpec extends AnyFunSuite {
     assert(sampled.nonEmpty && sampled == full)
   }
 
+  // ---- q129 CDC delete ----------------------------------------------
+
+  test("cdc delete: tombstone beats update beats base; survivors keep latest") {
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // key 1: base only; key 7: updated; key 11: deleted;
+    // key 77: updated AND deleted -> the ver-2 delete must win
+    val rows = Seq(1L, 7L, 11L, 77L).map(k => (k, 1L, "O", 10.0, ts, "P1"))
+    val dir = tmpDir("graft_cdcdel")
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q129_cdc_delete")(spark, dir)
+      .as[(Long, String, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, "B", 1000L, 0), (7L, "U", 1500L, 1)))
+  }
+
   // ---- q125 skew report ---------------------------------------------
 
   test("skew report: max/mean ratio exact on a planted hot key") {
