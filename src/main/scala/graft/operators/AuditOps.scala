@@ -214,21 +214,11 @@ object AuditOps {
     // exact count and a TRUE flag, so an HLL estimate drifting past
     // ±5% breaks the hash.
     Q("q126_rolling_mau_approx",
-      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-        |mx AS (SELECT max(day) AS mx FROM ud),
-        |c AS (SELECT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
-        |  CAST(day AS TIMESTAMP) + INTERVAL 27 DAY, INTERVAL 1 DAY)) AS DATE) AS day
-        |  FROM ud)
-        |SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau, TRUE AS hll_ok
-        |FROM c CROSS JOIN mx WHERE c.day <= mx.mx
-        |GROUP BY c.day ORDER BY c.day""".stripMargin) { (s, d) =>
-      val ud = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val mx = ud.agg(max(col("day")).as("mx"))
-      ud.select(col("user_id"),
-          explode(expr("sequence(day, date_add(day, 27))")).as("day"))
-        .crossJoin(broadcast(mx))
-        .filter(col("day") <= col("mx"))
+      s"""WITH ${EventsOps.mauCteSql}
+         |SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau, TRUE AS hll_ok
+         |FROM c CROSS JOIN mx WHERE c.day <= mx.mx
+         |GROUP BY c.day ORDER BY c.day""".stripMargin) { (s, d) =>
+      EventsOps.mauSupport(s, d) // ONE shared support-interval definition
         .groupBy("day")
         .agg(countDistinct(col("user_id")).as("mau"),
           approx_count_distinct(col("user_id"), 0.02).as("approx_mau"))
@@ -281,14 +271,16 @@ object AuditOps {
         |  event_type AS c FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |g AS (SELECT a || '>' || b || '>' || c AS path, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM p WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1)
+        |  FROM p WHERE a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL GROUP BY 1)
         |SELECT path, cnt FROM g ORDER BY cnt DESC, path LIMIT 10""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type").as("c"))
         .withColumn("a", lag(col("c"), 2).over(w))
         .withColumn("b", lag(col("c"), 1).over(w))
-        .filter(col("a").isNotNull && col("b").isNotNull)
+        // c too: concat_ws SKIPS nulls while the oracle's || yields NULL —
+        // an unguarded null event_type would diverge the two.
+        .filter(col("a").isNotNull && col("b").isNotNull && col("c").isNotNull)
         .select(concat_ws(">", col("a"), col("b"), col("c")).as("path"))
         .groupBy("path").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("path"))
@@ -318,8 +310,12 @@ object AuditOps {
         .agg(sum(col("cents") * col("dt")).as("weighted"),
           sum(col("dt")).as("span_us"))
         .filter(col("span_us") > 0)
+        // FLOOR division to match DuckDB `//` even when refunds make the
+        // weighted sum negative (Spark's div truncates toward zero —
+        // they differ on negative non-exact quotients).
         .select(col("user_id"), col("span_us"),
-          expr("weighted div span_us").as("twa_c"))
+          expr("CASE WHEN weighted >= 0 THEN weighted div span_us " +
+            "ELSE -((-weighted + span_us - 1) div span_us) END").as("twa_c"))
         .orderBy("user_id")
     }
   )

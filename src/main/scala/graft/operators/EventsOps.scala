@@ -244,23 +244,39 @@ object EventsOps {
     // per-day HLL sketches merged across the window (approx path);
     // the explode shape itself is already linear.
     Q("q121_rolling_mau",
-      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-        |mx AS (SELECT max(day) AS mx FROM ud),
-        |c AS (SELECT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
-        |  CAST(day AS TIMESTAMP) + INTERVAL 27 DAY, INTERVAL 1 DAY)) AS DATE) AS day
-        |  FROM ud)
-        |SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau
-        |FROM c CROSS JOIN mx WHERE c.day <= mx.mx
-        |GROUP BY c.day ORDER BY c.day""".stripMargin) { (s, d) =>
-      val ud = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val mx = ud.agg(max(col("day")).as("mx"))
-      ud.select(col("user_id"),
-          explode(expr("sequence(day, date_add(day, 27))")).as("day"))
-        .crossJoin(broadcast(mx))
-        .filter(col("day") <= col("mx"))
+      s"""WITH $mauCteSql
+         |SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau
+         |FROM c CROSS JOIN mx WHERE c.day <= mx.mx
+         |GROUP BY c.day ORDER BY c.day""".stripMargin) { (s, d) =>
+      mauSupport(s, d)
         .groupBy("day").agg(countDistinct(col("user_id")).as("mau"))
         .orderBy("day")
     }
   )
+
+  /** Clipped 28-day support contributions — ONE definition shared by
+    * q121 (exact) and q126 (HLL envelope) so the window length, clip
+    * rule, and distinct-day derivation cannot desynchronize: one row
+    * per (user_id, supported day ≤ max observed day). */
+  private[operators] def mauSupport(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val mx = ud.agg(max(col("day")).as("mx"))
+    ud.select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 27))")).as("day"))
+      .crossJoin(broadcast(mx))
+      .filter(col("day") <= col("mx"))
+      .select(col("user_id"), col("day"), col("mx"))
+  }
+
+  /** The matching oracle CTE block (ud/mx/c), single-line fragments so
+    * stripMargin in the embedding query can't eat interior pipes.
+    * (def, not val: referenced from `qs` above — a val would still be
+    * null during the object's own initialization.) */
+  private[operators] def mauCteSql: String =
+    "ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+      "mx AS (SELECT max(day) AS mx FROM ud), " +
+      "c AS (SELECT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP), " +
+      "CAST(day AS TIMESTAMP) + INTERVAL 27 DAY, INTERVAL 1 DAY)) AS DATE) AS day FROM ud)"
 }

@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   *    ratio is ranking by PMI with zero float drift. At N ≳ 10⁹
   *    tokens the product needs the q98-style fixed-point rescale.
   *  - q112 trailing-window spike detection: per (event_type, day),
-  *    flag days whose revenue exceeds 1.3× the trailing-7-day mean —
-  *    expressed as cents·70 > 13·sum7 so the mean never materializes
-  *    as a float. Bounded window over a per-key DAILY series (the
-  *    window state is days, not events).
+  *    flag days whose revenue exceeds 1.3× the mean of the 7 most
+  *    recent OBSERVED days (rows of the daily series — a zero-event
+  *    calendar day is absent and the window reaches further back; use
+  *    q115's gap-fill first when strict calendar semantics are
+  *    needed). Expressed as cents·70 > 13·sum7 so the mean never
+  *    materializes as a float; window state is days, not events.
   *  - q113 sorted-neighborhood dedup blocking (Hernández–Stolfo):
   *    documents sorted by (lang, n_chars, doc_id), each paired with
   *    its next w=4 neighbors, exact shingle-Jaccard verify. The rank
@@ -117,8 +119,11 @@ object MiningOps {
         |FROM bc JOIN uc ux ON bc.x = ux.w JOIN uc uy ON bc.y = uy.w CROSS JOIN n
         |WHERE bc.cxy >= 5
         |ORDER BY pmi_score DESC, x, y LIMIT 20""".stripMargin) { (s, d) =>
+      // toks feeds the unigram AND bigram branches; uni feeds counts AND
+      // the total — checkpoints keep the scan+tokenize to one run each.
       val toks = Tables.documents(s, d).select(TextFns.tokens(col("text")).as("tk"))
-      val uni = toks.select(explode(col("tk")).as("w"))
+        .localCheckpoint()
+      val uni = toks.select(explode(col("tk")).as("w")).localCheckpoint()
       val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
       val n = uni.agg(count(lit(1)).as("n"))
       val bc = toks
@@ -136,10 +141,12 @@ object MiningOps {
         .limit(20)
     },
 
-    // Trailing-window revenue spikes: day beats 1.3× its trailing-7-day
-    // mean, full weeks only (c7 = 7). Integer comparison cents·70 >
-    // 13·s7 — no float mean. The window runs over the per-key daily
-    // aggregate, so frame state is 7 rows regardless of event volume.
+    // Trailing-window revenue spikes: day beats 1.3× the mean of its 7
+    // most recent OBSERVED days (see object doc — quiet calendar days
+    // are absent from the daily series), full windows only (c7 = 7).
+    // Integer comparison cents·70 > 13·s7 — no float mean. The window
+    // runs over the per-key daily aggregate, so frame state is 7 rows
+    // regardless of event volume.
     Q("q112_spike_detection",
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -184,12 +191,17 @@ object MiningOps {
          |WHERE len(list_intersect(a.sg, b.sg)) * 10
          |  >= 3 * (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val ranked = graft.plans.PrefixScan.cumsum(
-        shingledDocs(s, d)
-          .withColumn("nb", (col("n_chars") / 100).cast("long"))
-          .withColumn("one", lit(1L)),
+      // PrefixScan consumes its input twice (local window + offsets) and
+      // `ranked` feeds both join sides below — without the checkpoints
+      // the corpus-wide shingling would run four times.
+      val base = shingledDocs(s, d)
+        .withColumn("nb", (col("n_chars") / 100).cast("long"))
+        .withColumn("one", lit(1L))
+        .localCheckpoint()
+      val ranked = graft.plans.PrefixScan.cumsum(base,
         part = Seq("lang"), bucket = "nb",
         order = Seq("n_chars", "doc_id"), value = "one", out = "rnk")
+        .localCheckpoint()
       val a = ranked.select(col("doc_id").as("a_id"), col("lang"), col("sg").as("a_sg"),
         explode(sequence(col("rnk") + 1, col("rnk") + snmWindow)).as("nbr"))
       val b = ranked.select(col("doc_id").as("b_id"), col("lang").as("langb"),
