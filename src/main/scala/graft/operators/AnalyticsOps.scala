@@ -32,8 +32,8 @@ object AnalyticsOps {
   private val chunkWidth = 32
   private val chunkStride = 24 // overlap = 8 tokens
 
-  private def roundTripDir(fmt: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$fmt"
+  // one temp-dir scheme for ALL format round-trips (q59/q60/q80/q86/q104)
+  private def roundTripDir(fmt: String): String = Extras.roundTripDir(fmt)
 
   /** Equi-depth histogram from value-level counts: for each distinct
     * value, its rank range [s, e] within the total order, then the
@@ -144,9 +144,13 @@ object AnalyticsOps {
         |  (5000 * (t1 + n_tokens * (nn - covered))) // (nn * n_tokens) AS tvd_bp
         |FROM a ORDER BY source""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // st feeds the token-total window, the per-source totals, AND
+      // (via ns) the corpus total — checkpoint the corpus-wide explode
+      // once (q101's three-consumer rule).
       val st = Tables.documents(s, d)
         .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("cst"))
+        .localCheckpoint()
       val wc = st.withColumn("ct", sum(col("cst")).over(Window.partitionBy("w")))
       val ns = st.groupBy("source").agg(sum(col("cst")).as("n_tokens"))
       val tot = ns.agg(sum(col("n_tokens")).as("nn"))
@@ -359,7 +363,10 @@ object AnalyticsOps {
   /** Systematic PPS sample (exposed for tests): input needs (doc_id,
     * nw); returns one row per dart k = 0..K−1 with the selected
     * (doc_id, nw). */
-  private[graft] def ppsSample(t: DataFrame, k: Int): DataFrame = {
+  private[graft] def ppsSample(t0: DataFrame, k: Int): DataFrame = {
+    // three consumers (cumsum local side, cumsum offsets, wtot) — the
+    // standard multiply-consumed-subtree checkpoint (q101's rule).
+    val t = t0.localCheckpoint()
     val byRow = t.withColumn("bkt", (col("doc_id") / 100L).cast("long"))
     val cum = graft.plans.PrefixScan.cumsum(byRow, part = Seq(), bucket = "bkt",
       order = Seq("doc_id"), value = "nw", out = "cum")
@@ -379,9 +386,13 @@ object AnalyticsOps {
     * two-level scan, then one join back to recover surviving rows
     * (duplicate frontier points are all kept — none dominates its
     * twin). Input needs columns x, y (long). */
-  private[graft] def paretoFrontier(df: DataFrame, part: Seq[String]): DataFrame = {
+  private[graft] def paretoFrontier(df0: DataFrame, part: Seq[String]): DataFrame = {
+    // df feeds the byX build AND the recovery join; byX feeds both
+    // suffixMaxExcl sides — checkpoint each once.
+    val df = df0.localCheckpoint()
     val byX = df.groupBy((part :+ "x").map(col): _*).agg(max(col("y")).as("ymax"))
       .withColumn("bkt", (col("x") / 100000L).cast("long"))
+      .localCheckpoint()
     val suff = graft.plans.PrefixScan.suffixMaxExcl(byX, part, bucket = "bkt",
       order = Seq("x"), value = "ymax", out = "sm")
     val frontier = suff.where(col("ymax") > col("sm"))

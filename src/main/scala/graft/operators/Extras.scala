@@ -130,7 +130,7 @@ object Extras {
       .orderBy(col("dirty_key"), col("match_key"))
   }
 
-  private def roundTripDir(fmt: String): String =
+  private[operators] def roundTripDir(fmt: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$fmt"
 
   val qs: Seq[Q] = Seq(

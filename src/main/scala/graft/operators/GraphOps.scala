@@ -66,12 +66,13 @@ object GraphOps {
   private[graft] def triangleCounts(und: DataFrame): DataFrame = {
     val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy("a").agg(count(lit(1)).as("dg"))
-    // total orientation key: (degree, id) packed into one long (ids are
-    // bounded far below 1e6 in every fixture; at larger id spaces use a
-    // struct comparison instead of packing).
+    // total orientation key: lexicographic (degree, id) as a STRUCT
+    // comparison — id-space-independent (a packed dg·C + id long would
+    // silently collide once ids reach C and drop edges at exactly the
+    // scale this oriented plan exists for).
     val keyed = sym
-      .join(deg.select(col("a"), (col("dg") * 1000000L + col("a")).as("ka")), "a")
-      .join(deg.select(col("a").as("b"), (col("dg") * 1000000L + col("a")).as("kb")), "b")
+      .join(deg.select(col("a"), struct(col("dg"), col("a")).as("ka")), "a")
+      .join(deg.select(col("a").as("b"), struct(col("dg"), col("a")).as("kb")), "b")
     // materialized once: consumed three times below (wedge left, wedge
     // right, closing-edge probe) — without the checkpoint the whole
     // base-edge build re-executes per consumer.

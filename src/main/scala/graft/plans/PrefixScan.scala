@@ -45,7 +45,11 @@ object PrefixScan {
     * cumsum: per-(part, bucket) local window + broadcast bucket maxima,
     * so no group ever collapses into one window partition. Rows with no
     * predecessor get Long.MinValue. `bucket` must be a monotone
-    * function of the sort key (both walked descending). */
+    * function of the sort key (both walked descending). PRECONDITION:
+    * (`part`, `order`...) must be unique per row — on ties the
+    * exclusive frame's row order is ambiguous and `out` becomes
+    * tie-order-dependent (callers like paretoFrontier pre-aggregate to
+    * unique keys for exactly this reason). */
   def suffixMaxExcl(df: DataFrame, part: Seq[String], bucket: String,
       order: Seq[String], value: String, out: String): DataFrame = {
     val floor = Long.MinValue

@@ -49,10 +49,16 @@ object TriangleScale {
     val spark = GraftSession.create()
     val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(2000, 8000, 20000)
     println("TRISCALE h, naive_s, oriented_s, naive_tris, oriented_tris")
+    // one untimed throwaway at the smallest size: without it the first
+    // measured point absorbs session/JIT warmup and the naive baseline
+    // reads non-monotone across the sweep (seen in the round-6 table).
+    locally {
+      val w = hubGraph(spark, 500).localCheckpoint()
+      naive(w).agg(sum("tri_cnt")).collect()
+      GraphOps.triangleCounts(w).agg(sum("tri_cnt")).collect()
+    }
     sizes.foreach { h =>
       val e = hubGraph(spark, h).localCheckpoint()
-      // warm both once at tiny scale is unnecessary: each timing below
-      // includes one full job; JIT noise is amortized by the h sweep.
       val (tn, sn) = time(naive(e).agg(sum("tri_cnt")).collect()(0).getLong(0))
       val (to, so) = time(GraphOps.triangleCounts(e).agg(sum("tri_cnt")).collect()(0).getLong(0))
       println(f"TRISCALE $h%6d  $tn%8.2f  $to%8.2f  $sn%10d  $so%10d")
