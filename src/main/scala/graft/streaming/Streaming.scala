@@ -297,13 +297,22 @@ object Streaming {
     * batch query's `ts > prev_stage_ts`), so under per-key event-time-
     * ordered delivery — the watermark discipline every other parity
     * test uses — the final state equals the batch result exactly.
-    * State is three epoch-millis longs per user (bounded, no event
-    * buffering); a view arriving late (below an already-locked stage)
-    * can lower v_ts but never retro-unlocks c/p — the documented
-    * divergence under out-of-order replay beyond the watermark. */
+    * State is three epoch-MICROSECOND longs per user (bounded, no
+    * event buffering) — micros because the batch comparison runs at
+    * full timestamp precision and the fixtures are µs-resolution, so
+    * milli-truncated state would drop a click 500 µs after its view.
+    * Every stage timestamp is write-once: a view arriving late (below
+    * an already-locked stage) is IGNORED, never lowers v_ts — the
+    * documented divergence under out-of-order replay beyond the
+    * watermark. */
   final case class FunnelEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
   final case class FunnelState(v: Long, c: Long, p: Long)
-  final case class FunnelRow(user_id: Long, v_ms: Long, c_ms: Long, p_ms: Long, stage: Int)
+  final case class FunnelRow(user_id: Long, v_us: Long, c_us: Long, p_us: Long, stage: Int)
+
+  /** Epoch micros from a Timestamp (getTime is millis; nanos carries
+    * the full sub-second part). */
+  private[graft] def epochMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
 
   class FunnelProcessor extends StatefulProcessor[Long, FunnelEvent, FunnelRow] {
     @transient private var st: ValueState[FunnelState] = _
@@ -313,8 +322,8 @@ object Streaming {
     override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
         timerValues: TimerValues): Iterator[FunnelRow] = {
       var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
-      rows.toArray.sortBy(_.ts.getTime).foreach { e =>
-        val t = e.ts.getTime
+      rows.toArray.sortBy(e => epochMicros(e.ts)).foreach { e =>
+        val t = epochMicros(e.ts)
         e.event_type match {
           case "view"     => if (s.v < 0) s = s.copy(v = t)
           case "click"    => if (s.v >= 0 && t > s.v && s.c < 0) s = s.copy(c = t)

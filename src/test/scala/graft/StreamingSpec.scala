@@ -393,9 +393,11 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("funnel_out")
       .outputMode(OutputMode.Update).start()
     try {
-      // per-key event-time order via a global sort (the watermark
-      // discipline); 3 chunks so state crosses batch boundaries
-      val evs = fixtureEvents.sortBy(e => (e.ts.toEpochMilli, e.event_id))
+      // per-key event-time order via a global sort at FULL µs precision
+      // (the watermark discipline); 3 chunks so state crosses batch
+      // boundaries
+      val evs = fixtureEvents
+        .sortBy(e => (e.ts.getEpochSecond, e.ts.getNano, e.event_id))
         .map(e => FunnelEvent(e.user_id, e.event_type, java.sql.Timestamp.from(e.ts)))
       evs.grouped(400).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
       // stage is monotone per user and timestamps are write-once, so the
@@ -405,15 +407,15 @@ class StreamingSpec extends AnyFunSuite {
         .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.stage) }
       val batch = SparkEntry.queries("q93_funnel")(spark, "/root/testdata/sf0.001")
         .select(col("user_id"),
-          coalesce(unix_millis(col("v_ts").cast("timestamp")), lit(-1L)).as("v"),
-          coalesce(unix_millis(col("c_ts").cast("timestamp")), lit(-1L)).as("c"),
-          coalesce(unix_millis(col("p_ts").cast("timestamp")), lit(-1L)).as("p"),
+          coalesce(unix_micros(col("v_ts").cast("timestamp")), lit(-1L)).as("v"),
+          coalesce(unix_micros(col("c_ts").cast("timestamp")), lit(-1L)).as("c"),
+          coalesce(unix_micros(col("p_ts").cast("timestamp")), lit(-1L)).as("p"),
           col("stage"))
         .as[(Long, Long, Long, Long, Int)].collect()
       assert(streamed.keySet == batch.map(_._1).toSet)
       batch.foreach { case (u, v, c, p, st) =>
         val r = streamed(u)
-        assert((r.v_ms, r.c_ms, r.p_ms, r.stage) == ((v, c, p, st)),
+        assert((r.v_us, r.c_us, r.p_us, r.stage) == ((v, c, p, st)),
           s"user $u: streamed $r vs batch ($v,$c,$p,$st)")
       }
     } finally q.stop()
