@@ -172,6 +172,49 @@ object MiningOps {
         .orderBy("event_type", "day")
     },
 
+    // Calendar-strict spike detection — q112's caveat resolved by
+    // composition: the daily series is first densified with a
+    // per-event_type calendar (absent day = 0 revenue, the correct
+    // zero-fill for event revenue — interpolation would invent sales),
+    // so the 7-PRECEDING row frame IS 7 calendar days. Quiet days can
+    // never spike (0·70 > 13·s7 is false for s7 ≥ 0); c7 = 7 still
+    // gates the warm-up edge.
+    Q("q130_calendar_spike",
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM d GROUP BY 1),
+        |cal AS (SELECT event_type, CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |  CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM s),
+        |f AS (SELECT cal.event_type, cal.day, COALESCE(d.cents, 0) AS cents
+        |  FROM cal LEFT JOIN d ON cal.event_type = d.event_type AND cal.day = d.day),
+        |w AS (SELECT event_type, day, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s7,
+        |  count(*) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS c7
+        |  FROM f)
+        |SELECT event_type, day, cents, s7 FROM w
+        |WHERE c7 = 7 AND cents * 70 > 13 * s7
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .localCheckpoint() // feeds the span aggregate AND the calendar join
+      val span = daily.groupBy("event_type")
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val cal = span.select(col("event_type"),
+        explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+      cal.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("cents", coalesce(col("cents"), lit(0L)))
+        .withColumn("s7", sum(col("cents")).over(w)) // non-null wherever c7=7
+        .withColumn("c7", count(lit(1)).over(w))
+        .filter(col("c7") === 7 && col("cents") * 70 > col("s7") * 13)
+        .select(col("event_type"), col("day"), col("cents"), col("s7"))
+        .orderBy("event_type", "day")
+    },
+
     // Sorted-neighborhood dedup: rank within lang by (n_chars, doc_id)
     // via PrefixScan (bucket = n_chars div 100 is monotone in the sort
     // key, so the two-level scan equals the global row_number), pair

@@ -76,6 +76,27 @@ class MiningSpec extends AnyFunSuite {
     assert(got.toSeq == (8 to 13).map(i => f"2024-01-$i%02d"))
   }
 
+  test("calendar spike vs observed-row spike: a quiet day shifts the baseline") {
+    def day(i: Int) = Timestamp.valueOf(f"2024-03-$i%02d 12:00:00")
+    // days 1-7 at 1.00, day 8 QUIET (no events), day 9 at 10.00
+    val rows = (1 to 7).map(i => (i.toLong, day(i), 1L, "buy", 1.0, "{}")) :+
+      (9L, day(9), 1L, "buy", 10.0, "{}")
+    val dir = tmpDir("graft_calspike")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val cal = SparkEntry.queries("q130_calendar_spike")(spark, dir)
+      .as[(String, Date, Long, Long)].collect().map(r => (r._2.toString, r._3, r._4))
+    val obs = SparkEntry.queries("q112_spike_detection")(spark, dir)
+      .as[(String, Date, Long, Long)].collect().map(r => (r._2.toString, r._3, r._4))
+    // calendar semantics: day 9's trailing week is days 2-8 incl. the
+    // zero-filled quiet day -> s7 = 600; observed-row semantics reach
+    // back to day 1 -> s7 = 700. Both flag the spike, with different
+    // baselines - the quiet day is exactly what separates them.
+    assert(cal.contains(("2024-03-09", 1000L, 600L)), s"calendar: ${cal.toSeq}")
+    assert(obs.contains(("2024-03-09", 1000L, 700L)), s"observed: ${obs.toSeq}")
+    assert(!cal.exists(_._1 == "2024-03-08"), "a zero-fill day can never spike")
+  }
+
   test("spike detection: no flag without 7 full preceding days") {
     def day(i: Int) = Timestamp.valueOf(f"2024-02-${i}%02d 12:00:00")
     val rows = (1 to 5).map(i => (i.toLong, day(i), 1L, "buy", 1.0, "{}")) :+
