@@ -3,13 +3,18 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 
 /** Memoized derived values (localCheckpoint'ed DataFrames or tuples of
-  * them) keyed by (session, fixture dir) — the single-process stand-in
-  * for the persisted intermediates a production pipeline writes once
-  * per corpus snapshot (IVF index, near-dup pair graph, percentile
-  * stats table). Contract: the derivation must be RNG-free and the dir
-  * immutable, so a cached value is bit-identical to a recomputation
-  * (certified for the pair graph in LawsSpec); the caller
-  * localCheckpoints inside `f` so reuse never replays lineage.
+  * them) keyed by (session, fixture dir, dir fingerprint) — the
+  * single-process stand-in for the persisted intermediates a production
+  * pipeline writes once per corpus snapshot (IVF index, near-dup pair
+  * graph, percentile stats table).
+  *
+  * CONTRACT: the derivation must be RNG-free, so a cached value is
+  * bit-identical to a recomputation (certified for the pair graph in
+  * LawsSpec), and the caller localCheckpoints inside `f` so reuse never
+  * replays lineage. The dir does NOT have to stay immutable: the key
+  * includes a cheap fingerprint of the dir tree (relative path + length
+  * + mtime of every data file), so overwriting a corpus in place
+  * invalidates the entry instead of silently serving stale frames.
   *
   * Entries for STOPPED sessions are evicted on every access: their
   * localCheckpoint blocks died with the session's block manager, so
@@ -18,10 +23,40 @@ import org.apache.spark.sql.SparkSession
   */
 final class DerivationCache[V] {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), V]()
 
   def getOrCompute(s: SparkSession, dir: String)(f: => V): V = {
     cache.keySet().removeIf(k => k._1.sparkContext.isStopped)
-    cache.computeIfAbsent((s, dir), _ => f)
+    cache.computeIfAbsent((s, dir, DerivationCache.dirFingerprint(dir)), _ => f)
+  }
+}
+
+object DerivationCache {
+  /** Order-independent fingerprint of a fixture dir: XOR-folded hash of
+    * (relative path, length, mtime) for every regular file under it.
+    * Metadata-only (no reads), one directory walk — microseconds for a
+    * fixture tree, and in exchange an in-place overwrite of any table
+    * becomes a cache miss instead of a stale hit. A missing dir (e.g. a
+    * JDBC-only "dir" key that is really a URL) fingerprints as 0 — those
+    * callers key on content-stable identifiers already.
+    */
+  private[plans] def dirFingerprint(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) return 0L
+    var acc = 0L
+    val stream = java.nio.file.Files.walk(root)
+    try {
+      stream.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val h = scala.util.hashing.MurmurHash3.stringHash(
+            root.relativize(p).toString + "|" +
+              java.nio.file.Files.size(p) + "|" +
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          // XOR is commutative: walk order (FS-dependent) cannot matter.
+          acc ^= (h.toLong << 32) | (h.toLong & 0xffffffffL)
+        }
+      }
+    } finally stream.close()
+    acc
   }
 }

@@ -310,9 +310,13 @@ object Streaming {
   final case class FunnelRow(user_id: Long, v_us: Long, c_us: Long, p_us: Long, stage: Int)
 
   /** Epoch micros from a Timestamp (getTime is millis; nanos carries
-    * the full sub-second part). */
+    * the full sub-second part). floorDiv, not `/`: getTime for a
+    * pre-1970 instant with a fractional second is (second+1)·1000
+    * short of the floor, and truncating division would round it the
+    * wrong way (1969-12-31 23:59:59.5 → +500000 instead of −500000);
+    * floorDiv matches unix_micros for all ranges. */
   private[graft] def epochMicros(ts: java.sql.Timestamp): Long =
-    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   class FunnelProcessor extends StatefulProcessor[Long, FunnelEvent, FunnelRow] {
     @transient private var st: ValueState[FunnelState] = _
