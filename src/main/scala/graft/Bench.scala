@@ -57,7 +57,13 @@ object Bench {
     val failedField =
       if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout capture has truncated the tail of this (long) line two
+    // rounds running; the file copy is the durable record.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

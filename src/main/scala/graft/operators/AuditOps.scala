@@ -52,17 +52,24 @@ object AuditOps {
     * (lineitem: its 3 FK columns; orders: o_orderkey + o_custkey),
     * localCheckpoint'ed and shared by q117's six edges and q125's three
     * key-skew stats — in production this is the audit staging table
-    * written once per snapshot. */
-  private val keysCache = new graft.plans.DerivationCache[(DataFrame, DataFrame)]
+    * written once per snapshot. Cached PER TABLE so a caller that only
+    * audits one fact table (q125 → lineitem) never materializes — or
+    * requires the existence of — the other. */
+  private val liKeysCache = new graft.plans.DerivationCache[DataFrame]
+  private val ordKeysCache = new graft.plans.DerivationCache[DataFrame]
 
-  private def factKeys(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    keysCache.getOrCompute(s, d) {
-      (Tables.lineitem(s, d)
+  private def lineitemKeys(s: SparkSession, d: String): DataFrame =
+    liKeysCache.getOrCompute(s, d) {
+      Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
-        .localCheckpoint(),
-        Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_custkey"))
-          .localCheckpoint())
+        .localCheckpoint()
+    }
+
+  private def orderKeys(s: SparkSession, d: String): DataFrame =
+    ordKeysCache.getOrCompute(s, d) {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .localCheckpoint()
     }
 
   /** FK edge with a caller-supplied (already-counted) child cardinality
@@ -156,7 +163,8 @@ object AuditOps {
         |  (SELECT CAST(count(*) AS BIGINT) FROM supplier s LEFT JOIN nation n
         |     ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
         |ORDER BY edge""".stripMargin) { (s, d) =>
-      val (li, ord) = factKeys(s, d)
+      val li = lineitemKeys(s, d)
+      val ord = orderKeys(s, d)
       // One counting pass per fact table, shared across its edges
       // (1-row frames; checkpointed so each reuse is a lookup, not a
       // recount of the projection).
@@ -237,7 +245,7 @@ object AuditOps {
         |  UNION ALL SELECT 'l_partkey', * FROM p
         |  UNION ALL SELECT 'l_suppkey', * FROM s)
         |ORDER BY key_col""".stripMargin) { (s, d) =>
-      val (li, _) = factKeys(s, d)
+      val li = lineitemKeys(s, d)
       def keyStats(name: String, key: String): DataFrame =
         li.groupBy(col(key).as("k"))
           .agg(count(lit(1)).as("c"))

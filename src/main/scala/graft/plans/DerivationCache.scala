@@ -16,10 +16,17 @@ import org.apache.spark.sql.SparkSession
   * + mtime of every data file), so overwriting a corpus in place
   * invalidates the entry instead of silently serving stale frames.
   *
-  * Entries for STOPPED sessions are evicted on every access: their
-  * localCheckpoint blocks died with the session's block manager, so
-  * keeping them would both leak the reference and serve unreadable
-  * frames to a key that can never be queried again.
+  * Eviction, two rules:
+  *  - entries for STOPPED sessions are dropped on every access (their
+  *    localCheckpoint blocks died with the session's block manager);
+  *  - on a fingerprint change for the same (session, dir), the
+  *    superseded entry is dropped before the new one is computed —
+  *    otherwise repeated in-place overwrites (the exact scenario the
+  *    fingerprint exists for) would pin one dead checkpoint's blocks
+  *    per overwrite for the session's lifetime. Dropping the reference
+  *    is what frees the storage: localCheckpoint blocks belong to the
+  *    checkpointed RDD and the ContextCleaner reclaims them once the
+  *    frame is unreachable (best-effort unpersist is issued too).
   */
 final class DerivationCache[V] {
   private val cache =
@@ -27,36 +34,70 @@ final class DerivationCache[V] {
 
   def getOrCompute(s: SparkSession, dir: String)(f: => V): V = {
     cache.keySet().removeIf(k => k._1.sparkContext.isStopped)
-    cache.computeIfAbsent((s, dir, DerivationCache.dirFingerprint(dir)), _ => f)
+    val fp = DerivationCache.dirFingerprint(dir)
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == s && e.getKey._2 == dir && e.getKey._3 != fp) {
+        DerivationCache.unpersistAll(e.getValue)
+        it.remove()
+      }
+    }
+    cache.computeIfAbsent((s, dir, fp), _ => f)
   }
 }
 
 object DerivationCache {
-  /** Order-independent fingerprint of a fixture dir: XOR-folded hash of
-    * (relative path, length, mtime) for every regular file under it.
-    * Metadata-only (no reads), one directory walk — microseconds for a
-    * fixture tree, and in exchange an in-place overwrite of any table
-    * becomes a cache miss instead of a stale hit. A missing dir (e.g. a
-    * JDBC-only "dir" key that is really a URL) fingerprints as 0 — those
-    * callers key on content-stable identifiers already.
+  /** Order-independent fingerprint of a fixture dir: XOR-folded 64-bit
+    * hash of (relative path, length, mtime) for every regular file under
+    * it. Metadata-only (no reads), one directory walk — microseconds for
+    * a fixture tree, and in exchange an in-place overwrite of any table
+    * becomes a cache miss instead of a stale hit. The walk is deliberately
+    * NOT memoized: it is the only thing standing between an overwritten
+    * fixture and a stale cache hit, and at µs per call the TTL bookkeeping
+    * would cost more than it saves. A missing dir (e.g. a JDBC-only "dir"
+    * key that is really a URL) fingerprints as 0 — those callers key on
+    * content-stable identifiers already. A walk that races with a
+    * concurrent rewrite (file vanishing mid-walk) falls back to a
+    * never-matching sentinel: the derivation recomputes and the sentinel
+    * entry is evicted by the next clean fingerprint.
     */
   private[plans] def dirFingerprint(dir: String): Long = {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(root)) return 0L
     var acc = 0L
-    val stream = java.nio.file.Files.walk(root)
     try {
-      stream.forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p)) {
-          val h = scala.util.hashing.MurmurHash3.stringHash(
-            root.relativize(p).toString + "|" +
+      val stream = java.nio.file.Files.walk(root)
+      try {
+        stream.forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p)) {
+            val meta = root.relativize(p).toString + "|" +
               java.nio.file.Files.size(p) + "|" +
-              java.nio.file.Files.getLastModifiedTime(p).toMillis)
-          // XOR is commutative: walk order (FS-dependent) cannot matter.
-          acc ^= (h.toLong << 32) | (h.toLong & 0xffffffffL)
+              java.nio.file.Files.getLastModifiedTime(p).toMillis
+            // Two independently-seeded 32-bit murmurs give the full 64
+            // bits of entropy (duplicating one hash into both words
+            // would let paired file changes cancel under XOR).
+            val hi = scala.util.hashing.MurmurHash3.stringHash(meta, 0x9747b28c)
+            val lo = scala.util.hashing.MurmurHash3.stringHash(meta, 0x85ebca6b)
+            // XOR is commutative: walk order (FS-dependent) cannot matter.
+            acc ^= (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+          }
         }
-      }
-    } finally stream.close()
-    acc
+      } finally stream.close()
+      acc
+    } catch {
+      case _: java.io.UncheckedIOException | _: java.io.IOException =>
+        System.nanoTime() | 1L // unique ⇒ forced recompute, then evicted
+    }
+  }
+
+  /** Best-effort release of the Dataset storage held by an evicted
+    * value (a DataFrame, or any tuple/collection nesting of them). */
+  private def unpersistAll(v: Any): Unit = v match {
+    case ds: org.apache.spark.sql.Dataset[_] =>
+      try { ds.unpersist(); () } catch { case _: Throwable => () }
+    case p: Product  => p.productIterator.foreach(unpersistAll)
+    case i: Iterable[_] => i.foreach(unpersistAll)
+    case _ => ()
   }
 }

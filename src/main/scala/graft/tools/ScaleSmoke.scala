@@ -160,6 +160,73 @@ object ScaleSmoke {
       return
     }
 
+    // Audit-only mode: the audit/profiling family (q116–q118, q125,
+    // q126) at 1× (real sf0.1) vs a 10× synthetic star schema with the
+    // same shapes (6M lineitem, 1.5M orders, 1M events, 50k documents).
+    // The round-5 shared-scan plans (checkpointed fact-key projections,
+    // union-of-single-distinct profiling, MG+recount) are all expected
+    // near-linear; this measures it. Cold = first run at the dir
+    // (includes the staging scan + checkpoint build); steady = min of 2
+    // reruns (staging amortized across the audit suite, the production
+    // shape where the staging table is written once per snapshot).
+    if (sys.env.contains("SPARK_GRAFT_AUDIT_ONLY")) {
+      val adir = "/tmp/graft_audit10x"
+      synthesize(spark, adir, nDocs = 50000L, nVecs = 100L) // 10x documents
+      val epoch = lit(1704067200L) // 2024-01-01T00:00:00Z
+      spark.range(1000000L)
+        .select(col("id").as("event_id"),
+          timestamp_micros((epoch + pmod(xxhash64(col("id")), lit(30L * 86400))) * 1000000L)
+            .cast("timestamp_ntz").as("ts"),
+          pmod(xxhash64(col("id") + 9), lit(20000L)).as("user_id"),
+          element_at(array(lit("view"), lit("click"), lit("purchase")),
+            (pmod(xxhash64(col("id") + 4), lit(3)) + 1).cast("int")).as("event_type"),
+          (pmod(xxhash64(col("id") + 2), lit(10000L)).cast("double") / 100.0).as("value"),
+          lit("{}").as("props"))
+        .write.mode("overwrite").parquet(s"$adir/events.parquet")
+      spark.range(6000000L)
+        .select(pmod(xxhash64(col("id")), lit(1500000L)).as("l_orderkey"),
+          pmod(xxhash64(col("id") + 3), lit(200000L)).as("l_partkey"),
+          pmod(xxhash64(col("id") + 5), lit(10000L)).as("l_suppkey"))
+        .write.mode("overwrite").parquet(s"$adir/lineitem.parquet")
+      spark.range(1500000L)
+        .select(col("id").as("o_orderkey"),
+          pmod(xxhash64(col("id") + 7), lit(150000L)).as("o_custkey"),
+          element_at(array(lit("O"), lit("F"), lit("P")),
+            (pmod(xxhash64(col("id") + 11), lit(3)) + 1).cast("int")).as("o_orderstatus"),
+          (pmod(xxhash64(col("id") + 13), lit(50000000L)).cast("double") / 100.0)
+            .as("o_totalprice"),
+          date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+            pmod(col("id"), lit(365)).cast("int")).as("o_orderdate"),
+          concat(lit("P"), pmod(col("id"), lit(5))).as("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$adir/orders.parquet")
+      spark.range(150000L).select(col("id").as("c_custkey"),
+          pmod(col("id"), lit(25)).as("c_nationkey"))
+        .write.mode("overwrite").parquet(s"$adir/customer.parquet")
+      spark.range(10000L).select(col("id").as("s_suppkey"),
+          pmod(col("id"), lit(25)).as("s_nationkey"))
+        .write.mode("overwrite").parquet(s"$adir/supplier.parquet")
+      spark.range(200000L).select(col("id").as("p_partkey"))
+        .write.mode("overwrite").parquet(s"$adir/part.parquet")
+      spark.range(25L).select(col("id").as("n_nationkey"),
+          pmod(col("id"), lit(5)).as("n_regionkey"))
+        .write.mode("overwrite").parquet(s"$adir/nation.parquet")
+      spark.range(5L).select(col("id").as("r_regionkey"))
+        .write.mode("overwrite").parquet(s"$adir/region.parquet")
+
+      val auditOps = Seq("q116_heavy_hitters", "q117_fk_audit",
+        "q118_column_profile", "q125_skew_report", "q126_rolling_mau_approx")
+      println(f"${"op"}%-26s ${"1x-cold"}%8s ${"1x"}%8s ${"10x-cold"}%9s ${"10x"}%8s ${"ratio"}%7s")
+      auditOps.foreach { name =>
+        val c1 = run(name, base)
+        val t1 = math.min(run(name, base), run(name, base))
+        val c2 = run(name, adir)
+        val t2 = math.min(run(name, adir), run(name, adir))
+        println(f"AUDIT $name%-26s $c1%8.2f $t1%8.2f $c2%9.2f $t2%8.2f ${t2 / t1}%7.1f")
+      }
+      spark.stop()
+      return
+    }
+
     // Containment-only mode: q89's count join vs the asymmetric prefix
     // filter (containmentPrefixJoin) on the uniform sf0.1 corpus and on
     // the Zipfian corpus where hot-shingle co-occurrence dominates.
