@@ -273,15 +273,24 @@ object MiningOps {
         |    AS INTEGER) AS rk FROM p)
         |SELECT part, rk, co_part, cnt FROM r WHERE rk <= 5
         |ORDER BY part, rk""".stripMargin) { (s, d) =>
-      // both self-join sides read the distinct basket table — checkpoint
-      // so the scan+distinct aggregate runs once, not per side.
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        .distinct().localCheckpoint()
-      val pc = li.as("a")
-        .join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("part"), col("b.l_partkey").as("co_part"))
+      // Basket build instead of a self-join: ONE shuffle by order key
+      // with partial collect_set (which dedups in-group, subsuming the
+      // DISTINCT) replaces distinct + both join-side shuffles of the
+      // same table. Set size = parts per order — a small constant in
+      // any basket schema — so the in-group state is bounded and the
+      // Σ|o|² pair fan-out happens map-side in the double explode.
+      val baskets = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("parts"))
+        .select(col("parts"))
+      // Measured alternative: repartition(part) before the agg would
+      // collapse the agg + window exchanges into one, but losing the
+      // map-side partial aggregate cost more than the saved shuffle
+      // (4.8 s vs 3.5 s at sf0.1) — keep the two-exchange shape.
+      val pc = baskets
+        .select(explode(col("parts")).as("part"), col("parts"))
+        .select(col("part"), explode(col("parts")).as("co_part"))
+        .filter(col("part") =!= col("co_part"))
         .groupBy("part", "co_part").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("part").orderBy(col("cnt").desc, col("co_part"))
       pc.withColumn("rk", row_number().over(w))
