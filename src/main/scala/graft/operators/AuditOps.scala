@@ -260,20 +260,31 @@ object AuditOps {
         .orderBy("key_col")
     },
 
-    // q121's declared 100 TB path, validated: the SAME support-interval
-    // explode feeding approx_count_distinct (HLL) instead of the exact
-    // distinct, with the q54 envelope pattern — the oracle asserts the
-    // exact count and a TRUE flag, so an HLL estimate drifting past
-    // ±5% breaks the hash.
+    // q121's declared 100 TB path, validated: per-day HLL sketches of
+    // the daily active sets, unioned across each trailing 28-day window
+    // (hll_sketch_agg / hll_union_agg), against q121's exact sweep-line
+    // series, with the q54 envelope pattern — the oracle asserts the
+    // exact count and a TRUE flag, so an estimate drifting past ±5%
+    // breaks the hash. Sketch volume is one ~KB sketch per calendar day
+    // (the 28× fan-out multiplies SKETCHES, not user rows), so the
+    // rolling-distinct cost is distinct user-days + O(days·28) sketch
+    // merges — the shape that survives 100 TB of events.
     Q("q126_rolling_mau_approx",
       s"""WITH ${EventsOps.mauCteSql}
          |SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau, TRUE AS hll_ok
          |FROM c CROSS JOIN mx WHERE c.day <= mx.mx
          |GROUP BY c.day ORDER BY c.day""".stripMargin) { (s, d) =>
-      EventsOps.mauSupport(s, d) // ONE shared support-interval definition
+      val ud = EventsOps.userDays(s, d) // shared exact/sketch input
+      val mx = broadcast(ud.agg(max(col("day")).as("mx")))
+      val approx = ud.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .select(explode(expr("sequence(day, date_add(day, 27))")).as("day"),
+          col("sk"))
+        .crossJoin(mx).filter(col("day") <= col("mx"))
         .groupBy("day")
-        .agg(countDistinct(col("user_id")).as("mau"),
-          approx_count_distinct(col("user_id"), 0.02).as("approx_mau"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_mau"))
+      EventsOps.mauExactFrom(ud)
+        .join(approx, Seq("day"))
         .select(col("day"), col("mau"),
           (abs(col("approx_mau") - col("mau")) <= col("mau") * 0.05).as("hll_ok"))
         .orderBy("day")

@@ -235,39 +235,72 @@ object EventsOps {
         .orderBy("prev", "cur")
     },
 
-    // Rolling 28-day distinct users (MAU) per day, exact, via
-    // support-interval explode: each distinct (user, day) supports the
-    // 28 target days [day, day+27], so rolling distinct becomes a plain
-    // per-day count(DISTINCT user) — one bounded 28× row expansion +
-    // one shuffle, NO self-join of day ranges and no giant sliding
-    // window state. At 100 TB swap the exact per-day distinct for
-    // per-day HLL sketches merged across the window (approx path);
-    // the explode shape itself is already linear.
+    // Rolling 28-day distinct users (MAU) per day, exact, via a
+    // sweep line instead of a 28× support-interval explode: merge each
+    // user's overlapping [day, day+27] support intervals (gaps-and-
+    // islands over the per-user sorted distinct days — window state is
+    // one lag), emit ±1 boundary deltas, and prefix-sum them over the
+    // calendar. Row volume is distinct user-days + 2 rows per merged
+    // interval + one calendar row per day — NO 28× expansion and no
+    // per-day distinct shuffle, so cost tracks activity, not activity ×
+    // window length. The single-partition prefix-sum window is over
+    // calendar DAYS (≤ a few thousand rows even at decade span) — the
+    // one place a global window is the right call.
     Q("q121_rolling_mau",
       s"""WITH $mauCteSql
          |SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau
          |FROM c CROSS JOIN mx WHERE c.day <= mx.mx
          |GROUP BY c.day ORDER BY c.day""".stripMargin) { (s, d) =>
-      mauSupport(s, d)
-        .groupBy("day").agg(countDistinct(col("user_id")).as("mau"))
-        .orderBy("day")
+      mauExactFrom(userDays(s, d)).orderBy("day")
     }
   )
 
-  /** Clipped 28-day support contributions — ONE definition shared by
-    * q121 (exact) and q126 (HLL envelope) so the window length, clip
-    * rule, and distinct-day derivation cannot desynchronize: one row
-    * per (user_id, supported day ≤ max observed day). */
-  private[operators] def mauSupport(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val ud = Tables.events(s, d)
+  /** Distinct (user_id, activity day) pairs — the shared input of the
+    * exact sweep-line series and q126's per-day HLL sketches.
+    * Checkpointed because every consumer reuses it at least twice
+    * (islands + max-day + calendar bounds). */
+  private[operators] def userDays(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    val mx = ud.agg(max(col("day")).as("mx"))
-    ud.select(col("user_id"),
-        explode(expr("sequence(day, date_add(day, 27))")).as("day"))
-      .crossJoin(broadcast(mx))
-      .filter(col("day") <= col("mx"))
-      .select(col("user_id"), col("day"), col("mx"))
+      .localCheckpoint()
+
+  /** Exact rolling 28-day MAU per covered day from distinct user-days,
+    * ONE definition shared by q121 and q126 so the window length, clip
+    * rule, and covered-day derivation cannot desynchronize.
+    *
+    * Per user: island id increments where the gap to the previous
+    * active day exceeds 28 (interval [day, day+27] vs [prev, prev+27]
+    * stay contiguous iff day ≤ prev+28); each island covers
+    * [first day, min(last day + 27, max observed day)]. A user then
+    * contributes +1 at each island start and −1 past its end —
+    * summing deltas over the calendar gives exactly the count of
+    * users active within the trailing 28 days. */
+  private[operators] def mauExactFrom(
+      ud: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val mx = broadcast(ud.agg(max(col("day")).as("mx")))
+    val w = W.partitionBy("user_id").orderBy("day")
+    val iv = ud
+      .withColumn("pday", lag(col("day"), 1).over(w))
+      .withColumn("newi",
+        when(col("pday").isNull || datediff(col("day"), col("pday")) > 28, 1L)
+          .otherwise(0L))
+      .withColumn("iid", sum(col("newi")).over(w))
+      .groupBy(col("user_id"), col("iid"))
+      .agg(min(col("day")).as("st"), max(col("day")).as("lastd"))
+      .crossJoin(mx)
+      .select(col("st"), least(date_add(col("lastd"), 27), col("mx")).as("en"))
+    val deltas = iv.select(col("st").as("day"), lit(1L).as("delta"))
+      .unionAll(iv.select(date_add(col("en"), 1).as("day"), lit(-1L).as("delta")))
+      .groupBy("day").agg(sum(col("delta")).as("delta"))
+    val cal = ud.agg(min(col("day")).as("d0")).crossJoin(mx)
+      .select(explode(expr("sequence(d0, mx)")).as("day"))
+    val wd = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cal.join(deltas, Seq("day"), "left")
+      .withColumn("mau", sum(coalesce(col("delta"), lit(0L))).over(wd))
+      .filter(col("mau") > 0)
+      .select(col("day"), col("mau"))
   }
 
   /** The matching oracle CTE block (ud/mx/c), single-line fragments so
