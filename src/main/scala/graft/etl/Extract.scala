@@ -149,6 +149,33 @@ object Extract {
   def unionShards(shards: Seq[DataFrame]): DataFrame =
     shards.reduce(_.unionByName(_, allowMissingColumns = false))
 
+  /** A12+A13 combined: the reference's REAL topology — a DSN map of
+    * database shards (`extractor.go:233-258`, two dockerized MySQL 8
+    * instances in `docker-compose.yaml:1-15`) each extracted with the
+    * same plan→range-read path as [[runJob]], fanned into ONE sink via
+    * [[unionShards]]. Per-shard MIN/MAX planning matters: shards own
+    * disjoint key ranges, so a global bounds query would stride across
+    * a mostly-empty span on every shard. Dialect-agnostic by
+    * construction: pass [[TableJob.mysql]] jobs with live MySQL URLs
+    * when a server is available; JdbcSpec proves the identical code
+    * path on two embedded Derby shards (Spark's JDBC layer generates
+    * the same stride predicates either way, JdbcDialects only maps
+    * types/quoting). */
+  def runShardedJob(spark: SparkSession, job: TableJob,
+      shardUrls: Seq[String]): Unit = {
+    require(shardUrls.nonEmpty, "at least one shard url")
+    val shards = shardUrls.map { u =>
+      val full = spark.read.jdbc(u, job.tableName, job.properties)
+      keyBounds(full, job.primaryKey) match {
+        case Some((lo, hi)) => jdbcRangeRead(spark, job.copy(url = u), lo, hi)
+        case None           => full
+      }
+    }
+    val normalized = normalizeBinary(unionShards(shards))
+    val conformed = job.declaredSchema.map(conformTo(normalized, _)).getOrElse(normalized)
+    writeParquet(conformed, job.output, job.maxRecordsPerFile)
+  }
+
   /** A13: run one job end-to-end (source → normalize → conform → sink). */
   def runJob(spark: SparkSession, job: TableJob): Unit = {
     val raw = job.format match {

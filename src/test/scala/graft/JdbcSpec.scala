@@ -114,6 +114,40 @@ class JdbcSpec extends AnyFunSuite {
     assert(back.columns.map(_.toUpperCase).toSeq == Seq("ID", "DATA"))
   }
 
+  test("runShardedJob: two-shard DSN map fans into one sink (A12+A13)") {
+    // The reference's real topology: two shards of the SAME table with
+    // disjoint key ranges (extractor.go:233-258), per-shard min/max
+    // planning + stride reads, unioned into one parquet output. Two
+    // embedded Derby databases stand in for the two MySQL containers.
+    def mkShard(lo: Long, hi: Long): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_derby_sh").toString
+      val url = s"jdbc:derby:$dir/db;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.createStatement().execute(
+          "CREATE TABLE BIG_TABLE_1 (ID BIGINT NOT NULL PRIMARY KEY, DATA VARCHAR(255))")
+        val ps = conn.prepareStatement("INSERT INTO BIG_TABLE_1 VALUES (?, ?)")
+        (lo to hi).foreach { i =>
+          ps.setLong(1, i); ps.setString(2, s"payload_$i"); ps.addBatch()
+        }
+        ps.executeBatch()
+      } finally conn.close()
+      url
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_shard_out").toString + "/t"
+    Extract.runShardedJob(spark,
+      TableJob("BIG_TABLE_1", output = out, primaryKey = "ID",
+        url = "", format = "jdbc", stride = 500L, properties = props),
+      Seq(mkShard(1L, 1500L), mkShard(100001L, 101200L)))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2700)
+    import org.apache.spark.sql.functions._
+    // rows from BOTH shards landed, content intact
+    assert(back.filter(col("ID") === 1499L).head().getString(1) == "payload_1499")
+    assert(back.filter(col("ID") === 100042L).head().getString(1) == "payload_100042")
+    assert(back.select(countDistinct(col("ID"))).head().getLong(0) == 2700)
+  }
+
   test("JDBC SINK: DataFrame.write.jdbc round-trips through Derby") {
     // The reverse direction of the reference pipeline (db → parquet):
     // loading engine output INTO a SQL store, batched inserts handled
