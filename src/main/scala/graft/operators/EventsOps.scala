@@ -252,6 +252,83 @@ object EventsOps {
          |FROM c CROSS JOIN mx WHERE c.day <= mx.mx
          |GROUP BY c.day ORDER BY c.day""".stripMargin) { (s, d) =>
       mauExactFrom(userDays(s, d)).orderBy("day")
+    },
+
+    // Batch sessionization — the offline counterpart of q39's streaming
+    // session_window: gaps-and-islands over each user's event stream
+    // (session breaks where the gap to the previous event exceeds 30
+    // minutes), then per-session stats. One lag window + one running
+    // sum per user (state = 1 row), one aggregate — all partitioned by
+    // user_id, no explode, no self-join: the canonical 100 TB
+    // clickstream shape. Spans in exact integer µs (q119's unit rule).
+    Q("q131_sessionization",
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+        |    THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, CAST(sum(news)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_n
+        |  FROM l)
+        |SELECT user_id, sess_n, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS span_us
+        |FROM s GROUP BY user_id, sess_n
+        |ORDER BY user_id, sess_n""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("pts", lag(col("ts"), 1).over(w))
+        .withColumn("news",
+          when(col("pts").isNull ||
+            expr("timestampdiff(MICROSECOND, pts, ts)") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_n", sum(col("news")).over(w))
+        .groupBy("user_id", "sess_n")
+        .agg(count(lit(1)).as("n_events"),
+          expr("timestampdiff(MICROSECOND, min(ts), max(ts))").as("span_us"))
+        .orderBy("user_id", "sess_n")
+    },
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent click ordered before it in (ts, event_id) order, within a
+    // 7-day lookback. q68's carry-forward shape on a
+    // single stream: one per-user ordered window carries the last click
+    // (id, ts) forward; purchases outside the 7-day lookback attribute
+    // to nothing. No range self-join, no per-purchase scan — state is
+    // one (id, ts) pair per user stream, linear at any scale.
+    Q("q133_attribution",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT user_id, event_id, event_type, ts,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |    OVER w AS click_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |    OVER w AS click_ts
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id AS purchase_id,
+        |  CASE WHEN date_diff('microsecond', click_ts, ts) <= 604800000000
+        |    THEN click_id END AS click_id
+        |FROM c WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          when(expr("timestampdiff(MICROSECOND, click_ts, ts)") <= 604800000000L,
+            col("click_id")).as("click_id"))
+        .orderBy("user_id", "purchase_id")
     }
   )
 

@@ -390,6 +390,96 @@ object MiningOps {
           when(col("cents").isNotNull, col("cents"))
             .otherwise(expr("(pv * (span - delta) + nv * delta) div span")).as("cents_f"))
         .orderBy("pri", "day")
+    },
+
+    // Rarity-weighted term salience (integer TF-IDF): per document the
+    // top-3 terms by tf·(N/df)/len, entirely in exact integer ppm —
+    // (1e6·tf·N) div (df·len) — so Spark and DuckDB agree bit-for-bit
+    // (a float idf log would not). Shapes: token explode → three
+    // map-side-combinable aggregates off one checkpointed token table,
+    // doc-frequency joined back BY TOKEN (co-partitioned shuffle, not
+    // broadcast: vocab grows with the corpus), per-doc top-3 via
+    // row_number ≤ 3 → WindowGroupLimit. At 1e9+ docs switch the ppm
+    // product to decimal(38,0); the plan is unchanged.
+    Q("q132_tfidf_topk",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, w),
+        |len AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM t GROUP BY doc_id),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.w,
+        |    (1000000 * tf.tf * n.n_docs) // (df.df * len.len) AS score_ppm
+        |  FROM tf JOIN len ON tf.doc_id = len.doc_id
+        |  JOIN df ON tf.w = df.w CROSS JOIN n),
+        |r AS (SELECT doc_id, w, CAST(score_ppm AS BIGINT) AS score_ppm,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, w)
+        |    AS INTEGER) AS rk FROM sc)
+        |SELECT doc_id, rk, w, score_ppm FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+        .localCheckpoint() // feeds tf, len (df derives from tf)
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val len = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val nDocs = broadcast(
+        Tables.documents(s, d).agg(count(lit(1)).as("n_docs")))
+      val w = Window.partitionBy("doc_id").orderBy(col("score_ppm").desc, col("w"))
+      tf.join(len, "doc_id").join(dfreq, "w").crossJoin(nDocs)
+        .select(col("doc_id"), col("w"),
+          expr("(1000000 * tf * n_docs) div (df * len)").as("score_ppm"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("w"), col("score_ppm"))
+        .orderBy("doc_id", "rk")
+    },
+
+    // Count-Min sketch frequency estimation — the fixed-memory
+    // (depth 4 × width 256 counters) complement of q116's Misra–Gries:
+    // MG answers "which tokens are heavy", CMS answers "how frequent is
+    // ANY token" with est ∈ [exact, exact + εN]. The sketch build is
+    // two map-side-combinable aggregates (per-(row,bucket) sums), the
+    // probe is a min over 4 rows — and because the hash is plain
+    // integer arithmetic on the token's vocab rank, DuckDB rebuilds the
+    // IDENTICAL sketch, so the oracle hash-matches the ESTIMATES, not
+    // just invariants. (The vocab-rank keying exists for the oracle; a
+    // production build hashes the token bytes directly — xxhash64 — and
+    // skips the rank window, which is the one vocab-sized single
+    // partition here.)
+    Q("q134_cms_freq",
+      """WITH u AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY w),
+        |r AS (SELECT w, cnt, CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS rk FROM c),
+        |h AS (SELECT r.w, r.cnt, t.i,
+        |    ((t.a * r.rk + t.b) % 2147483647) % 256 AS bucket
+        |  FROM r CROSS JOIN (VALUES (0, 31, 7), (1, 37, 11), (2, 41, 13),
+        |    (3, 43, 17)) t(i, a, b)),
+        |sk AS (SELECT i, bucket, CAST(sum(cnt) AS BIGINT) AS bc
+        |  FROM h GROUP BY i, bucket),
+        |e AS (SELECT h.w, h.cnt, min(sk.bc) AS est FROM h
+        |  JOIN sk ON h.i = sk.i AND h.bucket = sk.bucket GROUP BY h.w, h.cnt)
+        |SELECT w, cnt, CAST(est AS BIGINT) AS est FROM e
+        |ORDER BY cnt DESC, w LIMIT 20""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val r = c.withColumn("rk",
+        dense_rank().over(Window.orderBy("w")).cast("long"))
+      val seeds = explode(array(
+        Seq((0, 31, 7), (1, 37, 11), (2, 41, 13), (3, 43, 17)).map {
+          case (i, a, b) =>
+            struct(lit(i).as("i"), lit(a.toLong).as("a"), lit(b.toLong).as("b"))
+        }: _*))
+      val h = r.select(col("w"), col("cnt"), col("rk"), seeds.as("s"))
+        .select(col("w"), col("cnt"), col("s.i").as("i"),
+          pmod(pmod(col("s.a") * col("rk") + col("s.b"), lit(2147483647L)),
+            lit(256L)).as("bucket"))
+        .localCheckpoint() // feeds the sketch build AND the probe join
+      val sk = h.groupBy("i", "bucket").agg(sum(col("cnt")).as("bc"))
+      h.join(broadcast(sk), Seq("i", "bucket")) // 1024 counters — broadcast
+        .groupBy("w", "cnt").agg(min(col("bc")).as("est"))
+        .orderBy(col("cnt").desc, col("w")).limit(20)
+        .select(col("w"), col("cnt"), col("est"))
     }
   )
 }

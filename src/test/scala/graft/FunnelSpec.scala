@@ -65,6 +65,52 @@ class FunnelSpec extends AnyFunSuite {
       ("click", "purchase", 1L, 5000L)))
   }
 
+  // ---- q131 sessionization ------------------------------------------
+
+  test("sessionization: 30-minute gap splits; exactly 30 minutes does not") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = eventsDir(Seq(
+      // user 1: 40-min gap between 2nd and 3rd event -> two sessions
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "view", ts("2024-01-01 00:10:00")),
+      (1L, "view", ts("2024-01-01 00:50:00")),
+      (1L, "view", ts("2024-01-01 01:10:00")),
+      // user 2: exactly 30-min gap -> strictly-greater rule keeps ONE session
+      (2L, "view", ts("2024-01-01 00:00:00")),
+      (2L, "view", ts("2024-01-01 00:30:00"))))
+    val got = SparkEntry.queries("q131_sessionization")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, 600000000L),   // 00:00-00:10
+      (1L, 2L, 2L, 1200000000L),  // 00:50-01:10
+      (2L, 1L, 2L, 1800000000L))) // one 30-min session
+  }
+
+  // ---- q133 attribution ---------------------------------------------
+
+  test("attribution: last click within 7 days; 7d+1us and click-less purchases get null") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = eventsDir(Seq(
+      // user 1: two clicks before the purchase -> the LATER one wins
+      (1L, "click", ts("2024-01-01 00:00:00")),    // event_id 0
+      (1L, "click", ts("2024-01-01 00:30:00")),    // event_id 1
+      (1L, "purchase", ts("2024-01-01 01:00:00")), // event_id 2 -> click 1
+      // user 2: click exactly 7 days before -> attributed;
+      // second purchase 1us past the lookback -> null
+      (2L, "click", ts("2024-01-10 00:00:00")),           // event_id 3
+      (2L, "purchase", ts("2024-01-17 00:00:00")),        // event_id 4 -> click 3
+      (2L, "purchase", ts("2024-01-17 00:00:00.000001")), // event_id 5 -> null
+      // user 3: purchase with no click at all -> null
+      (3L, "purchase", ts("2024-01-02 00:00:00")))) // event_id 6
+    val got = SparkEntry.queries("q133_attribution")(spark, dir)
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, Some(1L)),
+      (2L, 4L, Some(3L)),
+      (2L, 5L, None),
+      (3L, 6L, None)))
+  }
+
   test("retention counts cohort members by week offset from first event") {
     // 2024-01-01 is a Monday: days 1-7 are week 0, 8-14 week 1, 15-21 week 2.
     val dir = eventsDir(Seq(

@@ -247,4 +247,34 @@ class MiningSpec extends AnyFunSuite {
       ("P2", "2024-03-01", "actual", 5000L),
       ("P2", "2024-03-02", "actual", 5000L)))
   }
+
+  // ---- q132 integer TF-IDF top-k ------------------------------------
+
+  test("tfidf: rarity-weighted ppm scores exact; ties break by term") {
+    val dir = tmpDir("graft_tfidf")
+    writeDocs(dir, Seq(
+      (0L, "a a b", "en"),  // a: 1e6*2*2/(2*3)=666666, b: 1e6*1*2/(1*3)=666666
+      (1L, "a c", "en")))   // c: 1e6*1*2/(1*2)=1000000, a: 1e6*1*2/(2*2)=500000
+    val got = SparkEntry.queries("q132_tfidf_topk")(spark, dir)
+      .as[(Long, Int, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1, "a", 666666L), // tie with b at 666666 -> term order
+      (0L, 2, "b", 666666L),
+      (1L, 1, "c", 1000000L),
+      (1L, 2, "a", 500000L)))
+  }
+
+  // ---- q134 Count-Min sketch ----------------------------------------
+
+  test("cms: estimates are exact on a collision-free vocab and never undercount") {
+    val dir = tmpDir("graft_cms")
+    writeDocs(dir, Seq(
+      (0L, "hot hot hot hot hot warm warm warm x", "en")))
+    val got = SparkEntry.queries("q134_cms_freq")(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    // 3 tokens over 4x256 counters: no bucket collisions, so every
+    // estimate equals the exact count (the CMS >= invariant collapses).
+    assert(got == Seq(("hot", 5L, 5L), ("warm", 3L, 3L), ("x", 1L, 1L)))
+    assert(got.forall { case (_, cnt, est) => est >= cnt })
+  }
 }
