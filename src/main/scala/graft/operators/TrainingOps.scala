@@ -469,6 +469,60 @@ object TrainingOps {
           count(lit(1)).as("n_lines"),
           sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
         .orderBy("o_orderpriority")
+    },
+
+    // Distributed bottom-k (priority) sampling: the k docs with the
+    // smallest deterministic key-hash priority per source ARE a
+    // uniform-without-replacement sample of the source, and bottom-k
+    // sets MERGE (min of unions = union of mins), so the sample is
+    // computable per partition / per day and combined later — the
+    // reservoir-sampling property without coordinated state. Same
+    // exact-BIGINT Knuth hash as q122; row_number ≤ k plans as
+    // WindowGroupLimit (partial per partition, final per source).
+    Q("q135_priority_sample",
+      """WITH p AS (SELECT source, doc_id,
+        |  ((doc_id % 2147483648) * 2654435761) % 2147483648 AS pr FROM documents),
+        |r AS (SELECT source, doc_id, pr,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY pr, doc_id)
+        |    AS INTEGER) AS rk FROM p)
+        |SELECT source, rk, doc_id, pr FROM r WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("pr"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+            lit(2147483648L)).as("pr"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"), col("pr"))
+        .orderBy("source", "rk")
+    },
+
+    // Token-budget greedy packing: per source, admit docs longest-first
+    // until the 2000-token budget is spent (greedy prefix of the
+    // (n_tok desc, doc_id) order — a doc is admitted iff the running
+    // sum INCLUDING it fits). The mixture-building primitive that turns
+    // q79's target weights into an actual doc selection under a token
+    // budget. One running-sum window per source (state = one counter),
+    // exact integers throughout.
+    Q("q136_token_budget",
+      """WITH t AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |  CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id)
+        |    AS BIGINT) AS cum_tok FROM t)
+        |SELECT source, doc_id, n_tok, cum_tok FROM c WHERE cum_tok <= 2000
+        |ORDER BY source, cum_tok""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("n_tok").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= 2000L)
+        .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"))
+        .orderBy("source", "cum_tok")
     }
   )
 }

@@ -207,4 +207,55 @@ class TrainingSpec extends AnyFunSuite {
     orders.filterNot(_ % 7 == 0).foreach { k =>
       assert(byKey(k)._4 == 0, s"key $k should be the untouched base version") }
   }
+
+  // ---- q135 priority sampling ---------------------------------------
+
+  test("priority sample: bottom-5 hash priorities per source; bottom-k sets merge") {
+    def pr(id: Long): Long = ((id % 2147483648L) * 2654435761L) % 2147483648L
+    val ids = (0L to 19L)
+    val rows = ids.map(i => (i, s"text $i", "en",
+      if (i < 15) "srcA" else "srcB", 6L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_psamp").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q135_priority_sample")(spark, dir)
+      .as[(String, Int, Long, Long)].collect().toSeq
+    val expectA = (0L until 15L).sortBy(i => (pr(i), i)).take(5)
+    val expectB = (15L until 20L).sortBy(i => (pr(i), i)).take(5)
+    assert(got.filter(_._1 == "srcA").map(_._3) == expectA)
+    assert(got.filter(_._1 == "srcB").map(_._3) == expectB)
+    assert(got.forall { case (_, _, id, p) => p == pr(id) })
+    // mergeability: bottom-5 of the union == bottom-5 of the two halves'
+    // bottom-5 sets — the property that lets the sample be built per
+    // partition / per day and combined with no coordinated state.
+    val (h1, h2) = (0L until 15L).partition(_ % 2 == 0)
+    val merged = (h1.sortBy(pr).take(5) ++ h2.sortBy(pr).take(5))
+      .sortBy(i => (pr(i), i)).take(5)
+    assert(merged == expectA)
+  }
+
+  // ---- q136 token-budget packing ------------------------------------
+
+  test("token budget: greedy longest-first prefix stops at 2000 tokens") {
+    def words(n: Int, tag: String): String = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val rows = Seq(
+      // srcA: 1200 + 700 fit (1900); the 300-token doc would overflow
+      (0L, words(700, "a"), "en", "srcA"),
+      (1L, words(1200, "b"), "en", "srcA"),
+      (2L, words(300, "c"), "en", "srcA"),
+      // srcB: tie on n_tok -> doc_id order; all fit
+      (3L, words(100, "d"), "en", "srcB"),
+      (4L, words(100, "e"), "en", "srcB"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_budget").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q136_token_budget")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("srcA", 1L, 1200L, 1200L),
+      ("srcA", 0L, 700L, 1900L),
+      ("srcB", 3L, 100L, 100L),
+      ("srcB", 4L, 100L, 200L)))
+  }
 }
