@@ -214,7 +214,11 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$adir/region.parquet")
 
       val auditOps = Seq("q116_heavy_hitters", "q117_fk_audit",
-        "q118_column_profile", "q125_skew_report", "q126_rolling_mau_approx")
+        "q118_column_profile", "q125_skew_report", "q126_rolling_mau_approx",
+        // round-6 additions (documents/events-based)
+        "q121_rolling_mau", "q131_sessionization", "q132_tfidf_topk",
+        "q133_attribution", "q134_cms_freq", "q135_priority_sample",
+        "q136_token_budget")
       println(f"${"op"}%-26s ${"1x-cold"}%8s ${"1x"}%8s ${"10x-cold"}%9s ${"10x"}%8s ${"ratio"}%7s")
       auditOps.foreach { name =>
         val c1 = run(name, base)
