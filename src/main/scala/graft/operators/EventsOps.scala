@@ -353,7 +353,7 @@ object EventsOps {
     * contributes +1 at each island start and −1 past its end —
     * summing deltas over the calendar gives exactly the count of
     * users active within the trailing 28 days. */
-  private[operators] def mauExactFrom(
+  private[graft] def mauExactFrom(
       ud: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val mx = broadcast(ud.agg(max(col("day")).as("mx")))

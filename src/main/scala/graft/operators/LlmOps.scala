@@ -516,6 +516,54 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // Incremental (daily-delta) exact dedup — the production shape
+    // where yesterday's survivor set already exists and only TODAY'S
+    // batch is processed: each new doc is either a duplicate of an
+    // established survivor (hash anti-joins fail → 'dup_of_old'), a
+    // duplicate within its own batch ('dup_in_batch', canonical = the
+    // smallest new doc_id with that hash), or 'fresh'. The established
+    // corpus contributes ONE hash-groupBy (in production: a read of the
+    // persisted survivor table — never rescanned text), the batch one
+    // window — nothing is quadratic and the old corpus is never
+    // re-deduped. doc_id % 5 == 0 stands in for "today's batch".
+    Q("q137_incremental_dedup",
+      """WITH old AS (SELECT sha256(text) AS h, min(doc_id) AS keeper
+        |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY h),
+        |new AS (SELECT doc_id, sha256(text) AS h FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |nw AS (SELECT doc_id, h,
+        |  CAST(row_number() OVER (PARTITION BY h ORDER BY doc_id) AS INTEGER) AS rn,
+        |  min(doc_id) OVER (PARTITION BY h) AS batch_min FROM new)
+        |SELECT nw.doc_id,
+        |  CASE WHEN old.keeper IS NOT NULL THEN 'dup_of_old'
+        |       WHEN nw.rn > 1 THEN 'dup_in_batch'
+        |       ELSE 'fresh' END AS status,
+        |  CASE WHEN old.keeper IS NOT NULL THEN old.keeper
+        |       WHEN nw.rn > 1 THEN nw.batch_min
+        |       ELSE nw.doc_id END AS canonical_id
+        |FROM nw LEFT JOIN old ON nw.h = old.h
+        |ORDER BY nw.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(col("doc_id") % 5 =!= 0)
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("keeper"))
+      val w = Window.partitionBy("h").orderBy("doc_id")
+      val nw = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch_min",
+          min(col("doc_id")).over(Window.partitionBy("h")))
+      nw.join(old, Seq("h"), "left")
+        .select(col("doc_id"),
+          when(col("keeper").isNotNull, "dup_of_old")
+            .when(col("rn") > 1, "dup_in_batch")
+            .otherwise("fresh").as("status"),
+          when(col("keeper").isNotNull, col("keeper"))
+            .when(col("rn") > 1, col("batch_min"))
+            .otherwise(col("doc_id")).as("canonical_id"))
+        .orderBy("doc_id")
+    },
+
     // n-gram Jaccard near-dup: word-3-gram shingle sets, candidate pairs
     // blocked by (lang, length bucket) — never all-pairs.
     Q("q43_ngram_jaccard", jaccardOracleSql)(jaccardCountJoin),

@@ -111,4 +111,31 @@ class DedupSpec extends AnyFunSuite {
     val run2 = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir).collect().toSeq
     assert(run1 == run2)
   }
+
+  // ---- q137 incremental dedup ---------------------------------------
+
+  test("incremental dedup: delta docs classify against old survivors and in-batch") {
+    // batch = doc_id % 5 == 0 → {0, 5, 10, 15}; old = the rest.
+    // doc 0 copies old doc 1's text -> dup_of_old, canonical = 1
+    // docs 5 and 10 share NEW text   -> 5 fresh, 10 dup_in_batch(5)
+    // doc 15 is unique               -> fresh
+    val rows = Seq(
+      (0L, "copied established text", "en", "srcA"),
+      (1L, "copied established text", "en", "srcA"),
+      (2L, "other old text", "en", "srcA"),
+      (5L, "new batch text", "en", "srcB"),
+      (10L, "new batch text", "en", "srcB"),
+      (15L, "unique new text", "en", "srcB"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q137_incremental_dedup")(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, "dup_of_old", 1L),
+      (5L, "fresh", 5L),
+      (10L, "dup_in_batch", 5L),
+      (15L, "fresh", 15L)))
+  }
 }

@@ -75,6 +75,34 @@ class LawsSpec extends AnyFunSuite {
     assert(cached == fresh)
   }
 
+  test("sweep-line rolling MAU ≡ brute-force support count on random activity sets") {
+    // The gaps-and-islands interval merge behind q121/q126 is the one
+    // rewrite whose correctness is not obvious from the code: certify
+    // it against the definitionally-true brute force (every (user, day)
+    // supports [day, day+27] clipped at the max observed day) on 10
+    // seeded random activity patterns, including burst/gap shapes.
+    val rnd = new scala.util.Random(42)
+    (1 to 10).foreach { trial =>
+      val userDays: Seq[(Long, Int)] = (0 until 1 + rnd.nextInt(12)).flatMap { u =>
+        val n = 1 + rnd.nextInt(8)
+        Seq.fill(n)((u.toLong, rnd.nextInt(90))).distinct
+      }
+      val mx = userDays.map(_._2).max
+      val brute: Map[Int, Long] = userDays
+        .flatMap { case (u, day) => (day to math.min(day + 27, mx)).map(t => (t, u)) }
+        .distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val base = java.sql.Date.valueOf("2024-01-01")
+      val ud = userDays.map { case (u, off) =>
+        (u, new java.sql.Date(base.getTime + off * 86400000L))
+      }.toDF("user_id", "day")
+      val got = graft.operators.EventsOps.mauExactFrom(ud)
+        .collect()
+        .map(r => (((r.getDate(0).getTime - base.getTime) / 86400000L).toInt,
+          r.getLong(1))).toMap
+      assert(got == brute, s"trial $trial: userDays=$userDays")
+    }
+  }
+
   test("memoized order-graph edges ≡ uncached recomputation (q98/q105 input)") {
     val d = "/root/testdata/sf0.001"
     val cached = graft.operators.GraphOps.symEdges(spark, d)
