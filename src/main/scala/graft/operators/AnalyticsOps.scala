@@ -357,6 +357,118 @@ object AnalyticsOps {
         .groupBy("lang")
         .agg(min(col("n_chars")).as("wmedian_nchars"), max(col("tot")).as("total_tokens"))
         .orderBy("lang")
+    },
+
+    // Robust outlier pruning via Median Absolute Deviation — the
+    // companion to q107's IQR fences for distributions where quartiles
+    // are too coarse. Everything is an exact ORDER STATISTIC (lower
+    // median at rank (n−1)//2) in integer cents, so the result is
+    // hash-identical across engines with no float quantiles. The
+    // oracle is the row_number definition; the Spark side never ranks
+    // rows — both median passes run on VALUE-LEVEL counts (group by
+    // (k, value) → PrefixScan cumulative count → the value whose rank
+    // range covers the target), and the second pass derives the
+    // deviation table from the FIRST pass's value-level rows, so the
+    // raw table is scanned once per pass regardless of group skew.
+    Q("q141_mad_outliers",
+      """WITH c AS (SELECT o_orderpriority AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |p AS (SELECT k, c, row_number() OVER (PARTITION BY k ORDER BY c) - 1 AS r0,
+        |             count(*) OVER (PARTITION BY k) AS n FROM c),
+        |m AS (SELECT k, max(n) AS n,
+        |             max(CASE WHEN r0 = (n - 1) // 2 THEN c END) AS med FROM p GROUP BY k),
+        |d AS (SELECT c.k, abs(c.c - m.med) AS dev FROM c JOIN m ON c.k = m.k),
+        |dp AS (SELECT k, dev, row_number() OVER (PARTITION BY k ORDER BY dev) - 1 AS r0,
+        |              count(*) OVER (PARTITION BY k) AS n FROM d),
+        |md AS (SELECT k, max(CASE WHEN r0 = (n - 1) // 2 THEN dev END) AS mad
+        |       FROM dp GROUP BY k)
+        |SELECT m.k AS o_orderpriority, CAST(m.n AS BIGINT) AS n,
+        |  m.med AS med_cents, md.mad AS mad_cents,
+        |  CAST(sum(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN m ON d.k = m.k JOIN md ON d.k = md.k
+        |GROUP BY m.k, m.n, m.med, md.mad
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // Value-level lower median of `v` (weighted by cnt) per group k:
+      // the value whose cumulative-rank range covers (n−1) div 2.
+      def lowerMedian(byVal0: DataFrame, out: String): DataFrame = {
+        val byVal = byVal0.withColumn("bkt", (col("v") / 1000000L).cast("long"))
+        val cum = graft.plans.PrefixScan.cumsum(byVal, part = Seq("k"),
+          bucket = "bkt", order = Seq("v"), value = "cnt", out = "cum")
+        val n = byVal.groupBy("k").agg(sum(col("cnt")).as("n"))
+        cum.join(broadcast(n), "k")
+          .filter(col("cum") - col("cnt") <= expr("(n - 1) div 2")
+            && expr("(n - 1) div 2") < col("cum"))
+          .groupBy("k").agg(max(col("n")).as("n"), max(col("v")).as(out))
+      }
+      val byVal = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("v"))
+        .groupBy("k", "v").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds the median pass AND the deviation table
+      val med = lowerMedian(byVal, "med").withColumnRenamed("n", "n_rows")
+      // Deviation value-table derives from the VALUE-level rows: same
+      // cnt mass, value |v − med| — no second scan of the raw table.
+      val devVal = byVal.join(broadcast(med), "k")
+        .select(col("k"), abs(col("v") - col("med")).as("v"), col("cnt"))
+        .groupBy("k", "v").agg(sum(col("cnt")).as("cnt"))
+        .localCheckpoint() // feeds the MAD median pass AND the outlier count
+      val mad = lowerMedian(devVal, "mad").select(col("k"), col("mad"))
+      devVal.join(broadcast(med), "k").join(broadcast(mad), "k")
+        .groupBy("k")
+        .agg(max(col("n_rows")).as("n"), max(col("med")).as("med_cents"),
+          max(col("mad")).as("mad_cents"),
+          sum(when(col("v") > lit(3) * col("mad"), col("cnt")).otherwise(0L))
+            .as("n_outliers"))
+        .select(col("k").as("o_orderpriority"), col("n"), col("med_cents"),
+          col("mad_cents"), col("n_outliers"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Equi-DEPTH histogram (q101 is equi-width) — the optimizer-stats
+    // primitive: 8 buckets of (near-)equal row count over lineitem
+    // price cents, each with its exact row count and [lo, hi] value
+    // bounds. Bucket of the row at 0-based rank r0 is (r0·8) div n —
+    // deterministic per bucket even under ties, because tied rows are
+    // interchangeable across the boundary and only counts/extremes are
+    // emitted. The oracle ranks rows; the Spark side is value-level:
+    // each (value, cnt) row covers rank range [cum−cnt, cum) and is
+    // EXPLODED across the ≤ 8 buckets that range intersects with its
+    // partial counts — no global sort, no single-partition window.
+    Q("q143_equidepth_hist",
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+        |           FROM lineitem),
+        |p AS (SELECT c, row_number() OVER (ORDER BY c) - 1 AS r0,
+        |             count(*) OVER () AS n FROM c),
+        |b AS (SELECT (r0 * 8) // n AS bucket, c FROM p)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(c) AS lo_cents, max(c) AS hi_cents
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val nb = 8
+      val byVal = Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .withColumn("bkt", (col("v") / 100000L).cast("long"))
+        .localCheckpoint() // feeds cumsum both sides + the total
+      val cum = graft.plans.PrefixScan.cumsum(byVal, part = Seq(),
+        bucket = "bkt", order = Seq("v"), value = "cnt", out = "cum")
+      val n = byVal.agg(sum(col("cnt")).as("n"))
+      // Rank range [cum−cnt, cum) ∩ bucket b's rank range
+      // [ceil(b·n/8), ceil((b+1)·n/8)): overlap = min(ends) − max(starts).
+      cum.crossJoin(broadcast(n))
+        .withColumn("b_lo", expr(s"((cum - cnt) * $nb) div n"))
+        .withColumn("b_hi", expr(s"((cum - 1) * $nb) div n"))
+        .select(col("v"), col("cnt"), col("cum"), col("n"),
+          explode(expr("sequence(b_lo, b_hi)")).as("bucket"))
+        .withColumn("bstart", expr(s"(bucket * n + $nb - 1) div $nb"))
+        .withColumn("bend", expr(s"((bucket + 1) * n + $nb - 1) div $nb"))
+        .withColumn("overlap",
+          least(col("cum"), col("bend")) - greatest(col("cum") - col("cnt"), col("bstart")))
+        .filter(col("overlap") > 0)
+        .groupBy("bucket")
+        .agg(sum(col("overlap")).as("n_rows"), min(col("v")).as("lo_cents"),
+          max(col("v")).as("hi_cents"))
+        .orderBy("bucket")
     }
   )
 

@@ -380,6 +380,97 @@ object AuditOps {
           expr("CASE WHEN weighted >= 0 THEN weighted div span_us " +
             "ELSE -((-weighted + span_us - 1) div span_us) END").as("twa_c"))
         .orderBy("user_id")
+    },
+
+    // Join-size estimation WITHOUT executing the join — the planner
+    // primitive behind shuffle sizing and skew prediction: per-key
+    // count histograms on each side, multiplied and summed per FK edge
+    // (|A ⋈ B| = Σ_k cntA(k)·cntB(k) exactly). The fact histograms come
+    // off the SAME checkpointed key projections q117/q125 share (one
+    // scan per fact table feeds everything); the dimension histograms
+    // are dimension-sized and broadcast. max_key_rows is the skew
+    // headline: the single worst key's contribution to the join.
+    Q("q138_join_size_estimate",
+      """WITH lo AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |lp AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |ls AS (SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |oc AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |ok AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |pk AS (SELECT p_partkey AS k, count(*) AS c FROM part GROUP BY 1),
+        |sk AS (SELECT s_suppkey AS k, count(*) AS c FROM supplier GROUP BY 1),
+        |ck AS (SELECT c_custkey AS k, count(*) AS c FROM customer GROUP BY 1),
+        |e AS (
+        |  SELECT 'lineitem-orders' AS edge, a.c * b.c AS m FROM lo a JOIN ok b USING (k)
+        |  UNION ALL SELECT 'lineitem-part', a.c * b.c FROM lp a JOIN pk b USING (k)
+        |  UNION ALL SELECT 'lineitem-supplier', a.c * b.c FROM ls a JOIN sk b USING (k)
+        |  UNION ALL SELECT 'orders-customer', a.c * b.c FROM oc a JOIN ck b USING (k)
+        |)
+        |SELECT edge, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(m) AS BIGINT) AS est_rows, CAST(max(m) AS BIGINT) AS max_key_rows
+        |FROM e GROUP BY edge ORDER BY edge""".stripMargin) { (s, d) =>
+      val li = lineitemKeys(s, d)
+      val ord = orderKeys(s, d)
+      def hist(df: DataFrame, key: String): DataFrame =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      def edge(name: String, a: DataFrame, b: DataFrame): DataFrame =
+        a.join(b.withColumnRenamed("c", "cb"), "k")
+          .agg(count(lit(1)).as("n_keys"), sum(col("c") * col("cb")).as("est_rows"),
+            max(col("c") * col("cb")).as("max_key_rows"))
+          .select(lit(name).as("edge"), col("n_keys"), col("est_rows"),
+            col("max_key_rows"))
+      edge("lineitem-orders", hist(li, "l_orderkey"), hist(ord, "o_orderkey"))
+        .unionAll(edge("lineitem-part", hist(li, "l_partkey"),
+          broadcast(hist(Tables.part(s, d), "p_partkey"))))
+        .unionAll(edge("lineitem-supplier", hist(li, "l_suppkey"),
+          broadcast(hist(Tables.supplier(s, d), "s_suppkey"))))
+        .unionAll(edge("orders-customer", hist(ord, "o_custkey"),
+          broadcast(hist(Tables.customer(s, d), "c_custkey"))))
+        .orderBy("edge")
+    },
+
+    // Per-source Gini concentration of document sizes — "is this
+    // source's token mass dominated by a few huge docs?" Exact integer
+    // certificate: with per-group values sorted ascending and 1-based
+    // rank i, Gini numerator = Σ (2i − n − 1)·x_i, denominator n·Σx;
+    // any tie order yields the same sum (equal values are
+    // interchangeable at adjacent ranks). The oracle IS that row-level
+    // rank definition; the Spark side never ranks rows — it runs on
+    // VALUE-LEVEL counts via PrefixScan (rows of value x with count c
+    // after r predecessors contribute x·(2rc + c(c+1) − (n+1)c)), so a
+    // hot source never collapses into one window partition. gini_ppm
+    // uses integer floor division (NOTES: `//` vs `div` agree on
+    // non-negatives; the numerator is ≥ 0 by rearrangement inequality).
+    Q("q139_gini_concentration",
+      """WITH r AS (SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i,
+        |  count(*) OVER (PARTITION BY source) AS n,
+        |  sum(n_chars) OVER (PARTITION BY source) AS s FROM documents)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST(sum((2 * i - n - 1) * n_chars) AS BIGINT) AS gini_num,
+        |  CAST(max(n) * max(s) AS BIGINT) AS gini_den,
+        |  (1000000 * CAST(sum((2 * i - n - 1) * n_chars) AS BIGINT))
+        |    // CAST(max(n) * max(s) AS BIGINT) AS gini_ppm
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val byVal = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("x"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("bkt", (col("x") / 64L).cast("long"))
+        .localCheckpoint() // feeds cumsum's two sides + the totals
+      val cum = graft.plans.PrefixScan.cumsum(byVal, part = Seq("source"),
+        bucket = "bkt", order = Seq("x"), value = "cnt", out = "cum")
+      val tot = byVal.groupBy("source")
+        .agg(sum(col("cnt")).as("n"), sum(col("x") * col("cnt")).as("sx"))
+      cum.join(broadcast(tot), "source")
+        .withColumn("r", col("cum") - col("cnt")) // exclusive prefix count
+        .withColumn("contrib",
+          col("x") * (lit(2) * col("r") * col("cnt")
+            + col("cnt") * (col("cnt") + 1) - (col("n") + 1) * col("cnt")))
+        .groupBy("source")
+        .agg(max(col("n")).as("n_docs"), sum(col("contrib")).as("gini_num"),
+          max(col("n") * col("sx")).as("gini_den"))
+        .select(col("source"), col("n_docs"), col("gini_num"), col("gini_den"),
+          expr("(1000000 * gini_num) div gini_den").as("gini_ppm"))
+        .orderBy("source")
     }
   )
 }

@@ -152,6 +152,55 @@ object EtlOps {
         .orderBy(col("key"))
     },
 
+    // Snapshot reconciliation (data diff) — the READ side of MERGE:
+    // given two snapshots of a keyed table, classify every key as
+    // added / removed / changed / unchanged. The "previous" snapshot is
+    // a deterministic mutation of orders (keys ≡0 mod 97 absent → they
+    // surface as added; ≡0 mod 101 price-shifted → changed; phantom
+    // keys +10⁹ for ≡0 mod 89 → removed). One full-outer hash join on
+    // the key with a column-level compare — at warehouse scale the
+    // compare side is a fingerprint (xxhash64 of the packed row), the
+    // join is the same single shuffle; no sort, no window.
+    Q("q140_snapshot_diff",
+      """WITH cur AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, o_orderstatus AS st
+        |  FROM orders),
+        |prev AS (
+        |  SELECT k, cents + CASE WHEN k % 101 = 0 THEN 1 ELSE 0 END AS cents, st
+        |  FROM cur WHERE k % 97 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000000, cents, st FROM cur WHERE k % 89 = 0
+        |),
+        |j AS (SELECT CASE WHEN p.k IS NULL THEN 'added'
+        |        WHEN c.k IS NULL THEN 'removed'
+        |        WHEN c.cents IS DISTINCT FROM p.cents
+        |          OR c.st IS DISTINCT FROM p.st THEN 'changed'
+        |        ELSE 'unchanged' END AS status
+        |      FROM cur c FULL OUTER JOIN prev p ON c.k = p.k)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM j GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
+      val cur = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderstatus").as("st"))
+      val prev = cur.filter(col("k") % 97 =!= 0)
+        .select(col("k"),
+          (col("cents") + when(col("k") % 101 === 0, 1L).otherwise(0L)).as("cents"),
+          col("st"))
+        .unionAll(cur.filter(col("k") % 89 === 0)
+          .select((col("k") + 1000000000L).as("k"), col("cents"), col("st")))
+      val p = prev.select(col("k").as("pk"), col("cents").as("pcents"),
+        col("st").as("pst"))
+      cur.join(p, cur("k") === p("pk"), "full_outer")
+        .select(when(col("pk").isNull, "added")
+          .when(col("k").isNull, "removed")
+          .when(!(col("cents") <=> col("pcents")) || !(col("st") <=> col("pst")),
+            "changed")
+          .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n_rows"))
+        .orderBy("status")
+    },
+
     // SCD Type-2 dimension build: q83's version stream materialized as
     // HISTORY instead of latest-wins — one row per (key, version) with
     // [eff_from, eff_to) validity and a current flag. eff_to is simply

@@ -480,6 +480,57 @@ object MiningOps {
         .groupBy("w", "cnt").agg(min(col("bc")).as("est"))
         .orderBy(col("cnt").desc, col("w")).limit(20)
         .select(col("w"), col("cnt"), col("est"))
+    },
+
+    // Inverted-index build with delta-encoded postings — the IR
+    // storage primitive under BM25 (q97 scores; this MATERIALIZES the
+    // index): bigram term → sorted doc_id list stored as first-id +
+    // gaps (the monotone-list compression every posting format uses;
+    // at scale the csv certificate is a varint byte array). Terms are
+    // bigram shingles (the unigram vocab is 31 tokens — all stopword-
+    // class) kept by RELATIVE document frequency N/100 ≤ df ≤ N/10:
+    // drops stopword-class terms (unbounded lists) and hapax noise at
+    // ANY corpus size, and caps every per-term lag window at N/10 rows.
+    // One distinct (doc, term) shuffle + one term shuffle; the df
+    // filter joins BEFORE the window so postings are built only for
+    // kept terms.
+    Q("q142_posting_lists",
+      """WITH b AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+        |        unnest(range(len(string_split(text, ' ')) - 1)) AS i
+        |        FROM documents)),
+        |u AS (SELECT DISTINCT doc_id, w FROM b),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |g AS (SELECT w FROM u CROSS JOIN n GROUP BY w, n.n
+        |      HAVING count(*) * 100 >= n.n AND count(*) * 10 <= n.n),
+        |dl AS (SELECT u.w, u.doc_id,
+        |    u.doc_id - coalesce(lag(u.doc_id)
+        |      OVER (PARTITION BY u.w ORDER BY u.doc_id), 0) AS delta
+        |  FROM u JOIN g ON u.w = g.w)
+        |SELECT w, CAST(count(*) AS BIGINT) AS df,
+        |  string_agg(CAST(delta AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM dl GROUP BY w ORDER BY w""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val u = docs
+        .select(col("doc_id"),
+          explode(TextFns.shingles(TextFns.tokens(col("text")), 2)).as("w"))
+        .distinct()
+        .localCheckpoint() // feeds the df count AND the posting build
+      val n = docs.agg(count(lit(1)).as("n"))
+      val kept = u.groupBy("w").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .filter(col("df") * 100 >= col("n") && col("df") * 10 <= col("n"))
+        .select("w")
+      val w = Window.partitionBy("w").orderBy("doc_id")
+      u.join(broadcast(kept), "w")
+        .withColumn("delta",
+          col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(0L)))
+        .groupBy("w")
+        .agg(count(lit(1)).as("df"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(doc_id, cast(delta as string) as ds))), x -> x.ds), ',')")
+            .as("postings"))
+        .orderBy("w")
     }
   )
 }

@@ -234,4 +234,66 @@ class AnalyticsSpec extends AnyFunSuite {
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(dist == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 1L)))
   }
+
+  // ---- q141 MAD outliers ---------------------------------------------
+
+  test("mad outliers: value-level lower medians equal the sorted brute force") {
+    val rng = new scala.util.Random(11)
+    // gA: odd count, heavy ties; gB: even count (lower-median edge);
+    // gC: constant values → mad 0, any deviation is an outlier.
+    val gA = Seq.fill(41)(((rng.nextInt(6) + 1) * 100).toDouble / 100.0)
+    val gB = Seq(1.0, 2.0, 3.0, 10.0)
+    val gC = Seq.fill(5)(7.0) :+ 7.5
+    val rows = (gA.map(("gA", _)) ++ gB.map(("gB", _)) ++ gC.map(("gC", _)))
+      .zipWithIndex.map { case ((g, p), i) => (i.toLong, g, p) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_mad").toString
+    rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .repartition(4).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q141_mad_outliers")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def brute(xs: Seq[Double]): (Long, Long, Long, Long) = {
+      val cents = xs.map(x => math.floor(x * 100).toLong)
+      def lmed(v: Seq[Long]) = v.sorted.apply(((v.size - 1) / 2))
+      val med = lmed(cents)
+      val dev = cents.map(c => math.abs(c - med))
+      val mad = lmed(dev)
+      (cents.size.toLong, med, mad, dev.count(_ > 3 * mad).toLong)
+    }
+    assert(got("gA") == brute(gA))
+    assert(got("gB") == brute(gB))
+    val (n, med, mad, out) = brute(gC)
+    assert(mad == 0L && out == 1L) // constant group: 7.5 is the lone outlier
+    assert(got("gC") == ((n, med, mad, out)))
+  }
+
+  // ---- q143 equi-depth histogram -------------------------------------
+
+  test("equi-depth histogram: counts partition n evenly; ties straddle buckets") {
+    // 23 rows of a SINGLE tied value spanning several buckets exercise
+    // the explode-across-buckets path; plus a spread tail.
+    val vals = Seq.fill(23)(5.0) ++ (1 to 9).map(i => 10.0 + i)
+    val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_edh").toString
+    rows.toDF("l_orderkey", "l_extendedprice")
+      .repartition(3).write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q143_equidepth_hist")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val n = vals.size // 32
+    // rank-exact expectation: bucket b has ceil((b+1)n/8)−ceil(bn/8) rows
+    def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
+    val expCounts = (0 until 8).map(b =>
+      ceilDiv((b + 1).toLong * n, 8) - ceilDiv(b.toLong * n, 8))
+    assert(got.map(_._1) == (0L until 8L))
+    assert(got.map(_._2) == expCounts)
+    assert(got.map(_._2).sum == n.toLong)
+    val sorted = vals.map(v => math.floor(v * 100).toLong).sorted
+    // per-bucket lo/hi are the values at the bucket's rank range ends
+    got.foreach { case (b, cnt, lo, hi) =>
+      val start = ceilDiv(b * n.toLong, 8).toInt
+      assert(lo == sorted(start) && hi == sorted(start + cnt.toInt - 1))
+    }
+    // monotone bounds across buckets
+    assert(got.sliding(2).forall { case Seq(a, c) => a._4 <= c._3; case _ => true })
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.{Date, Timestamp}
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Behavioral checks for the round-7 audit operators on planted
@@ -240,5 +241,74 @@ class AuditSpec extends AnyFunSuite {
     val got = SparkEntry.queries("q119_time_weighted_avg")(spark, dir)
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 30L, 233L)))
+  }
+
+  // ---- q138 join-size estimate --------------------------------------
+
+  test("join size estimate: equals the executed join's cardinality per edge") {
+    // Skewed FKs: key counts 1..5 on the fact side, dims with partial
+    // coverage so some fact keys have no match (they must NOT count).
+    val li = (1 to 5).flatMap(k => Seq.fill(k)((k.toLong, (k % 3).toLong + 1, 1L)))
+    val ord = Seq((1L, 10L), (1L, 10L), (2L, 11L), (3L, 10L), (9L, 12L))
+    val dir = tmpDir("graft_jse")
+    li.toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    ord.toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    Seq(1L, 2L).toDF("p_partkey").coalesce(1).write.parquet(s"$dir/part.parquet")
+    Seq(1L).toDF("s_suppkey").coalesce(1).write.parquet(s"$dir/supplier.parquet")
+    Seq(10L, 11L).toDF("c_custkey").coalesce(1).write.parquet(s"$dir/customer.parquet")
+    val got = SparkEntry.queries("q138_join_size_estimate")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (e, n, s, m) => e -> ((n, s, m)) }.toMap
+    // Ground truth: the executed joins themselves.
+    val liDf = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ordDf = spark.read.parquet(s"$dir/orders.parquet")
+    val loActual = liDf.join(ordDf, liDf("l_orderkey") === ordDf("o_orderkey")).count()
+    assert(got("lineitem-orders")._2 == loActual)
+    // l_orderkey 1 (cnt 1) × o_orderkey 1 (cnt 2) = 2; key 2: 2×1; key 3: 3×1
+    assert(got("lineitem-orders") == ((3L, 7L, 3L)))
+    // partkeys present: 2 (from k∈{1,4}: cnt 1+4) and 1 (no: k%3+1 ∈ {2,3,1,2,3})
+    val lpActual = liDf.join(spark.read.parquet(s"$dir/part.parquet"),
+      liDf("l_partkey") === col("p_partkey")).count()
+    assert(got("lineitem-part")._2 == lpActual)
+    val ocActual = ordDf.join(spark.read.parquet(s"$dir/customer.parquet"),
+      ordDf("o_custkey") === col("c_custkey")).count()
+    assert(got("orders-customer")._2 == ocActual)
+    assert(got("lineitem-supplier")._2 == liDf.count()) // all suppkey=1, dim has 1
+  }
+
+  // ---- q139 Gini concentration --------------------------------------
+
+  test("gini: value-level prefix-scan equals the rank formula; extremes behave") {
+    // srcA: all equal → gini 0. srcB: one doc holds (nearly) all mass →
+    // ppm → (n−1)/n. srcC: pseudo-random WITH ties (the value-level
+    // path's hard case) checked against the sorted-rank brute force.
+    val a = Seq.fill(6)(100L)
+    val b = Seq.fill(9)(1L) :+ 100000L
+    val rng = new scala.util.Random(7)
+    val c = Seq.fill(40)((rng.nextInt(8) + 1) * 10L)
+    val rows = (a.map(("srcA", _)) ++ b.map(("srcB", _)) ++ c.map(("srcC", _)))
+      .zipWithIndex.map { case ((src, nc), i) => (i.toLong, "t", "en", src, nc) }
+    val dir = tmpDir("graft_gini")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(5).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q139_gini_concentration")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def brute(xs: Seq[Long]): (Long, Long, Long) = {
+      val s = xs.sorted; val n = s.size.toLong
+      val num = s.zipWithIndex.map { case (x, i0) =>
+        (2L * (i0 + 1) - n - 1) * x
+      }.sum
+      val den = n * s.sum
+      (num, den, 1000000L * num / den)
+    }
+    assert(got("srcA") == ((6L, 0L, brute(a)._2, 0L)))
+    val (bn, bd, bp) = brute(b)
+    assert(got("srcB") == ((10L, bn, bd, bp)))
+    assert(bp > 880000L) // one-hot on n=10 → ≳ 0.9·(n−1)/n
+    val (cn, cd, cp) = brute(c)
+    assert(got("srcC") == ((40L, cn, cd, cp)))
   }
 }

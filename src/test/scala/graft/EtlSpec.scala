@@ -160,4 +160,26 @@ class EtlSpec extends AnyFunSuite {
     // two-version keys exist (every key % 7 == 0 with ver-1 update)
     assert(byKey.values.exists(_.length == 2))
   }
+
+  test("q140 snapshot diff: status counts match the planted mutation rule") {
+    import spark.implicits._
+    // keys 0..499: ≡0 (mod 97) absent from prev → added; ≡0 (mod 89)
+    // spawn a +10⁹ phantom → removed; ≡0 (mod 101) and not added →
+    // changed; everything else unchanged. Key 0 hits BOTH added (as 0)
+    // and removed (as the 10⁹ phantom).
+    val keys = 0L until 500L
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapdiff").toString
+    keys.map(k => (k, 10.0 + k, "S")).toDF(
+      "o_orderkey", "o_totalprice", "o_orderstatus")
+      .repartition(3).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q140_snapshot_diff")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val added = keys.count(_ % 97 == 0).toLong
+    val removed = keys.count(_ % 89 == 0).toLong
+    val changed = keys.count(k => k % 101 == 0 && k % 97 != 0).toLong
+    assert(got("added") == added && got("removed") == removed &&
+      got("changed") == changed)
+    assert(got("unchanged") == keys.size - added - changed)
+    assert(got.values.sum == keys.size + removed) // full-outer covers both sides
+  }
 }

@@ -277,4 +277,36 @@ class MiningSpec extends AnyFunSuite {
     assert(got == Seq(("hot", 5L, 5L), ("warm", 3L, 3L), ("x", 1L, 1L)))
     assert(got.forall { case (_, cnt, est) => est >= cnt })
   }
+
+  // ---- q142 posting lists -------------------------------------------
+
+  test("posting lists: deltas prefix-sum back to the sorted doc ids; df band is relative") {
+    // 40 docs. Bigram "a b" in docs 3,7,15 (df 3 ≤ 40/10 → kept);
+    // "c d" in ALL 40 (df 40 > N/10 → dropped, stopword-class);
+    // "e f" only in doc 0 (df 1: 1·100 ≥ 40 and 1·10 ≤ 40 → kept —
+    // the band is inclusive).
+    val dir = tmpDir("graft_post")
+    val rows = (0L until 40L).map { id =>
+      val t = new StringBuilder("c d")
+      if (id == 3L || id == 7L || id == 15L) t.append(" a b")
+      if (id == 0L) t.append(" e f")
+      (id, t.toString, "en")
+    }
+    writeDocs(dir, rows)
+    val got = SparkEntry.queries("q142_posting_lists")(spark, dir)
+      .as[(String, Long, String)].collect().toSeq
+    val byTerm = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!byTerm.contains("c d")) // df 20 of N=20: above N/10
+    assert(byTerm("a b") == ((3L, "3,4,8"))) // 3, 7−3, 15−7
+    assert(byTerm("e f") == ((1L, "0")))
+    // decode law on every emitted posting: prefix sums are strictly
+    // increasing valid doc ids
+    got.foreach { case (w, df, ps) =>
+      val deltas = ps.split(',').map(_.toLong).toSeq
+      assert(deltas.length == df, s"$w: df vs list length")
+      val ids = deltas.scanLeft(0L)(_ + _).drop(1)
+      assert(ids == ids.sorted.distinct, s"$w: not strictly increasing")
+      assert(deltas.tail.forall(_ > 0), s"$w: non-positive gap")
+    }
+  }
 }
