@@ -186,7 +186,9 @@ object ScaleSmoke {
       spark.range(6000000L)
         .select(pmod(xxhash64(col("id")), lit(1500000L)).as("l_orderkey"),
           pmod(xxhash64(col("id") + 3), lit(200000L)).as("l_partkey"),
-          pmod(xxhash64(col("id") + 5), lit(10000L)).as("l_suppkey"))
+          pmod(xxhash64(col("id") + 5), lit(10000L)).as("l_suppkey"),
+          (pmod(xxhash64(col("id") + 17), lit(10000000L)).cast("double") / 100.0)
+            .as("l_extendedprice"))
         .write.mode("overwrite").parquet(s"$adir/lineitem.parquet")
       spark.range(1500000L)
         .select(col("id").as("o_orderkey"),
@@ -218,7 +220,11 @@ object ScaleSmoke {
         // round-6 additions (documents/events-based)
         "q121_rolling_mau", "q131_sessionization", "q132_tfidf_topk",
         "q133_attribution", "q134_cms_freq", "q135_priority_sample",
-        "q136_token_budget")
+        "q136_token_budget",
+        // round-6 second batch (star-schema + documents audit/stats/IR)
+        "q138_join_size_estimate", "q139_gini_concentration",
+        "q140_snapshot_diff", "q141_mad_outliers", "q142_posting_lists",
+        "q143_equidepth_hist")
       println(f"${"op"}%-26s ${"1x-cold"}%8s ${"1x"}%8s ${"10x-cold"}%9s ${"10x"}%8s ${"ratio"}%7s")
       auditOps.foreach { name =>
         val c1 = run(name, base)
