@@ -469,6 +469,106 @@ object AnalyticsOps {
         .agg(sum(col("overlap")).as("n_rows"), min(col("v")).as("lo_cents"),
           max(col("v")).as("hi_cents"))
         .orderBy("bucket")
+    },
+
+    // Quantile (rank) transform — the feature-engineering normalizer
+    // that q123's min-max scaling can't substitute under outliers: each
+    // value maps to floor(1e6 · |{rows < v}| / n). Tie-safe by
+    // definition (strictly-below count, not rank), exact in integers.
+    // The rank of EVERY row comes from the value-level cumulative
+    // count (PrefixScan): the per-row pass is a join back on the
+    // value — no row-level window anywhere, so a million rows of one
+    // value cost one value row plus the final hash join. Dumped for a
+    // deterministic key sample; the transform itself is corpus-wide.
+    Q("q145_quantile_transform",
+      """WITH c AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |r AS (SELECT v, count(*) AS cnt FROM c GROUP BY v),
+        |cm AS (SELECT v, sum(cnt) OVER (ORDER BY v) - cnt AS below FROM r)
+        |SELECT c.k, c.v, CAST((1000000 * cm.below) // n.n AS BIGINT) AS q_ppm
+        |FROM c JOIN cm USING (v) CROSS JOIN n
+        |WHERE c.k < 100 ORDER BY c.k""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("v"))
+        .localCheckpoint() // feeds the value table AND the join-back
+      val byVal = c.groupBy("v").agg(count(lit(1)).as("cnt"))
+        .withColumn("bkt", (col("v") / 1000000L).cast("long"))
+        .localCheckpoint()
+      val cum = graft.plans.PrefixScan.cumsum(byVal, part = Seq(),
+        bucket = "bkt", order = Seq("v"), value = "cnt", out = "cum")
+        .withColumn("below", col("cum") - col("cnt"))
+        .select("v", "below")
+      val n = byVal.agg(sum(col("cnt")).as("n"))
+      c.filter(col("k") < 100)
+        .join(cum, "v").crossJoin(broadcast(n))
+        .select(col("k"), col("v"),
+          expr("(1000000 * below) div n").as("q_ppm"))
+        .orderBy("k")
+    },
+
+    // Per-nation revenue trend: exact-integer OLS slope of monthly
+    // revenue (cents) on the month index. The normal-equation terms
+    // n·Σxy − Σx·Σy and n·Σxx − Σx² are pure integer sums — no float
+    // mean ever enters (the q106 grouped-covariance discipline), so
+    // num/den is the true rational slope. x is centered to months
+    // since 1995-01 to keep n·Σxy far from 2⁶³ (still ≪ 2⁶³ at 1000×
+    // the revenue). Two map-side-combinable aggregates — (nation,
+    // month) then nation — after broadcast dimension joins; the fact
+    // table is touched once. The reported milli-cents slope uses an
+    // explicit FLOOR division (num can be negative; Spark `div` AND
+    // DuckDB `//` BOTH truncate toward zero — measured: -7//2 = -3 —
+    // so each side subtracts its floor-mod remainder first, making the
+    // quotient an exact multiple and the division engine-independent).
+    Q("q149_nation_trend",
+      """WITH m AS (SELECT n.n_name AS nation,
+        |    CAST((year(o.o_orderdate) - 1995) * 12
+        |      + month(o.o_orderdate) - 1 AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_months,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM m GROUP BY nation),
+        |t AS (SELECT nation, n_months,
+        |    n_months * sxy - sx * sy AS num,
+        |    n_months * sxx - sx * sx AS den
+        |  FROM r WHERE n_months >= 2)
+        |SELECT nation, n_months, num, den,
+        |  (1000 * num - ((1000 * num % den) + den) % den) // den
+        |    AS slope_milli_c
+        |FROM t ORDER BY nation""".stripMargin) { (s, d) =>
+      val monthly = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("nation"),
+          ((year(col("o_orderdate")) - 1995) * 12
+            + month(col("o_orderdate")) - 1).cast("long").as("x"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("nation", "x").agg(sum(col("cents")).as("y"))
+      monthly.groupBy("nation")
+        .agg(count(lit(1)).as("n_months"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .filter(col("n_months") >= 2)
+        .select(col("nation"), col("n_months"),
+          (col("n_months") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n_months") * col("sxx") - col("sx") * col("sx")).as("den"))
+        .select(col("nation"), col("n_months"), col("num"), col("den"),
+          // floor division for possibly-negative num: strip the
+          // non-negative pmod remainder, then exact integer div.
+          expr("(1000 * num - pmod(1000 * num, den)) div den")
+            .as("slope_milli_c"))
+        .orderBy("nation")
     }
   )
 

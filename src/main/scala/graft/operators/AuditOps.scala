@@ -471,6 +471,46 @@ object AuditOps {
         .select(col("source"), col("n_docs"), col("gini_num"), col("gini_den"),
           expr("(1000000 * gini_num) div gini_den").as("gini_ppm"))
         .orderBy("source")
+    },
+
+    // Benford first-digit audit — the classic fabricated-data screen:
+    // the leading significant digit of organic monetary amounts follows
+    // log10(1 + 1/d); a synthetic or tampered column doesn't. Output per
+    // digit: exact count, observed ppm (integer div), expected Benford
+    // ppm, and the signed gap. The digit comes from the decimal string
+    // of the cents value (exact on positive integers in both engines —
+    // no float log in the extraction path); the only float op is the
+    // per-digit constant floor(1e6·log10(1+1/d)), a single non-reduced
+    // libm call whose 9 values all sit ≥ 0.2 ulp·1e6 from an integer
+    // boundary, so the floor is engine-stable. One 9-group map-side-
+    // combinable aggregate + a broadcast total: a single fact-table
+    // pass at any scale.
+    Q("q148_benford_audit",
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice > 0),
+        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
+        |SELECT d.digit, d.n,
+        |  (1000000 * d.n) // t.total AS observed_ppm,
+        |  CAST(floor(1000000 * log10(1 + 1.0 / d.digit)) AS BIGINT) AS expected_ppm,
+        |  (1000000 * d.n) // t.total
+        |    - CAST(floor(1000000 * log10(1 + 1.0 / d.digit)) AS BIGINT) AS delta_ppm
+        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin) { (s, d) =>
+      val digits = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .select(substring(floor(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = digits.agg(sum(col("n")).as("total"))
+      val expectedPpm =
+        floor(lit(1000000) * log10(lit(1) + lit(1.0) / col("digit"))).cast("long")
+      digits.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          expr("(1000000 * n) div total").as("observed_ppm"),
+          expectedPpm.as("expected_ppm"),
+          (expr("(1000000 * n) div total") - expectedPpm).as("delta_ppm"))
+        .orderBy("digit")
     }
   )
 }

@@ -329,6 +329,138 @@ object EventsOps {
           when(expr("timestampdiff(MICROSECOND, click_ts, ts)") <= 604800000000L,
             col("click_id")).as("click_id"))
         .orderBy("user_id", "purchase_id")
+    },
+
+    // Rate-cap (throttling) audit — the stream-hygiene gate: events
+    // past the 3rd per (user, calendar day) are over-quota; report each
+    // offending user's daily peak and throttled volume. One exchange
+    // clustered on user_id serves the (user, day)-partitioned
+    // row_number AND the per-user aggregate (day is a function of the
+    // stream's own rows, so the finer window needs no second shuffle);
+    // window state is one counter, partitions are per-user-day bounded.
+    Q("q146_rate_limit_audit",
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |t AS (SELECT user_id, day,
+        |    CAST(max(rn) AS BIGINT) AS day_events,
+        |    CAST(sum(CASE WHEN rn > 3 THEN 1 ELSE 0 END) AS BIGINT) AS day_throttled
+        |  FROM e GROUP BY user_id, day)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS active_days,
+        |  max(day_events) AS peak_day_events,
+        |  CAST(sum(day_throttled) AS BIGINT) AS n_throttled
+        |FROM t GROUP BY user_id HAVING sum(day_throttled) > 0
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("day")).orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+          col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("user_id", "day")
+        .agg(max(col("rn")).cast("long").as("day_events"),
+          sum(when(col("rn") > 3, 1L).otherwise(0L)).as("day_throttled"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("active_days"),
+          max(col("day_events")).as("peak_day_events"),
+          sum(col("day_throttled")).as("n_throttled"))
+        .filter(col("n_throttled") > 0)
+        .orderBy("user_id")
+    },
+
+    // Exponential smoothing (EWMA, α = 1/4) of each user's value
+    // stream over its last ≤ 8 events — in EXACT rationals: with m
+    // terms the weights α(1−α)ʲ (oldest carries the closing (1−α)^(m−1))
+    // scale by 4^(m−1) to integers 3ʲ·4^(m−2−j) (oldest 3^(m−1)) that
+    // sum to EXACTLY 4^(m−1), so num/den is the true rational EWMA and
+    // floor-div cents are engine-independent (pow(3,j), pow(4,k) for
+    // j,k ≤ 7 are exact in doubles, cast before any arithmetic). The
+    // last-8 slice comes from a DESC row_number — one user-partitioned
+    // exchange, no self-join; num ≤ cents·4⁷ ≪ 2⁶³.
+    Q("q147_ewma",
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS c, ts FROM events),
+        |r AS (SELECT user_id, c,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) - 1 AS j,
+        |    count(*) OVER (PARTITION BY user_id) AS n FROM e),
+        |t AS (SELECT user_id, c, j, least(n, 8) AS m FROM r
+        |      WHERE j < least(n, 8)),
+        |s AS (SELECT user_id, CAST(max(m) AS BIGINT) AS m,
+        |    CAST(sum(c * CASE WHEN j = m - 1 THEN CAST(pow(3, j) AS BIGINT)
+        |      ELSE CAST(pow(3, j) AS BIGINT) * CAST(pow(4, m - 2 - j) AS BIGINT)
+        |      END) AS BIGINT) AS num
+        |  FROM t GROUP BY user_id)
+        |SELECT user_id, m, num, CAST(pow(4, m - 1) AS BIGINT) AS den,
+        |  num // CAST(pow(4, m - 1) AS BIGINT) AS ewma_c
+        |FROM s ORDER BY user_id""".stripMargin) { (s, d) =>
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("c"), col("ts"))
+        .withColumn("j", row_number().over(wOrd) - 1)
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("m", least(col("n"), lit(8L)))
+        .filter(col("j") < col("m"))
+        .groupBy("user_id")
+        .agg(max(col("m")).cast("long").as("m"),
+          sum(col("c") *
+            when(col("j") === col("m") - 1,
+              expr("CAST(pow(3, j) AS BIGINT)"))
+            .otherwise(expr("CAST(pow(3, j) AS BIGINT) * CAST(pow(4, m - 2 - j) AS BIGINT)")))
+            .as("num"))
+        .select(col("user_id"), col("m"), col("num"),
+          expr("CAST(pow(4, m - 1) AS BIGINT)").as("den"),
+          expr("num div CAST(pow(4, m - 1) AS BIGINT)").as("ewma_c"))
+        .orderBy("user_id")
+    },
+
+    // A/B experiment lift audit — daily 2×2 conversion table with the
+    // variant assigned by user-id parity (the deterministic stand-in
+    // for an experiment-bucketing hash) and conversion = "emitted a
+    // purchase that day". Conversion rates and their difference are
+    // exact integer ppm (floor div on non-negative counts — no float
+    // proportion, no cross-engine rounding). Two map-side-combinable
+    // aggregates — (day, user) collapses the event stream to one row
+    // per active user-day, then day rolls up the four cells — so the
+    // stream is shuffled once on its natural user key and once on
+    // ~30 day keys. At 100 TB the first aggregate is the only big
+    // exchange and it's the minimal one (any experiment readout must
+    // dedupe users before counting).
+    Q("q150_ab_lift",
+      """WITH u AS (SELECT CAST(ts AS DATE) AS day, user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT day,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS a_conv,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_n,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS b_conv
+        |  FROM u GROUP BY day)
+        |SELECT day, a_n, a_conv, b_n, b_conv,
+        |  (1000000 * a_conv) // a_n AS p_a_ppm,
+        |  (1000000 * b_conv) // b_n AS p_b_ppm,
+        |  (1000000 * a_conv) // a_n - (1000000 * b_conv) // b_n AS lift_ppm
+        |FROM c WHERE a_n > 0 AND b_n > 0 ORDER BY day""".stripMargin) { (s, d) =>
+      val userDay = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("isConv"))
+        .groupBy("day", "user_id").agg(max(col("isConv")).as("conv"))
+      userDay.groupBy("day")
+        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("a_n"),
+          sum(when(col("user_id") % 2 === 0, col("conv")).otherwise(0L)).as("a_conv"),
+          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("b_n"),
+          sum(when(col("user_id") % 2 === 1, col("conv")).otherwise(0L)).as("b_conv"))
+        .filter(col("a_n") > 0 && col("b_n") > 0)
+        .select(col("day"), col("a_n"), col("a_conv"), col("b_n"), col("b_conv"),
+          expr("(1000000 * a_conv) div a_n").as("p_a_ppm"),
+          expr("(1000000 * b_conv) div b_n").as("p_b_ppm"),
+          (expr("(1000000 * a_conv) div a_n")
+            - expr("(1000000 * b_conv) div b_n")).as("lift_ppm"))
+        .orderBy("day")
     }
   )
 

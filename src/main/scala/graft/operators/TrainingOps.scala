@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators beyond dedup/ANN: benchmark
@@ -523,6 +524,127 @@ object TrainingOps {
         .filter(col("cum_tok") <= 2000L)
         .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"))
         .orderBy("source", "cum_tok")
+    },
+
+    // k-anonymity audit — the release gate that complements q74's PII
+    // redaction: rows whose quasi-identifier class (priority, status,
+    // order month) has fewer than k members are re-identifiable and
+    // must be suppressed or generalized before the table ships. One
+    // groupBy to class level (map-side combinable; the class table is
+    // quasi-cardinality-sized, NOT row-sized), then a 3-row threshold
+    // sweep over the broadcast thresholds — the raw table is scanned
+    // once no matter how many k values are audited.
+    Q("q144_k_anonymity",
+      """WITH q AS (SELECT o_orderpriority, o_orderstatus,
+        |    year(o_orderdate) AS y, month(o_orderdate) AS mo,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2, 3, 4),
+        |k AS (SELECT CAST(unnest([5, 10, 25]) AS BIGINT) AS k)
+        |SELECT k.k AS k,
+        |  CAST(sum(CASE WHEN q.c < k.k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_classes_below,
+        |  CAST(sum(CASE WHEN q.c < k.k THEN q.c ELSE 0 END) AS BIGINT)
+        |    AS n_rows_suppressed,
+        |  CAST(min(q.c) AS BIGINT) AS min_class_size
+        |FROM q CROSS JOIN k GROUP BY k.k ORDER BY k""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val classes = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"),
+          year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("c"))
+      val ks = Seq(5L, 10L, 25L).toDF("k")
+      classes.crossJoin(broadcast(ks))
+        .groupBy("k")
+        .agg(sum(when(col("c") < col("k"), 1L).otherwise(0L)).as("n_classes_below"),
+          sum(when(col("c") < col("k"), col("c")).otherwise(0L)).as("n_rows_suppressed"),
+          min(col("c")).as("min_class_size"))
+        .orderBy("k")
+    },
+
+    // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    // SIGIR'09): fuse a dense ranker (embedding cosine, the q49 shape)
+    // with a sparse lexical ranker (distinct shared tokens) by summing
+    // floor(1e9/(60+rank)) over the rankers each candidate appears in
+    // (top-50 lists). Ranks are integers, so the fused score is EXACT —
+    // float similarity only ever orders within one ranker (the q49/q97
+    // precedent: rank-only outputs hash cross-engine). Queries = docs
+    // 0–4, vec_id ≡ doc_id in the fixtures. Scale shape: the dense leg
+    // is a broadcast-query nested-loop scan (corpus never shuffles;
+    // swap in the q67 IVF probe for 100 TB), the lexical leg joins the
+    // 5-query token set (broadcast) against the corpus posting side and
+    // aggregates per (query, cand) — both legs end in a per-query
+    // top-50 TakeOrdered, and the fusion join is over ≤ 100 rows/query.
+    Q("q151_rrf_hybrid",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |sem AS (SELECT query_id, cand, CAST(rnk AS BIGINT) AS rnk FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS cand,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS rnk
+        |    FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+        |  WHERE rnk <= 50),
+        |tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |lex AS (SELECT query_id, cand, CAST(rnk AS BIGINT) AS rnk FROM (
+        |    SELECT qt.doc_id AS query_id, ct.doc_id AS cand,
+        |      row_number() OVER (PARTITION BY qt.doc_id
+        |        ORDER BY count(*) DESC, ct.doc_id) AS rnk
+        |    FROM tok qt JOIN tok ct ON qt.w = ct.w AND qt.doc_id <> ct.doc_id
+        |    WHERE qt.doc_id < 5
+        |    GROUP BY qt.doc_id, ct.doc_id)
+        |  WHERE rnk <= 50),
+        |fused AS (SELECT coalesce(sem.query_id, lex.query_id) AS query_id,
+        |    coalesce(sem.cand, lex.cand) AS cand,
+        |    coalesce(1000000000 // (60 + sem.rnk), 0)
+        |      + coalesce(1000000000 // (60 + lex.rnk), 0) AS score
+        |  FROM sem FULL OUTER JOIN lex
+        |    ON sem.query_id = lex.query_id AND sem.cand = lex.cand)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, cand AS doc_id, score FROM (
+        |  SELECT query_id, cand, score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, cand) AS rnk
+        |  FROM fused)
+        |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+        .select(col("vec_id"), col("emb"),
+          sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb"))).as("nrm"))
+      val qSide = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      val wSem = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cand"))
+      val sem = e.select(col("vec_id").as("cand"), col("emb").as("ce"), col("nrm").as("cn"))
+        .join(broadcast(qSide), col("query_id") =!= col("cand"))
+        .withColumn("sim", graft.functions.VectorFns.cosineWithNorms(
+          graft.functions.GraftFunctions.dot(col("qe"), col("ce")),
+          col("qn"), col("cn")))
+        .withColumn("rnk", row_number().over(wSem).cast("long"))
+        .filter(col("rnk") <= 50)
+        .select(col("query_id"), col("cand"), col("rnk"))
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+        .distinct()
+      val wLex = Window.partitionBy(col("query_id"))
+        .orderBy(col("overlap").desc, col("cand"))
+      val lex = tok.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("w"))
+        .join(tok.select(col("doc_id").as("cand"), col("w")), "w")
+        .filter(col("query_id") =!= col("cand"))
+        .groupBy("query_id", "cand").agg(count(lit(1)).as("overlap"))
+        .withColumn("rnk", row_number().over(wLex).cast("long"))
+        .filter(col("rnk") <= 50)
+        .select(col("query_id"), col("cand"), col("rnk"))
+      val fused = sem.withColumnRenamed("rnk", "srnk")
+        .join(lex.withColumnRenamed("rnk", "lrnk"),
+          Seq("query_id", "cand"), "full_outer")
+        .select(col("query_id"), col("cand"),
+          (coalesce(expr("1000000000 div (60 + srnk)"), lit(0L))
+            + coalesce(expr("1000000000 div (60 + lrnk)"), lit(0L))).as("score"))
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand"))
+      fused.withColumn("rank", row_number().over(wTop).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("cand").as("doc_id"), col("score"))
+        .orderBy("query_id", "rank")
     }
   )
 }

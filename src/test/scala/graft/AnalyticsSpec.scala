@@ -296,4 +296,56 @@ class AnalyticsSpec extends AnyFunSuite {
     // monotone bounds across buckets
     assert(got.sliding(2).forall { case Seq(a, c) => a._4 <= c._3; case _ => true })
   }
+
+  // ---- q145 quantile transform ---------------------------------------
+
+  test("quantile transform: strictly-below ranks, tie-invariant, bounded below 1e6") {
+    // values (cents): 100 ×5, 200 ×3, 300 ×2 → below = 0, 5, 8 of 10.
+    val vals = Seq.fill(5)(1.0) ++ Seq.fill(3)(2.0) ++ Seq.fill(2)(3.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_qt").toString
+    rows.toDF("o_orderkey", "o_totalprice")
+      .repartition(3).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q145_quantile_transform")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size == 10)
+    val byVal = got.groupBy(_._2).map { case (v, rs) => v -> rs.map(_._3).distinct }
+    // every row of a tied value gets the SAME quantile
+    assert(byVal.values.forall(_.size == 1))
+    assert(byVal(100L) == Seq(0L))      // minimum → ppm 0
+    assert(byVal(200L) == Seq(500000L)) // 5 of 10 strictly below
+    assert(byVal(300L) == Seq(800000L)) // 8 of 10 strictly below
+    assert(got.map(_._3).max < 1000000L)
+  }
+
+  // ---- q149 nation trend ---------------------------------------------
+
+  test("nation trend: exact OLS terms; negative fractional slope FLOORS") {
+    // UP: monthly revenue 2000+500x cents at x=0,1,2 → slope 500 c/mo,
+    // milli = 500000 exactly (num 3000, den 6).
+    // DOWN: irregular months x=0,1,5 with cents 1000,999,998 →
+    // num = 3·5989 − 6·2997 = −15, den = 3·26 − 36 = 42; 1000·(−15)/42
+    // = −357.14… → FLOOR −358 (truncation would give −357 and diverge
+    // from the DuckDB oracle's // semantics).
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"1995-$m-15 00:00:00")
+    val nations = Seq((1L, "UPLAND"), (2L, "DOWNLAND"))
+    val custs = Seq((10L, 1L), (20L, 2L))
+    val orders = Seq(
+      (100L, 10L, ts("01"), 20.00), (101L, 10L, ts("02"), 25.00),
+      (102L, 10L, ts("03"), 30.00),
+      (200L, 20L, ts("01"), 10.00), (201L, 20L, ts("02"), 9.99),
+      (202L, 20L, ts("06"), 9.98))
+    val dir = java.nio.file.Files.createTempDirectory("graft_trend").toString
+    nations.toDF("n_nationkey", "n_name")
+      .write.parquet(s"$dir/nation.parquet")
+    custs.toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    orders.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .repartition(2).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q149_nation_trend")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("DOWNLAND", 3L, -15L, 42L, -358L),
+      ("UPLAND", 3L, 3000L, 6L, 500000L)))
+  }
 }

@@ -311,4 +311,25 @@ class AuditSpec extends AnyFunSuite {
     val (cn, cd, cp) = brute(c)
     assert(got("srcC") == ((40L, cn, cd, cp)))
   }
+
+  // ---- q148 Benford audit -------------------------------------------
+
+  test("benford: digit from cents string, exact ppm, stable log constants") {
+    // First digits of the CENTS value: 1.00→100, 10.50→1050, 199.99→
+    // 19999 all lead with '1'; 2.34→234, 25.00→2500, 0.29→29, 0.92→92.
+    // Planted: digit 1 ×6, digit 2 ×3, digit 9 ×1 of 10 values.
+    val prices = Seq(1.00, 10.50, 199.99, 1.23, 12.00, 150.01,
+      2.34, 25.00, 0.29, 0.92)
+    val dir = tmpDir("graft_benford")
+    prices.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("o_orderkey", "o_totalprice")
+      .repartition(3).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q148_benford_audit")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // expected_ppm = floor(1e6·log10(1+1/d)) — the Benford constants
+    assert(got == Seq(
+      (1L, 6L, 600000L, 301029L, 298971L),
+      (2L, 3L, 300000L, 176091L, 123909L),
+      (9L, 1L, 100000L, 45757L, 54243L)))
+  }
 }

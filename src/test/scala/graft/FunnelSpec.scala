@@ -124,4 +124,69 @@ class FunnelSpec extends AnyFunSuite {
     val w1 = java.sql.Date.valueOf("2024-01-08")
     assert(rows == Set((w0, 0, 2L), (w0, 1, 1L), (w0, 2, 1L), (w1, 0, 1L)))
   }
+
+  test("rate-limit audit: events past 3/day throttle; clean users drop out") {
+    // user 1: 5 events day 1 (2 over), 2 events day 2 (clean) →
+    // active_days counts BOTH days, peak 5, throttled 2.
+    // user 2: exactly 3 in one day → never throttled → absent.
+    val dir = eventsDir(
+      (1 to 5).map(h => (1L, "view", t(1, h))) ++
+        Seq((1L, "view", t(2)), (1L, "view", t(2, 1)),
+          (2L, "view", t(1)), (2L, "view", t(1, 1)), (2L, "view", t(1, 2))))
+    val got = SparkEntry.queries("q146_rate_limit_audit")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 5L, 2L)))
+  }
+
+  test("ewma: exact rational last-8 smoothing; weights sum to 4^(m-1)") {
+    def ev(id: Long, u: Long, day: Int, v: Double) =
+      (id, t(day), u, "view", v, "{}")
+    // user 1: values 1.00, 2.00, 3.00 oldest→newest → m=3, scaled
+    // weights newest-first (4, 3, 9)/16 → num = 4·300 + 3·200 + 9·100.
+    // user 2: 10 events → only the last 8 count. user 3: single event.
+    val u1 = Seq(ev(1, 1L, 1, 1.0), ev(2, 1L, 2, 2.0), ev(3, 1L, 3, 3.0))
+    val u2 = (1 to 10).map(i => ev(10 + i, 2L, i, i.toDouble))
+    val u3 = Seq(ev(30, 3L, 1, 7.77))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma").toString
+    (u1 ++ u2 ++ u3)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(3).write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q147_ewma")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def brute(centsOldest: Seq[Long]): (Long, Long, Long, Long) = {
+      val last = centsOldest.takeRight(8).reverse // newest first
+      val m = last.size
+      val sw = (0 until m).map(j =>
+        if (j == m - 1) math.pow(3, j).toLong
+        else math.pow(3, j).toLong * math.pow(4, m - 2 - j).toLong)
+      assert(sw.sum == math.pow(4, m - 1).toLong) // weights are a partition
+      val num = last.zip(sw).map { case (c, w) => c * w }.sum
+      (m.toLong, num, sw.sum, num / sw.sum)
+    }
+    assert(got(1L) == brute(Seq(100L, 200L, 300L)))
+    assert(got(1L)._2 == 4L * 300 + 3L * 200 + 9L * 100)
+    assert(got(2L) == brute((1 to 10).map(_ * 100L)))
+    assert(got(3L) == ((1L, 777L, 1L, 777L)))
+  }
+
+  test("ab lift: user-day dedup, parity variants, exact ppm difference") {
+    // Variant A = even user_id, B = odd. Day 1: A {u2 view, u4 buy},
+    // B {u1 view, u3 buy+view} → 1/2 vs 1/2, lift 0. Day 2: A {u2
+    // view}, B {u1 buy, u3 view, u5 buy×2 (counts once)} → 0/1 vs 2/3,
+    // lift −666666 ppm (floor div).
+    val dir = eventsDir(Seq(
+      (2L, "view", t(1)), (4L, "purchase", t(1, 1)),
+      (1L, "view", t(1, 2)), (3L, "purchase", t(1, 3)), (3L, "view", t(1, 4)),
+      (2L, "view", t(2)), (1L, "purchase", t(2, 1)), (3L, "view", t(2, 2)),
+      (5L, "purchase", t(2, 3)), (5L, "purchase", t(2, 4))))
+    val got = SparkEntry.queries("q150_ab_lift")(spark, dir)
+      .as[(java.sql.Date, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    assert(got == Seq(
+      (d1, 2L, 1L, 2L, 1L, 500000L, 500000L, 0L),
+      (d2, 1L, 0L, 3L, 2L, 0L, 666666L, -666666L)))
+  }
 }

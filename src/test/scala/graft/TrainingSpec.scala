@@ -258,4 +258,82 @@ class TrainingSpec extends AnyFunSuite {
       ("srcB", 3L, 100L, 100L),
       ("srcB", 4L, 100L, 200L)))
   }
+
+  test("rrf hybrid: fused ranks match an independent brute-force replica") {
+    // 6 docs; queries are ids 0-4. Controlled geometry: d1/d5 nearly
+    // parallel to d0's embedding, d3/d4 orthogonal to it (an exact 0.0
+    // cosine TIE broken by doc_id); token overlaps with d0: d1=3,
+    // d2=2, d4=1, d3=d5=0 (sem-only candidates exercise the
+    // full-outer fusion).
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.5f, 0.5f, 0.0f)), (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.9f, 0.3f)), (5L, Array(0.95f, 0.05f, 0.1f)))
+    val texts = Seq(
+      (0L, "a b c d"), (1L, "a b c x"), (2L, "a b y z"),
+      (3L, "p q r s"), (4L, "a p q r"), (5L, "m n o u"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rrf").toString
+    embs.map { case (i, e) => (i, e, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .repartition(2).write.parquet(s"$dir/embeddings.parquet")
+    texts.map { case (i, t) => (i, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q151_rrf_hybrid")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    // Independent replica: cosine in double over the float values,
+    // same left-to-right sum; rank ties by id; RRF k=60, floor div.
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+          acc + p.toDouble * q.toDouble }
+      val na = math.sqrt(dot(a, a)); val nb = math.sqrt(dot(b, b))
+      if (na == 0 || nb == 0) 0.0 else dot(a, b) / (na * nb)
+    }
+    val emap = embs.toMap
+    val tmap = texts.map { case (i, t) => i -> t.split(" ").toSet }.toMap
+    val expected = (0L to 4L).flatMap { q =>
+      val cands = (0L to 5L).filter(_ != q)
+      val semRank = cands.map(c => c -> cos(emap(q), emap(c)))
+        .sortBy { case (c, s) => (-s, c) }.zipWithIndex
+        .map { case ((c, _), i) => c -> (i + 1) }.toMap
+      val lexRank = cands.map(c => c -> (tmap(q) & tmap(c)).size)
+        .filter(_._2 > 0)
+        .sortBy { case (c, o) => (-o, c) }.zipWithIndex
+        .map { case ((c, _), i) => c -> (i + 1) }.toMap
+      val scores = cands.map { c =>
+        val s = semRank.get(c).map(r => 1000000000L / (60 + r)).getOrElse(0L) +
+          lexRank.get(c).map(r => 1000000000L / (60 + r)).getOrElse(0L)
+        c -> s
+      }.filter(_._2 > 0)
+      scores.sortBy { case (c, s) => (-s, c) }.take(10).zipWithIndex
+        .map { case ((c, s), i) => (q, (i + 1).toLong, c, s) }
+    }
+    assert(got == expected)
+    // hand-checked ordering for query 0: lexical pulls d2/d4 above the
+    // sem-only d5/d3 despite d5's near-parallel embedding
+    assert(got.filter(_._1 == 0L).map(_._3) == Seq(1L, 2L, 4L, 5L, 3L))
+  }
+
+  test("k-anonymity: planted class sizes drive suppression at each threshold") {
+    // Classes (priority, status, year, month): A = 3 rows, B = 7 rows,
+    // C = 30 rows. k=5 → A below (3 rows); k=10 → A+B (10 rows);
+    // k=25 → A+B (C is safe at 30).
+    def row(i: Long, p: String, st: String, day: String) =
+      (i, p, st, java.sql.Timestamp.valueOf(s"$day 00:00:00"))
+    val rows =
+      (1L to 3L).map(row(_, "P1", "O", "2024-01-15")) ++
+        (11L to 17L).map(row(_, "P1", "O", "2024-02-15")) ++
+        (21L to 50L).map(row(_, "P2", "F", "2024-01-15"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kanon").toString
+    rows.toDF("o_orderkey", "o_orderpriority", "o_orderstatus", "o_orderdate")
+      .repartition(3).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q144_k_anonymity")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (5L, 1L, 3L, 3L),
+      (10L, 2L, 10L, 3L),
+      (25L, 2L, 10L, 3L)))
+  }
 }
