@@ -569,6 +569,55 @@ object AnalyticsOps {
           expr("(1000 * num - pmod(1000 * num, den)) div den")
             .as("slope_milli_c"))
         .orderBy("nation")
+    },
+
+    // Per-nation exact percentile bands (p25/p50/p75 of order totals,
+    // type-1 inverse-CDF quantiles at rank ceil(q·n)) — the per-group
+    // distribution summary that q57's global percentiles don't give.
+    // Value-level discipline throughout: (nation, cents) count rows
+    // get their within-nation cumulative count from PrefixScan (a
+    // million equal-priced orders are ONE value row), the three target
+    // ranks come from a 25-row broadcast, and each band is a
+    // conditional min over value rows with cum ≥ rank. No row-level
+    // window anywhere; integer cents end to end.
+    Q("q159_percentile_bands",
+      """WITH o AS (SELECT c.c_nationkey AS nk,
+        |    CAST(floor(o.o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |vc AS (SELECT nk, v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM o GROUP BY 1, 2),
+        |cm AS (SELECT nk, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY nk ORDER BY v) AS BIGINT) AS cum
+        |  FROM vc),
+        |g AS (SELECT nk, CAST(sum(cnt) AS BIGINT) AS n FROM vc GROUP BY nk),
+        |kq AS (SELECT nk, n, (n + 3) // 4 AS k25, (n + 1) // 2 AS k50,
+        |    (3 * n + 3) // 4 AS k75 FROM g)
+        |SELECT kq.nk AS nationkey, kq.n,
+        |  min(CASE WHEN cm.cum >= kq.k25 THEN cm.v END) AS p25_c,
+        |  min(CASE WHEN cm.cum >= kq.k50 THEN cm.v END) AS p50_c,
+        |  min(CASE WHEN cm.cum >= kq.k75 THEN cm.v END) AS p75_c
+        |FROM cm JOIN kq ON cm.nk = kq.nk GROUP BY kq.nk, kq.n
+        |ORDER BY nationkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").as("nk"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("nk"), floor(col("o_totalprice") * 100).cast("long").as("v"))
+      val vc = o.groupBy("nk", "v").agg(count(lit(1)).as("cnt"))
+        .withColumn("bkt", (col("v") / 1000000L).cast("long"))
+        .localCheckpoint() // cumsum (2 consumers) + group sizes
+      val cm = graft.plans.PrefixScan.cumsum(vc, part = Seq("nk"),
+        bucket = "bkt", order = Seq("v"), value = "cnt", out = "cum")
+      val kq = vc.groupBy("nk").agg(sum(col("cnt")).as("n"))
+        .select(col("nk"), col("n"),
+          expr("(n + 3) div 4").as("k25"), expr("(n + 1) div 2").as("k50"),
+          expr("(3 * n + 3) div 4").as("k75"))
+      cm.join(broadcast(kq), "nk")
+        .groupBy(col("nk").as("nationkey"), col("n"))
+        .agg(min(when(col("cum") >= col("k25"), col("v"))).as("p25_c"),
+          min(when(col("cum") >= col("k50"), col("v"))).as("p50_c"),
+          min(when(col("cum") >= col("k75"), col("v"))).as("p75_c"))
+        .orderBy("nationkey")
     }
   )
 

@@ -511,6 +511,89 @@ object AuditOps {
           expectedPpm.as("expected_ppm"),
           (expr("(1000000 * n) div total") - expectedPpm).as("delta_ppm"))
         .orderBy("digit")
+    },
+
+    // Data-freshness audit — the ingestion-health gate: per event
+    // type, latest arrival, staleness behind the globally freshest
+    // stream, and volume inside the trailing 24 h. The global anchor
+    // derives from the per-type aggregate (no extra fact pass); the
+    // trailing-24h count is a SECOND pass but with the time predicate
+    // pushed to the scan (at scale the fact table is date-partitioned
+    // and the pass reads one or two partitions). All exact integer µs
+    // via timestamp differencing (no epoch extraction).
+    Q("q154_freshness_audit",
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |    max(ts) AS latest FROM e GROUP BY event_type),
+        |g AS (SELECT max(latest) AS gmax FROM pt),
+        |r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_last24h
+        |  FROM e CROSS JOIN g
+        |  WHERE date_diff('microsecond', ts, gmax) < 86400000000
+        |  GROUP BY event_type)
+        |SELECT pt.event_type, pt.n_events,
+        |  CAST(date_diff('microsecond', pt.latest, g.gmax) AS BIGINT)
+        |    AS staleness_us,
+        |  coalesce(r.n_last24h, 0) AS n_last24h
+        |FROM pt CROSS JOIN g LEFT JOIN r ON pt.event_type = r.event_type
+        |ORDER BY pt.event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type"), col("ts"))
+      val perType = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("latest"))
+      val g = perType.agg(max(col("latest")).as("gmax"))
+      val recent = e.crossJoin(broadcast(g))
+        .filter(expr("timestampdiff(MICROSECOND, ts, gmax)") < 86400000000L)
+        .groupBy("event_type").agg(count(lit(1)).as("n_last24h"))
+      perType.crossJoin(broadcast(g))
+        .join(recent, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_events"),
+          expr("timestampdiff(MICROSECOND, latest, gmax)").as("staleness_us"),
+          coalesce(col("n_last24h"), lit(0L)).as("n_last24h"))
+        .orderBy("event_type")
+    },
+
+    // Chi-squared independence screen (priority × status) — the
+    // categorical-drift audit, in EXACT integers end to end: per-cell
+    // term_ppm = floor(1e6·(N·O − R·C)² / (N·R·C)) with the wide
+    // products in 38-digit decimals (Spark DECIMAL(38,0), DuckDB
+    // HUGEINT — both exact; the quotient fits BIGINT). The statistic
+    // is Σ term_ppm over the 15 cells — a sum of exact integers, so
+    // engine-independent by construction. One fact pass: the cell
+    // table is contingency-cardinality-sized and the marginals derive
+    // from it.
+    Q("q157_chi_square",
+      """WITH c AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+        |    CAST(count(*) AS BIGINT) AS o FROM orders GROUP BY 1, 2),
+        |r AS (SELECT pri, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY pri),
+        |cl AS (SELECT st, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY st),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+        |t AS (SELECT c.pri, c.st, c.o, r.rt, cl.ct, n.n,
+        |    CAST(n.n AS HUGEINT) * c.o - CAST(r.rt AS HUGEINT) * cl.ct AS dd
+        |  FROM c JOIN r USING (pri) JOIN cl USING (st) CROSS JOIN n)
+        |SELECT pri, st, o, rt, ct,
+        |  CAST((1000000 * dd * dd)
+        |    // (CAST(n AS HUGEINT) * rt * ct) AS BIGINT) AS term_ppm
+        |FROM t ORDER BY pri, st""".stripMargin) { (s, d) =>
+      val cells = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint() // marginals + totals all derive from it
+      val rowT = cells.groupBy("pri").agg(sum(col("o")).as("rt"))
+      val colT = cells.groupBy("st").agg(sum(col("o")).as("ct"))
+      val n = cells.agg(sum(col("o")).as("n"))
+      cells.join(broadcast(rowT), "pri").join(broadcast(colT), "st")
+        .crossJoin(broadcast(n))
+        .withColumn("dd",
+          (col("n").cast("decimal(12,0)") * col("o").cast("decimal(12,0)"))
+            - (col("rt").cast("decimal(12,0)") * col("ct").cast("decimal(12,0)")))
+        .withColumn("num",
+          lit(1000000L).cast("decimal(7,0)")
+            * col("dd").cast("decimal(15,0)") * col("dd").cast("decimal(15,0)"))
+        .withColumn("den",
+          col("n").cast("decimal(12,0)") * col("rt").cast("decimal(12,0)")
+            * col("ct").cast("decimal(12,0)"))
+        .select(col("pri"), col("st"), col("o"), col("rt"), col("ct"),
+          expr("CAST(num div den AS BIGINT)").as("term_ppm"))
+        .orderBy("pri", "st")
     }
   )
 }

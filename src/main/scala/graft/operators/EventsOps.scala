@@ -461,6 +461,75 @@ object EventsOps {
           (expr("(1000000 * a_conv) div a_n")
             - expr("(1000000 * b_conv) div b_n")).as("lift_ppm"))
         .orderBy("day")
+    },
+
+    // Longest consecutive-day activity streak per user — the classic
+    // gaps-and-islands engagement metric. Distinct (user, day) first
+    // (the minimal exchange, collapsing any event volume to ≤ one row
+    // per user-day), then anchor = epoch_day − row_number: consecutive
+    // days share one anchor, so streaks are a plain aggregate. The
+    // only window is per-user over that user's ACTIVE DAYS (bounded by
+    // the calendar, not by event volume). All integer day arithmetic.
+    Q("q152_activity_streaks",
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |e AS (SELECT user_id,
+        |    date_diff('day', DATE '1970-01-01', day) AS ed,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM ud),
+        |g AS (SELECT user_id, ed - rn AS anchor, CAST(count(*) AS BIGINT) AS len
+        |  FROM e GROUP BY user_id, ed - rn)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+        |  CAST(sum(len) AS BIGINT) AS active_days,
+        |  CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("ed", datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+        .withColumn("anchor", col("ed") - row_number().over(w))
+        .groupBy("user_id", "anchor").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"), sum(col("len")).as("active_days"),
+          max(col("len")).as("longest_streak"))
+        .orderBy("user_id")
+    },
+
+    // Inter-event latency histogram in power-of-two buckets — the
+    // latency-distribution readout every event pipeline needs, without
+    // floats: bucket = digit-length of the binary string of the gap in
+    // µs (= floor(log2)+1, exact in both engines via bin()), gap 0 its
+    // own bucket. The lag window partitions per USER (each user's
+    // stream is time-bounded); the histogram is a map-side-combinable
+    // aggregate over (event_type-of-the-later-event, bucket).
+    Q("q160_latency_histogram",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (SELECT event_type,
+        |    CAST(date_diff('microsecond', lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS gap
+        |  FROM e),
+        |b AS (SELECT event_type,
+        |    CASE WHEN gap = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(length(bin(gap)) AS BIGINT) END AS bucket, gap
+        |  FROM l WHERE gap IS NOT NULL)
+        |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(gap) AS BIGINT) AS min_us, CAST(max(gap) AS BIGINT) AS max_us
+        |FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("pts", lag(col("ts"), 1).over(w))
+        .filter(col("pts").isNotNull)
+        .withColumn("gap", expr("timestampdiff(MICROSECOND, pts, ts)"))
+        .withColumn("bucket",
+          when(col("gap") === 0L, 0L)
+            .otherwise(length(bin(col("gap"))).cast("long")))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), min(col("gap")).as("min_us"),
+          max(col("gap")).as("max_us"))
+        .orderBy("event_type", "bucket")
     }
   )
 

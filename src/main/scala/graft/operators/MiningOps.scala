@@ -531,6 +531,169 @@ object MiningOps {
             "struct(doc_id, cast(delta as string) as ds))), x -> x.ds), ',')")
             .as("postings"))
         .orderBy("w")
+    },
+
+    // Association rules over order baskets — the q114 co-occurrence
+    // counts promoted to the full support/confidence/lift readout, all
+    // in exact integers (confidence ppm, lift milli — floor div on
+    // non-negative counts). ONE basket build (collect_set groupBy — a
+    // single shuffle that also dedups in-group) feeds the pair counts,
+    // the item counts AND the basket total; item counts are
+    // key-cardinality-sized and broadcast back onto the pair table.
+    // Top-100 by support is a TakeOrderedAndProject — no global window.
+    Q("q153_basket_rules",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li),
+        |ic AS (SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS icnt
+        |  FROM li GROUP BY 1),
+        |pc AS (SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+        |    CAST(count(*) AS BIGINT) AS pcnt
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT ante, cons, pcnt, ia.icnt AS ante_cnt, ib.icnt AS cons_cnt,
+        |  (1000000 * pcnt) // ia.icnt AS conf_ppm,
+        |  (1000 * pcnt * n.n_orders) // (ia.icnt * ib.icnt) AS lift_milli
+        |FROM pc JOIN ic ia ON pc.ante = ia.item JOIN ic ib ON pc.cons = ib.item
+        |CROSS JOIN n
+        |ORDER BY pcnt DESC, ante, cons LIMIT 100""".stripMargin) { (s, d) =>
+      val baskets = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("parts"))
+        .select(col("parts"))
+        .localCheckpoint() // pair counts + item counts + total share it
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      val itemCnt = baskets.select(explode(col("parts")).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("icnt"))
+      val pairCnt = baskets
+        .select(explode(col("parts")).as("ante"), col("parts"))
+        .select(col("ante"), explode(col("parts")).as("cons"))
+        .filter(col("ante") =!= col("cons"))
+        .groupBy("ante", "cons").agg(count(lit(1)).as("pcnt"))
+      pairCnt
+        .join(broadcast(itemCnt.withColumnRenamed("item", "ante")
+          .withColumnRenamed("icnt", "ante_cnt")), "ante")
+        .join(broadcast(itemCnt.withColumnRenamed("item", "cons")
+          .withColumnRenamed("icnt", "cons_cnt")), "cons")
+        .crossJoin(broadcast(nOrders))
+        .select(col("ante"), col("cons"), col("pcnt"), col("ante_cnt"),
+          col("cons_cnt"),
+          expr("(1000000 * pcnt) div ante_cnt").as("conf_ppm"),
+          expr("(1000 * pcnt * n_orders) div (ante_cnt * cons_cnt)")
+            .as("lift_milli"))
+        .orderBy(col("pcnt").desc, col("ante"), col("cons")).limit(100)
+    },
+
+    // Per-source lexical richness — type-token ratio and hapax share,
+    // the vocabulary-diversity screens of corpus QA. Two map-side-
+    // combinable aggregates: token explode → (source, word) counts
+    // (vocabulary-sized per source, NOT token-stream-sized), then one
+    // row per source. Exact integer ppm.
+    Q("q155_lexical_richness",
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST((1000000 * count(*)) // sum(c) AS BIGINT) AS ttr_ppm,
+        |  CAST((1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // count(*)
+        |    AS BIGINT) AS hapax_ppm
+        |FROM wc GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("hapax"),
+          expr("(1000000 * n_types) div n_tokens").as("ttr_ppm"),
+          expr("(1000000 * hapax) div n_types").as("hapax_ppm"))
+        .orderBy("source")
+    },
+
+    // Bloom-filter build + probe — the runtime-filter primitive: build
+    // a 16384-bit filter over the parts sold in one order slice
+    // (1-URGENT orders of 1995-01), probe the whole part dimension,
+    // report hits and measured false positives. Hashing is the q134
+    // arithmetic family ((a·key + b) mod p mod m, k = 3) so the oracle
+    // rebuilds the identical filter; the bit set is ≤ 3·|members| rows
+    // and broadcast to the probe side. A probe hits iff all 3 of its
+    // positions are set (coincident positions count per-probe-row, so
+    // the all-set semantics survive hash collisions). One aggregate
+    // row out; the fp rate is the filter's measured selectivity loss.
+    Q("q158_bloom_probe",
+      """WITH mem AS (SELECT DISTINCT l.l_partkey AS k
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderpriority = '1-URGENT'
+        |    AND year(o.o_orderdate) = 1995 AND month(o.o_orderdate) = 1),
+        |s(i, a, b) AS (SELECT * FROM (VALUES (0, 31, 7), (1, 37, 11),
+        |  (2, 41, 13)) v(i, a, b)),
+        |mb AS (SELECT DISTINCT ((s.a * mem.k + s.b) % 2147483647) % 16384 AS bit
+        |  FROM mem CROSS JOIN s),
+        |pp AS (SELECT p.p_partkey AS k, s.i,
+        |    ((s.a * p.p_partkey + s.b) % 2147483647) % 16384 AS bit
+        |  FROM part p CROSS JOIN s),
+        |hit AS (SELECT pp.k, CAST(count(mb.bit) AS BIGINT) AS nb
+        |  FROM pp LEFT JOIN mb ON pp.bit = mb.bit GROUP BY pp.k),
+        |fl AS (SELECT h.k,
+        |    CASE WHEN h.nb = 3 THEN 1 ELSE 0 END AS bloom_hit,
+        |    CASE WHEN m2.k IS NULL THEN 0 ELSE 1 END AS member
+        |  FROM hit h LEFT JOIN mem m2 ON h.k = m2.k)
+        |SELECT CAST(16384 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k_hashes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM mb) AS bits_set,
+        |  CAST(count(*) AS BIGINT) AS n_probed,
+        |  CAST(sum(bloom_hit) AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN bloom_hit = 1 AND member = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_false_pos,
+        |  CAST(CASE WHEN sum(1 - member) = 0 THEN 0
+        |    ELSE (1000000 * sum(CASE WHEN bloom_hit = 1 AND member = 0
+        |      THEN 1 ELSE 0 END)) // sum(1 - member) END AS BIGINT) AS fp_ppm
+        |FROM fl""".stripMargin) { (s, d) =>
+      val m = 16384L
+      val seeds = Seq((0, 31L, 7L), (1, 37L, 11L), (2, 41L, 13L))
+      val seedCol = explode(array(seeds.map { case (i, a, b) =>
+        struct(lit(i).as("i"), lit(a).as("a"), lit(b).as("b"))
+      }: _*))
+      def positions(df: DataFrame, key: String): DataFrame =
+        df.select(col(key).as("k"), seedCol.as("s"))
+          .select(col("k"), col("s.i").as("i"),
+            pmod(pmod(col("s.a") * col("k") + col("s.b"), lit(2147483647L)),
+              lit(m)).as("bit"))
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1995 && month(col("o_orderdate")) === 1)
+        .select(col("o_orderkey"))
+      val mem = Tables.lineitem(s, d)
+        .join(broadcast(urgent), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("k")).distinct()
+        .localCheckpoint() // feeds bit build + membership join + count
+      val memBits = positions(mem, "k").select(col("bit")).distinct()
+      val probes = positions(Tables.part(s, d), "p_partkey")
+      val hits = probes
+        .join(broadcast(memBits.withColumnRenamed("bit", "mbit")),
+          col("bit") === col("mbit"), "left")
+        .groupBy("k").agg(count(col("mbit")).as("nb"))
+      val flags = hits
+        .join(broadcast(mem.withColumn("member", lit(1))), Seq("k"), "left")
+        .select(col("k"), when(col("nb") === 3L, 1L).otherwise(0L).as("bloom_hit"),
+          coalesce(col("member"), lit(0)).cast("long").as("member"))
+      val nMem = mem.agg(count(lit(1)).as("n_members"))
+      val nBits = memBits.agg(count(lit(1)).as("bits_set"))
+      flags.agg(count(lit(1)).as("n_probed"),
+          sum(col("bloom_hit")).as("n_hits"),
+          sum(when(col("bloom_hit") === 1L && col("member") === 0L, 1L)
+            .otherwise(0L)).as("n_false_pos"),
+          sum(lit(1L) - col("member")).as("n_nonmem"))
+        .crossJoin(broadcast(nMem)).crossJoin(broadcast(nBits))
+        .select(lit(m).as("m_bits"), lit(3L).as("k_hashes"),
+          col("n_members"), col("bits_set"), col("n_probed"), col("n_hits"),
+          col("n_false_pos"),
+          when(col("n_nonmem") === 0L, 0L)
+            .otherwise(expr("(1000000 * n_false_pos) div n_nonmem"))
+            .as("fp_ppm"))
     }
   )
 }

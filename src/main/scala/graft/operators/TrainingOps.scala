@@ -645,6 +645,44 @@ object TrainingOps {
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("rank"), col("cand").as("doc_id"), col("score"))
         .orderBy("query_id", "rank")
+    },
+
+    // l-diversity audit — q144's k-anonymity complement: a class can
+    // be large (k-anonymous) yet still leak if every member shares one
+    // sensitive value. Classes here are (priority, year, month); the
+    // sensitive attribute is order status; a class fails l-diversity
+    // if it carries < l distinct sensitive values. Same scale shape as
+    // q144: one class-level aggregate (with a single countDistinct —
+    // no Expand blow-up), then a broadcast threshold sweep; the raw
+    // table is scanned once for any number of l values.
+    Q("q156_l_diversity",
+      """WITH q AS (SELECT o_orderpriority AS pri, year(o_orderdate) AS y,
+        |    month(o_orderdate) AS mo, CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l
+        |  FROM orders GROUP BY 1, 2, 3),
+        |k AS (SELECT CAST(unnest([2, 3]) AS BIGINT) AS l_req)
+        |SELECT k.l_req,
+        |  CAST(sum(CASE WHEN q.l < k.l_req THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_classes_below,
+        |  CAST(sum(CASE WHEN q.l < k.l_req THEN q.sz ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  CAST(min(q.l) AS BIGINT) AS min_diversity
+        |FROM q CROSS JOIN k GROUP BY k.l_req ORDER BY l_req""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val classes = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("sz"),
+          countDistinct(col("o_orderstatus")).as("l"))
+      val ls = Seq(2L, 3L).toDF("l_req")
+      classes.crossJoin(broadcast(ls))
+        .groupBy("l_req")
+        .agg(sum(when(col("l") < col("l_req"), 1L).otherwise(0L))
+            .as("n_classes_below"),
+          sum(when(col("l") < col("l_req"), col("sz")).otherwise(0L))
+            .as("n_rows_at_risk"),
+          min(col("l")).as("min_diversity"))
+        .orderBy("l_req")
     }
   )
 }

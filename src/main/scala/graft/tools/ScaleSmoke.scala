@@ -171,7 +171,7 @@ object ScaleSmoke {
     // shape where the staging table is written once per snapshot).
     if (sys.env.contains("SPARK_GRAFT_AUDIT_ONLY")) {
       val adir = "/tmp/graft_audit10x"
-      synthesize(spark, adir, nDocs = 50000L, nVecs = 100L) // 10x documents
+      synthesize(spark, adir, nDocs = 50000L, nVecs = 10000L) // 10x docs, 5x vecs
       val epoch = lit(1704067200L) // 2024-01-01T00:00:00Z
       spark.range(1000000L)
         .select(col("id").as("event_id"),
@@ -210,7 +210,8 @@ object ScaleSmoke {
       spark.range(200000L).select(col("id").as("p_partkey"))
         .write.mode("overwrite").parquet(s"$adir/part.parquet")
       spark.range(25L).select(col("id").as("n_nationkey"),
-          pmod(col("id"), lit(5)).as("n_regionkey"))
+          pmod(col("id"), lit(5)).as("n_regionkey"),
+          format_string("NATION%02d", col("id")).as("n_name"))
         .write.mode("overwrite").parquet(s"$adir/nation.parquet")
       spark.range(5L).select(col("id").as("r_regionkey"))
         .write.mode("overwrite").parquet(s"$adir/region.parquet")
@@ -224,7 +225,11 @@ object ScaleSmoke {
         // round-6 second batch (star-schema + documents audit/stats/IR)
         "q138_join_size_estimate", "q139_gini_concentration",
         "q140_snapshot_diff", "q141_mad_outliers", "q142_posting_lists",
-        "q143_equidepth_hist")
+        "q143_equidepth_hist",
+        // round-6 third batch (orders/events analytics + retrieval)
+        "q144_k_anonymity", "q145_quantile_transform",
+        "q146_rate_limit_audit", "q147_ewma", "q148_benford_audit",
+        "q149_nation_trend", "q150_ab_lift", "q151_rrf_hybrid")
       println(f"${"op"}%-26s ${"1x-cold"}%8s ${"1x"}%8s ${"10x-cold"}%9s ${"10x"}%8s ${"ratio"}%7s")
       auditOps.foreach { name =>
         val c1 = run(name, base)

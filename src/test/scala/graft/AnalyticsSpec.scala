@@ -348,4 +348,21 @@ class AnalyticsSpec extends AnyFunSuite {
       ("DOWNLAND", 3L, -15L, 42L, -358L),
       ("UPLAND", 3L, 3000L, 6L, 500000L)))
   }
+
+  test("percentile bands: type-1 ranks per nation; ties collapse to one value row") {
+    // Nation 1: cents {100,200,300,400} → ranks k25=1,k50=2,k75=3 →
+    // bands 100/200/300. Nation 2: {100,100,100,200} — the tie row
+    // carries cum=3, so all three bands land on 100.
+    val custs = Seq((10L, 1L), (20L, 2L))
+    val orders = Seq(
+      (1L, 10L, 1.00), (2L, 10L, 2.00), (3L, 10L, 3.00), (4L, 10L, 4.00),
+      (5L, 20L, 1.00), (6L, 20L, 1.00), (7L, 20L, 1.00), (8L, 20L, 2.00))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands").toString
+    custs.toDF("c_custkey", "c_nationkey").write.parquet(s"$dir/customer.parquet")
+    orders.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .repartition(2).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q159_percentile_bands")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 100L, 200L, 300L), (2L, 4L, 100L, 100L, 100L)))
+  }
 }

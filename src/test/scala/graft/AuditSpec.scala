@@ -332,4 +332,41 @@ class AuditSpec extends AnyFunSuite {
       (2L, 3L, 300000L, 176091L, 123909L),
       (9L, 1L, 100000L, 45757L, 54243L)))
   }
+
+  test("freshness: staleness vs global max; strict 24h window boundary") {
+    // gmax = A@Jan3 00:00. A@Jan2 00:00 sits EXACTLY 24h back —
+    // excluded by the strict < . B is 12h stale with 1 recent event.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = tmpDir("graft_fresh")
+    Seq((1L, ts("2024-01-03 00:00:00"), "A"), (2L, ts("2024-01-02 00:00:00"), "A"),
+        (3L, ts("2024-01-02 12:00:00"), "B"), (4L, ts("2024-01-01 10:00:00"), "B"))
+      .toDF("event_id", "ts", "event_type")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q154_freshness_audit")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 2L, 0L, 1L), ("B", 2L, 43200000000L, 1L)))
+  }
+
+  test("chi-square: independent table all-zero terms; dependent exact ppm") {
+    def write(dir: String, rows: Seq[(String, String)]): Unit =
+      rows.zipWithIndex.map { case ((p, st), i) => (i.toLong, p, st) }
+        .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+        .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    // Perfect independence: every (pri, status) cell = R·C/N exactly.
+    val ind = tmpDir("graft_chi_ind")
+    write(ind, Seq(("P1", "A"), ("P1", "B"), ("P2", "A"), ("P2", "B")))
+    val gotInd = SparkEntry.queries("q157_chi_square")(spark, ind)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(gotInd.map(_._6).forall(_ == 0L) && gotInd.size == 4)
+    // Perfect dependence (diagonal): each observed cell's term is
+    // 1e6·(4·2 − 2·2)² / (4·2·2) = 1e6 (zero cells are not emitted —
+    // the statistic is declared over observed cells).
+    val dep = tmpDir("graft_chi_dep")
+    write(dep, Seq(("P1", "A"), ("P1", "A"), ("P2", "B"), ("P2", "B")))
+    val gotDep = SparkEntry.queries("q157_chi_square")(spark, dep)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(gotDep == Seq(
+      ("P1", "A", 2L, 2L, 2L, 1000000L),
+      ("P2", "B", 2L, 2L, 2L, 1000000L)))
+  }
 }

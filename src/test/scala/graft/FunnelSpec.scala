@@ -189,4 +189,29 @@ class FunnelSpec extends AnyFunSuite {
       (d1, 2L, 1L, 2L, 1L, 500000L, 500000L, 0L),
       (d2, 1L, 0L, 3L, 2L, 0L, 666666L, -666666L)))
   }
+
+  test("activity streaks: consecutive islands merge; same-day dups collapse") {
+    // u1 active days {1, 2, 3, 5} (day 1 twice) → streaks {3, 1};
+    // u2 active day 4 only.
+    val dir = eventsDir(Seq(
+      (1L, "view", t(1)), (1L, "view", t(1, 5)), (1L, "view", t(2)),
+      (1L, "view", t(3)), (1L, "view", t(5)),
+      (2L, "view", t(4))))
+    val got = SparkEntry.queries("q152_activity_streaks")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 4L, 3L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("latency histogram: zero-gap bucket, pow2 length buckets, later-event type") {
+    // u1: two events at the SAME instant (gap 0, attributed to the
+    // second 'view'), then a click 1h later: gap 3.6e9 µs → binary
+    // length 32 bucket.
+    val dir = eventsDir(Seq(
+      (1L, "view", t(1)), (1L, "view", t(1)), (1L, "click", t(1, 1))))
+    val got = SparkEntry.queries("q160_latency_histogram")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", 32L, 1L, 3600000000L, 3600000000L),
+      ("view", 0L, 1L, 0L, 0L)))
+  }
 }

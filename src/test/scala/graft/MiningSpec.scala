@@ -309,4 +309,79 @@ class MiningSpec extends AnyFunSuite {
       assert(deltas.tail.forall(_ > 0), s"$w: non-positive gap")
     }
   }
+
+  // ---- q153 basket rules --------------------------------------------
+
+  test("basket rules: exact support/confidence/lift; in-basket dup lines collapse") {
+    // baskets: o1={1,2} (part 1 listed twice — must dedup), o2={1,2},
+    // o3={1,3}, o4={1}. n_orders=4; item counts: 1→4, 2→2, 3→1.
+    val li = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 1L))
+    val dir = tmpDir("graft_rules")
+    li.toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q153_basket_rules")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 4L, 2L, 500000L, 1000L), // conf 2/4; lift 2·4/(4·2) = 1
+      (2L, 1L, 2L, 2L, 4L, 1000000L, 1000L),
+      (1L, 3L, 1L, 4L, 1L, 250000L, 1000L),
+      (3L, 1L, 1L, 1L, 4L, 1000000L, 1000L)))
+  }
+
+  // ---- q155 lexical richness ----------------------------------------
+
+  test("lexical richness: exact per-source ttr and hapax share") {
+    val dir = tmpDir("graft_lex")
+    Seq((1L, "a a b", "en", "srcA", 5L), (2L, "x y", "en", "srcB", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q155_lexical_richness")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("srcA", 3L, 2L, 1L, 666666L, 500000L),
+      ("srcB", 2L, 2L, 2L, 1000000L, 1000000L)))
+  }
+
+  // ---- q158 bloom probe ---------------------------------------------
+
+  test("bloom probe: output matches an exact replica; planted false positive fires") {
+    val m = 16384L
+    val seeds = Seq((31L, 7L), (37L, 11L), (41L, 13L))
+    def bits(k: Long): Seq[Long] =
+      seeds.map { case (a, b) => (a * k + b) % 2147483647L % m }
+    def inv(x: Long): Long = BigInt(x).modInverse(BigInt(m)).toLong
+    // Engineer members whose set bits cover non-member c's 3 positions:
+    // seed0(a1) ≡ seed1(c), seed1(a2) ≡ seed2(c), seed2(a3) ≡ seed0(c).
+    val c = 1234L
+    val a1 = (37L * c + 4L) % m * inv(31L) % m
+    val a2 = (41L * c + 2L) % m * inv(37L) % m
+    val a3 = (31L * c - 6L + m) % m * inv(41L) % m
+    val members = Seq(a1, a2, a3)
+    assert(members.distinct.size == 3 && !members.contains(c))
+    val dir = tmpDir("graft_bloom")
+    // urgent 1995-01 order with the member parts; a MEDIUM order and a
+    // 1996 urgent order prove the priority + month filters.
+    Seq((1L, "1-URGENT", java.sql.Date.valueOf("1995-01-15")),
+        (2L, "3-MEDIUM", java.sql.Date.valueOf("1995-01-20")),
+        (3L, "1-URGENT", java.sql.Date.valueOf("1996-01-05")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    (members.map(p => (1L, p)) ++ Seq((2L, c), (3L, 99999L)))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val probeKeys = members ++ Seq(c, 99990L, 99991L, 99992L, 99999L)
+    probeKeys.toDF("p_partkey")
+      .coalesce(1).write.parquet(s"$dir/part.parquet")
+    // Exact replica of the declared filter.
+    val bitSet = members.flatMap(bits).toSet
+    val hits = probeKeys.count(k => bits(k).forall(bitSet))
+    val fps = probeKeys.count(k => bits(k).forall(bitSet) && !members.contains(k))
+    val nonMem = probeKeys.size - members.size
+    val got = SparkEntry.queries("q158_bloom_probe")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == (m, 3L, 3L, bitSet.size.toLong, probeKeys.size.toLong,
+      hits.toLong, fps.toLong, 1000000L * fps / nonMem))
+    assert(fps >= 1L, "the engineered non-member must be a false positive")
+  }
 }

@@ -336,4 +336,24 @@ class TrainingSpec extends AnyFunSuite {
       (10L, 2L, 10L, 3L),
       (25L, 2L, 10L, 3L)))
   }
+
+  test("l-diversity: classes with few distinct sensitive values flagged per l") {
+    // Classes (priority, y, mo): A has statuses {O,F,P} (l=3, 3 rows),
+    // B has {O} only (l=1, 4 rows), C has {O,F} (l=2, 5 rows).
+    // l=2 → only B below (4 rows); l=3 → B and C (9 rows).
+    def row(i: Long, p: String, st: String, day: String) =
+      (i, p, st, java.sql.Timestamp.valueOf(s"$day 00:00:00"))
+    val rows =
+      Seq("O", "F", "P").zipWithIndex.map { case (st, i) =>
+        row(i.toLong, "P1", st, "2024-01-15") } ++
+        (11L to 14L).map(row(_, "P2", "O", "2024-01-15")) ++
+        (21L to 25L).map(i => row(i, "P3", if (i % 2 == 0) "O" else "F",
+          "2024-02-15"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ldiv").toString
+    rows.toDF("o_orderkey", "o_orderpriority", "o_orderstatus", "o_orderdate")
+      .repartition(3).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q156_l_diversity")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L, 4L, 1L), (3L, 2L, 9L, 1L)))
+  }
 }
