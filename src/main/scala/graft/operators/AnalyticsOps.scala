@@ -618,6 +618,62 @@ object AnalyticsOps {
           min(when(col("cum") >= col("k50"), col("v"))).as("p50_c"),
           min(when(col("cum") >= col("k75"), col("v"))).as("p75_c"))
         .orderBy("nationkey")
+    },
+
+    // Winsorized statistics per nation — robust-mean certificate: order
+    // totals clipped at the type-1 p05/p95 ranks, with the clipped sum
+    // in exact integer cents. Same value-level machinery as q159 (the
+    // thresholds are conditional mins over PrefixScan cumulative
+    // counts); the winsorized sum is a second aggregate over the SAME
+    // checkpointed value rows joined to the 25-row band broadcast —
+    // the raw table is never rescanned and no row-level window exists.
+    Q("q165_winsorized_stats",
+      """WITH o AS (SELECT c.c_nationkey AS nk,
+        |    CAST(floor(o.o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |vc AS (SELECT nk, v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM o GROUP BY 1, 2),
+        |cm AS (SELECT nk, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY nk ORDER BY v) AS BIGINT) AS cum
+        |  FROM vc),
+        |g AS (SELECT nk, CAST(sum(cnt) AS BIGINT) AS n FROM vc GROUP BY nk),
+        |kq AS (SELECT nk, n, (n + 19) // 20 AS k05, (19 * n + 19) // 20 AS k95
+        |  FROM g),
+        |bands AS (SELECT kq.nk, kq.n,
+        |    min(CASE WHEN cm.cum >= kq.k05 THEN cm.v END) AS lo,
+        |    min(CASE WHEN cm.cum >= kq.k95 THEN cm.v END) AS hi
+        |  FROM cm JOIN kq ON cm.nk = kq.nk GROUP BY kq.nk, kq.n)
+        |SELECT b.nk AS nationkey, b.n, b.lo AS lo_c, b.hi AS hi_c,
+        |  CAST(sum((CASE WHEN vc.v < b.lo THEN b.lo
+        |    WHEN vc.v > b.hi THEN b.hi ELSE vc.v END) * vc.cnt) AS BIGINT)
+        |    AS winsorized_sum_c
+        |FROM vc JOIN bands b ON vc.nk = b.nk
+        |GROUP BY b.nk, b.n, b.lo, b.hi ORDER BY nationkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").as("nk"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("nk"), floor(col("o_totalprice") * 100).cast("long").as("v"))
+      val vc = o.groupBy("nk", "v").agg(count(lit(1)).as("cnt"))
+        .withColumn("bkt", (col("v") / 1000000L).cast("long"))
+        .localCheckpoint() // cumsum + sizes + winsorized join-back
+      val cm = graft.plans.PrefixScan.cumsum(vc, part = Seq("nk"),
+        bucket = "bkt", order = Seq("v"), value = "cnt", out = "cum")
+      val kq = vc.groupBy("nk").agg(sum(col("cnt")).as("n"))
+        .select(col("nk"), col("n"),
+          expr("(n + 19) div 20").as("k05"),
+          expr("(19 * n + 19) div 20").as("k95"))
+      val bands = cm.join(broadcast(kq), "nk")
+        .groupBy("nk", "n")
+        .agg(min(when(col("cum") >= col("k05"), col("v"))).as("lo"),
+          min(when(col("cum") >= col("k95"), col("v"))).as("hi"))
+      vc.join(broadcast(bands), "nk")
+        .groupBy(col("nk").as("nationkey"), col("n"), col("lo").as("lo_c"),
+          col("hi").as("hi_c"))
+        .agg(sum((when(col("v") < col("lo"), col("lo"))
+            .when(col("v") > col("hi"), col("hi"))
+            .otherwise(col("v"))) * col("cnt")).as("winsorized_sum_c"))
+        .orderBy("nationkey")
     }
   )
 

@@ -594,6 +594,40 @@ object AuditOps {
         .select(col("pri"), col("st"), col("o"), col("rt"), col("ct"),
           expr("CAST(num div den AS BIGINT)").as("term_ppm"))
         .orderBy("pri", "st")
+    },
+
+    // Semi-structured payload quality audit — the malformed-JSON gate
+    // for an event pipeline: per type, how many props payloads parse,
+    // how many carry a numeric `k`, their exact sum, and the validity
+    // ppm. Validity = the root extraction succeeds (Spark
+    // get_json_object('$') null ⇔ DuckDB json_valid false on the
+    // malformed class the spec plants); the numeric probe is try_cast
+    // on both engines so a string-valued k counts as present-but-not-
+    // numeric without ANSI cast errors. One map-side-combinable
+    // aggregate; the JSON parse is per-row scan work that vectorizes.
+    Q("q163_json_quality",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_valid,
+        |  CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+        |    AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_k_numeric,
+        |  CAST(sum(coalesce(TRY_CAST(json_extract_string(props, '$.k')
+        |    AS BIGINT), 0)) AS BIGINT) AS sum_k,
+        |  CAST((1000000 * sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS valid_ppm
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$").isNotNull.as("valid"),
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_k_numeric"),
+          sum(coalesce(col("k"), lit(0L))).as("sum_k"))
+        .select(col("event_type"), col("n"), col("n_valid"), col("n_k_numeric"),
+          col("sum_k"), expr("(1000000 * n_valid) div n").as("valid_ppm"))
+        .orderBy("event_type")
     }
   )
 }

@@ -530,6 +530,127 @@ object EventsOps {
         .agg(count(lit(1)).as("n"), min(col("gap")).as("min_us"),
           max(col("gap")).as("max_us"))
         .orderBy("event_type", "bucket")
+    },
+
+    // Week-over-week growth per event type — the trend readout of any
+    // metrics warehouse. Week index = Monday-aligned integer
+    // (days-since-1970-01-05 div 7), engine-independent by
+    // construction (no date_trunc('week') semantics to align). Growth
+    // vs the previous OBSERVED week in exact integer ppm; the division
+    // truncates toward zero in BOTH engines (measured — the q149
+    // note), so negative growth hashes identically. One shuffle to
+    // (type, week) cells, then a window over type-partitioned WEEK
+    // rows (calendar-bounded, never event-bounded).
+    Q("q161_wow_growth",
+      """WITH e AS (SELECT event_type,
+        |    date_diff('day', DATE '1970-01-05',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS wk
+        |  FROM events),
+        |w AS (SELECT event_type, wk, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |l AS (SELECT event_type, wk, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev FROM w)
+        |SELECT event_type, wk, n, CAST(prev AS BIGINT) AS prev,
+        |  CAST((1000000 * (n - prev)) // prev AS BIGINT) AS growth_ppm
+        |FROM l WHERE prev IS NOT NULL
+        |ORDER BY event_type, wk""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("wk")
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(datediff(to_date(ts), DATE '1970-01-05') AS BIGINT) div 7")
+            .as("wk"))
+        .groupBy("event_type", "wk").agg(count(lit(1)).as("n"))
+        .withColumn("prev", lag(col("n"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), col("wk"), col("n"), col("prev"),
+          expr("(1000000 * (n - prev)) div prev").as("growth_ppm"))
+        .orderBy("event_type", "wk")
+    },
+
+    // Time-to-convert distribution — exact µs delta from each user's
+    // FIRST view to the first purchase strictly after it, summarized
+    // as type-1 median and p90 WITHOUT a global sort: delta values
+    // collapse to (value, count) rows, cumulative counts come from
+    // PrefixScan, and the two rank targets ride a one-row broadcast
+    // (the q159 band machinery on an unbounded-cardinality value set).
+    Q("q162_time_to_convert",
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |v AS (SELECT user_id, min(ts) AS vts FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS pts FROM e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.vts GROUP BY e.user_id),
+        |dl AS (SELECT CAST(date_diff('microsecond', v.vts, p.pts) AS BIGINT) AS us
+        |  FROM v JOIN p ON v.user_id = p.user_id),
+        |vc AS (SELECT us, CAST(count(*) AS BIGINT) AS cnt FROM dl GROUP BY us),
+        |cm AS (SELECT us, cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY us) AS BIGINT) AS cum FROM vc),
+        |g AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vc),
+        |k AS (SELECT n, (n + 1) // 2 AS k50, (9 * n + 9) // 10 AS k90 FROM g)
+        |SELECT k.n, min(CASE WHEN cm.cum >= k.k50 THEN cm.us END) AS median_us,
+        |  min(CASE WHEN cm.cum >= k.k90 THEN cm.us END) AS p90_us
+        |FROM cm CROSS JOIN k GROUP BY k.n""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("vts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("vts"))
+        .groupBy("user_id").agg(min(col("ts")).as("pts"))
+      val dl = v.join(p, "user_id")
+        .select(expr("timestampdiff(MICROSECOND, vts, pts)").as("us"))
+      val vc = dl.groupBy("us").agg(count(lit(1)).as("cnt"))
+        .withColumn("bkt", (col("us") / 3600000000L).cast("long"))
+        .localCheckpoint() // cumsum + total
+      val cm = graft.plans.PrefixScan.cumsum(vc, part = Seq(), bucket = "bkt",
+        order = Seq("us"), value = "cnt", out = "cum")
+      val k = vc.agg(sum(col("cnt")).as("n"))
+        .select(col("n"), expr("(n + 1) div 2").as("k50"),
+          expr("(9 * n + 9) div 10").as("k90"))
+      cm.crossJoin(broadcast(k))
+        .groupBy("n")
+        .agg(min(when(col("cum") >= col("k50"), col("us"))).as("median_us"),
+          min(when(col("cum") >= col("k90"), col("us"))).as("p90_us"))
+    },
+
+    // Cohort LTV curve — users cohorted by the week of their first
+    // event; per (cohort, weeks-since) purchase revenue in exact
+    // integer cents with a cumulative curve. The first-event aggregate
+    // is the one user-keyed exchange; the running sum windows over
+    // (cohort)-partitioned AGE rows — calendar² cells, never event
+    // rows. Join-back of the cohort table is by user key (broadcast at
+    // fixture scale, shuffle-on-key at 100 TB — the natural shape).
+    Q("q166_cohort_ltv",
+      """WITH e AS (SELECT user_id, event_type,
+        |    date_diff('day', DATE '1970-01-05',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS wk,
+        |    CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+        |r AS (SELECT f.cohort, e.wk - f.cohort AS age,
+        |    CAST(sum(CASE WHEN e.event_type = 'purchase' THEN e.c ELSE 0 END)
+        |      AS BIGINT) AS rev
+        |  FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2)
+        |SELECT cohort, age, rev,
+        |  CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age) AS BIGINT)
+        |    AS cum_rev
+        |FROM r ORDER BY cohort, age""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cohort").orderBy("age")
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(datediff(to_date(ts), DATE '1970-01-05') AS BIGINT) div 7")
+            .as("wk"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .localCheckpoint() // cohort build + revenue join-back
+      val f = e.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      e.join(f, "user_id")
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("age"))
+        .agg(sum(when(col("event_type") === "purchase", col("c")).otherwise(0L))
+          .as("rev"))
+        .withColumn("cum_rev", sum(col("rev")).over(w))
+        .orderBy("cohort", "age")
     }
   )
 

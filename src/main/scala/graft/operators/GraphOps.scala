@@ -223,6 +223,50 @@ object GraphOps {
       bfsLevels(edges, seeds, rounds = 3)
         .groupBy("dist").agg(count(lit(1)).as("cnt"))
         .orderBy("dist")
+    },
+
+    // Degree-assortativity certificate of the bipartite part–supplier
+    // graph — the exact integer sums (m, Σd, Σd·d', Σd²) from which
+    // the float Pearson assortativity coefficient derives; emitting
+    // the sums keeps the output engine-exact (the q106/q149 integer
+    // normal-equation discipline). Distinct edges in one shuffle;
+    // degree tables are node-cardinality-sized and broadcast back onto
+    // the edge list; one aggregate row out. Bounds: deg ≤ n_nodes, so
+    // Σ dp·ds ≤ m·n² ≪ 2⁶³ at any star-schema scale.
+    Q("q164_degree_stats",
+      """WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |dp AS (SELECT p, CAST(count(*) AS BIGINT) AS dp FROM e GROUP BY p),
+        |ds AS (SELECT s, CAST(count(*) AS BIGINT) AS ds FROM e GROUP BY s)
+        |SELECT CAST(count(*) AS BIGINT) AS m,
+        |  CAST(count(DISTINCT e.p) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT e.s) AS BIGINT) AS n_supps,
+        |  CAST(sum(dp.dp) AS BIGINT) AS sum_dp,
+        |  CAST(sum(ds.ds) AS BIGINT) AS sum_ds,
+        |  CAST(sum(dp.dp * ds.ds) AS BIGINT) AS sum_dpds,
+        |  CAST(sum(dp.dp * dp.dp) AS BIGINT) AS sum_dp2,
+        |  CAST(sum(ds.ds * ds.ds) AS BIGINT) AS sum_ds2
+        |FROM e JOIN dp ON e.p = dp.p JOIN ds ON e.s = ds.s""".stripMargin) { (s, d) =>
+      val e = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct()
+        .localCheckpoint() // degree tables + the edge-level join reuse it
+      val dp = e.groupBy("p").agg(count(lit(1)).as("dp"))
+        .localCheckpoint() // edge join-back + node count
+      val ds = e.groupBy("s").agg(count(lit(1)).as("ds"))
+        .localCheckpoint()
+      // node counts come from the degree tables — no multi-distinct
+      // Expand over the edge list (the q118 lesson)
+      val nP = dp.agg(count(lit(1)).as("n_parts"))
+      val nS = ds.agg(count(lit(1)).as("n_supps"))
+      e.join(broadcast(dp), "p").join(broadcast(ds), "s")
+        .agg(count(lit(1)).as("m"),
+          sum(col("dp")).as("sum_dp"), sum(col("ds")).as("sum_ds"),
+          sum(col("dp") * col("ds")).as("sum_dpds"),
+          sum(col("dp") * col("dp")).as("sum_dp2"),
+          sum(col("ds") * col("ds")).as("sum_ds2"))
+        .crossJoin(broadcast(nP)).crossJoin(broadcast(nS))
+        .select(col("m"), col("n_parts"), col("n_supps"), col("sum_dp"),
+          col("sum_ds"), col("sum_dpds"), col("sum_dp2"), col("sum_ds2"))
     }
   )
 }

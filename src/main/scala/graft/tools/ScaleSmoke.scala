@@ -229,7 +229,12 @@ object ScaleSmoke {
         // round-6 third batch (orders/events analytics + retrieval)
         "q144_k_anonymity", "q145_quantile_transform",
         "q146_rate_limit_audit", "q147_ewma", "q148_benford_audit",
-        "q149_nation_trend", "q150_ab_lift", "q151_rrf_hybrid")
+        "q149_nation_trend", "q150_ab_lift", "q151_rrf_hybrid",
+        // round-6 fourth batch (streaks/rules/freshness/stat screens)
+        "q152_activity_streaks", "q153_basket_rules",
+        "q154_freshness_audit", "q155_lexical_richness",
+        "q156_l_diversity", "q157_chi_square", "q158_bloom_probe",
+        "q159_percentile_bands", "q160_latency_histogram")
       println(f"${"op"}%-26s ${"1x-cold"}%8s ${"1x"}%8s ${"10x-cold"}%9s ${"10x"}%8s ${"ratio"}%7s")
       auditOps.foreach { name =>
         val c1 = run(name, base)

@@ -365,4 +365,18 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 4L, 100L, 200L, 300L), (2L, 4L, 100L, 100L, 100L)))
   }
+
+  test("winsorized stats: p05/p95 clip thresholds and exact clipped sum") {
+    // 20 distinct cents 100..2000: k05 = ceil(1) = 1 → lo = 100,
+    // k95 = ceil(19) = 19 → hi = 1900; only 2000 clips → sum 20900.
+    val custs = Seq((10L, 1L))
+    val orders = (1 to 20).map(i => (i.toLong, 10L, i.toDouble))
+    val dir = java.nio.file.Files.createTempDirectory("graft_winsor").toString
+    custs.toDF("c_custkey", "c_nationkey").write.parquet(s"$dir/customer.parquet")
+    orders.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .repartition(2).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q165_winsorized_stats")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 20L, 100L, 1900L, 20900L)))
+  }
 }

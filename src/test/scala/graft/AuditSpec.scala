@@ -369,4 +369,19 @@ class AuditSpec extends AnyFunSuite {
       ("P1", "A", 2L, 2L, 2L, 1000000L),
       ("P2", "B", 2L, 2L, 2L, 1000000L)))
   }
+
+  test("json quality: malformed, string-valued and missing k classified per type") {
+    def ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val dir = tmpDir("graft_jsonq")
+    Seq((1L, ts0, "A", """{"k": 5}"""), (2L, ts0, "A", """{"k":"x"}"""),
+        (3L, ts0, "A", """{bad"""), (4L, ts0, "B", """{"j":1}"""),
+        (5L, ts0, "B", """{"k": 7}"""))
+      .toDF("event_id", "ts", "event_type", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q163_json_quality")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 3L, 2L, 1L, 5L, 666666L),
+      ("B", 2L, 2L, 1L, 7L, 1000000L)))
+  }
 }

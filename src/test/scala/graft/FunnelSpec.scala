@@ -214,4 +214,53 @@ class FunnelSpec extends AnyFunSuite {
       ("click", 32L, 1L, 3600000000L, 3600000000L),
       ("view", 0L, 1L, 0L, 0L)))
   }
+
+  private def weekOf(day: Int): Long =
+    (java.time.LocalDate.of(2024, 1, day).toEpochDay - 4) / 7
+
+  test("wow growth: vs previous observed week; negative growth truncates") {
+    // view: wk(1)=2 events, wk(8)=3, wk(22)=1 (wk(15) skipped —
+    // growth compares OBSERVED weeks). 2→3 = +500000 ppm;
+    // 3→1 = floor? no: TRUNCATED −666666 ppm in both engines.
+    val dir = eventsDir(Seq(
+      (1L, "view", t(1)), (2L, "view", t(1, 1)),
+      (1L, "view", t(8)), (2L, "view", t(8, 1)), (3L, "view", t(8, 2)),
+      (1L, "view", t(22))))
+    val got = SparkEntry.queries("q161_wow_growth")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("view", weekOf(8), 3L, 2L, 500000L),
+      ("view", weekOf(22), 1L, 3L, -666666L)))
+  }
+
+  test("time to convert: first view to first LATER purchase; type-1 ranks") {
+    val dir = eventsDir(Seq(
+      // u1: 1h to convert; a second purchase must not matter
+      (1L, "view", t(1)), (1L, "purchase", t(1, 1)), (1L, "purchase", t(2)),
+      // u2: 24h to convert
+      (2L, "view", t(1)), (2L, "purchase", t(2)),
+      // u3: purchase BEFORE its only view — never converts
+      (3L, "purchase", t(1)), (3L, "view", t(2)),
+      // u4: view only
+      (4L, "view", t(1))))
+    val got = SparkEntry.queries("q162_time_to_convert")(spark, dir)
+      .as[(Long, Long, Long)].head()
+    // deltas {3.6e9, 86.4e9}: n=2, k50=1 → 3.6e9, k90=2 → 86.4e9
+    assert(got == (2L, 3600000000L, 86400000000L))
+  }
+
+  test("cohort ltv: cohort by first-event week, purchase-only revenue, cumulative") {
+    // u1 cohorts at wk(1): purchase day1 (age 0) + purchase day8
+    // (age 1), views contribute nothing. u2 cohorts at wk(8), no
+    // purchases → a zero-revenue age-0 row.
+    val dir = eventsDir(Seq(
+      (1L, "view", t(1)), (1L, "purchase", t(1, 1)), (1L, "purchase", t(8)),
+      (2L, "view", t(8))))
+    val got = SparkEntry.queries("q166_cohort_ltv")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (weekOf(1), 0L, 100L, 100L),
+      (weekOf(1), 1L, 100L, 200L),
+      (weekOf(8), 0L, 0L, 0L)))
+  }
 }

@@ -48,4 +48,16 @@ class GraphSpec extends AnyFunSuite {
     val bigHub = 1L * 2 + 1
     assert(rows.head._1 == bigHub, "bigger hub wins")
   }
+  test("degree stats: distinct edges, exact assortativity sums") {
+    // edges (dup line p1-s1 must collapse): p1-s1, p1-s2, p2-s1.
+    // deg: p1=2, p2=1, s1=2, s2=1. Edge-level sums:
+    // dp 2+2+1=5, ds 2+1+2=5, dpds 4+2+2=8, dp2 4+4+1=9, ds2 4+1+4=9.
+    val dir = java.nio.file.Files.createTempDirectory("graft_deg").toString
+    Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 2L), (4L, 2L, 1L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q164_degree_stats")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == (3L, 2L, 2L, 5L, 5L, 8L, 9L, 9L))
+  }
 }
