@@ -628,6 +628,45 @@ object AuditOps {
         .select(col("event_type"), col("n"), col("n_valid"), col("n_k_numeric"),
           col("sum_k"), expr("(1000000 * n_valid) div n").as("valid_ppm"))
         .orderBy("event_type")
+    },
+
+    // Distribution-drift screen (PSI certificate) between two time
+    // snapshots of the order-value distribution: early years (≤ 1997)
+    // vs late. Equi-width $50k buckets; per bucket the exact counts,
+    // exact ppm shares, and the signed share delta — the integer
+    // certificate from which PSI/KL derive (the float log never enters
+    // the output, the q164 discipline). ONE fact pass: per-bucket
+    // conditional sums, totals broadcast back; bucket count is bounded
+    // by the value range, not the data.
+    Q("q167_distribution_drift",
+      """WITH b AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
+        |      // 5000000 AS bucket,
+        |    CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END AS early
+        |  FROM orders),
+        |c AS (SELECT bucket,
+        |    CAST(sum(early) AS BIGINT) AS n_a,
+        |    CAST(sum(1 - early) AS BIGINT) AS n_b FROM b GROUP BY bucket),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |    CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+        |SELECT c.bucket, c.n_a, c.n_b,
+        |  (1000000 * c.n_a) // t.ta AS share_a_ppm,
+        |  (1000000 * c.n_b) // t.tb AS share_b_ppm,
+        |  (1000000 * c.n_b) // t.tb - (1000000 * c.n_a) // t.ta AS delta_ppm
+        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT) div 5000000")
+            .as("bucket"),
+          when(year(col("o_orderdate")) <= 1997, 1L).otherwise(0L).as("early"))
+        .groupBy("bucket")
+        .agg(sum(col("early")).as("n_a"), sum(lit(1L) - col("early")).as("n_b"))
+      val t = c.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+      c.crossJoin(broadcast(t))
+        .select(col("bucket"), col("n_a"), col("n_b"),
+          expr("(1000000 * n_a) div ta").as("share_a_ppm"),
+          expr("(1000000 * n_b) div tb").as("share_b_ppm"),
+          (expr("(1000000 * n_b) div tb") - expr("(1000000 * n_a) div ta"))
+            .as("delta_ppm"))
+        .orderBy("bucket")
     }
   )
 }

@@ -651,6 +651,63 @@ object EventsOps {
           .as("rev"))
         .withColumn("cum_rev", sum(col("rev")).over(w))
         .orderBy("cohort", "age")
+    },
+
+    // Weekly latency bands — the ops-dashboard staple: per (event
+    // type, week), type-1 median and p90 of the inter-event gap (each
+    // gap attributed to its LATER event's type and week). q160's lag
+    // machinery feeds q159's value-level band machinery, now keyed by
+    // (type, week): gaps collapse to (type, wk, gap, count) rows,
+    // PrefixScan supplies within-group cumulative counts, and the rank
+    // targets ride a group-cardinality broadcast. No global sort, no
+    // per-group row window.
+    Q("q168_weekly_latency_bands",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (SELECT event_type,
+        |    date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS wk,
+        |    CAST(date_diff('microsecond', lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS gap
+        |  FROM e),
+        |vc AS (SELECT event_type, wk, gap, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM l WHERE gap IS NOT NULL GROUP BY 1, 2, 3),
+        |cm AS (SELECT event_type, wk, gap, cnt, CAST(sum(cnt) OVER
+        |    (PARTITION BY event_type, wk ORDER BY gap) AS BIGINT) AS cum
+        |  FROM vc),
+        |g AS (SELECT event_type, wk, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM vc GROUP BY 1, 2),
+        |k AS (SELECT event_type, wk, n, (n + 1) // 2 AS k50,
+        |    (9 * n + 9) // 10 AS k90 FROM g)
+        |SELECT k.event_type, k.wk, k.n,
+        |  min(CASE WHEN cm.cum >= k.k50 THEN cm.gap END) AS p50_us,
+        |  min(CASE WHEN cm.cum >= k.k90 THEN cm.gap END) AS p90_us
+        |FROM cm JOIN k ON cm.event_type = k.event_type AND cm.wk = k.wk
+        |GROUP BY k.event_type, k.wk, k.n
+        |ORDER BY k.event_type, k.wk""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val vc = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("pts", lag(col("ts"), 1).over(w))
+        .filter(col("pts").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(datediff(to_date(ts), DATE '1970-01-05') AS BIGINT) div 7")
+            .as("wk"),
+          expr("timestampdiff(MICROSECOND, pts, ts)").as("gap"))
+        .groupBy("event_type", "wk", "gap").agg(count(lit(1)).as("cnt"))
+        .withColumn("bkt", (col("gap") / 3600000000L).cast("long"))
+        .localCheckpoint() // cumsum + group sizes
+      val cm = graft.plans.PrefixScan.cumsum(vc,
+        part = Seq("event_type", "wk"), bucket = "bkt",
+        order = Seq("gap"), value = "cnt", out = "cum")
+      val k = vc.groupBy("event_type", "wk").agg(sum(col("cnt")).as("n"))
+        .select(col("event_type"), col("wk"), col("n"),
+          expr("(n + 1) div 2").as("k50"), expr("(9 * n + 9) div 10").as("k90"))
+      cm.join(broadcast(k), Seq("event_type", "wk"))
+        .groupBy("event_type", "wk", "n")
+        .agg(min(when(col("cum") >= col("k50"), col("gap"))).as("p50_us"),
+          min(when(col("cum") >= col("k90"), col("gap"))).as("p90_us"))
+        .orderBy("event_type", "wk")
     }
   )
 

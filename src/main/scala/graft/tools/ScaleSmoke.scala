@@ -234,7 +234,10 @@ object ScaleSmoke {
         "q152_activity_streaks", "q153_basket_rules",
         "q154_freshness_audit", "q155_lexical_richness",
         "q156_l_diversity", "q157_chi_square", "q158_bloom_probe",
-        "q159_percentile_bands", "q160_latency_histogram")
+        "q159_percentile_bands", "q160_latency_histogram",
+        // round-6 fifth batch (trend/quality/graph)
+        "q161_wow_growth", "q162_time_to_convert", "q163_json_quality",
+        "q164_degree_stats", "q165_winsorized_stats", "q166_cohort_ltv")
       println(f"${"op"}%-26s ${"1x-cold"}%8s ${"1x"}%8s ${"10x-cold"}%9s ${"10x"}%8s ${"ratio"}%7s")
       auditOps.foreach { name =>
         val c1 = run(name, base)

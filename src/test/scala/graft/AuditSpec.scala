@@ -384,4 +384,21 @@ class AuditSpec extends AnyFunSuite {
       ("A", 3L, 2L, 1L, 5L, 666666L),
       ("B", 2L, 2L, 1L, 7L, 1000000L)))
   }
+
+  test("distribution drift: exact ppm shares per bucket across snapshots") {
+    // early (1996): 3x bucket 0 + 1x bucket 1; late (1999): 1 + 1.
+    def d(y: Int) = java.sql.Date.valueOf(s"$y-06-01")
+    val rows = Seq(
+      (1L, 1.00, d(1996)), (2L, 2.00, d(1996)), (3L, 3.00, d(1996)),
+      (4L, 50001.00, d(1996)),
+      (5L, 4.00, d(1999)), (6L, 50002.00, d(1999)))
+    val dir = tmpDir("graft_drift")
+    rows.toDF("o_orderkey", "o_totalprice", "o_orderdate")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q167_distribution_drift")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 1L, 750000L, 500000L, -250000L),
+      (1L, 1L, 1L, 250000L, 500000L, 250000L)))
+  }
 }

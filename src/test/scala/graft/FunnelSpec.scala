@@ -263,4 +263,19 @@ class FunnelSpec extends AnyFunSuite {
       (weekOf(1), 1L, 100L, 200L),
       (weekOf(8), 0L, 0L, 0L)))
   }
+
+  test("weekly latency bands: gaps keyed by the LATER event's type and week") {
+    // u1: view 00:00, clicks at 01:00/03:00/04:00 → click gaps
+    // {1h, 2h, 1h} in week(1); the next view lands Jan 8 → its 6d20h
+    // gap belongs to (view, week(8)).
+    val dir = eventsDir(Seq(
+      (1L, "view", t(1)), (1L, "click", t(1, 1)), (1L, "click", t(1, 3)),
+      (1L, "click", t(1, 4)), (1L, "view", t(8))))
+    val got = SparkEntry.queries("q168_weekly_latency_bands")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val crossWeekGap = (6L * 86400L + 20L * 3600L) * 1000000L
+    assert(got == Seq(
+      ("click", weekOf(1), 3L, 3600000000L, 7200000000L),
+      ("view", weekOf(8), 1L, crossWeekGap, crossWeekGap)))
+  }
 }
