@@ -637,7 +637,10 @@ object AuditOps {
     // certificate from which PSI/KL derive (the float log never enters
     // the output, the q164 discipline). ONE fact pass: per-bucket
     // conditional sums, totals broadcast back; bucket count is bounded
-    // by the value range, not the data.
+    // by the value range, not the data. An EMPTY snapshot (all orders
+    // on one side of the cut — common when screening a brand-new or
+    // fully-historical corpus) must yield NULL shares, not an ANSI
+    // divide-by-zero: both engines guard the division explicitly.
     Q("q167_distribution_drift",
       """WITH b AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
         |      // 5000000 AS bucket,
@@ -647,12 +650,14 @@ object AuditOps {
         |    CAST(sum(early) AS BIGINT) AS n_a,
         |    CAST(sum(1 - early) AS BIGINT) AS n_b FROM b GROUP BY bucket),
         |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
-        |    CAST(sum(n_b) AS BIGINT) AS tb FROM c)
-        |SELECT c.bucket, c.n_a, c.n_b,
-        |  (1000000 * c.n_a) // t.ta AS share_a_ppm,
-        |  (1000000 * c.n_b) // t.tb AS share_b_ppm,
-        |  (1000000 * c.n_b) // t.tb - (1000000 * c.n_a) // t.ta AS delta_ppm
-        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin) { (s, d) =>
+        |    CAST(sum(n_b) AS BIGINT) AS tb FROM c),
+        |s AS (SELECT c.bucket, c.n_a, c.n_b,
+        |    CASE WHEN t.ta > 0 THEN (1000000 * c.n_a) // t.ta END AS share_a_ppm,
+        |    CASE WHEN t.tb > 0 THEN (1000000 * c.n_b) // t.tb END AS share_b_ppm
+        |  FROM c CROSS JOIN t)
+        |SELECT bucket, n_a, n_b, share_a_ppm, share_b_ppm,
+        |  share_b_ppm - share_a_ppm AS delta_ppm
+        |FROM s ORDER BY bucket""".stripMargin) { (s, d) =>
       val c = Tables.orders(s, d)
         .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT) div 5000000")
             .as("bucket"),
@@ -662,10 +667,9 @@ object AuditOps {
       val t = c.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
       c.crossJoin(broadcast(t))
         .select(col("bucket"), col("n_a"), col("n_b"),
-          expr("(1000000 * n_a) div ta").as("share_a_ppm"),
-          expr("(1000000 * n_b) div tb").as("share_b_ppm"),
-          (expr("(1000000 * n_b) div tb") - expr("(1000000 * n_a) div ta"))
-            .as("delta_ppm"))
+          when(col("ta") > 0, expr("(1000000 * n_a) div ta")).as("share_a_ppm"),
+          when(col("tb") > 0, expr("(1000000 * n_b) div tb")).as("share_b_ppm"))
+        .withColumn("delta_ppm", col("share_b_ppm") - col("share_a_ppm"))
         .orderBy("bucket")
     }
   )

@@ -237,9 +237,16 @@ object ScaleSmoke {
         "q159_percentile_bands", "q160_latency_histogram",
         // round-6 fifth batch (trend/quality/graph)
         "q161_wow_growth", "q162_time_to_convert", "q163_json_quality",
-        "q164_degree_stats", "q165_winsorized_stats", "q166_cohort_ltv")
+        "q164_degree_stats", "q165_winsorized_stats", "q166_cohort_ltv",
+        // round-6 sixth batch (drift/latency)
+        "q167_distribution_drift", "q168_weekly_latency_bands")
+      // Optional comma-separated filter so a new batch can be measured
+      // without re-timing the whole audit family.
+      val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")
+        .map(_.split(",").map(_.trim).toSet)
+      val selected = auditOps.filter(n => only.forall(_.contains(n)))
       println(f"${"op"}%-26s ${"1x-cold"}%8s ${"1x"}%8s ${"10x-cold"}%9s ${"10x"}%8s ${"ratio"}%7s")
-      auditOps.foreach { name =>
+      selected.foreach { name =>
         val c1 = run(name, base)
         val t1 = math.min(run(name, base), run(name, base))
         val c2 = run(name, adir)

@@ -401,4 +401,19 @@ class AuditSpec extends AnyFunSuite {
       (0L, 3L, 1L, 750000L, 500000L, -250000L),
       (1L, 1L, 1L, 250000L, 500000L, 250000L)))
   }
+
+  test("distribution drift: empty early snapshot yields NULL shares, no ANSI div-zero") {
+    val rows = Seq(
+      (1L, 1.00, java.sql.Date.valueOf("2024-06-01")),
+      (2L, 50001.00, java.sql.Date.valueOf("2024-07-01")))
+    val dir = tmpDir("graft_drift_empty")
+    rows.toDF("o_orderkey", "o_totalprice", "o_orderdate")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q167_distribution_drift")(spark, dir)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 1L, None, Some(500000L), None),
+      (1L, 0L, 1L, None, Some(500000L), None)))
+  }
 }
