@@ -674,6 +674,53 @@ object AnalyticsOps {
             .when(col("v") > col("hi"), col("hi"))
             .otherwise(col("v"))) * col("cnt")).as("winsorized_sum_c"))
         .orderBy("nationkey")
+    },
+
+    // Lag-k autocorrelation certificate (k = 1..7) of the daily order-
+    // count series over the zero-filled calendar (q130's gap-fill rule:
+    // an absent day IS a zero, not a skipped row — observed-only lags
+    // would silently compare non-adjacent days). Emits the exact
+    // integer normal-equation sums (n, Σx, Σy, Σxy, Σx², Σy²) per lag
+    // from which r_k derives — the q149/q164 discipline: the float
+    // never enters the hash. The series frame is calendar-bounded
+    // (days, not orders): the daily aggregate is the only fact-sized
+    // step, everything above it is ≤ a few thousand rows at any scale.
+    // Lags with no pairs (k ≥ series length) emit no row (inner join).
+    Q("q170_acf",
+      """WITH d AS (SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+        |cal AS (SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |  CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM s),
+        |f AS (SELECT cal.day, COALESCE(d.n, 0) AS x
+        |  FROM cal LEFT JOIN d USING (day)),
+        |ks AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS k)
+        |SELECT ks.k, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.x) AS BIGINT) AS sy,
+        |  CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+        |  CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+        |  CAST(sum(b.x * b.x) AS BIGINT) AS syy
+        |FROM ks JOIN f a ON true JOIN f b ON b.day = a.day + CAST(ks.k AS INT)
+        |GROUP BY ks.k ORDER BY k""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day")).agg(count(lit(1)).as("n"))
+        .localCheckpoint() // span aggregate + calendar join
+      val span = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val f = span.select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+        .join(daily, Seq("day"), "left")
+        .withColumn("x", coalesce(col("n"), lit(0L)))
+        .select(col("day"), col("x"))
+        .localCheckpoint() // both sides of the 7-lag self-join
+      val ks = s.range(1, 8).select(col("id").as("k"))
+      val a = f.crossJoin(broadcast(ks))
+        .withColumn("jday", expr("date_add(day, CAST(k AS INT))"))
+      f.select(col("day").as("jday"), col("x").as("y"))
+        .join(a, Seq("jday"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .orderBy("k")
     }
   )
 

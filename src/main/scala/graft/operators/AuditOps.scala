@@ -671,6 +671,124 @@ object AuditOps {
           when(col("tb") > 0, expr("(1000000 * n_b) div tb")).as("share_b_ppm"))
         .withColumn("delta_ppm", col("share_b_ppm") - col("share_a_ppm"))
         .orderBy("bucket")
+    },
+
+    // Exact two-sample Kolmogorov–Smirnov certificate between the same
+    // early/late order-value snapshots q167 buckets: D = max over values
+    // of |F_a - F_b| emitted as the INTEGER numerator max|cum_a·tb −
+    // cum_b·ta| plus the totals it divides by (float never enters the
+    // hash; ks_ppm is the truncating preview). Value rows collapse to
+    // (cents, n_a, n_b) — cumulative counts ride the two-level
+    // PrefixScan (bucket = $50k range, monotone in cents), so no global
+    // sort and no all-rows window. Products stay < 2⁶³ up to ~3·10⁹
+    // rows per side; past that, derive ppm shares per side FIRST (the
+    // q167 columns) and take max|share_a−share_b| at 10⁻⁶ resolution.
+    Q("q169_ks_drift",
+      """WITH b AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+        |    CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END AS early
+        |  FROM orders),
+        |c AS (SELECT v, CAST(sum(early) AS BIGINT) AS n_a,
+        |    CAST(sum(1 - early) AS BIGINT) AS n_b FROM b GROUP BY v),
+        |m AS (SELECT v, CAST(sum(n_a) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+        |    CAST(sum(n_b) OVER (ORDER BY v) AS BIGINT) AS cum_b FROM c),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |    CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+        |SELECT t.ta, t.tb,
+        |  CAST(max(abs(m.cum_a * t.tb - m.cum_b * t.ta)) AS BIGINT) AS d_num,
+        |  CASE WHEN t.ta > 0 AND t.tb > 0 THEN
+        |    (1000000 * CAST(max(abs(m.cum_a * t.tb - m.cum_b * t.ta)) AS BIGINT))
+        |      // (t.ta * t.tb) END AS ks_ppm
+        |FROM m CROSS JOIN t GROUP BY t.ta, t.tb ORDER BY ta""".stripMargin) { (s, d) =>
+      val byVal = Tables.orders(s, d)
+        .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v"),
+          when(year(col("o_orderdate")) <= 1997, 1L).otherwise(0L).as("early"))
+        .groupBy("v")
+        .agg(sum(col("early")).as("n_a"), sum(lit(1L) - col("early")).as("n_b"))
+        .withColumn("bkt", expr("v div 5000000"))
+        .localCheckpoint() // feeds two cumsums + the totals
+      val cum = graft.plans.PrefixScan.cumsum(
+        graft.plans.PrefixScan.cumsum(byVal, part = Seq(), bucket = "bkt",
+          order = Seq("v"), value = "n_a", out = "cum_a"),
+        part = Seq(), bucket = "bkt", order = Seq("v"), value = "n_b", out = "cum_b")
+      val t = byVal.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+      cum.crossJoin(broadcast(t))
+        .select(col("ta"), col("tb"),
+          abs(col("cum_a") * col("tb") - col("cum_b") * col("ta")).as("dd"))
+        .groupBy("ta", "tb").agg(max(col("dd")).as("d_num"))
+        .withColumn("ks_ppm", when(col("ta") > 0 && col("tb") > 0,
+          expr("(1000000 * d_num) div (ta * tb)")))
+        .orderBy("ta")
+    },
+
+    // Category-set drift between the two snapshots: which categorical
+    // values appeared, disappeared, or shifted share. One conditional-
+    // sum pass over the fact; the category frame is vocabulary-sized.
+    // Empty-snapshot shares go NULL (the q167 guard), and a category
+    // with zero rows in one side is labeled new/gone — the schema-drift
+    // alarm a production corpus audit pages on.
+    Q("q172_category_drift",
+      """WITH c AS (SELECT o_orderpriority AS category,
+        |    CAST(sum(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN year(o_orderdate) <= 1997 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_b
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |    CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+        |SELECT c.category, c.n_a, c.n_b,
+        |  CASE WHEN c.n_a = 0 THEN 'new' WHEN c.n_b = 0 THEN 'gone'
+        |       ELSE 'both' END AS status,
+        |  CASE WHEN t.ta > 0 THEN (1000000 * c.n_a) // t.ta END AS share_a_ppm,
+        |  CASE WHEN t.tb > 0 THEN (1000000 * c.n_b) // t.tb END AS share_b_ppm
+        |FROM c CROSS JOIN t ORDER BY category""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("category"),
+          when(year(col("o_orderdate")) <= 1997, 1L).otherwise(0L).as("early"))
+        .groupBy("category")
+        .agg(sum(col("early")).as("n_a"), sum(lit(1L) - col("early")).as("n_b"))
+      val t = c.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+      c.crossJoin(broadcast(t))
+        .select(col("category"), col("n_a"), col("n_b"),
+          when(col("n_a") === 0, "new").when(col("n_b") === 0, "gone")
+            .otherwise("both").as("status"),
+          when(col("ta") > 0, expr("(1000000 * n_a) div ta")).as("share_a_ppm"),
+          when(col("tb") > 0, expr("(1000000 * n_b) div tb")).as("share_b_ppm"))
+        .orderBy("category")
+    },
+
+    // FK fan-out profile: the distribution of lineitems-per-order in
+    // power-of-2 buckets (q160's float-free log2 = binary digit
+    // length), INCLUDING zero-fanout orders via a left join — the
+    // join-cardinality audit that predicts whether a fact-fact join
+    // explodes. Reuses the shared checkpointed fact-key projections
+    // (one scan each per snapshot, amortized across the audit suite);
+    // the per-order count is one shuffle on the child FK and the
+    // histogram above it is map-side combinable.
+    Q("q173_fanout_profile",
+      """WITH f AS (SELECT o.o_orderkey,
+        |    CAST(count(l.l_orderkey) AS BIGINT) AS fanout
+        |  FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |b AS (SELECT CASE WHEN fanout = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(length(bin(fanout)) AS BIGINT) END AS bucket, fanout FROM f)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(fanout) AS BIGINT) AS min_fanout,
+        |  CAST(max(fanout) AS BIGINT) AS max_fanout,
+        |  CAST(sum(fanout) AS BIGINT) AS sum_lines
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val cnt = lineitemKeys(s, d)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("fanout"))
+      orderKeys(s, d).select(col("o_orderkey"))
+        .join(cnt, Seq("o_orderkey"), "left")
+        .withColumn("fanout", coalesce(col("fanout"), lit(0L)))
+        .withColumn("bucket",
+          when(col("fanout") === 0L, 0L)
+            .otherwise(length(bin(col("fanout"))).cast("long")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"), min(col("fanout")).as("min_fanout"),
+          max(col("fanout")).as("max_fanout"), sum(col("fanout")).as("sum_lines"))
+        .orderBy("bucket")
     }
   )
 }

@@ -708,6 +708,77 @@ object EventsOps {
         .agg(min(when(col("cum") >= col("k50"), col("gap"))).as("p50_us"),
           min(when(col("cum") >= col("k90"), col("gap"))).as("p90_us"))
         .orderBy("event_type", "wk")
+    },
+
+    // Stickiness (DAU/MAU) per day — the engagement ratio every
+    // metrics warehouse tracks. Reuses the shared distinct user-day
+    // projection and the ONE sweep-line MAU definition (q121/q126):
+    // DAU is a per-day count over user-days, MAU the interval-delta
+    // prefix sum, joined on the covered calendar. Exact integer ppm;
+    // days with activity gaps get dau = 0 (the MAU series still covers
+    // them while any 28-day window does). Everything after the distinct
+    // user-day shuffle is calendar- or activity-bounded.
+    Q("q171_stickiness",
+      s"""WITH $mauCteSql,
+         |mau AS (SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau
+         |  FROM c CROSS JOIN mx WHERE c.day <= mx.mx GROUP BY c.day),
+         |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day)
+         |SELECT m.day, COALESCE(dau.dau, 0) AS dau, m.mau,
+         |  (1000000 * COALESCE(dau.dau, 0)) // m.mau AS stickiness_ppm
+         |FROM mau m LEFT JOIN dau USING (day)
+         |ORDER BY m.day""".stripMargin) { (s, d) =>
+      val ud = userDays(s, d)
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      mauExactFrom(ud)
+        .join(dau, Seq("day"), "left")
+        .withColumn("dau", coalesce(col("dau"), lit(0L)))
+        .select(col("day"), col("dau"), col("mau"),
+          expr("(1000000 * dau) div mau").as("stickiness_ppm"))
+        .orderBy("day")
+    },
+
+    // Power-user curve: users ranked by event volume, split into
+    // deciles, each decile's exact event share in ppm — the engagement
+    // concentration readout (q139's Gini, but bucketed and per-user).
+    // The per-user count is the one fact-sized shuffle. The dense rank
+    // over (volume desc, user_id) is the two-level PrefixScan cumsum
+    // (bucket = negated-count range, monotone in the sort key; the
+    // (negc, user_id) key is unique so the running sum of ones IS
+    // row_number) — no single-partition window over the user table.
+    // Decile boundaries are type-1: user at rank r lands in decile
+    // ((r−1)·10) div n_users, deterministic under ties by user_id.
+    Q("q175_power_user_deciles",
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+        |    CAST(sum(n_ev) AS BIGINT) AS te FROM c),
+        |r AS (SELECT user_id, n_ev, CAST(row_number() OVER
+        |    (ORDER BY n_ev DESC, user_id) AS BIGINT) AS rk FROM c)
+        |SELECT ((r.rk - 1) * 10) // t.nu AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(min(r.n_ev) AS BIGINT) AS min_ev,
+        |  CAST(max(r.n_ev) AS BIGINT) AS max_ev,
+        |  CAST(sum(r.n_ev) AS BIGINT) AS sum_ev,
+        |  (1000000 * CAST(sum(r.n_ev) AS BIGINT)) // t.te AS share_ppm
+        |FROM r CROSS JOIN t GROUP BY decile, t.te
+        |ORDER BY decile""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+        .withColumn("negc", -col("n_ev"))
+        .withColumn("bkt", expr("negc div 16"))
+        .withColumn("one", lit(1L))
+        .localCheckpoint() // rank scan + totals
+      val t = c.agg(count(lit(1)).as("nu"), sum(col("n_ev")).as("te"))
+      graft.plans.PrefixScan.cumsum(c, part = Seq(), bucket = "bkt",
+          order = Seq("negc", "user_id"), value = "one", out = "rk")
+        .crossJoin(broadcast(t))
+        .withColumn("decile", expr("((rk - 1) * 10) div nu"))
+        .groupBy("decile", "te")
+        .agg(count(lit(1)).as("n_users"), min(col("n_ev")).as("min_ev"),
+          max(col("n_ev")).as("max_ev"), sum(col("n_ev")).as("sum_ev"))
+        .select(col("decile"), col("n_users"), col("min_ev"), col("max_ev"),
+          col("sum_ev"), expr("(1000000 * sum_ev) div te").as("share_ppm"))
+        .orderBy("decile")
     }
   )
 

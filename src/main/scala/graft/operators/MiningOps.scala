@@ -694,6 +694,41 @@ object MiningOps {
           when(col("n_nonmem") === 0L, 0L)
             .otherwise(expr("(1000000 * n_false_pos) div n_nonmem"))
             .as("fp_ppm"))
+    },
+
+    // Train-set n-gram novelty screen: for each candidate document
+    // (odd doc_id), the fraction of its distinct 3-gram shingles NOT
+    // present anywhere in the reference split (even doc_id) — the
+    // memorization/contamination readout run before adding a crawl
+    // snapshot to a training mix (novelty ≈ 0 ⇒ the "new" data is
+    // already in the corpus). Deterministic split so both engines
+    // agree. One shingle-keyed shuffle: the exploded candidate
+    // shingles LEFT-join the distinct reference shingle set (novel ⇔
+    // no match), then a map-side-combinable per-doc rollup. Cost
+    // tracks shingle volume, never candidates × reference.
+    Q("q174_ngram_novelty",
+      s"""WITH sh AS (SELECT doc_id, $shingleSqlExpr AS sg FROM documents),
+         |e AS (SELECT doc_id, unnest(sg) AS sg FROM sh WHERE len(sg) > 0),
+         |ref AS (SELECT DISTINCT sg FROM e WHERE doc_id % 2 = 0)
+         |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN ref.sg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS novel_grams,
+         |  (1000000 * CAST(sum(CASE WHEN ref.sg IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT)) // CAST(count(*) AS BIGINT) AS novelty_ppm
+         |FROM e LEFT JOIN ref USING (sg) WHERE e.doc_id % 2 = 1
+         |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val e = shingledDocs(s, d)
+        .select(col("doc_id"), explode(col("sg")).as("sg"))
+        .localCheckpoint() // reference distinct + candidate side
+      val ref = e.filter(col("doc_id") % 2 === 0)
+        .select(col("sg")).distinct().withColumn("hit", lit(1))
+      e.filter(col("doc_id") % 2 === 1)
+        .join(ref, Seq("sg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("novel_grams"))
+        .withColumn("novelty_ppm", expr("(1000000 * novel_grams) div n_grams"))
+        .orderBy("doc_id")
     }
   )
 }

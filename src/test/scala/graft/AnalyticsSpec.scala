@@ -379,4 +379,22 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 20L, 100L, 1900L, 20900L)))
   }
+
+  test("acf: zero-filled calendar lags, hand-computed sums, empty lags omitted") {
+    // Daily counts 2024-01-01..04 = [1, 2, 0(absent), 3].
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val rows = Seq(d("2024-01-01")) ++ Seq.fill(2)(d("2024-01-02")) ++
+      Seq.fill(3)(d("2024-01-04"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_acf").toString
+    rows.zipWithIndex.map { case (dt, i) => (i.toLong, dt) }
+      .toDF("o_orderkey", "o_orderdate")
+      .repartition(2).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q170_acf")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // k, n, sx, sy, sxy, sxx, syy over pairs (x_t, x_{t+k})
+      (1L, 3L, 3L, 5L, 2L, 5L, 13L),   // (1,2) (2,0) (0,3)
+      (2L, 2L, 3L, 3L, 6L, 5L, 9L),    // (1,0) (2,3)
+      (3L, 1L, 1L, 3L, 3L, 1L, 9L)))   // (1,3); k ≥ 4 has no pairs
+  }
 }

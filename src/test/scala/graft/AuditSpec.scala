@@ -416,4 +416,56 @@ class AuditSpec extends AnyFunSuite {
       (0L, 0L, 1L, None, Some(500000L), None),
       (1L, 0L, 1L, None, Some(500000L), None)))
   }
+
+  test("ks drift: exact integer D numerator on a hand-computed pair of samples") {
+    // early {100, 200, 200}c, late {200, 300}c → merged values 100/200/300:
+    // d = |cum_a·tb − cum_b·ta| = 2, 3, 0 → D numerator 3 of ta·tb = 6.
+    def d(y: Int) = java.sql.Date.valueOf(s"$y-06-01")
+    val rows = Seq(
+      (1L, 1.00, d(1996)), (2L, 2.00, d(1996)), (3L, 2.00, d(1996)),
+      (4L, 2.00, d(1999)), (5L, 3.00, d(1999)))
+    val dir = tmpDir("graft_ks")
+    rows.toDF("o_orderkey", "o_totalprice", "o_orderdate")
+      .repartition(3).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q169_ks_drift")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 2L, 3L, 500000L)))
+  }
+
+  test("category drift: new/gone/both labels and exact snapshot shares") {
+    def d(y: Int) = java.sql.Date.valueOf(s"$y-06-01")
+    val rows = Seq(
+      ("A", d(1996)), ("A", d(1997)),        // early-only → gone
+      ("B", d(1996)), ("B", d(1999)),        // both
+      ("C", d(1999)))                        // late-only → new
+    val dir = tmpDir("graft_catdrift")
+    rows.zipWithIndex.map { case ((p, dt), i) => (i.toLong, p, dt) }
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q172_category_drift")(spark, dir)
+      .as[(String, Long, Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 2L, 0L, "gone", 666666L, 0L),
+      ("B", 1L, 1L, "both", 333333L, 500000L),
+      ("C", 0L, 1L, "new", 0L, 500000L)))
+  }
+
+  test("fanout profile: pow-2 buckets include zero-fanout orders") {
+    val dir = tmpDir("graft_fanout")
+    // orders 1..4 with 1, 2, 5, 0 lineitems → buckets 1, 2, 3, 0.
+    Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L))
+      .toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val li = Seq(1L) ++ Seq.fill(2)(2L) ++ Seq.fill(5)(3L)
+    li.zipWithIndex.map { case (ok, i) => (ok, i.toLong % 7, i.toLong % 5) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q173_fanout_profile")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 0L, 0L, 0L),
+      (1L, 1L, 1L, 1L, 1L),
+      (2L, 1L, 2L, 2L, 2L),
+      (3L, 1L, 5L, 5L, 5L)))
+  }
 }

@@ -278,4 +278,34 @@ class FunnelSpec extends AnyFunSuite {
       ("click", weekOf(1), 3L, 3600000000L, 7200000000L),
       ("view", weekOf(8), 1L, crossWeekGap, crossWeekGap)))
   }
+
+  test("stickiness: DAU over sweep-line MAU, exact ppm per covered day") {
+    // u1 active Jan 1 + Jan 2, u2 active Jan 1 only; max day = Jan 2 →
+    // MAU = 2 both days; DAU = 2 then 1.
+    val dir = eventsDir(Seq(
+      (1L, "view", t(1)), (1L, "click", t(1, 5)), (1L, "view", t(2)),
+      (2L, "view", t(1))))
+    val got = SparkEntry.queries("q171_stickiness")(spark, dir)
+      .as[(java.sql.Date, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 2L, 2L, 1000000L),
+      (java.sql.Date.valueOf("2024-01-02"), 1L, 2L, 500000L)))
+  }
+
+  test("power-user deciles: PrefixScan rank ≡ row_number, tie broken by user_id") {
+    // u1 ×5 events, u2 ×3, u3 ×3 (ties u2 by id), u4 ×1 → ranks
+    // 1,2,3,4 over nu=4 → deciles 0, 2, 5, 7; te = 12.
+    val dir = eventsDir(
+      (1 to 5).map(h => (1L, "view", t(1, h))) ++
+        (1 to 3).map(h => (2L, "view", t(2, h))) ++
+        (1 to 3).map(h => (3L, "view", t(3, h))) ++
+        Seq((4L, "view", t(4))))
+    val got = SparkEntry.queries("q175_power_user_deciles")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 5L, 5L, 5L, 416666L),
+      (2L, 1L, 3L, 3L, 3L, 250000L),
+      (5L, 1L, 3L, 3L, 3L, 250000L),
+      (7L, 1L, 1L, 1L, 1L, 83333L)))
+  }
 }

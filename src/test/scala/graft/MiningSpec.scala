@@ -384,4 +384,18 @@ class MiningSpec extends AnyFunSuite {
       hits.toLong, fps.toLong, 1000000L * fps / nonMem))
     assert(fps >= 1L, "the engineered non-member must be a false positive")
   }
+
+  test("ngram novelty: candidate shingles absent from the reference split, exact ppm") {
+    val dir = tmpDir("graft_novelty")
+    writeDocs(dir, Seq(
+      (0L, "a b c d", "en"),     // ref: {a b c, b c d}
+      (2L, "x y z", "en"),       // ref: {x y z}
+      (1L, "a b c e f", "en"),   // cand: {a b c✓, b c e✗, c e f✗} → 2/3 novel
+      (3L, "p q r s", "en")))    // cand: {p q r✗, q r s✗} → 2/2 novel
+    val got = SparkEntry.queries("q174_ngram_novelty")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 666666L),
+      (3L, 2L, 2L, 1000000L)))
+  }
 }
