@@ -239,7 +239,11 @@ object ScaleSmoke {
         "q161_wow_growth", "q162_time_to_convert", "q163_json_quality",
         "q164_degree_stats", "q165_winsorized_stats", "q166_cohort_ltv",
         // round-6 sixth batch (drift/latency)
-        "q167_distribution_drift", "q168_weekly_latency_bands")
+        "q167_distribution_drift", "q168_weekly_latency_bands",
+        // round-6 seventh batch (drift/engagement/novelty)
+        "q169_ks_drift", "q170_acf", "q171_stickiness",
+        "q172_category_drift", "q173_fanout_profile",
+        "q174_ngram_novelty", "q175_power_user_deciles")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")
