@@ -721,6 +721,126 @@ object AnalyticsOps {
           sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"))
         .orderBy("k")
+    },
+
+    // RFM segmentation: per customer recency (days since last order,
+    // vs the global max date), frequency (orders), monetary (exact
+    // cents), each scored 1–4 by type-1 quartile thresholds computed at
+    // VALUE level (the q159 band machinery, once per dimension — the
+    // customer table is never row-windowed), then the 64-cell segment
+    // grid with exact counts and monetary mass. Threshold rows are
+    // one-row broadcasts; the only fact-sized step is the per-customer
+    // aggregate.
+    Q("q177_rfm_segments",
+      """WITH c AS (SELECT o_custkey AS cust, max(o_orderdate) AS lastd,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(lastd) AS mx FROM c),
+        |v AS (SELECT cust, CAST(date_diff('day', lastd, mx.mx) AS BIGINT) AS r,
+        |    f, m FROM c CROSS JOIN mx),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |rc AS (SELECT r AS val, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+        |fc AS (SELECT f AS val, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+        |mc AS (SELECT m AS val, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+        |rt AS (SELECT min(CASE WHEN cum >= (n.n + 3) // 4 THEN val END) AS t1,
+        |    min(CASE WHEN cum >= (n.n + 1) // 2 THEN val END) AS t2,
+        |    min(CASE WHEN cum >= (3 * n.n + 3) // 4 THEN val END) AS t3
+        |  FROM (SELECT val, sum(cnt) OVER (ORDER BY val) AS cum FROM rc) CROSS JOIN n),
+        |ft AS (SELECT min(CASE WHEN cum >= (n.n + 3) // 4 THEN val END) AS t1,
+        |    min(CASE WHEN cum >= (n.n + 1) // 2 THEN val END) AS t2,
+        |    min(CASE WHEN cum >= (3 * n.n + 3) // 4 THEN val END) AS t3
+        |  FROM (SELECT val, sum(cnt) OVER (ORDER BY val) AS cum FROM fc) CROSS JOIN n),
+        |mt AS (SELECT min(CASE WHEN cum >= (n.n + 3) // 4 THEN val END) AS t1,
+        |    min(CASE WHEN cum >= (n.n + 1) // 2 THEN val END) AS t2,
+        |    min(CASE WHEN cum >= (3 * n.n + 3) // 4 THEN val END) AS t3
+        |  FROM (SELECT val, sum(cnt) OVER (ORDER BY val) AS cum FROM mc) CROSS JOIN n),
+        |sc AS (SELECT
+        |    CASE WHEN v.r <= rt.t1 THEN 1 WHEN v.r <= rt.t2 THEN 2
+        |         WHEN v.r <= rt.t3 THEN 3 ELSE 4 END AS r_q,
+        |    CASE WHEN v.f <= ft.t1 THEN 1 WHEN v.f <= ft.t2 THEN 2
+        |         WHEN v.f <= ft.t3 THEN 3 ELSE 4 END AS f_q,
+        |    CASE WHEN v.m <= mt.t1 THEN 1 WHEN v.m <= mt.t2 THEN 2
+        |         WHEN v.m <= mt.t3 THEN 3 ELSE 4 END AS m_q,
+        |    v.m FROM v CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt)
+        |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        |  CAST(m_q AS BIGINT) AS m_q, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(m) AS BIGINT) AS m_cents
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(max(col("o_orderdate")).as("lastd"), count(lit(1)).as("f"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("m"))
+      val mx = c.agg(max(col("lastd")).as("mx"))
+      val v = c.crossJoin(broadcast(mx))
+        .select(col("cust"), datediff(col("mx"), col("lastd")).cast("long").as("r"),
+          col("f"), col("m"))
+        .localCheckpoint() // three band scans + the scoring pass
+      val nRow = v.agg(count(lit(1)).as("n"))
+      def thresholds(dim: String, p: String): DataFrame = {
+        val vc = v.groupBy(col(dim).as("val")).agg(count(lit(1)).as("cnt"))
+          .withColumn("bkt", expr("val div 1024"))
+        graft.plans.PrefixScan.cumsum(vc, part = Seq(), bucket = "bkt",
+            order = Seq("val"), value = "cnt", out = "cum")
+          .crossJoin(broadcast(nRow))
+          .agg(min(when(col("cum") >= expr("(n + 3) div 4"), col("val"))).as(s"${p}1"),
+            min(when(col("cum") >= expr("(n + 1) div 2"), col("val"))).as(s"${p}2"),
+            min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("val"))).as(s"${p}3"))
+      }
+      def score(x: String, p: String) =
+        when(col(x) <= col(s"${p}1"), 1L).when(col(x) <= col(s"${p}2"), 2L)
+          .when(col(x) <= col(s"${p}3"), 3L).otherwise(4L)
+      v.crossJoin(broadcast(thresholds("r", "rt")))
+        .crossJoin(broadcast(thresholds("f", "ft")))
+        .crossJoin(broadcast(thresholds("m", "mt")))
+        .select(score("r", "rt").as("r_q"), score("f", "ft").as("f_q"),
+          score("m", "mt").as("m_q"), col("m"))
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_users"), sum(col("m")).as("m_cents"))
+        .orderBy("r_q", "f_q", "m_q")
+    },
+
+    // Contribution rollup: exact revenue cents per nation with its
+    // share of the region and of the grand total in ppm — the
+    // share-of-parent readout a BI drilldown renders next to every
+    // rollup row. Dimensions broadcast onto the fact; the share windows
+    // run over the 25-row nation frame, never the fact.
+    Q("q180_region_share",
+      """WITH g AS (SELECT r.r_name AS region, n.n_name AS nation,
+        |    CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT region, nation, cents,
+        |  (1000000 * cents) // CAST(sum(cents) OVER (PARTITION BY region)
+        |    AS BIGINT) AS region_share_ppm,
+        |  (1000000 * cents) // CAST(sum(cents) OVER () AS BIGINT)
+        |    AS total_share_ppm
+        |FROM g ORDER BY region, nation""".stripMargin) { (s, d) =>
+      val dims = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name").as("region"),
+          col("n_name").as("nation"))
+      val wr = org.apache.spark.sql.expressions.Window.partitionBy("region")
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)) // 25-row frame: the "global" window is safe
+      Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy("region", "nation")
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("rs", sum(col("cents")).over(wr))
+        .withColumn("ts", sum(col("cents")).over(wg))
+        .select(col("region"), col("nation"), col("cents"),
+          expr("(1000000 * cents) div rs").as("region_share_ppm"),
+          expr("(1000000 * cents) div ts").as("total_share_ppm"))
+        .orderBy("region", "nation")
     }
   )
 

@@ -779,6 +779,84 @@ object EventsOps {
         .select(col("decile"), col("n_users"), col("min_ev"), col("max_ev"),
           col("sum_ev"), expr("(1000000 * sum_ev) div te").as("share_ppm"))
         .orderBy("decile")
+    },
+
+    // Day-of-week seasonality profile per event type — the weekly-shape
+    // readout behind staffing/capacity dashboards. DOW is computed as
+    // days-since-Monday-epoch mod 7 (0 = Monday), the q161 discipline:
+    // no date_trunc/dayofweek semantics to align across engines. One
+    // map-side-combinable pass to the (type, dow) frame (|types|·7
+    // rows); shares ride a window over that tiny frame.
+    Q("q176_dow_profile",
+      """WITH e AS (SELECT event_type,
+        |    ((date_diff('day', DATE '1970-01-05',
+        |        CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7) + 7) % 7 AS dow,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (SELECT event_type, CAST(dow AS BIGINT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS cents FROM e GROUP BY 1, 2)
+        |SELECT event_type, dow, n, cents,
+        |  (1000000 * n) // CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |    AS share_ppm
+        |FROM g ORDER BY event_type, dow""".stripMargin) { (s, d) =>
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(((datediff(to_date(ts), DATE '1970-01-05') % 7) + 7) % 7 AS BIGINT)")
+            .as("dow"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("tn", sum(col("n")).over(wt))
+        .withColumn("share_ppm", expr("(1000000 * n) div tn"))
+        .drop("tn")
+        .orderBy("event_type", "dow")
+    },
+
+    // Windowed conversion funnel: of users whose journey starts with a
+    // view, how many reach a purchase STRICTLY after it and within 7
+    // days — cohorted by the Monday-aligned week of the first view.
+    // q162's two-aggregate shape (no window over raw events): per-user
+    // first view, then one filtered join to purchases bounded by the
+    // [fv, fv+7d] interval. µs-exact on both engines; the week frame is
+    // calendar-bounded.
+    Q("q182_conversion_funnel_7d",
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |fv AS (SELECT user_id, min(ts) AS fv FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |cp AS (SELECT fv.user_id FROM fv JOIN e ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > fv.fv
+        |    AND e.ts <= fv.fv + INTERVAL 7 DAY
+        |  GROUP BY 1),
+        |w AS (SELECT fv.user_id,
+        |    date_diff('day', DATE '1970-01-05', CAST(fv.fv AS DATE)) // 7 AS wk,
+        |    CASE WHEN cp.user_id IS NULL THEN 0 ELSE 1 END AS conv
+        |  FROM fv LEFT JOIN cp USING (user_id))
+        |SELECT wk, CAST(count(*) AS BIGINT) AS n_viewers,
+        |  CAST(sum(conv) AS BIGINT) AS n_conv_7d,
+        |  (1000000 * CAST(sum(conv) AS BIGINT)) // CAST(count(*) AS BIGINT)
+        |    AS cvr_ppm
+        |FROM w GROUP BY wk ORDER BY wk""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .localCheckpoint() // first-view aggregate + purchase join
+      val fv = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("fv"))
+      val cp = fv.join(e.filter(col("event_type") === "purchase"), Seq("user_id"))
+        .filter(col("ts") > col("fv") &&
+          col("ts") <= col("fv") + expr("INTERVAL 7 DAY"))
+        .select(col("user_id")).distinct().withColumn("conv", lit(1L))
+      fv.join(cp, Seq("user_id"), "left")
+        .select(
+          expr("CAST(datediff(to_date(fv), DATE '1970-01-05') AS BIGINT) div 7")
+            .as("wk"),
+          coalesce(col("conv"), lit(0L)).as("conv"))
+        .groupBy("wk")
+        .agg(count(lit(1)).as("n_viewers"), sum(col("conv")).as("n_conv_7d"))
+        .withColumn("cvr_ppm", expr("(1000000 * n_conv_7d) div n_viewers"))
+        .orderBy("wk")
     }
   )
 

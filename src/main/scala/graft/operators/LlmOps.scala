@@ -1044,6 +1044,103 @@ object LlmOps {
         .filter(col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
+    },
+
+    // Dup-cluster size profile: the distribution of near-dup cluster
+    // sizes plus the un-paired singleton mass — the curation audit that
+    // says how much of the corpus dedup will actually remove (and flags
+    // a degenerate "everything is one cluster" blocking failure before
+    // a full dedup run). Reuses the memoized near-dup pair graph and
+    // the star-contraction components (q70); the profile above them is
+    // cluster-frame-sized. CC clusters always have size ≥ 2, so the
+    // singleton row (total docs − clustered docs) never collides.
+    Q("q178_dup_cluster_profile", {
+      val pairSql = ccPairSql
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, lang, n_chars // 100 AS lb,
+         |    list_distinct(list_transform(
+         |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+         |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         |           || ' ' || string_split(text,' ')[i+2])) AS sg
+         |  FROM documents
+         |), pairs AS (
+         |  $pairSql
+         |), edges AS (
+         |  SELECT a_id AS a, b_id AS b FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |), comp AS (
+         |  SELECT a AS doc_id, min(b) AS cluster_id
+         |  FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges) t
+         |  GROUP BY a
+         |), cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+         |  FROM comp GROUP BY 1),
+         |h AS (SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM cs
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM documents),
+         |cl AS (SELECT CAST(count(*) AS BIGINT) AS ncl FROM comp)
+         |SELECT size, n_clusters, size * n_clusters AS n_docs FROM h
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), ndocs - ncl, ndocs - ncl
+         |  FROM tot CROSS JOIN cl WHERE ndocs > ncl
+         |ORDER BY size""".stripMargin
+    }) { (s, d) =>
+      val comp = graft.plans.ConnectedComponents
+        .components(jaccardCountJoin(s, d).select(col("a_id"), col("b_id")))
+        .localCheckpoint() // histogram + clustered-count consumers
+      val h = comp.groupBy("label").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("size") * col("n_clusters"))
+      val tot = Tables.documents(s, d).agg(count(lit(1)).as("ndocs"))
+      val ncl = comp.agg(count(lit(1)).as("ncl"))
+      val singles = tot.crossJoin(ncl).filter(col("ndocs") > col("ncl"))
+        .select(lit(1L).as("size"), (col("ndocs") - col("ncl")).as("n_clusters"),
+          (col("ndocs") - col("ncl")).as("n_docs"))
+      h.unionAll(singles).orderBy("size")
+    },
+
+    // Embedding-distribution drift screen: per label, the exact L1
+    // drift certificate between the even/odd vec_id halves of the
+    // corpus — Σ_dim |sum_even·n_odd − sum_odd·n_even| over fixed-point
+    // (×1000, floor) quantized components. Catches an embedding-model
+    // or featurization change that shifted a class's centroid without
+    // ever hashing a float: quantization is explicit double math
+    // (identical IEEE on both engines) and the certificate is pure
+    // integers. One posexplode (64× rows) feeding a map-side-combinable
+    // (label, dim) aggregate — the frame above the scan is labels × 64.
+    Q("q181_embedding_drift",
+      """WITH e AS (SELECT vec_id, label,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings),
+        |g AS (SELECT CAST(label AS BIGINT) AS label, dim,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN q ELSE 0 END) AS BIGINT) AS se,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN q ELSE 0 END) AS BIGINT) AS so,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS no
+        |  FROM e GROUP BY 1, 2)
+        |SELECT label, CAST(max(ne) AS BIGINT) AS n_even,
+        |  CAST(max(no) AS BIGINT) AS n_odd,
+        |  CAST(sum(abs(se * no - so * ne)) AS BIGINT) AS l1_drift_num
+        |FROM g GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("label"), (col("pos") + 1).cast("long").as("dim"),
+          floor(col("v").cast("double") * 1000).cast("long").as("q"))
+        .groupBy("label", "dim")
+        .agg(sum(when(col("vec_id") % 2 === 0, col("q")).otherwise(0L)).as("se"),
+          sum(when(col("vec_id") % 2 === 1, col("q")).otherwise(0L)).as("so"),
+          sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("ne"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("no"))
+        .groupBy("label")
+        .agg(max(col("ne")).as("n_even"), max(col("no")).as("n_odd"),
+          sum(abs(col("se") * col("no") - col("so") * col("ne"))).as("l1_drift_num"))
+        .orderBy("label")
     }
   )
 }

@@ -729,6 +729,75 @@ object MiningOps {
           sum(when(col("hit").isNull, 1L).otherwise(0L)).as("novel_grams"))
         .withColumn("novelty_ppm", expr("(1000000 * novel_grams) div n_grams"))
         .orderBy("doc_id")
+    },
+
+    // Per-source document-length drift: each source's token-length
+    // distribution vs the REST of the corpus, as the exact KS-numerator
+    // certificate (q169's discipline) over 64-token length bins —
+    // binning bounds the comparison frame by the length range, the
+    // standard practice for distributional drift on unbounded values.
+    // The zero-filled sources × bins grid makes the complement
+    // cumulative (global − source) exact at every step point of either
+    // side. Only the per-doc tokenize + (source, bin) count touches the
+    // corpus; everything above is grid-sized (sources · bins).
+    Q("q179_source_length_drift",
+      """WITH dtok AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) // 64 AS bin
+        |  FROM documents),
+        |c AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM dtok GROUP BY 1, 2),
+        |grid AS (SELECT s.source, b.bin, COALESCE(c.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT source FROM c) s
+        |  CROSS JOIN (SELECT DISTINCT bin FROM c) b
+        |  LEFT JOIN c ON c.source = s.source AND c.bin = b.bin),
+        |cum AS (SELECT source, bin,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS BIGINT)
+        |      AS cum_s FROM grid),
+        |gcum AS (SELECT bin, CAST(sum(gcnt) OVER (ORDER BY bin) AS BIGINT)
+        |    AS cum_g
+        |  FROM (SELECT bin, CAST(sum(cnt) AS BIGINT) AS gcnt FROM c GROUP BY 1)),
+        |t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS ts FROM c GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c)
+        |SELECT cum.source, t.ts, tt.t - t.ts AS tc,
+        |  CAST(max(abs(cum.cum_s * (tt.t - t.ts)
+        |    - (gcum.cum_g - cum.cum_s) * t.ts)) AS BIGINT) AS d_num,
+        |  CASE WHEN t.ts > 0 AND tt.t - t.ts > 0 THEN
+        |    (1000000 * CAST(max(abs(cum.cum_s * (tt.t - t.ts)
+        |      - (gcum.cum_g - cum.cum_s) * t.ts)) AS BIGINT))
+        |      // (t.ts * (tt.t - t.ts)) END AS ks_ppm
+        |FROM cum JOIN gcum USING (bin) JOIN t ON t.source = cum.source
+        |CROSS JOIN tt
+        |GROUP BY cum.source, t.ts, tt.t ORDER BY cum.source""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .select(col("source"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT) div 64").as("bin"))
+        .groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // grid build + global counts + totals
+      val grid = c.select(col("source")).distinct()
+        .crossJoin(c.select(col("bin")).distinct())
+        .join(c, Seq("source", "bin"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .withColumn("bkt", expr("bin div 4"))
+      val cum = graft.plans.PrefixScan.cumsum(grid, part = Seq("source"),
+        bucket = "bkt", order = Seq("bin"), value = "cnt", out = "cum_s")
+      val gcum = graft.plans.PrefixScan.cumsum(
+        c.groupBy("bin").agg(sum(col("cnt")).as("gcnt"))
+          .withColumn("bkt", expr("bin div 4")),
+        part = Seq(), bucket = "bkt", order = Seq("bin"), value = "gcnt",
+        out = "cum_g").select(col("bin"), col("cum_g"))
+      val t = c.groupBy("source").agg(sum(col("cnt")).as("ts"))
+      val tt = c.agg(sum(col("cnt")).as("t"))
+      cum.join(broadcast(gcum), Seq("bin"))
+        .join(broadcast(t), Seq("source"))
+        .crossJoin(broadcast(tt))
+        .withColumn("tc", col("t") - col("ts"))
+        .withColumn("dd",
+          abs(col("cum_s") * col("tc") - (col("cum_g") - col("cum_s")) * col("ts")))
+        .groupBy("source", "ts", "tc")
+        .agg(max(col("dd")).as("d_num"))
+        .withColumn("ks_ppm", when(col("ts") > 0 && col("tc") > 0,
+          expr("(1000000 * d_num) div (ts * tc)")))
+        .orderBy("source")
     }
   )
 }

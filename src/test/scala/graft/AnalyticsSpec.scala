@@ -397,4 +397,47 @@ class AnalyticsSpec extends AnyFunSuite {
       (2L, 2L, 3L, 3L, 6L, 5L, 9L),    // (1,0) (2,3)
       (3L, 1L, 1L, 3L, 3L, 1L, 9L)))   // (1,3); k ≥ 4 has no pairs
   }
+
+  test("rfm segments: type-1 quartile thresholds per dimension, 1:1 cells") {
+    // Four customers engineered so r/f/m quartiles coincide: scores
+    // (1,1,1) … (4,4,4), one customer per cell.
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val rows =
+      Seq((1L, d("2024-01-10"))) ++                       // c1: r=0 f=1 m=100
+        Seq(d("2024-01-02"), d("2024-01-08")).map((2L, _)) ++  // c2: r=2 f=2 m=200
+        Seq(d("2024-01-02"), d("2024-01-03"), d("2024-01-06")).map((3L, _)) ++
+        Seq(d("2024-01-01"), d("2024-01-02"), d("2024-01-03"), d("2024-01-04"))
+          .map((4L, _))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rfm").toString
+    rows.zipWithIndex.map { case ((c, dt), i) => (i.toLong, c, dt, 1.0) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .repartition(2).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q177_rfm_segments")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 1L, 100L),
+      (2L, 2L, 2L, 1L, 200L),
+      (3L, 3L, 3L, 1L, 300L),
+      (4L, 4L, 4L, 1L, 400L)))
+  }
+
+  test("region share: share-of-parent and share-of-total ppm exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_regshare").toString
+    Seq((1L, "R1"), (2L, "R2")).toDF("r_regionkey", "r_name")
+      .write.parquet(s"$dir/region.parquet")
+    Seq((10L, "A", 1L), (11L, "B", 1L), (12L, "C", 2L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((100L, 10L), (101L, 11L), (102L, 12L))
+      .toDF("c_custkey", "c_nationkey").write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 100L, 1.00), (2L, 101L, 3.00), (3L, 102L, 6.00))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q180_region_share")(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("R1", "A", 100L, 250000L, 100000L),
+      ("R1", "B", 300L, 750000L, 300000L),
+      ("R2", "C", 600L, 1000000L, 600000L)))
+  }
 }

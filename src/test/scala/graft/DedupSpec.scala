@@ -138,4 +138,20 @@ class DedupSpec extends AnyFunSuite {
       (10L, "dup_in_batch", 5L),
       (15L, "fresh", 15L)))
   }
+
+  test("dup-cluster profile: size histogram plus unpaired singleton mass") {
+    // Three identical docs (cluster of 3), two identical docs (cluster
+    // of 2), one unrelated doc (singleton — never enters the pair graph).
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "kappa lambda mu nu xi omicron"
+    val c = "one two three four five six"
+    val rows = Seq((1L, a), (2L, a), (3L, a), (4L, b), (5L, b), (6L, c))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_clprof").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q178_dup_cluster_profile")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L)))
+  }
 }

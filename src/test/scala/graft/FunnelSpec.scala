@@ -308,4 +308,35 @@ class FunnelSpec extends AnyFunSuite {
       (5L, 1L, 3L, 3L, 3L, 250000L),
       (7L, 1L, 1L, 1L, 1L, 83333L)))
   }
+
+  test("dow profile: Monday-indexed day of week, per-type shares exact") {
+    // 2024-01-01 is a Monday (dow 0), Jan 2 is dow 1. eventsDir plants
+    // value = 1.0 → 100 cents per event.
+    val dir = eventsDir(Seq(
+      (1L, "view", t(1)), (2L, "view", t(1, 5)), (1L, "view", t(2)),
+      (3L, "click", t(1))))
+    val got = SparkEntry.queries("q176_dow_profile")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", 0L, 1L, 100L, 1000000L),
+      ("view", 0L, 2L, 200L, 666666L),
+      ("view", 1L, 1L, 100L, 333333L)))
+  }
+
+  test("conversion funnel 7d: strictly-after purchase within the window, boundary inclusive") {
+    val dir = eventsDir(Seq(
+      // u1 converts on day 3
+      (1L, "view", t(1)), (1L, "purchase", t(3)),
+      // u2's purchase is 8 days out → no conversion
+      (2L, "view", t(1)), (2L, "purchase", t(9, 1)),
+      // u3 purchases exactly at fv + 7 days → inclusive boundary counts
+      (3L, "view", t(1)), (3L, "purchase", t(8)),
+      // u4's only purchase precedes its first view → viewer, no conv
+      (4L, "purchase", t(1, 0)), (4L, "view", t(1, 1)),
+      // u5 never views → not a viewer at all
+      (5L, "purchase", t(2))))
+    val got = SparkEntry.queries("q182_conversion_funnel_7d")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((weekOf(1), 4L, 2L, 500000L)))
+  }
 }

@@ -398,4 +398,23 @@ class MiningSpec extends AnyFunSuite {
       (1L, 3L, 2L, 666666L),
       (3L, 2L, 2L, 1000000L)))
   }
+
+  test("source length drift: exact KS numerator vs the complement, hand-computed") {
+    // srcA: two 10-token docs (bin 0); srcB: two 100-token docs (bin 1).
+    // Each source's distribution is maximally far from its complement:
+    // D numerator = 4 of ts·tc = 4 → 1000000 ppm.
+    val dir = tmpDir("graft_lendrift")
+    val short = (1 to 10).map(i => s"t$i").mkString(" ")
+    val long = (1 to 100).map(i => s"t$i").mkString(" ")
+    Seq((1L, short, "srcA"), (2L, short, "srcA"),
+        (3L, long, "srcB"), (4L, long, "srcB"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q179_source_length_drift")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("srcA", 2L, 2L, 4L, 1000000L),
+      ("srcB", 2L, 2L, 4L, 1000000L)))
+  }
 }

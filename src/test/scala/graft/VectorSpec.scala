@@ -157,4 +157,20 @@ class VectorSpec extends AnyFunSuite {
       assert(ok, s"$k: HLL estimate outside the 5% envelope")
     }
   }
+
+  test("embedding drift: exact quantized L1 certificate, floor on negative floats") {
+    // label 0: even half [0.1, 0.2], odd half [0.3, 0.4] → per-dim
+    // |100·1 − 300·1| + |200 − 400| = 400. label 1: identical halves →
+    // 0 (and floor(-0.1f·1000) = -101 on BOTH engines — float widening
+    // then floor, not truncation).
+    val rows = Seq(
+      (0L, Array(0.1f, 0.2f), 0), (1L, Array(0.3f, 0.4f), 0),
+      (2L, Array(-0.1f, 0.5f), 1), (3L, Array(-0.1f, 0.5f), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft_embdrift").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q181_embedding_drift")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 1L, 400L), (1L, 1L, 1L, 0L)))
+  }
 }
