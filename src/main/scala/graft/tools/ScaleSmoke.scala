@@ -213,7 +213,8 @@ object ScaleSmoke {
           pmod(col("id"), lit(5)).as("n_regionkey"),
           format_string("NATION%02d", col("id")).as("n_name"))
         .write.mode("overwrite").parquet(s"$adir/nation.parquet")
-      spark.range(5L).select(col("id").as("r_regionkey"))
+      spark.range(5L).select(col("id").as("r_regionkey"),
+          format_string("REGION%d", col("id")).as("r_name"))
         .write.mode("overwrite").parquet(s"$adir/region.parquet")
 
       val auditOps = Seq("q116_heavy_hitters", "q117_fk_audit",
@@ -243,7 +244,11 @@ object ScaleSmoke {
         // round-6 seventh batch (drift/engagement/novelty)
         "q169_ks_drift", "q170_acf", "q171_stickiness",
         "q172_category_drift", "q173_fanout_profile",
-        "q174_ngram_novelty", "q175_power_user_deciles")
+        "q174_ngram_novelty", "q175_power_user_deciles",
+        // round-6 eighth batch (seasonality/RFM/drift/funnel)
+        "q176_dow_profile", "q177_rfm_segments", "q178_dup_cluster_profile",
+        "q179_source_length_drift", "q180_region_share",
+        "q181_embedding_drift", "q182_conversion_funnel_7d")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")
