@@ -841,6 +841,60 @@ object AnalyticsOps {
           expr("(1000000 * cents) div rs").as("region_share_ppm"),
           expr("(1000000 * cents) div ts").as("total_share_ppm"))
         .orderBy("region", "nation")
+    },
+
+    // Label-distribution impurity per source: exact Gini impurity in
+    // ppm — 10⁶·(n² − Σc²) div n² over the language label — the
+    // class-balance screen run before training on a multi-source
+    // corpus (0 = single-label source; 750000 = uniform over 4
+    // labels). One map-side-combinable fact pass to the (source, lang)
+    // frame; everything above is vocabulary-sized, and the certificate
+    // is pure integers (n ≤ 3·10⁹ keeps n² < 2⁶³; past that emit the
+    // q167-style ppm shares first and square those).
+    Q("q184_label_gini",
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_labels,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS ss FROM c GROUP BY 1)
+        |SELECT source, n_docs, n_labels,
+        |  (1000000 * (n_docs * n_docs - ss)) // (n_docs * n_docs) AS gini_ppm
+        |FROM s ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+        .groupBy("source")
+        .agg(sum(col("cnt")).as("n_docs"), count(lit(1)).as("n_labels"),
+          sum(col("cnt") * col("cnt")).as("ss"))
+        .select(col("source"), col("n_docs"), col("n_labels"),
+          expr("(1000000 * (n_docs * n_docs - ss)) div (n_docs * n_docs)")
+            .as("gini_ppm"))
+        .orderBy("source")
+    },
+
+    // Order aging report: status × 30-day age bucket (age measured
+    // against the corpus's latest order date) with counts and exact
+    // cents — the warehouse backlog readout. The reference date is a
+    // one-row broadcast; the single fact pass is map-side combinable
+    // into the status × buckets frame.
+    Q("q188_order_aging",
+      """WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+        |a AS (SELECT o_orderstatus AS status,
+        |    CAST(date_diff('day', o_orderdate, mx.mx) AS BIGINT) // 30
+        |      AS age_bucket,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders CROSS JOIN mx)
+        |SELECT status, age_bucket, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM a GROUP BY 1, 2 ORDER BY status, age_bucket""".stripMargin) { (s, d) =>
+      val mx = Tables.orders(s, d).agg(max(col("o_orderdate")).as("mx"))
+      Tables.orders(s, d)
+        .crossJoin(broadcast(mx))
+        .select(col("o_orderstatus").as("status"),
+          expr("CAST(datediff(mx, o_orderdate) AS BIGINT) div 30").as("age_bucket"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("status", "age_bucket")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+        .orderBy("status", "age_bucket")
     }
   )
 

@@ -857,6 +857,108 @@ object EventsOps {
         .agg(count(lit(1)).as("n_viewers"), sum(col("conv")).as("n_conv_7d"))
         .withColumn("cvr_ppm", expr("(1000000 * n_conv_7d) div n_viewers"))
         .orderBy("wk")
+    },
+
+    // New-user reach curve: per calendar day, users whose FIRST event
+    // lands that day, plus the cumulative distinct-user count — the
+    // audience-growth readout. First-seen is one aggregate over the
+    // shared distinct user-day checkpoint; the zero-filled calendar
+    // (q130's rule: silent days are zeros, the curve still advances)
+    // and the cumulative both ride PrefixScan on 32-day buckets, so
+    // there is no global single-partition window and nothing above the
+    // first-seen aggregate is fact-sized.
+    Q("q183_cumulative_reach",
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |fv AS (SELECT user_id, min(day) AS fv FROM ud GROUP BY 1),
+        |nw AS (SELECT fv AS day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM fv GROUP BY 1),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+        |cal AS (SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |    CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |f AS (SELECT cal.day, CAST(COALESCE(nw.new_users, 0) AS BIGINT)
+        |    AS new_users FROM cal LEFT JOIN nw ON cal.day = nw.day)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+        |FROM f ORDER BY day""".stripMargin) { (s, d) =>
+      val ud = userDays(s, d)
+      val nw = ud.groupBy("user_id").agg(min(col("day")).as("fv"))
+        .groupBy(col("fv").as("day")).agg(count(lit(1)).as("new_users"))
+      val cal = ud.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+      val f = cal.join(nw, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("bkt", expr("datediff(day, DATE '1970-01-05') div 32"))
+      graft.plans.PrefixScan.cumsum(f, part = Seq(), bucket = "bkt",
+          order = Seq("day"), value = "new_users", out = "cum_users")
+        .select(col("day"), col("new_users"), col("cum_users"))
+        .orderBy("day")
+    },
+
+    // Weekly growth accounting: every active user decomposes into
+    // new / retained / resurrected, and last week's actives who
+    // vanished are this week's churn — the canonical growth ledger
+    // (active(wk) = active(wk−1) + new + resurrected − churned).
+    // Distinct
+    // user-weeks (one shuffle off the shared user-day checkpoint) feed
+    // two frame aggregates and one self-join on (user, adjacent week);
+    // the zero-filled calendar week frame makes an all-quiet week show
+    // active 0 with churned = last week's actives. Week index is the
+    // Monday-epoch rule (q161).
+    Q("q187_growth_accounting",
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-05',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS wk FROM events),
+        |fw AS (SELECT user_id, min(wk) AS fw FROM uw GROUP BY 1),
+        |act AS (SELECT wk, CAST(count(*) AS BIGINT) AS n_active
+        |  FROM uw GROUP BY 1),
+        |nw AS (SELECT fw AS wk, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fw GROUP BY 1),
+        |ret AS (SELECT a.wk, CAST(count(*) AS BIGINT) AS n_retained
+        |  FROM uw a JOIN uw b ON a.user_id = b.user_id AND a.wk = b.wk + 1
+        |  GROUP BY 1),
+        |bd AS (SELECT min(wk) AS mn, max(wk) AS mx FROM uw),
+        |cal AS (SELECT unnest(generate_series(mn, mx)) AS wk FROM bd),
+        |f AS (SELECT cal.wk,
+        |    CAST(COALESCE(act.n_active, 0) AS BIGINT) AS n_active,
+        |    CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new,
+        |    CAST(COALESCE(ret.n_retained, 0) AS BIGINT) AS n_retained
+        |  FROM cal LEFT JOIN act ON cal.wk = act.wk
+        |  LEFT JOIN nw ON cal.wk = nw.wk
+        |  LEFT JOIN ret ON cal.wk = ret.wk)
+        |SELECT wk, n_active, n_new, n_retained,
+        |  n_active - n_new - n_retained AS n_resurrected,
+        |  CAST(lag(n_active) OVER (ORDER BY wk) - n_retained AS BIGINT)
+        |    AS n_churned
+        |FROM f ORDER BY wk""".stripMargin) { (s, d) =>
+      val uw = userDays(s, d)
+        .select(col("user_id"),
+          expr("CAST(datediff(day, DATE '1970-01-05') AS BIGINT) div 7").as("wk"))
+        .distinct()
+        .localCheckpoint() // actives + first-week + adjacent-week join
+      val act = uw.groupBy("wk").agg(count(lit(1)).as("n_active"))
+      val nw = uw.groupBy("user_id").agg(min(col("wk")).as("fw"))
+        .groupBy(col("fw").as("wk")).agg(count(lit(1)).as("n_new"))
+      val ret = uw.join(uw.select(col("user_id"), (col("wk") + 1).as("wk")),
+          Seq("user_id", "wk"))
+        .groupBy("wk").agg(count(lit(1)).as("n_retained"))
+      val cal = uw.agg(min(col("wk")).as("mn"), max(col("wk")).as("mx"))
+        .select(explode(expr("sequence(mn, mx)")).as("wk"))
+      // The lag window is single-partition BY CONSTRUCTION: it runs
+      // over the weeks-sized calendar frame (years of data = hundreds
+      // of rows), never the fact.
+      val w = org.apache.spark.sql.expressions.Window.orderBy("wk")
+      cal.join(act, Seq("wk"), "left").join(nw, Seq("wk"), "left")
+        .join(ret, Seq("wk"), "left")
+        .select(col("wk"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+        .withColumn("n_resurrected",
+          col("n_active") - col("n_new") - col("n_retained"))
+        .withColumn("n_churned",
+          lag(col("n_active"), 1).over(w) - col("n_retained"))
+        .orderBy("wk")
     }
   )
 

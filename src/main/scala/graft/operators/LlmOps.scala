@@ -1141,6 +1141,71 @@ object LlmOps {
         .agg(max(col("ne")).as("n_even"), max(col("no")).as("n_odd"),
           sum(abs(col("se") * col("no") - col("so") * col("ne"))).as("l1_drift_num"))
         .orderBy("label")
+    },
+
+    // Dedup impact by source: how much of each source the near-dup
+    // collapse will remove — total docs, docs in any dup cluster, docs
+    // removed under the q82 survivor rule (keep the min doc_id per
+    // cluster — which IS the component label, so membership alone
+    // decides removal), and removal ppm. The procurement-decision
+    // readout: a source whose removal ppm is high is paying for data
+    // the corpus already has. Reuses the memoized pair graph and
+    // star-contraction components; above them only a doc_id→source
+    // join and two vocabulary-sized aggregates.
+    Q("q185_dedup_impact", {
+      val pairSql = ccPairSql
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, lang, n_chars // 100 AS lb,
+         |    list_distinct(list_transform(
+         |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+         |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         |           || ' ' || string_split(text,' ')[i+2])) AS sg
+         |  FROM documents
+         |), pairs AS (
+         |  $pairSql
+         |), edges AS (
+         |  SELECT a_id AS a, b_id AS b FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |), comp AS (
+         |  SELECT a AS doc_id, min(b) AS cluster_id
+         |  FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges) t
+         |  GROUP BY a
+         |), j AS (SELECT d.source, comp.doc_id, comp.cluster_id
+         |  FROM comp JOIN documents d USING (doc_id)),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_clustered,
+         |    CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_removed
+         |  FROM j GROUP BY 1),
+         |t2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT t2.source, t2.n_docs,
+         |  CAST(COALESCE(per.n_clustered, 0) AS BIGINT) AS n_clustered,
+         |  CAST(COALESCE(per.n_removed, 0) AS BIGINT) AS n_removed,
+         |  (1000000 * CAST(COALESCE(per.n_removed, 0) AS BIGINT)) // t2.n_docs
+         |    AS removal_ppm
+         |FROM t2 LEFT JOIN per ON t2.source = per.source
+         |ORDER BY t2.source""".stripMargin
+    }) { (s, d) =>
+      val comp = graft.plans.ConnectedComponents
+        .components(jaccardCountJoin(s, d).select(col("a_id"), col("b_id")))
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val per = comp.join(src, comp("node") === src("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_clustered"),
+          sum(when(col("node") =!= col("label"), 1L).otherwise(0L))
+            .as("n_removed"))
+      src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(per, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_clustered"), lit(0L)).as("n_clustered"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+        .withColumn("removal_ppm", expr("(1000000 * n_removed) div n_docs"))
+        .orderBy("source")
     }
   )
 }

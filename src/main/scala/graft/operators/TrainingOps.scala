@@ -683,6 +683,52 @@ object TrainingOps {
             .as("n_rows_at_risk"),
           min(col("l")).as("min_diversity"))
         .orderBy("l_req")
+    },
+
+    // Largest-remainder mixture allocation: distribute a fixed sample
+    // budget (997 — prime, so fractional remainders are actually
+    // exercised) across sources proportionally to their document
+    // counts, Hamilton-method: floor allocations first, leftover seats
+    // go to the largest remainders (source-ordered tie-break).
+    // Allocations are exact integers summing to the budget BY
+    // CONSTRUCTION — the property mixture samplers (q79) need so
+    // per-source take counts never drift off target by rounding.
+    // Everything past the per-source count runs on the sources-sized
+    // frame.
+    Q("q186_mixture_alloc",
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        |b AS (SELECT source, cnt, (997 * cnt) // t.n AS base,
+        |    (997 * cnt) % t.n AS rem FROM c CROSS JOIN t),
+        |e AS (SELECT CAST(997 - sum(base) AS BIGINT) AS extra FROM b),
+        |r AS (SELECT source, cnt, base,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+        |SELECT source, cnt, CAST(base AS BIGINT) AS base_alloc,
+        |  CAST(base + CASE WHEN rk <= e.extra THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r CROSS JOIN e ORDER BY source""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // total + base/remainder pass share the count
+      val t = c.agg(sum(col("cnt")).as("n"))
+      val b = c.crossJoin(broadcast(t))
+        .select(col("source"), col("cnt"),
+          expr("(997 * cnt) div n").as("base"),
+          expr("(997 * cnt) % n").as("rem"))
+      val e = b.agg((lit(997L) - sum(col("base"))).as("extra"))
+      // row_number over the sources-sized frame (single partition by
+      // construction — dozens of rows, never the corpus); ORDER BY
+      // (rem DESC, source) is a total order, so the seat assignment is
+      // deterministic on both engines.
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("source"))
+      b.withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(e))
+        .select(col("source"), col("cnt"), col("base").as("base_alloc"),
+          (col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy("source")
     }
   )
 }

@@ -248,7 +248,10 @@ object ScaleSmoke {
         // round-6 eighth batch (seasonality/RFM/drift/funnel)
         "q176_dow_profile", "q177_rfm_segments", "q178_dup_cluster_profile",
         "q179_source_length_drift", "q180_region_share",
-        "q181_embedding_drift", "q182_conversion_funnel_7d")
+        "q181_embedding_drift", "q182_conversion_funnel_7d",
+        // round-6 ninth batch (reach/gini/dedup-impact/alloc/growth/aging)
+        "q183_cumulative_reach", "q184_label_gini", "q185_dedup_impact",
+        "q186_mixture_alloc", "q187_growth_accounting", "q188_order_aging")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

@@ -440,4 +440,31 @@ class AnalyticsSpec extends AnyFunSuite {
       ("R1", "B", 300L, 750000L, 300000L),
       ("R2", "C", 600L, 1000000L, 600000L)))
   }
+
+  test("label gini: pure source scores 0, even two-label split scores 500000") {
+    val rows = (1 to 4).map(i => (i.toLong, "en", "srcA")) ++
+      Seq((5L, "en", "srcB"), (6L, "en", "srcB"),
+        (7L, "de", "srcB"), (8L, "de", "srcB"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gini").toString
+    rows.map { case (id, lg, src) => (id, s"text $id", lg, src, 7L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q184_label_gini")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("srcA", 4L, 1L, 0L), ("srcB", 4L, 2L, 500000L)))
+  }
+
+  test("order aging: 30-day buckets against the latest order date, exact cents") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_aging").toString
+    Seq((1L, "O", d("2024-03-01"), 1.00),  // age 0  → bucket 0
+        (2L, "O", d("2024-01-31"), 2.00),  // age 30 → bucket 1
+        (3L, "F", d("2024-02-29"), 3.00))  // age 1  → bucket 0
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q188_order_aging")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("F", 0L, 1L, 300L), ("O", 0L, 1L, 100L), ("O", 1L, 1L, 200L)))
+  }
 }

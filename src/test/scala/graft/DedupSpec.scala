@@ -154,4 +154,27 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L)))
   }
+
+  test("dedup impact by source: survivor = cluster min, cross-source clusters split the removal") {
+    // Cluster {1,2,3} (survivor 1) spans srcA (1,2) and srcB (3);
+    // cluster {4,5} (survivor 4) is all srcB; 6 is an unclustered srcC
+    // singleton. srcA removes doc 2 of 2; srcB removes docs 3 and 5 of
+    // 3; srcC removes nothing.
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "kappa lambda mu nu xi omicron"
+    val c = "one two three four five six"
+    val rows = Seq(
+      (1L, a, "srcA"), (2L, a, "srcA"), (3L, a, "srcB"),
+      (4L, b, "srcB"), (5L, b, "srcB"), (6L, c, "srcC"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedupimp").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q185_dedup_impact")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("srcA", 2L, 2L, 1L, 500000L),
+      ("srcB", 3L, 3L, 2L, 666666L),
+      ("srcC", 1L, 0L, 0L, 0L)))
+  }
 }

@@ -339,4 +339,34 @@ class FunnelSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((weekOf(1), 4L, 2L, 500000L)))
   }
+
+  test("cumulative reach: zero-filled silent days, curve still advances") {
+    // First-seen: u1/u2 on day 1, u3 on day 4; days 2-3 are silent
+    // (u1's day-3 repeat is NOT new) → new 2,0,0,1; cum 2,2,2,3.
+    val dir = eventsDir(Seq(
+      (1L, "view", t(1)), (2L, "view", t(1, 5)), (1L, "click", t(3)),
+      (3L, "view", t(4))))
+    val got = SparkEntry.queries("q183_cumulative_reach")(spark, dir)
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    def d(day: Int) = java.sql.Date.valueOf(f"2024-01-$day%02d")
+    assert(got == Seq(
+      (d(1), 2L, 2L), (d(2), 0L, 2L), (d(3), 0L, 2L), (d(4), 1L, 3L)))
+  }
+
+  test("growth accounting: new/retained/resurrected/churned, quiet week churns all") {
+    // wk0: u1,u2 new. wk1: u1 retained, u3 new, u2 churned. wk2: quiet
+    // (active 0, churned = wk1's 2). wk3: u2 resurrects.
+    val dir = eventsDir(Seq(
+      (1L, "view", t(1)), (2L, "view", t(2)),
+      (1L, "view", t(8)), (3L, "view", t(9)),
+      (2L, "view", t(22))))
+    val got = SparkEntry.queries("q187_growth_accounting")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    val w0 = weekOf(1)
+    assert(got == Seq(
+      (w0, 2L, 2L, 0L, 0L, None),
+      (w0 + 1, 2L, 1L, 1L, 0L, Some(1L)),
+      (w0 + 2, 0L, 0L, 0L, 0L, Some(2L)),
+      (w0 + 3, 1L, 0L, 0L, 1L, Some(0L))))
+  }
 }

@@ -356,4 +356,23 @@ class TrainingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((2L, 1L, 4L, 1L), (3L, 2L, 9L, 1L)))
   }
+
+  test("mixture allocation: largest remainder, allocations sum to the budget exactly") {
+    // Counts 5/3/2 over budget 997: bases 498/299/199 (sum 996),
+    // remainders 5/1/4 → the one leftover seat goes to srcA.
+    val rows = (1 to 5).map(i => (i.toLong, "srcA")) ++
+      (6 to 8).map(i => (i.toLong, "srcB")) ++
+      (9 to 10).map(i => (i.toLong, "srcC"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_alloc").toString
+    rows.map { case (id, src) => (id, s"doc $id text", "en", src, 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q186_mixture_alloc")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("srcA", 5L, 498L, 499L),
+      ("srcB", 3L, 299L, 299L),
+      ("srcC", 2L, 199L, 199L)))
+    assert(got.map(_._4).sum == 997L)
+  }
 }
