@@ -895,6 +895,208 @@ object AnalyticsOps {
         .groupBy("status", "age_bucket")
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
         .orderBy("status", "age_bucket")
+    },
+
+    // Order-to-ship lag profile: days from order date to line ship
+    // date, 30-day buckets by order priority — the fulfilment-latency
+    // readout (the classic late-shipment report re-expressed over this
+    // schema, which has no commit/receipt dates). One shuffle join of
+    // the two facts on the order key (both sides hash-partition; no
+    // broadcast — orders is fact-sized too), then a map-side-combinable
+    // aggregate into the priorities × buckets frame. Negative lags
+    // (synthetic data has them) rely on div truncating toward zero
+    // identically on both engines (measured in the q149 plan note).
+    Q("q189_ship_lag",
+      """WITH j AS (SELECT o.o_orderpriority AS priority,
+        |    date_diff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(l.l_shipdate AS DATE)) AS lag_days,
+        |    CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT priority, CAST(lag_days // 30 AS BIGINT) AS lag_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM j GROUP BY 1, 2 ORDER BY priority, lag_bucket""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+        .join(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          expr("CAST(datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT) div 30")
+            .as("lag_bucket"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy("priority", "lag_bucket")
+        .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("cents"))
+        .orderBy("priority", "lag_bucket")
+    },
+
+    // Customer order-count distribution (the TPC-H Q13 shape): how
+    // many customers placed exactly k orders, INCLUDING the zero-order
+    // customers the inner join would silently drop — the
+    // left-join-then-count-non-null idiom is the whole point of the
+    // operator. Two shuffles (left join on custkey, distribution
+    // regroup); the second input is customers-sized, the output
+    // distinct-count-sized.
+    Q("q190_custdist",
+      """WITH co AS (SELECT c.c_custkey,
+        |    CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count")) // non-null = matched
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Monthly promo revenue share (the TPC-H Q14 shape): per ship
+    // month, revenue cents on PROMO-type parts vs total, share in
+    // exact ppm. Part type rides a dimension join onto the fact
+    // (broadcast at this SF; a shuffle join at dimension scale — either
+    // way the aggregate above it is map-side combinable into the
+    // months frame).
+    Q("q191_promo_share",
+      """WITH j AS (SELECT date_trunc('month', CAST(l.l_shipdate AS DATE)) AS mo,
+        |    CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS promo,
+        |    CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT CAST(mo AS DATE) AS mo,
+        |  CAST(sum(promo * cents) AS BIGINT) AS promo_cents,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  (1000000 * CAST(sum(promo * cents) AS BIGINT)) // CAST(sum(cents) AS BIGINT)
+        |    AS promo_ppm
+        |FROM j GROUP BY 1 ORDER BY mo""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_shipdate"), col("l_extendedprice"))
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(trunc(col("l_shipdate").cast("date"), "month").as("mo"),
+          when(col("p_type") === "PROMO", 1L).otherwise(0L).as("promo"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy("mo")
+        .agg(sum(col("promo") * col("cents")).as("promo_cents"),
+          sum(col("cents")).as("total_cents"))
+        .withColumn("promo_ppm",
+          expr("(1000000 * promo_cents) div total_cents"))
+        .orderBy("mo")
+    },
+
+    // Repeat-buyer ratio per nation: customers, buyers (≥1 order),
+    // repeat buyers (≥2 orders), repeat share in exact ppm of buyers —
+    // the loyalty readout. Orders collapse to per-customer counts
+    // first (one fact shuffle); the customer frame left-joins those
+    // counts, the 25-row nation dimension broadcasts on top, and the
+    // final aggregate is nations-sized. Zero-buyer nations emit ppm 0
+    // rather than divide-by-zero (ANSI mode throws).
+    Q("q194_repeat_buyers",
+      """WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT c.c_custkey, c.c_nationkey,
+        |    CAST(COALESCE(oc.n_orders, 0) AS BIGINT) AS n_orders
+        |  FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey),
+        |g AS (SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(CASE WHEN c.n_orders >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_buyers,
+        |    CAST(sum(CASE WHEN c.n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat
+        |  FROM c JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1)
+        |SELECT nation, n_customers, n_buyers, n_repeat,
+        |  CASE WHEN n_buyers > 0 THEN (1000000 * n_repeat) // n_buyers
+        |       ELSE 0 END AS repeat_ppm
+        |FROM g ORDER BY nation""".stripMargin) { (s, d) =>
+      val oc = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("n_orders") >= 1, 1L).otherwise(0L)).as("n_buyers"),
+          sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+        .withColumn("repeat_ppm",
+          when(col("n_buyers") > 0,
+            expr("(1000000 * n_repeat) div n_buyers")).otherwise(0L))
+        .orderBy("nation")
+    },
+
+    // Local supplier volume (the TPC-H Q5 join tree): revenue where
+    // the customer and the line's supplier sit in the SAME nation,
+    // reported per region × nation — the domestic-trade readout and
+    // the engine's deepest stock join pipeline (6 tables). The two
+    // facts shuffle-join on the order key; customer keys ride a second
+    // shuffle; supplier/nation/region broadcast (supplier is ~1e-5 of
+    // lineitem rows at every SF — at true dimension scale Catalyst
+    // falls back to a shuffle join on its own). The same-nation
+    // predicate lands INSIDE the supplier join condition, so mismatched
+    // rows drop before the aggregate.
+    Q("q195_local_supplier_volume",
+      """WITH j AS (SELECT r.r_name AS region, n.n_name AS nation,
+        |    CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |    AND c.c_nationkey = s.s_nationkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+        |SELECT region, nation, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM j GROUP BY 1, 2 ORDER BY region, nation""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+            .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("cents"))
+        .orderBy("region", "nation")
+    },
+
+    // Top supplier per quarter (the TPC-H Q15 shape), ALL ties kept:
+    // per-supplier revenue collapses in one map-side-combinable fact
+    // pass, the per-quarter maximum is a quarters-sized broadcast, and
+    // winners fall out of an equality join — the group-argmax idiom
+    // that never windows the supplier frame.
+    Q("q196_top_supplier",
+      """WITH r AS (SELECT date_trunc('quarter', CAST(l_shipdate AS DATE)) AS qtr,
+        |    l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT qtr, CAST(max(cents) AS BIGINT) AS mx FROM r GROUP BY 1)
+        |SELECT CAST(r.qtr AS DATE) AS qtr, r.l_suppkey AS s_suppkey, r.cents
+        |FROM r JOIN m ON r.qtr = m.qtr AND r.cents = m.mx
+        |ORDER BY qtr, s_suppkey""".stripMargin) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .select(trunc(col("l_shipdate").cast("date"), "quarter").as("qtr"),
+          col("l_suppkey"),
+          floor(col("l_extendedprice") * 100).cast("long").as("c"))
+        .groupBy("qtr", "l_suppkey")
+        .agg(sum(col("c")).as("cents"))
+        .localCheckpoint() // winner join + per-quarter max share one pass
+      val mx = rev.groupBy(col("qtr").as("mqtr")).agg(max(col("cents")).as("mx"))
+      rev.join(broadcast(mx),
+          col("qtr") === col("mqtr") && col("cents") === col("mx"))
+        .select(col("qtr"), col("l_suppkey").as("s_suppkey"), col("cents"))
+        .orderBy("qtr", "s_suppkey")
     }
   )
 

@@ -789,6 +789,83 @@ object AuditOps {
         .agg(count(lit(1)).as("n_orders"), min(col("fanout")).as("min_fanout"),
           max(col("fanout")).as("max_fanout"), sum(col("fanout")).as("sum_lines"))
         .orderBy("bucket")
+    },
+
+    // Dormant capital audit (the TPC-H Q22 shape): customers whose
+    // balance exceeds the average POSITIVE balance but who placed no
+    // order in the corpus's final year, per nation — parked money. The
+    // above-average test is the exact cross-multiplied integer
+    // cents·n > sum (no float average ever materializes; the scalar
+    // aggregate is a one-row broadcast), and "no recent order" is a
+    // LEFT ANTI join against the distinct recent-buyer keys — the
+    // NOT-EXISTS idiom that stays a hash join at any scale.
+    Q("q197_dormant_capital",
+      """WITH ac AS (SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |p AS (SELECT CAST(sum(cents) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n FROM ac WHERE cents > 0),
+        |mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+        |rec AS (SELECT DISTINCT o_custkey FROM orders CROSS JOIN mx
+        |  WHERE o_orderdate > mx.mx - INTERVAL 365 DAY),
+        |w AS (SELECT ac.c_nationkey, ac.cents FROM ac CROSS JOIN p
+        |  WHERE ac.cents * p.n > p.s AND NOT EXISTS
+        |    (SELECT 1 FROM rec WHERE rec.o_custkey = ac.c_custkey))
+        |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_dormant,
+        |  CAST(sum(w.cents) AS BIGINT) AS cents
+        |FROM w JOIN nation n ON w.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin) { (s, d) =>
+      val ac = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+      val p = ac.where(col("cents") > 0)
+        .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+      val mx = Tables.orders(s, d).agg(max(col("o_orderdate")).as("mx"))
+      val rec = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"))
+        .crossJoin(broadcast(mx))
+        .where(col("o_orderdate") > expr("mx - INTERVAL 365 DAY"))
+        .select(col("o_custkey")).distinct()
+      ac.crossJoin(broadcast(p))
+        .where(col("cents") * col("n") > col("s"))
+        .join(rec, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_dormant"), sum(col("cents")).as("cents"))
+        .orderBy("nation")
+    },
+
+    // Modal value per group — the MODE aggregate with a deterministic
+    // tie rule (most frequent o_orderpriority per market segment; on
+    // ties the lexicographically smallest wins): counts collapse
+    // map-side into the segments × priorities frame, the per-segment
+    // max count is a broadcast, winners fall out of an equality join,
+    // and min() applies the tie rule — the group-argmax idiom again,
+    // never a window, never a collect.
+    Q("q199_modal_priority",
+      """WITH j AS (SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cnt AS (SELECT seg, prio, CAST(count(*) AS BIGINT) AS n
+        |  FROM j GROUP BY 1, 2),
+        |m AS (SELECT seg, CAST(max(n) AS BIGINT) AS mx FROM cnt GROUP BY 1)
+        |SELECT cnt.seg AS seg, min(cnt.prio) AS modal_priority,
+        |  CAST(max(cnt.n) AS BIGINT) AS n_orders
+        |FROM cnt JOIN m ON cnt.seg = m.seg AND cnt.n = m.mx
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val cnt = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderpriority").as("prio"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("seg", "prio")
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // winner join + per-segment max share one pass
+      val m = cnt.groupBy(col("seg").as("mseg")).agg(max(col("n")).as("mx"))
+      cnt.join(broadcast(m), col("seg") === col("mseg") && col("n") === col("mx"))
+        .groupBy("seg")
+        .agg(min(col("prio")).as("modal_priority"), max(col("n")).as("n_orders"))
+        .orderBy("seg")
     }
   )
 }

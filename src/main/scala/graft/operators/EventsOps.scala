@@ -959,6 +959,42 @@ object EventsOps {
         .withColumn("n_churned",
           lag(col("n_active"), 1).over(w) - col("n_retained"))
         .orderBy("wk")
+    },
+
+    // Session depth distribution: events per session (q131's 30-minute
+    // gap rule) regrouped into a depth histogram — the engagement-shape
+    // readout behind "how long do visits actually run". Same per-user
+    // windows as q131 (state bounded by one user's events, never a
+    // global partition), one extra distribution-sized regroup on top.
+    Q("q198_session_depth",
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+        |    THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, CAST(sum(news)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_n
+        |  FROM l),
+        |dep AS (SELECT user_id, sess_n, CAST(count(*) AS BIGINT) AS depth
+        |  FROM s GROUP BY 1, 2)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM dep GROUP BY 1 ORDER BY depth""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("pts", lag(col("ts"), 1).over(w))
+        .withColumn("news",
+          when(col("pts").isNull ||
+            expr("timestampdiff(MICROSECOND, pts, ts)") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_n", sum(col("news")).over(w))
+        .groupBy("user_id", "sess_n")
+        .agg(count(lit(1)).as("depth"))
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy("depth")
     }
   )
 

@@ -1206,6 +1206,36 @@ object LlmOps {
           coalesce(col("n_removed"), lit(0L)).as("n_removed"))
         .withColumn("removal_ppm", expr("(1000000 * n_removed) div n_docs"))
         .orderBy("source")
+    },
+
+    // Embedding norm profile: per label, the distribution of squared
+    // L2 norms — the sanity screen run before cosine-similarity ops
+    // (an un-normalized or zero vector poisons every dot-product
+    // ranking downstream). Components floor-quantize at 1e3 (the q181
+    // rule: cast float→double first, both engines floor identically),
+    // so nq2 ≈ 1e6 for unit vectors and the div-1000 bucket is a
+    // ~0.1%-granularity band. The whole query is one codegen'd HOF
+    // per row (aggregate over the array — no explode, no shuffle
+    // below the labels × bands aggregate).
+    Q("q193_embedding_norms",
+      """WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+        |      AS BIGINT) AS nq2
+        |  FROM embeddings)
+        |SELECT label, CAST(nq2 // 1000 AS BIGINT) AS norm2_band,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(nq2) AS BIGINT) AS sum_nq2
+        |FROM q GROUP BY 1, 2 ORDER BY label, norm2_band""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          expr("""aggregate(transform(embedding,
+            |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+            |  0L, (acc, q) -> acc + q * q)""".stripMargin).as("nq2"))
+        .groupBy(col("label"), expr("nq2 div 1000").as("norm2_band"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("nq2")).as("sum_nq2"))
+        .orderBy("label", "norm2_band")
     }
   )
 }

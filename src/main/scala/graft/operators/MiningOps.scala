@@ -798,6 +798,65 @@ object MiningOps {
         .withColumn("ks_ppm", when(col("ts") > 0 && col("tc") > 0,
           expr("(1000000 * d_num) div (ts * tc)")))
         .orderBy("source")
+    },
+
+    // ABC (Pareto 80/20) classification: parts ranked by revenue,
+    // class A = parts whose running revenue share (ordered cents DESC,
+    // partkey) stays ≤ 70%, B ≤ 90%, C the tail — the inventory-
+    // prioritization readout, reported as per-class part counts and
+    // exact cents. The running total NEVER rides a single-partition
+    // window over parts: per-part revenue collapses to VALUE-level
+    // rows (distinct cents values), PrefixScan accumulates the
+    // strictly-above mass (ordered by -cents, bucketed monotonically),
+    // and ties within one value resolve by a window partitioned BY
+    // VALUE (bounded by the tie-group size) ordered by partkey — the
+    // same value-level order-statistics machinery as q141/q143/q145.
+    // Only parts with ≥ 1 lineitem participate (unsold parts have no
+    // revenue rank).
+    Q("q192_abc_class",
+      """WITH pp AS (SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM pp),
+        |r AS (SELECT l_partkey, cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS BIGINT)
+        |      AS cum FROM pp)
+        |SELECT CASE WHEN cum * 10 <= 7 * t.tot THEN 'A'
+        |            WHEN cum * 10 <= 9 * t.tot THEN 'B'
+        |            ELSE 'C' END AS abc_class,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM r CROSS JOIN t GROUP BY 1 ORDER BY abc_class""".stripMargin) { (s, d) =>
+      val pp = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        // consumed three times (value-level counts, tie window, total)
+        .localCheckpoint()
+      val tot = pp.agg(sum(col("cents")).as("tot"))
+      // value-level frame: one row per distinct per-part revenue value,
+      // walked in descending-cents order via the ascending ord = -cents
+      val byVal = pp.groupBy(col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("mass", col("cents") * col("cnt"))
+        .withColumn("ord", -col("cents"))
+        .withColumn("bkt", expr("ord div 100000000"))
+      val cum = graft.plans.PrefixScan.cumsum(byVal, part = Seq(),
+          bucket = "bkt", order = Seq("ord"), value = "mass", out = "cum_incl")
+        .withColumn("above", col("cum_incl") - col("mass"))
+        .select(col("cents"), col("above"))
+      val tieW = Window.partitionBy(col("cents")).orderBy(col("l_partkey"))
+      pp.join(cum, Seq("cents"))
+        .withColumn("r", row_number().over(tieW).cast("long"))
+        .withColumn("cum", col("above") + col("r") * col("cents"))
+        .crossJoin(broadcast(tot))
+        .withColumn("abc_class",
+          when(col("cum") * 10 <= col("tot") * 7, "A")
+            .when(col("cum") * 10 <= col("tot") * 9, "B")
+            .otherwise("C"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
+        .orderBy("abc_class")
     }
   )
 }

@@ -188,7 +188,11 @@ object ScaleSmoke {
           pmod(xxhash64(col("id") + 3), lit(200000L)).as("l_partkey"),
           pmod(xxhash64(col("id") + 5), lit(10000L)).as("l_suppkey"),
           (pmod(xxhash64(col("id") + 17), lit(10000000L)).cast("double") / 100.0)
-            .as("l_extendedprice"))
+            .as("l_extendedprice"),
+          // spans [-30, 395) days from the epoch so q189 sees negative lags
+          date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+            (pmod(xxhash64(col("id") + 19), lit(425L)) - 30L).cast("int"))
+            .as("l_shipdate"))
         .write.mode("overwrite").parquet(s"$adir/lineitem.parquet")
       spark.range(1500000L)
         .select(col("id").as("o_orderkey"),
@@ -202,12 +206,21 @@ object ScaleSmoke {
           concat(lit("P"), pmod(col("id"), lit(5))).as("o_orderpriority"))
         .write.mode("overwrite").parquet(s"$adir/orders.parquet")
       spark.range(150000L).select(col("id").as("c_custkey"),
-          pmod(col("id"), lit(25)).as("c_nationkey"))
+          pmod(col("id"), lit(25)).as("c_nationkey"),
+          // spans negatives so the positive-average filter is exercised
+          ((pmod(xxhash64(col("id") + 23), lit(1100000L)).cast("double") - 100000.0) / 100.0)
+            .as("c_acctbal"),
+          element_at(array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),
+            lit("HOUSEHOLD"), lit("MACHINERY")),
+            (pmod(col("id"), lit(5)) + 1).cast("int")).as("c_mktsegment"))
         .write.mode("overwrite").parquet(s"$adir/customer.parquet")
       spark.range(10000L).select(col("id").as("s_suppkey"),
           pmod(col("id"), lit(25)).as("s_nationkey"))
         .write.mode("overwrite").parquet(s"$adir/supplier.parquet")
-      spark.range(200000L).select(col("id").as("p_partkey"))
+      spark.range(200000L).select(col("id").as("p_partkey"),
+          element_at(array(lit("PROMO"), lit("STANDARD"), lit("ECONOMY"),
+            lit("MEDIUM"), lit("LARGE"), lit("SMALL")),
+            (pmod(col("id"), lit(6)) + 1).cast("int")).as("p_type"))
         .write.mode("overwrite").parquet(s"$adir/part.parquet")
       spark.range(25L).select(col("id").as("n_nationkey"),
           pmod(col("id"), lit(5)).as("n_regionkey"),
@@ -251,7 +264,13 @@ object ScaleSmoke {
         "q181_embedding_drift", "q182_conversion_funnel_7d",
         // round-6 ninth batch (reach/gini/dedup-impact/alloc/growth/aging)
         "q183_cumulative_reach", "q184_label_gini", "q185_dedup_impact",
-        "q186_mixture_alloc", "q187_growth_accounting", "q188_order_aging")
+        "q186_mixture_alloc", "q187_growth_accounting", "q188_order_aging",
+        // round-6 tenth batch (warehouse readouts + norm profile)
+        "q189_ship_lag", "q190_custdist", "q191_promo_share",
+        "q192_abc_class", "q193_embedding_norms", "q194_repeat_buyers",
+        // round-6 eleventh batch (join-tree / argmax / anti-join classics)
+        "q195_local_supplier_volume", "q196_top_supplier",
+        "q197_dormant_capital", "q198_session_depth", "q199_modal_priority")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

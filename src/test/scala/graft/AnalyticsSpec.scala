@@ -467,4 +467,101 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Seq(
       ("F", 0L, 1L, 300L), ("O", 0L, 1L, 100L), ("O", 1L, 1L, 200L)))
   }
+
+  test("ship lag: 30-day bucket boundary and negative-lag truncation toward zero") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shiplag").toString
+    Seq((1L, d("2024-01-01"), "1-URGENT"), (2L, d("2024-01-01"), "5-LOW"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, d("2024-01-30"), 1.00),  // lag 29  → bucket 0
+        (1L, d("2024-01-31"), 2.00),  // lag 30  → bucket 1
+        (2L, d("2023-12-31"), 4.00),  // lag -1  → bucket 0 (trunc, not floor)
+        (2L, d("2023-12-01"), 8.00))  // lag -31 → bucket -1
+      .toDF("l_orderkey", "l_shipdate", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q189_ship_lag")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("1-URGENT", 0L, 1L, 100L), ("1-URGENT", 1L, 1L, 200L),
+      ("5-LOW", -1L, 1L, 800L), ("5-LOW", 0L, 1L, 400L)))
+  }
+
+  test("custdist: zero-order customers survive the left join into the k=0 bin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_custdist").toString
+    Seq(1L, 2L, 3L).toDF("c_custkey").write.parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L), (11L, 1L), (12L, 2L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q190_custdist")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L), (1L, 1L), (0L, 1L)))
+  }
+
+  test("promo share: exact monthly ppm, promo-free month reports 0") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_promo").toString
+    Seq((1L, "PROMO"), (2L, "STANDARD"))
+      .toDF("p_partkey", "p_type").write.parquet(s"$dir/part.parquet")
+    Seq((1L, d("2024-01-05"), 1.00), (2L, d("2024-01-20"), 3.00),
+        (2L, d("2024-02-10"), 5.00))
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q191_promo_share")(spark, dir)
+      .as[(java.sql.Date, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (d("2024-01-01"), 100L, 400L, 250000L),
+      (d("2024-02-01"), 0L, 500L, 0L)))
+  }
+
+  test("repeat buyers: per-nation ppm of buyers, zero-buyer nation reports 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_repeat").toString
+    Seq((10, "ALPHA"), (11, "BETA"))
+      .toDF("n_nationkey", "n_name").write.parquet(s"$dir/nation.parquet")
+    Seq((100L, 10), (101L, 10), (102L, 10), (103L, 11))
+      .toDF("c_custkey", "c_nationkey").write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 100L), (2L, 100L), (3L, 101L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q194_repeat_buyers")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("ALPHA", 3L, 2L, 1L, 500000L), ("BETA", 1L, 0L, 0L, 0L)))
+  }
+
+  test("local supplier volume: cross-nation lines drop inside the supplier join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_localvol").toString
+    Seq((0, "R0")).toDF("r_regionkey", "r_name").write.parquet(s"$dir/region.parquet")
+    Seq((10, "ALPHA", 0), (11, "BETA", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$dir/nation.parquet")
+    Seq((100L, 10), (101L, 11))
+      .toDF("c_custkey", "c_nationkey").write.parquet(s"$dir/customer.parquet")
+    Seq((5L, 10), (6L, 11))
+      .toDF("s_suppkey", "s_nationkey").write.parquet(s"$dir/supplier.parquet")
+    Seq((1L, 100L), (2L, 101L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 5L, 1.00),   // cust nation 10, supp nation 10 → local ALPHA
+        (1L, 6L, 2.00),   // cust 10 vs supp 11 → cross-border, dropped
+        (2L, 6L, 4.00))   // local BETA
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q195_local_supplier_volume")(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("R0", "ALPHA", 1L, 100L), ("R0", "BETA", 1L, 400L)))
+  }
+
+  test("top supplier per quarter: revenue ties keep ALL winners") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_topsupp").toString
+    Seq((1L, d("2024-01-05"), 0.50), (1L, d("2024-02-10"), 0.50), // supp1 Q1: 100
+        (2L, d("2024-03-01"), 1.00),                              // supp2 Q1: 100 (tie)
+        (3L, d("2024-01-20"), 0.40),                              // supp3 Q1: 40
+        (1L, d("2024-04-02"), 2.00))                              // supp1 Q2: 200
+      .map { case (sk, dt, p) => (sk, dt, p) }
+      .toDF("l_suppkey", "l_shipdate", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q196_top_supplier")(spark, dir)
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (d("2024-01-01"), 1L, 100L), (d("2024-01-01"), 2L, 100L),
+      (d("2024-04-01"), 1L, 200L)))
+  }
 }

@@ -468,4 +468,41 @@ class AuditSpec extends AnyFunSuite {
       (2L, 1L, 2L, 2L, 2L),
       (3L, 1L, 5L, 5L, 5L)))
   }
+
+  test("dormant capital: above-positive-average AND stale-for-a-year, integer cross-multiply") {
+    val dir = tmpDir("graft_dormant")
+    Seq((10, "ALPHA"), (11, "BETA"))
+      .toDF("n_nationkey", "n_name").coalesce(1).write.parquet(s"$dir/nation.parquet")
+    // positive balances 10.00 + 5.00 + 20.00 → avg 11.666…; above: C only
+    // (cents·3 > 3500 ⇔ 6000 > 3500; A's 3000 is NOT above — the exact
+    // integer test, no float average). D is negative → never above.
+    Seq((100L, 10, 10.00), (101L, 10, 5.00), (102L, 10, 20.00),
+        (103L, 11, -2.00))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    // corpus max date 2024-12-31: A ordered recently → excluded even if
+    // above-average; C's only order is >365d old → dormant.
+    Seq((1L, 102L, Date.valueOf("2022-01-01")),
+        (2L, 100L, Date.valueOf("2024-12-31")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q197_dormant_capital")(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("ALPHA", 1L, 2000L)))
+  }
+
+  test("modal priority: tie resolves to the lexicographically smallest value") {
+    val dir = tmpDir("graft_modal")
+    Seq((100L, "S1"), (101L, "S2"))
+      .toDF("c_custkey", "c_mktsegment").coalesce(1).write.parquet(s"$dir/customer.parquet")
+    // S1: 2-HIGH ×2 vs 1-URGENT ×2 → tie → 1-URGENT wins; S2: single value.
+    Seq((1L, 100L, "2-HIGH"), (2L, 100L, "2-HIGH"),
+        (3L, 100L, "1-URGENT"), (4L, 100L, "1-URGENT"),
+        (5L, 101L, "3-MEDIUM"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q199_modal_priority")(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("S1", "1-URGENT", 2L), ("S2", "3-MEDIUM", 1L)))
+  }
 }

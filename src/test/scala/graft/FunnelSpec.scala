@@ -369,4 +369,20 @@ class FunnelSpec extends AnyFunSuite {
       (w0 + 2, 0L, 0L, 0L, 0L, Some(2L)),
       (w0 + 3, 1L, 0L, 0L, 1L, Some(0L))))
   }
+
+  test("session depth: q131's strict 30-min gap rule feeds the histogram") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: two events 10 min apart (depth 2), then a 31-min gap →
+    // a singleton session; user 2: exactly 30 min → ONE depth-2 session
+    // (strictly-greater rule). Depths: 1×1, 2×2 → rows (1,1), (2,2).
+    val dir = eventsDir(Seq(
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "view", ts("2024-01-01 00:10:00")),
+      (1L, "view", ts("2024-01-01 00:41:00")),
+      (2L, "view", ts("2024-01-01 00:00:00")),
+      (2L, "view", ts("2024-01-01 00:30:00"))))
+    val got = SparkEntry.queries("q198_session_depth")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L)))
+  }
 }

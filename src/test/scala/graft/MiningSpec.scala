@@ -417,4 +417,18 @@ class MiningSpec extends AnyFunSuite {
       ("srcA", 2L, 2L, 4L, 1000000L),
       ("srcB", 2L, 2L, 4L, 1000000L)))
   }
+
+  test("abc class: hand-computed boundaries, ties split across the class edge by partkey") {
+    // Revenue cents: p1 = 30+40 = 70 (two lines summed), p2 = p3 = p4 = 10.
+    // Total 100. Ranked (cents DESC, partkey): p1 cum 70 → A (700 ≤ 7·100);
+    // p2 cum 80 → B; p3 cum 90 → B (900 ≤ 9·100, boundary inclusive);
+    // p4 cum 100 → C — the 10-cent TIE GROUP splits B/B/C by partkey order.
+    val dir = tmpDir("graft_abc")
+    Seq((1L, 0.30), (1L, 0.40), (2L, 0.10), (3L, 0.10), (4L, 0.10))
+      .toDF("l_partkey", "l_extendedprice")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q192_abc_class")(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 1L, 70L), ("B", 2L, 20L), ("C", 1L, 10L)))
+  }
 }

@@ -173,4 +173,23 @@ class VectorSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((0L, 1L, 1L, 400L), (1L, 1L, 1L, 0L)))
   }
+
+  test("embedding norms: exact quantized squared-L2 bands, negative-component floor") {
+    // vec 0: [0.1f, 0.2f] → q = [100, 200] → nq2 = 50000 → band 50.
+    // vec 1: [-0.1f, 0.5f] → floor(-100.000001) = -101, 500 →
+    //   nq2 = 10201 + 250000 = 260201 → band 260 (floor ≠ trunc on the
+    //   negative component — the cross-engine hazard under test).
+    // vec 2: [0.3f, 0.4f] → [300, 400] → nq2 = 250000 → band 250.
+    val rows = Seq(
+      (0L, Array(0.1f, 0.2f), 0), (1L, Array(-0.1f, 0.5f), 0),
+      (2L, Array(0.3f, 0.4f), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft_embnorm").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q193_embedding_norms")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 50L, 1L, 50000L), (0L, 260L, 1L, 260201L),
+      (1L, 250L, 1L, 250000L)))
+  }
 }
