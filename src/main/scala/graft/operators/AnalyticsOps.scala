@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1097,6 +1098,98 @@ object AnalyticsOps {
           col("qtr") === col("mqtr") && col("cents") === col("mx"))
         .select(col("qtr"), col("l_suppkey").as("s_suppkey"), col("cents"))
         .orderBy("qtr", "s_suppkey")
+    },
+
+    // Revenue concentration: the share of each nation's order revenue
+    // held by its top-3 customers (exact ppm) — the key-account-risk
+    // readout. Orders collapse to per-customer cents (one fact
+    // shuffle); the top-3 rank window runs over the customers-frame
+    // partitioned by nation and Spark rewrites rank-≤-k windows to
+    // WindowGroupLimit (partial top-k before the exchange, q91's
+    // shape), so no partition ever materializes fully. Deterministic
+    // ties: (cents DESC, custkey).
+    Q("q202_top_customer_share",
+      """WITH pc AS (SELECT c.c_nationkey, o.o_custkey,
+        |    CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT c_nationkey, cents,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY cents DESC, o_custkey) AS rk FROM pc),
+        |g AS (SELECT c_nationkey,
+        |    CAST(sum(CASE WHEN rk <= 3 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS top3_cents,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents FROM r GROUP BY 1)
+        |SELECT n.n_name AS nation, g.top3_cents, g.total_cents,
+        |  (1000000 * g.top3_cents) // g.total_cents AS top3_ppm
+        |FROM g JOIN nation n ON g.c_nationkey = n.n_nationkey
+        |ORDER BY nation""".stripMargin) { (s, d) =>
+      val pc = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("c"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(sum(col("c")).as("cents"))
+      val rk = Window.partitionBy("c_nationkey")
+        .orderBy(col("cents").desc, col("o_custkey"))
+      pc.withColumn("rk", row_number().over(rk))
+        .groupBy("c_nationkey")
+        .agg(sum(when(col("rk") <= 3, col("cents")).otherwise(0L)).as("top3_cents"),
+          sum(col("cents")).as("total_cents"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("top3_cents"), col("total_cents"),
+          expr("(1000000 * top3_cents) div total_cents").as("top3_ppm"))
+        .orderBy("nation")
+    },
+
+    // Inter-order gap histogram: days between a customer's consecutive
+    // orders, bucketed by week — the repurchase-cadence readout. The
+    // lag window is per-customer (state bounded by one customer's
+    // orders); the histogram regroup above it is buckets-sized.
+    // Deterministic order inside ties: (o_orderdate, o_orderkey).
+    Q("q203_order_gap_buckets",
+      """WITH l AS (SELECT o_custkey,
+        |    date_diff('day',
+        |      lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey),
+        |      CAST(o_orderdate AS DATE)) AS gap
+        |  FROM orders)
+        |SELECT CAST(gap // 7 AS BIGINT) AS gap_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_gaps
+        |FROM l WHERE gap IS NOT NULL GROUP BY 1 ORDER BY gap_bucket""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+        .withColumn("gap",
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+        .where(col("gap").isNotNull)
+        .groupBy(expr("CAST(gap AS BIGINT) div 7").as("gap_bucket"))
+        .agg(count(lit(1)).as("n_gaps"))
+        .orderBy("gap_bucket")
+    },
+
+    // Discount profile: return flag × per-mille discount band, line
+    // counts and exact cents — the margin-leak audit. One map-side-
+    // combinable fact pass into the 3 × 11 frame; the per-mille
+    // quantization is the q181 float→double-then-floor rule.
+    Q("q204_discount_profile",
+      """SELECT l_returnflag AS rflag,
+        |  CAST(floor(l_discount * 1000) AS BIGINT) AS disc_pm,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM lineitem GROUP BY 1, 2 ORDER BY rflag, disc_pm""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rflag"),
+          floor(col("l_discount") * 1000).cast("long").as("disc_pm"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .orderBy("rflag", "disc_pm")
     }
   )
 

@@ -857,6 +857,82 @@ object MiningOps {
         .groupBy("abc_class")
         .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
         .orderBy("abc_class")
+    },
+
+    // Rolling 7-day median of daily order revenue over the zero-filled
+    // calendar (q130's rule: silent days are zeros and DO enter the
+    // window) — the robust trend line a spike detector compares
+    // against. The median is the LOWER median of the up-to-7-row frame
+    // (exact integer, q141's rule), computed by sorting the tiny
+    // window list — never a global value sort. The window runs over
+    // the CALENDAR frame, which is bounded by elapsed time, not data
+    // volume (a 100 TB corpus still spans ~3k days), so the single
+    // partition is safe at any SF; everything fact-sized collapsed in
+    // the one daily aggregate below it.
+    Q("q200_rolling_median",
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+        |cal AS (SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |    CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM s),
+        |f AS (SELECT cal.day, CAST(COALESCE(d.cents, 0) AS BIGINT) AS cents
+        |  FROM cal LEFT JOIN d ON cal.day = d.day),
+        |w AS (SELECT day, cents,
+        |    list_sort(list(cents) OVER win) AS l,
+        |    count(*) OVER win AS c
+        |  FROM f WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, cents, CAST(l[CAST((c + 1) // 2 AS INT)] AS BIGINT) AS med7
+        |FROM w ORDER BY day""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .localCheckpoint() // feeds the span aggregate AND the calendar join
+      val cal = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      cal.join(daily, Seq("day"), "left")
+        .withColumn("cents", coalesce(col("cents"), lit(0L)))
+        .withColumn("l", sort_array(collect_list(col("cents")).over(w)))
+        .withColumn("med7",
+          expr("element_at(l, CAST((size(l) + 1) div 2 AS INT))"))
+        .select(col("day"), col("cents"), col("med7"))
+        .orderBy("day")
+    },
+
+    // Daily-revenue drawdown series: cumulative revenue (PrefixScan on
+    // 32-day buckets, q183's shape), the running PEAK of the DAILY
+    // series, and each day's drawdown (peak_daily − cents — how far
+    // today sits below the best day so far; the cumulative is
+    // non-decreasing, so peaks must reference the daily series to mean
+    // anything). The peak window runs over the calendar-bounded day
+    // frame (see q200 — days grow with TIME, not data volume). One
+    // fact pass total; observed days only (q200 is the zero-filled
+    // variant of this family).
+    Q("q201_max_drawdown",
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT day, cents,
+        |    CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS cum,
+        |    CAST(max(cents) OVER (ORDER BY day) AS BIGINT) AS peak_daily
+        |  FROM d)
+        |SELECT day, cents, cum, peak_daily, peak_daily - cents AS drawdown
+        |FROM w ORDER BY day""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("bkt", expr("datediff(day, DATE '1970-01-05') div 32"))
+      val cum = graft.plans.PrefixScan.cumsum(daily, part = Seq(),
+        bucket = "bkt", order = Seq("day"), value = "cents", out = "cum")
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      cum.withColumn("peak_daily", max(col("cents")).over(w))
+        .withColumn("drawdown", col("peak_daily") - col("cents"))
+        .select(col("day"), col("cents"), col("cum"), col("peak_daily"),
+          col("drawdown"))
+        .orderBy("day")
     }
   )
 }

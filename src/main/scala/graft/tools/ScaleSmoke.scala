@@ -192,7 +192,11 @@ object ScaleSmoke {
           // spans [-30, 395) days from the epoch so q189 sees negative lags
           date_add(lit(java.sql.Date.valueOf("2024-01-01")),
             (pmod(xxhash64(col("id") + 19), lit(425L)) - 30L).cast("int"))
-            .as("l_shipdate"))
+            .as("l_shipdate"),
+          element_at(array(lit("A"), lit("N"), lit("R")),
+            (pmod(col("id"), lit(3)) + 1).cast("int")).as("l_returnflag"),
+          (pmod(xxhash64(col("id") + 29), lit(11L)).cast("double") / 100.0)
+            .as("l_discount"))
         .write.mode("overwrite").parquet(s"$adir/lineitem.parquet")
       spark.range(1500000L)
         .select(col("id").as("o_orderkey"),
@@ -270,7 +274,11 @@ object ScaleSmoke {
         "q192_abc_class", "q193_embedding_norms", "q194_repeat_buyers",
         // round-6 eleventh batch (join-tree / argmax / anti-join classics)
         "q195_local_supplier_volume", "q196_top_supplier",
-        "q197_dormant_capital", "q198_session_depth", "q199_modal_priority")
+        "q197_dormant_capital", "q198_session_depth", "q199_modal_priority",
+        // round-6 twelfth batch (trend/concentration/cadence)
+        "q200_rolling_median", "q201_max_drawdown",
+        "q202_top_customer_share", "q203_order_gap_buckets",
+        "q204_discount_profile")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

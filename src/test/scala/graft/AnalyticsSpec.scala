@@ -564,4 +564,48 @@ class AnalyticsSpec extends AnyFunSuite {
       (d("2024-01-01"), 1L, 100L), (d("2024-01-01"), 2L, 100L),
       (d("2024-04-01"), 1L, 200L)))
   }
+
+  test("top-customer share: exact top-3 ppm over per-customer collapse") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_topcust").toString
+    Seq((10, "ALPHA")).toDF("n_nationkey", "n_name").write.parquet(s"$dir/nation.parquet")
+    Seq((100L, 10), (101L, 10), (102L, 10), (103L, 10))
+      .toDF("c_custkey", "c_nationkey").write.parquet(s"$dir/customer.parquet")
+    // per-customer cents 400/300/200/200 → top-3 = 900 of 1100
+    Seq((1L, 100L, 4.00), (2L, 101L, 1.00), (3L, 101L, 2.00),
+        (4L, 102L, 2.00), (5L, 103L, 2.00))
+      .map { case (ok, ck, p) => (ok, ck, d("2024-01-01"), p) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q202_top_customer_share")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("ALPHA", 900L, 1100L, 818181L)))
+  }
+
+  test("order gaps: per-customer lag, week buckets, same-day repeat lands in bucket 0") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gaps").toString
+    // cust A: 01-01, 01-01, 01-05, 01-20 → gaps 0, 4, 15 → buckets 0, 0, 2
+    // cust B: 01-01, 01-08 → gap 7 → bucket 1
+    Seq((1L, 100L, d("2024-01-01")), (2L, 100L, d("2024-01-01")),
+        (3L, 100L, d("2024-01-05")), (4L, 100L, d("2024-01-20")),
+        (5L, 101L, d("2024-01-01")), (6L, 101L, d("2024-01-08")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q203_order_gap_buckets")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("discount profile: per-mille quantization, exact cents per band") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_disc").toString
+    Seq(("A", 0.04, 1.00), ("A", 0.04, 1.00), ("N", 0.00, 2.00),
+        ("N", 0.07, 3.00))
+      .toDF("l_returnflag", "l_discount", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q204_discount_profile")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 40L, 2L, 200L), ("N", 0L, 1L, 200L), ("N", 70L, 1L, 300L)))
+  }
 }

@@ -431,4 +431,36 @@ class MiningSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSeq
     assert(got == Seq(("A", 1L, 70L), ("B", 2L, 20L), ("C", 1L, 10L)))
   }
+
+  test("rolling median: silent days enter the window as zeros, lower median on even frames") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dir = tmpDir("graft_rollmed")
+    // days 1, 2, 4 observed; day 3 zero-filled. Windows (sorted):
+    // [100]→100; [50,100]→50 (LOWER median); [0,50,100]→50;
+    // [0,50,100,500]→50.
+    Seq((1L, d("2024-01-01"), 1.00), (2L, d("2024-01-02"), 0.50),
+        (3L, d("2024-01-04"), 5.00))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q200_rolling_median")(spark, dir)
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (d("2024-01-01"), 100L, 100L), (d("2024-01-02"), 50L, 50L),
+      (d("2024-01-03"), 0L, 50L), (d("2024-01-04"), 500L, 50L)))
+  }
+
+  test("drawdown: peak references the DAILY series, cum rides the prefix scan") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dir = tmpDir("graft_drawdown")
+    Seq((1L, d("2024-01-01"), 3.00), (2L, d("2024-01-02"), 1.00),
+        (3L, d("2024-01-03"), 5.00))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q201_max_drawdown")(spark, dir)
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (d("2024-01-01"), 300L, 300L, 300L, 0L),
+      (d("2024-01-02"), 100L, 400L, 300L, 200L),
+      (d("2024-01-03"), 500L, 900L, 500L, 0L)))
+  }
 }
