@@ -866,6 +866,41 @@ object AuditOps {
         .groupBy("seg")
         .agg(min(col("prio")).as("modal_priority"), max(col("n")).as("n_orders"))
         .orderBy("seg")
+    },
+
+    // Header-vs-detail amount reconciliation: per order status, how
+    // many order totals equal the exact cents sum of their lines, and
+    // the total absolute discrepancy — the classic warehouse closing
+    // audit (the FK audit q117 checks key integrity; this checks VALUE
+    // integrity). Lines collapse per order in one map-side-combinable
+    // pass; the LEFT join keeps line-less orders (their line sum is 0,
+    // a real discrepancy, not a dropped row).
+    Q("q206_amount_reconciliation",
+      """WITH ls AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS lc
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT o_orderkey, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS oc FROM orders),
+        |j AS (SELECT o.status, o.oc, CAST(COALESCE(ls.lc, 0) AS BIGINT) AS lc
+        |  FROM o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN oc = lc THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(sum(abs(oc - lc)) AS BIGINT) AS abs_diff_cents
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin) { (s, d) =>
+      val ls = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("lc"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("oc"))
+        .join(ls, col("o_orderkey") === col("l_orderkey"), "left")
+        .withColumn("lc", coalesce(col("lc"), lit(0L)))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("oc") === col("lc"), 1L).otherwise(0L)).as("n_matched"),
+          sum(abs(col("oc") - col("lc"))).as("abs_diff_cents"))
+        .orderBy("status")
     }
   )
 }

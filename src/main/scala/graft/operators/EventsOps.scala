@@ -995,6 +995,62 @@ object EventsOps {
         .groupBy("depth")
         .agg(count(lit(1)).as("n_sessions"))
         .orderBy("depth")
+    },
+
+    // Peak concurrent sessions per day — the capacity-planning readout
+    // ("how many visits overlap at the worst moment"). Sessions (q131's
+    // 30-minute rule, closed µs intervals) become sweep-line boundary
+    // deltas (+1 at start, −1 one µs past the end), deltas collapse
+    // per distinct boundary instant, and the running concurrency rides
+    // PrefixScan with the DAY as the (monotone) bucket — never a
+    // global single-partition window over fact-sized boundaries. The
+    // per-day max is evaluated at boundary instants (concurrency is
+    // piecewise-constant between them), so days with no session
+    // boundary are absent by definition.
+    Q("q205_concurrency_peak",
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+        |    THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, CAST(sum(news)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_n
+        |  FROM l),
+        |iv AS (SELECT user_id, sess_n, min(ts) AS st, max(ts) AS en
+        |  FROM s GROUP BY 1, 2),
+        |b AS (SELECT st AS bts, 1 AS delta FROM iv
+        |  UNION ALL SELECT en + INTERVAL 1 MICROSECOND, -1 FROM iv),
+        |g AS (SELECT bts, CAST(sum(delta) AS BIGINT) AS delta FROM b GROUP BY 1),
+        |r AS (SELECT bts, CAST(sum(delta) OVER (ORDER BY bts) AS BIGINT) AS conc
+        |  FROM g)
+        |SELECT CAST(bts AS DATE) AS day,
+        |  CAST(max(conc) AS BIGINT) AS peak_concurrency
+        |FROM r GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("pts", lag(col("ts"), 1).over(w))
+        .withColumn("news",
+          when(col("pts").isNull ||
+            expr("timestampdiff(MICROSECOND, pts, ts)") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_n", sum(col("news")).over(w))
+        .groupBy("user_id", "sess_n")
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      val bounds = iv.select(explode(array(
+          struct(col("st").as("bts"), lit(1L).as("delta")),
+          struct(expr("en + INTERVAL 1 MICROSECOND").as("bts"),
+            lit(-1L).as("delta")))).as("b"))
+        .select(col("b.bts"), col("b.delta"))
+        .groupBy("bts").agg(sum(col("delta")).as("delta"))
+        .withColumn("bkt", to_date(col("bts")))
+      graft.plans.PrefixScan.cumsum(bounds, part = Seq(), bucket = "bkt",
+          order = Seq("bts"), value = "delta", out = "conc")
+        .groupBy(col("bkt").as("day"))
+        .agg(max(col("conc")).as("peak_concurrency"))
+        .orderBy("day")
     }
   )
 

@@ -163,6 +163,44 @@ object LlmOps {
     s"len(list_filter(string_split(text, ' '), w -> list_contains($list, w)))"
   }
 
+  /** Per-doc language-ID projection (doc_id, lang, pred_lang, correct) —
+    * the shared core of q47 (per-doc listing) and q209 (confusion
+    * matrix). Argmax over stopword hit counts with the fixed tie-break
+    * order of TextFns.stopwords. */
+  private lazy val langIdPerDocSql: String = {
+    val langs = TextFns.stopwords.map(_._1)
+    val hitDefs = langs.map(l => s"${duckHits(l)} AS h_$l").mkString(",\n    ")
+    val pred = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"h_$l >= h_$r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString("\n      ")
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |    $hitDefs
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang,
+       |  CASE $pred ELSE '${langs.last}' END AS pred_lang,
+       |  CASE WHEN (CASE $pred ELSE '${langs.last}' END) = lang THEN 1 ELSE 0 END AS correct
+       |FROM h""".stripMargin
+  }
+
+  private def langIdPerDoc(s: SparkSession, d: String): DataFrame = {
+    val langs = TextFns.stopwords.map(_._1)
+    val withHits = langs.foldLeft(
+      Tables.documents(s, d).withColumn("words", TextFns.tokens(col("text")))) {
+      (df, l) => df.withColumn(s"h_$l", hitsCol(l))
+    }
+    val pred = langs.init.zipWithIndex.foldLeft(when(lit(false), "")) { case (acc, (l, i)) =>
+      val cond = langs.drop(i + 1)
+        .map(r => col(s"h_$l") >= col(s"h_$r"))
+        .reduce(_ && _)
+      acc.when(cond, l)
+    }.otherwise(langs.last)
+    withHits.select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+      when(pred === col("lang"), 1).otherwise(0).as("correct"))
+  }
+
   // ---- SimHash (32-bit, sha256-derived → fully oracle-able) -------------
 
   /** Per-bit ±1 contributions from the first 8 hex digits of
@@ -712,39 +750,11 @@ object LlmOps {
     },
 
     // Heuristic language-ID: stopword hit counts per language, argmax
-    // with fixed tie-break order (en, de, es, fr, zh).
-    Q("q47_lang_id", {
-      val langs = TextFns.stopwords.map(_._1)
-      val hitDefs = langs.map(l => s"${duckHits(l)} AS h_$l").mkString(",\n    ")
-      val pred = langs.init.zipWithIndex.map { case (l, i) =>
-        val rest = langs.drop(i + 1).map(r => s"h_$l >= h_$r").mkString(" AND ")
-        s"WHEN $rest THEN '$l'"
-      }.mkString("\n      ")
-      s"""WITH h AS (
-         |  SELECT doc_id, lang,
-         |    $hitDefs
-         |  FROM documents
-         |)
-         |SELECT doc_id, lang,
-         |  CASE $pred ELSE '${langs.last}' END AS pred_lang,
-         |  CASE WHEN (CASE $pred ELSE '${langs.last}' END) = lang THEN 1 ELSE 0 END AS correct
-         |FROM h ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
-      val langs = TextFns.stopwords.map(_._1)
-      val withHits = langs.foldLeft(
-        Tables.documents(s, d).withColumn("words", TextFns.tokens(col("text")))) {
-        (df, l) => df.withColumn(s"h_$l", hitsCol(l))
-      }
-      val pred = langs.init.zipWithIndex.foldLeft(when(lit(false), "")) { case (acc, (l, i)) =>
-        val cond = langs.drop(i + 1)
-          .map(r => col(s"h_$l") >= col(s"h_$r"))
-          .reduce(_ && _)
-        acc.when(cond, l)
-      }.otherwise(langs.last)
-      withHits
-        .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
-          when(pred === col("lang"), 1).otherwise(0).as("correct"))
-        .orderBy(col("doc_id"))
+    // with fixed tie-break order (en, de, es, fr, zh). Shared per-doc
+    // core in langIdPerDoc / langIdPerDocSql (q209 regroups it into
+    // the confusion matrix).
+    Q("q47_lang_id", s"$langIdPerDocSql ORDER BY doc_id") { (s, d) =>
+      langIdPerDoc(s, d).orderBy(col("doc_id"))
     },
 
     // Document fingerprinting: Karp-Rabin rolling hash (exact integer
@@ -1236,6 +1246,34 @@ object LlmOps {
         .groupBy(col("label"), expr("nq2 div 1000").as("norm2_band"))
         .agg(count(lit(1)).as("n_vecs"), sum(col("nq2")).as("sum_nq2"))
         .orderBy("label", "norm2_band")
+    },
+
+    // Embedding coverage audit: per source, how many documents have a
+    // vector (doc_id ↔ vec_id) — the pipeline-completeness readout run
+    // before any similarity op (q49-q51/q67 silently see only the
+    // embedded subset; this measures what they're missing). One LEFT
+    // join against the distinct vector keys, then a sources-sized
+    // aggregate with exact ppm coverage.
+    Q("q207_embedding_coverage",
+      """WITH v AS (SELECT DISTINCT vec_id FROM embeddings),
+        |j AS (SELECT d.source,
+        |    CASE WHEN v.vec_id IS NULL THEN 0 ELSE 1 END AS hasv
+        |  FROM documents d LEFT JOIN v ON d.doc_id = v.vec_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(hasv) AS BIGINT) AS n_with_vec,
+        |  (1000000 * CAST(sum(hasv) AS BIGINT)) // CAST(count(*) AS BIGINT)
+        |    AS coverage_ppm
+        |FROM j GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+      val v = Tables.embeddings(s, d).select(col("vec_id")).distinct()
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(v, col("doc_id") === col("vec_id"), "left")
+        .select(col("source"),
+          when(col("vec_id").isNull, 0L).otherwise(1L).as("hasv"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("hasv")).as("n_with_vec"))
+        .withColumn("coverage_ppm",
+          expr("(1000000 * n_with_vec) div n_docs"))
+        .orderBy("source")
     }
   )
 }

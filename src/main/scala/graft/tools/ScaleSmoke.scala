@@ -278,7 +278,10 @@ object ScaleSmoke {
         // round-6 twelfth batch (trend/concentration/cadence)
         "q200_rolling_median", "q201_max_drawdown",
         "q202_top_customer_share", "q203_order_gap_buckets",
-        "q204_discount_profile")
+        "q204_discount_profile",
+        // round-6 thirteenth batch (sweep-line / reconciliation / coverage)
+        "q205_concurrency_peak", "q206_amount_reconciliation",
+        "q207_embedding_coverage")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

@@ -505,4 +505,19 @@ class AuditSpec extends AnyFunSuite {
       .as[(String, String, Long)].collect().toSeq
     assert(got == Seq(("S1", "1-URGENT", 2L), ("S2", "3-MEDIUM", 1L)))
   }
+
+  test("amount reconciliation: exact-cents match, line-less orders are discrepancies") {
+    val dir = tmpDir("graft_reconcile")
+    Seq((1L, "O", 3.00),   // lines sum 300 → matched
+        (2L, "O", 5.00),   // lines sum 100 → off by 400
+        (3L, "F", 2.00))   // NO lines → off by 200
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1.00), (1L, 2.00), (2L, 1.00))
+      .toDF("l_orderkey", "l_extendedprice")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q206_amount_reconciliation")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("F", 1L, 0L, 200L), ("O", 2L, 1L, 400L)))
+  }
 }

@@ -385,4 +385,19 @@ class FunnelSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 1L), (2L, 2L)))
   }
+
+  test("concurrency peak: overlapping sessions count once per user-session at the sweep point") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // day 1: user 1 session [00:00, 00:10], user 2 point-session at
+    // 00:05 → concurrency 2 inside the overlap; day 2: one lone session.
+    val dir = eventsDir(Seq(
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "view", ts("2024-01-01 00:10:00")),
+      (2L, "view", ts("2024-01-01 00:05:00")),
+      (3L, "view", ts("2024-01-02 09:00:00"))))
+    val got = SparkEntry.queries("q205_concurrency_peak")(spark, dir)
+      .as[(java.sql.Date, Long)].collect().toSeq
+    assert(got == Seq((d("2024-01-01"), 2L), (d("2024-01-02"), 1L)))
+  }
 }

@@ -192,4 +192,18 @@ class VectorSpec extends AnyFunSuite {
       (0L, 50L, 1L, 50000L), (0L, 260L, 1L, 260201L),
       (1L, 250L, 1L, 250000L)))
   }
+
+  test("embedding coverage: per-source ppm of docs with a vector") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cov").toString
+    Seq((1L, "a b", "en", "srcA", 3L), (2L, "c d", "en", "srcA", 3L),
+        (3L, "e f", "en", "srcB", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    Seq((1L, Array(0.1f), 0), (3L, Array(0.2f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q207_embedding_coverage")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("srcA", 2L, 1L, 500000L), ("srcB", 1L, 1L, 1000000L)))
+  }
 }
