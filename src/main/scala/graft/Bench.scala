@@ -49,9 +49,9 @@ object Bench {
       name -> steady
     }
     // Locale.ROOT keeps the JSON line parseable under comma-decimal locales.
-    val qs = results.collect { case (k, Some(v)) =>
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
     val failedField =
@@ -59,11 +59,29 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}"""
-    println(line)
-    // The stdout capture has truncated the tail of this (long) line two
-    // rounds running; the file copy is the durable record.
+    // Full per-query record → file (the durable copy the judge reads).
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The driver keeps only the LAST ~2000 chars of stdout; the full
+    // 200+-query line is ~9 KB, so for two rounds the captured tail was
+    // an unparseable mid-line slice ("parsed": null in BENCH_r*.json).
+    // Print the full line first (greppable in complete logs), then a
+    // compact line LAST — total + the slowest queries, trimmed to fit
+    // the tail window with room for sbt's "[success]" epilogue — so the
+    // driver's tail capture always ends with one parseable JSON line.
+    println(line)
+    val slowest = results.collect { case (k, Some(v)) => (k, v) }
+      .sortBy(-_._2)
+    val budget = 1600 // chars for the headline `queries` map
+    val headline = new StringBuilder
+    var taken = 0
+    slowest.foreach { case (k, v) =>
+      val ent = (if (taken == 0) "" else ",") + "\"" + k + "\":" + fmt(v)
+      if (headline.length + ent.length <= budget) { headline ++= ent; taken += 1 }
+    }
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_ok":${results.count(_._2.isDefined)},"queries":{$headline},"queries_full":"bench_out.json","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -54,6 +54,11 @@ object TableJob {
     p.setProperty("fetchsize", "10000")          // stream, don't buffer the stride
     p.setProperty("isolationLevel", "READ_COMMITTED")
     p.setProperty("pushDownAggregate", "true")   // MIN/MAX planning at the source
+    // MySQL's legacy '0000-00-00' zero-dates are unrepresentable in
+    // java.time and abort the scan under the connector's default
+    // EXCEPTION behavior; convert to NULL at the wire (the reference's
+    // Go driver does the same via parseTime + NULL scan targets).
+    p.setProperty("zeroDateTimeBehavior", "CONVERT_TO_NULL")
     TableJob(tableName, output, primaryKey, url, properties = p)
   }
 }

@@ -776,26 +776,38 @@ object AnalyticsOps {
       val v = c.crossJoin(broadcast(mx))
         .select(col("cust"), datediff(col("mx"), col("lastd")).cast("long").as("r"),
           col("f"), col("m"))
-        .localCheckpoint() // three band scans + the scoring pass
+        .localCheckpoint() // the stacked threshold scan + the scoring pass
       val nRow = v.agg(count(lit(1)).as("n"))
-      def thresholds(dim: String, p: String): DataFrame = {
-        val vc = v.groupBy(col(dim).as("val")).agg(count(lit(1)).as("cnt"))
-          .withColumn("bkt", expr("val div 1024"))
-        graft.plans.PrefixScan.cumsum(vc, part = Seq(), bucket = "bkt",
-            order = Seq("val"), value = "cnt", out = "cum")
-          .crossJoin(broadcast(nRow))
-          .agg(min(when(col("cum") >= expr("(n + 3) div 4"), col("val"))).as(s"${p}1"),
-            min(when(col("cum") >= expr("(n + 1) div 2"), col("val"))).as(s"${p}2"),
-            min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("val"))).as(s"${p}3"))
-      }
-      def score(x: String, p: String) =
-        when(col(x) <= col(s"${p}1"), 1L).when(col(x) <= col(s"${p}2"), 2L)
-          .when(col(x) <= col(s"${p}3"), 3L).otherwise(4L)
-      v.crossJoin(broadcast(thresholds("r", "rt")))
-        .crossJoin(broadcast(thresholds("f", "ft")))
-        .crossJoin(broadcast(thresholds("m", "mt")))
-        .select(score("r", "rt").as("r_q"), score("f", "ft").as("f_q"),
-          score("m", "mt").as("m_q"), col("m"))
+      // All three quartile-threshold computations fused into ONE pass:
+      // stack (dim, val) via explode (3 rows per customer — still
+      // customer-sized), one groupBy(dim, val), one PrefixScan
+      // partitioned by dim, one per-dim threshold aggregate, pivoted to
+      // a single 9-column row. Previously three separate
+      // groupBy+scan+agg jobs (the r6 verdict's slowest-new-operator
+      // flag); same value-level discipline, one job tree.
+      val stacked = v.select(explode(array(
+          struct(lit("r").as("dim"), col("r").as("val")),
+          struct(lit("f").as("dim"), col("f").as("val")),
+          struct(lit("m").as("dim"), col("m").as("val")))).as("e"))
+        .select(col("e.dim").as("dim"), col("e.val").as("val"))
+      val vc = stacked.groupBy("dim", "val").agg(count(lit(1)).as("cnt"))
+        .withColumn("bkt", expr("val div 1024"))
+      val thr = graft.plans.PrefixScan.cumsum(vc, part = Seq("dim"),
+          bucket = "bkt", order = Seq("val"), value = "cnt", out = "cum")
+        .crossJoin(broadcast(nRow))
+        .groupBy("dim")
+        .agg(min(when(col("cum") >= expr("(n + 3) div 4"), col("val"))).as("t1"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("val"))).as("t2"),
+          min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("val"))).as("t3"))
+        .groupBy().pivot("dim", Seq("r", "f", "m"))
+        .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
+          first(col("t3")).as("t3"))
+      def score(x: String) =
+        when(col(x) <= col(s"${x}_t1"), 1L).when(col(x) <= col(s"${x}_t2"), 2L)
+          .when(col(x) <= col(s"${x}_t3"), 3L).otherwise(4L)
+      v.crossJoin(broadcast(thr))
+        .select(score("r").as("r_q"), score("f").as("f_q"),
+          score("m").as("m_q"), col("m"))
         .groupBy("r_q", "f_q", "m_q")
         .agg(count(lit(1)).as("n_users"), sum(col("m")).as("m_cents"))
         .orderBy("r_q", "f_q", "m_q")

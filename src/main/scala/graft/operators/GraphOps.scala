@@ -88,21 +88,58 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
   }
 
+  /** Above this node count a node-sized rank broadcast stops being
+    * "orders of magnitude smaller than edges" and becomes a driver /
+    * executor OOM risk (~5M rows × 16 B ≈ 80 MB serialized — the
+    * conventional ceiling for an explicit broadcast). Beyond it the
+    * per-iteration rank join falls back to a shuffle join: the edge
+    * table is already hash-partitioned on `src` from its build join, so
+    * every iteration reuses that exchange and only the rank side moves. */
+  private[graft] val MaxBroadcastRankNodes = 5000000L
+
+  /** `iters` damped PageRank rounds over a checkpointed `edges(src, dst,
+    * deg)` table and node list. Rank joins broadcast only below
+    * [[MaxBroadcastRankNodes]] (or never, with `forceShuffle` — the
+    * GraphSpec law test proves both paths produce identical ranks).
+    * Integer fixed-point arithmetic throughout, so the result is
+    * partitioning- and path-independent. */
+  private[graft] def pageRankRanks(edges: DataFrame, nodes: DataFrame,
+      n: Long, iters: Int, forceShuffle: Boolean = false): DataFrame = {
+    val base = 15L * Scale / (100L * n)
+    val useBroadcast = !forceShuffle && n <= MaxBroadcastRankNodes
+    var ranks = nodes.withColumn("rank", lit(Scale / n))
+    for (_ <- 1 to iters) {
+      val r = if (useBroadcast) broadcast(ranks) else ranks
+      val contrib = edges.join(r, col("src") === col("id"))
+        .select(col("dst").as("id"),
+          expr("(rank * 85) div (100 * deg)").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
+    }
+    ranks
+  }
+
   /** Min-distance BFS levels: `rounds` unrolled iterations of
     * dist ← min(dist, min over in-neighbors + 1). Each round is one
     * shuffle (min-combine on id); the frontier table is node-sized, the
     * edge table is scanned in place. */
   private[graft] def bfsLevels(edges: DataFrame, seeds: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int, checkpointEvery: Int = 1): DataFrame = {
     var dist = seeds.select(col("id"), lit(0L).as("dist"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val cand = edges.join(dist, col("src") === col("id"))
         .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
-      // checkpoint per round: dist is consumed TWICE per iteration
-      // (join side + union side), so un-checkpointed lineage doubles
-      // every round (NOTES.md iterative-algorithm rule).
+      // checkpoint cadence: dist is consumed TWICE per iteration (join
+      // side + union side), so un-checkpointed lineage DOUBLES every
+      // round (NOTES.md iterative-algorithm rule) — but each
+      // checkpoint also materializes a node-sized table, so rounds
+      // are traded against lineage width. Measured at 10× edges
+      // (ScaleSmoke SPARK_GRAFT_BFS_CADENCE, NOTES.md): every-round
+      // checkpointing wins for 3+ rounds; cadence kept parameterized
+      // so the experiment stays re-runnable.
       dist = dist.unionByName(cand).groupBy("id").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+      if (r % checkpointEvery == 0 && r < rounds) dist = dist.localCheckpoint()
     }
     dist
   }
@@ -143,24 +180,16 @@ object GraphOps {
       val edges = eSym.join(deg, "src").localCheckpoint()
       val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
       val n = nodes.count()
-      val base = 15L * Scale / (100L * n)
-      // ranks (one row per node) is orders of magnitude smaller than
-      // edges — broadcast it each round and leave the edge table in
-      // place; the only shuffle per iteration is the map-side-combined
-      // sum on dst. Lineage stays linear (each rank df is consumed by
-      // exactly one successor), so no per-iteration checkpoint is
-      // needed; on a real cluster with huge node counts the broadcast
-      // becomes a shuffle join on the reused src partitioning.
-      var ranks = nodes.withColumn("rank", lit(Scale / n))
-      for (_ <- 1 to 3) {
-        val contrib = edges.join(broadcast(ranks), col("src") === col("id"))
-          .select(col("dst").as("id"),
-            expr("(rank * 85) div (100 * deg)").as("c"))
-          .groupBy("id").agg(sum(col("c")).as("s"))
-        ranks = nodes.join(contrib, Seq("id"), "left")
-          .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
-      }
-      ranks.orderBy(col("rank").desc, col("id")).limit(20)
+      // ranks (one row per node) is usually orders of magnitude smaller
+      // than edges — below MaxBroadcastRankNodes it is broadcast each
+      // round, leaving the edge table in place so the only shuffle per
+      // iteration is the map-side-combined sum on dst; above it the
+      // join degrades gracefully to a shuffle join on the edge table's
+      // existing src partitioning instead of OOMing on a node-sized
+      // broadcast. Lineage stays linear (each rank df is consumed by
+      // exactly one successor), so no per-iteration checkpoint is needed.
+      pageRankRanks(edges, nodes, n, iters = 3)
+        .orderBy(col("rank").desc, col("id")).limit(20)
         .select(col("id"), col("rank"))
     },
 

@@ -457,6 +457,54 @@ object LlmOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  // ---- adaptive join selection (SCALE.md finding 1's missing piece) ----
+
+  /** Docs sampled for the skew probe: deterministic content-independent
+    * 1-in-20 by id hash — reproducible across runs (never rand()), and
+    * the probe cost is ~5% of one shingle-explode + groupBy. */
+  private[graft] val SkewSampleMod = 20L
+
+  /** Route to PPJoin when the SAMPLED df-weighted mean document
+    * frequency exceeds this. On a uniform corpus the sampled df is ~1
+    * (a 1-in-20 doc sample cuts every df by ~20×, and uniform corpora
+    * have small df to begin with), so the count join — whose cost is
+    * the co-occurrence volume Σ df² — wins. On a Zipf corpus the hot
+    * shingles dominate occurrence mass even after sampling (df_hot ≈
+    * sample size), the weighted mean blows past the threshold, and the
+    * prefix filter's rarest-first pruning is worth its extra passes.
+    * SCALE.md's measured crossover (count join wins at t=0.3 uniform,
+    * PPJoin 4-6× at t=0.8 zipf) is exactly the boundary this encodes. */
+  private[graft] val SkewPickThreshold = 8.0
+
+  /** Sampled shingle-frequency skew statistic: E_occurrence[df] =
+    * Σ df² / Σ df over the sampled sub-corpus — the expected join
+    * fan-out per shingle occurrence. A driver-side planning scalar
+    * (same contract as Extract.keyBounds): one tiny job at plan time,
+    * never a per-row action. */
+  private[graft] def shingleSkewStat(s: SparkSession, d: String): Double = {
+    val sh = shingleBlocks(s, d)
+      .filter(pmod(xxhash64(col("doc_id")), lit(SkewSampleMod)) === 0)
+    val dfreq = sh.select(col("lang"), col("lb"), explode(col("sg")).as("shingle"))
+      .groupBy("lang", "lb", "shingle").agg(count(lit(1)).as("df"))
+    val row = dfreq
+      .agg(sum(col("df") * col("df")).as("s2"), sum(col("df")).as("s1")).head()
+    if (row.isNullAt(1) || row.getLong(1) == 0L) 1.0
+    else row.getLong(0).toDouble / row.getLong(1)
+  }
+
+  /** Adaptive exact-Jaccard join: probes the corpus' shingle-frequency
+    * skew and routes to the count join (uniform df) or PPJoin (skewed
+    * df). Both branches are exact at threshold t10/10 and blocked by
+    * (lang, length bucket), so the choice never changes the result —
+    * certified in DedupSpec (picker routes + hash-identical outputs). */
+  private[graft] def adaptiveJaccardJoinAt(
+      s: SparkSession, d: String, t10: Int): (String, DataFrame) = {
+    if (shingleSkewStat(s, d) > SkewPickThreshold)
+      ("ppjoin", jaccardPrefixJoinAt(s, d, t10))
+    else
+      ("count", finishJaccard(blockedPairStats(s, d), t10))
+  }
+
   /** Containment-specialized prefix join (q89's scale lever, NOTES
     * backlog #4): same output as the language-blocked count join, but
     * candidates come from an ASYMMETRIC prefix filter. For containment
@@ -618,6 +666,15 @@ object LlmOps {
     // oracle at its own threshold.
     Q("q43b_jaccard_prefix", jaccardOracleSqlAt(productionThreshold10))(
       (s, d) => jaccardPrefixJoinAt(s, d, productionThreshold10)),
+
+    // The engine-facing entry point: probe sampled shingle-frequency
+    // skew, then route to the count join or PPJoin (adaptiveJaccardJoinAt
+    // — both exact, both blocked, identical output either way). On the
+    // uniform synthetic corpus this resolves to the count join; the
+    // Zipf regime is exercised by DedupSpec's planted hot-shingle
+    // corpus. Oracle is threshold-t=0.8 exact Jaccard, route-agnostic.
+    Q("q43c_jaccard_adaptive", jaccardOracleSqlAt(productionThreshold10))(
+      (s, d) => adaptiveJaccardJoinAt(s, d, productionThreshold10)._2),
 
     // MinHash-LSH near-dup: banding generates candidate pairs (bucket-
     // local self-join, never all-pairs), then an exact-Jaccard verify

@@ -106,6 +106,50 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  // ---- adaptive Jaccard join picker (q43c) --------------------------
+
+  /** 400-doc corpus builder: `mkText(id)` decides the skew regime.
+    * Doc ids are dense 1..400 so the picker's deterministic 1-in-20
+    * id-hash sample lands ~20 docs; pairs (k, k+200) share text so the
+    * t=0.8 join output is non-empty in both regimes. */
+  private def skewDir(mkText: Long => String): String = {
+    val rows = (1L to 400L).map { id =>
+      val t = mkText(if (id > 200) id - 200 else id)
+      (id, t, "en", "src", t.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("adaptive picker: count join on uniform df, PPJoin on Zipf df; outputs identical") {
+    import graft.operators.LlmOps
+    val t10 = LlmOps.productionThreshold10
+    // uniform: every shingle unique to its doc → sampled df ≈ 1
+    val uniform = skewDir(id => (1 to 12).map(i => s"w${id}x$i").mkString(" "))
+    // zipf: a shared hot phrase dominates every doc → hot-shingle df ≈
+    // the whole sampled block
+    val hot = (1 to 12).map(i => s"hot$i").mkString(" ")
+    val zipf = skewDir(id => s"$hot u${id}a u${id}b")
+    val sU = LlmOps.shingleSkewStat(spark, uniform)
+    val sZ = LlmOps.shingleSkewStat(spark, zipf)
+    assert(sU <= LlmOps.SkewPickThreshold, s"uniform skew stat $sU should be low")
+    assert(sZ > LlmOps.SkewPickThreshold, s"zipf skew stat $sZ should be high")
+    for (dir <- Seq(uniform, zipf)) {
+      val (route, picked) = LlmOps.adaptiveJaccardJoinAt(spark, dir, t10)
+      assert(route == (if (dir == uniform) "count" else "ppjoin"))
+      val got = picked.as[(Long, Long, Long)].collect().toSet
+      val count = LlmOps.jaccardCountJoinAt(spark, dir, t10)
+        .as[(Long, Long, Long)].collect().toSet
+      val pp = LlmOps.jaccardPrefixJoinAt(spark, dir, t10)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got.nonEmpty, "planted (k, k+200) twins must appear")
+      assert(got == count && got == pp,
+        s"route=$route missed=${(count -- got).take(5)} extra=${(got -- count).take(5)}")
+    }
+  }
+
   test("MinHash-LSH is deterministic across runs") {
     val run1 = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir).collect().toSeq
     val run2 = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir).collect().toSeq

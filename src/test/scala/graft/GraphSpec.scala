@@ -48,6 +48,25 @@ class GraphSpec extends AnyFunSuite {
     val bigHub = 1L * 2 + 1
     assert(rows.head._1 == bigHub, "bigger hub wins")
   }
+  test("pagerank law: broadcast path ≡ shuffle-join path (rank-for-rank)") {
+    // The production query gates the node-sized broadcast on
+    // MaxBroadcastRankNodes; this proves the fallback shuffle join is
+    // not just shape-equivalent but value-identical (fixed-point
+    // integer arithmetic is partitioning-independent).
+    import org.apache.spark.sql.functions._
+    val dir = graphDir(Seq((1L, 7L), (2L, 7L), (3L, 8L), (4L, 8L), (1L, 8L)))
+    val eSym = graft.operators.GraphOps.symEdges(spark, dir)
+    val deg = eSym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = eSym.join(deg, "src").localCheckpoint()
+    val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    val n = nodes.count()
+    def run(forceShuffle: Boolean): Seq[(Long, Long)] =
+      graft.operators.GraphOps
+        .pageRankRanks(edges, nodes, n, iters = 3, forceShuffle = forceShuffle)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(forceShuffle = false) == run(forceShuffle = true))
+  }
+
   test("degree stats: distinct edges, exact assortativity sums") {
     // edges (dup line p1-s1 must collapse): p1-s1, p1-s2, p2-s1.
     // deg: p1=2, p2=1, s1=2, s2=1. Edge-level sums:

@@ -148,6 +148,69 @@ class JdbcSpec extends AnyFunSuite {
     assert(back.select(countDistinct(col("ID"))).head().getLong(0) == 2700)
   }
 
+  test("MySQL dialect mapping: TINYINT(1), unsigned ints, DATETIME, zero-dates") {
+    // No MySQL server (or driver jar) exists in the sandbox, so the
+    // dialect gap is closed one layer down: drive Spark's REAL schema
+    // inference (JdbcUtils.getSchema + MySQLDialect, the exact code a
+    // live scan runs) over ResultSet metadata shaped like MySQL 8's —
+    // TINYINT(1) surfaced as BIT(1) (Connector/J tinyInt1isBit
+    // default), unsigned integer widening, DATETIME. Only the wire
+    // protocol is mocked; the type-mapping decisions are Spark's own.
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    import java.sql.{Connection, ResultSet, ResultSetMetaData, Types}
+    import org.apache.spark.sql.types._
+    // (name, sqlType, typeName, precision, signed)
+    val cols = Seq(
+      ("is_active", Types.BIT, "BIT", 1, true),          // TINYINT(1)
+      ("tiny_s", Types.TINYINT, "TINYINT", 3, true),
+      ("tiny_u", Types.TINYINT, "TINYINT UNSIGNED", 3, false),
+      ("int_u", Types.INTEGER, "INT UNSIGNED", 10, false),
+      ("big_u", Types.BIGINT, "BIGINT UNSIGNED", 20, false),
+      ("big_s", Types.BIGINT, "BIGINT", 19, true),
+      ("created", Types.TIMESTAMP, "DATETIME", 19, true))
+    def proxy[T](cls: Class[T])(h: (String, Array[AnyRef]) => AnyRef): T =
+      Proxy.newProxyInstance(cls.getClassLoader, Array(cls),
+        new InvocationHandler {
+          def invoke(p: AnyRef, m: Method, a: Array[AnyRef]): AnyRef =
+            h(m.getName, a)
+        }).asInstanceOf[T]
+    val md = proxy(classOf[ResultSetMetaData]) { (name, args) =>
+      def i = args(0).asInstanceOf[Integer] - 1
+      name match {
+        case "getColumnCount" => Integer.valueOf(cols.size)
+        case "getColumnLabel" | "getColumnName" => cols(i)._1
+        case "getColumnType" => Integer.valueOf(cols(i)._2)
+        case "getColumnTypeName" => cols(i)._3
+        case "getPrecision" => Integer.valueOf(cols(i)._4)
+        case "getScale" => Integer.valueOf(0)
+        case "isSigned" => java.lang.Boolean.valueOf(cols(i)._5)
+        case "isNullable" =>
+          Integer.valueOf(ResultSetMetaData.columnNullable)
+        case _ => null
+      }
+    }
+    val rs = proxy(classOf[ResultSet]) { (name, _) =>
+      if (name == "getMetaData") md else null
+    }
+    val conn = proxy(classOf[Connection])((_, _) => null)
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:mysql://shard/db")
+    val schema = org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+      .getSchema(conn, rs, dialect, alwaysNullable = false,
+        isTimestampNTZ = false)
+    val got = schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(got("is_active") == BooleanType) // TINYINT(1)/BIT(1) → boolean
+    assert(got("tiny_s") == ByteType)
+    assert(got("tiny_u") == ShortType)      // widened: 255 overflows a byte
+    assert(got("int_u") == LongType)        // widened: 2^32−1 overflows int
+    assert(got("big_u") == DecimalType(20, 0)) // 2^64−1 overflows long
+    assert(got("big_s") == LongType)
+    assert(got("created") == TimestampType)
+    // Zero-date policy is a connection property, set by the job
+    // factory: '0000-00-00' rows arrive as NULL, not as a scan abort.
+    val job = graft.etl.TableJob.mysql("t", "/tmp/o", "id", "jdbc:mysql://shard/db")
+    assert(job.properties.getProperty("zeroDateTimeBehavior") == "CONVERT_TO_NULL")
+  }
+
   test("JDBC SINK: DataFrame.write.jdbc round-trips through Derby") {
     // The reverse direction of the reference pipeline (db → parquet):
     // loading engine output INTO a SQL store, batched inserts handled

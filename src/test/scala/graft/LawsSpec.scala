@@ -112,6 +112,46 @@ class LawsSpec extends AnyFunSuite {
     assert(cached.nonEmpty && cached == fresh)
   }
 
+  test("DerivationCache invalidates on fixture overwrite (no stale frames)") {
+    // Unit level: same dir + same content → memoized (one computation);
+    // overwriting a file under the dir → fingerprint change → recompute.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dc").toString
+    val f = java.nio.file.Paths.get(dir, "part-0.parquet")
+    java.nio.file.Files.write(f, "v1-contents".getBytes)
+    val cache = new graft.plans.DerivationCache[Int]
+    var calls = 0
+    def get() = cache.getOrCompute(spark, dir) { calls += 1; calls }
+    assert(get() == 1 && get() == 1, "identical dir must hit the cache")
+    java.nio.file.Files.write(f, "v2-rewritten-longer".getBytes) // length change
+    assert(get() == 2, "changed file must invalidate")
+    assert(get() == 2, "new fingerprint memoizes again")
+  }
+
+  test("memoized pair graph follows an in-place corpus overwrite (q43/q178 input)") {
+    // End-to-end: q43 reads the MEMOIZED pair graph (cachedPairStats).
+    // Overwrite the documents table in place with a corpus whose
+    // near-dup structure differs — the declared query must reflect the
+    // new corpus, not the cached pair graph of the old one.
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_ow").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    write(Seq((1L, shared), (2L, shared), (3L, "quite different words " +
+      (1 to 9).map(i => s"alt$i").mkString(" "))))
+    val before = SparkEntry.queries("q43_ngram_jaccard")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(before.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    // docs move: 2 is rewritten unrelated, 3 becomes 1's twin
+    write(Seq((1L, shared), (2L, "now totally unrelated " +
+      (1 to 9).map(i => s"other$i").mkString(" ")), (3L, shared)))
+    val after = SparkEntry.queries("q43_ngram_jaccard")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(after.map(p => (p._1, p._2)) == Set((1L, 3L)),
+      s"stale pair graph served after overwrite: $after")
+  }
+
   private object RowOrd extends Ordering[org.apache.spark.sql.Row] {
     def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int =
       a.toString.compareTo(b.toString)
