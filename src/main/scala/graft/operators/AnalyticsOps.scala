@@ -1202,6 +1202,169 @@ object AnalyticsOps {
         .agg(count(lit(1)).as("n_lines"),
           sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
         .orderBy("rflag", "disc_pm")
+    },
+
+    // Price elasticity certificate: per brand, the exact integer
+    // normal-equation sums for OLS of quantity on discount percentage
+    // — slope = (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) derives float-free
+    // downstream (the q149/q106 integer-sums discipline). Discounts
+    // are clean per-cent steps so round(×100) is exact; the part
+    // dimension broadcasts onto the fact and the only shuffle is the
+    // 25-brand aggregate with map-side partials.
+    Q("q208_price_elasticity",
+      """WITH x AS (SELECT p.p_brand AS brand,
+        |    CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+        |    CAST(l.l_quantity AS BIGINT) AS y
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT brand, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx
+        |FROM x GROUP BY brand ORDER BY brand""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          round(col("l_discount") * 100).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .orderBy("brand")
+    },
+
+    // Return-rate audit per brand: line counts, returned lines, exact
+    // returned revenue cents, and the integer-ppm return rate — the
+    // merchandising quality readout. Same broadcast-dimension + one
+    // 25-row aggregate shape as q208.
+    Q("q209_return_rate",
+      """WITH j AS (SELECT p.p_brand AS brand, l.l_returnflag AS rf,
+        |    CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN rf = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returned,
+        |  CAST(sum(CASE WHEN rf = 'R' THEN cents ELSE 0 END) AS BIGINT)
+        |    AS returned_cents,
+        |  CAST((1000000 * sum(CASE WHEN rf = 'R' THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS return_ppm
+        |FROM j GROUP BY brand ORDER BY brand""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_returnflag").as("rf"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("rf") === "R", 1L).otherwise(0L)).as("n_returned"),
+          sum(when(col("rf") === "R", col("cents")).otherwise(0L))
+            .as("returned_cents"))
+        .select(col("brand"), col("n_lines"), col("n_returned"),
+          col("returned_cents"),
+          expr("(1000000 * n_returned) div n_lines").as("return_ppm"))
+        .orderBy("brand")
+    },
+
+    // Customer spend-quartile migration, 1999 → 2000: per year, each
+    // active customer's exact spend quartile (type-1 thresholds at
+    // VALUE level via the q177 stacked PrefixScan — never a global
+    // row window); the transition matrix counts customers per
+    // (prev, next) cell with 0 = inactive that year. The churn/
+    // upgrade readout a retention team ships. Full-outer join on the
+    // customer-sized frames is the only post-threshold shuffle.
+    Q("q210_quartile_migration",
+      """WITH s AS (SELECT o_custkey AS cust, year(o_orderdate) AS yr,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS m
+        |  FROM orders WHERE year(o_orderdate) IN (1999, 2000)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT yr, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY yr),
+        |vc AS (SELECT yr, m AS val, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM s GROUP BY 1, 2),
+        |cu AS (SELECT yr, val,
+        |    sum(cnt) OVER (PARTITION BY yr ORDER BY val) AS cum FROM vc),
+        |t AS (SELECT cu.yr,
+        |    min(CASE WHEN cum >= (n.n + 3) // 4 THEN val END) AS t1,
+        |    min(CASE WHEN cum >= (n.n + 1) // 2 THEN val END) AS t2,
+        |    min(CASE WHEN cum >= (3 * n.n + 3) // 4 THEN val END) AS t3
+        |  FROM cu JOIN n ON cu.yr = n.yr GROUP BY cu.yr),
+        |q AS (SELECT s.cust, s.yr,
+        |    CASE WHEN s.m <= t.t1 THEN 1 WHEN s.m <= t.t2 THEN 2
+        |         WHEN s.m <= t.t3 THEN 3 ELSE 4 END AS qt
+        |  FROM s JOIN t ON s.yr = t.yr),
+        |mg AS (SELECT coalesce(a.qt, 0) AS q_prev, coalesce(b.qt, 0) AS q_next
+        |  FROM (SELECT cust, qt FROM q WHERE yr = 1999) a
+        |  FULL JOIN (SELECT cust, qt FROM q WHERE yr = 2000) b
+        |    ON a.cust = b.cust)
+        |SELECT CAST(q_prev AS BIGINT) AS q_prev,
+        |  CAST(q_next AS BIGINT) AS q_next,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM mg GROUP BY 1, 2 ORDER BY q_prev, q_next""".stripMargin) { (s, d) =>
+      val sp = Tables.orders(s, d)
+        .where(year(col("o_orderdate")).isin(1999, 2000))
+        .groupBy(col("o_custkey").as("cust"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("m"))
+        .localCheckpoint() // threshold scan + scoring join
+      val nRow = sp.groupBy("yr").agg(count(lit(1)).as("n"))
+      val vc = sp.groupBy(col("yr"), col("m").as("val"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("bkt", expr("val div 1048576"))
+      val thr = graft.plans.PrefixScan.cumsum(vc, part = Seq("yr"),
+          bucket = "bkt", order = Seq("val"), value = "cnt", out = "cum")
+        .join(broadcast(nRow), "yr")
+        .groupBy("yr")
+        .agg(min(when(col("cum") >= expr("(n + 3) div 4"), col("val"))).as("t1"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("val"))).as("t2"),
+          min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("val"))).as("t3"))
+      val q = sp.join(broadcast(thr), "yr")
+        .select(col("cust"), col("yr"),
+          when(col("m") <= col("t1"), 1L).when(col("m") <= col("t2"), 2L)
+            .when(col("m") <= col("t3"), 3L).otherwise(4L).as("qt"))
+      val a = q.where(col("yr") === 1999).select(col("cust"), col("qt").as("qa"))
+      val b = q.where(col("yr") === 2000).select(col("cust"), col("qt").as("qb"))
+      a.join(b, Seq("cust"), "full")
+        .groupBy(coalesce(col("qa"), lit(0L)).as("q_prev"),
+          coalesce(col("qb"), lit(0L)).as("q_next"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("q_prev", "q_next")
+    },
+
+    // Order-priority mix shift: per quarter, each priority's share of
+    // orders in ppm and its delta vs the previous quarter — the
+    // mix-shift readout behind "did URGENT grow?". The fact collapses
+    // to a (quarter × 5)-row frame in one map-side-combined pass;
+    // shares and the lag window run entirely over that tiny frame
+    // (partitioned by priority, never the fact).
+    Q("q212_priority_mix_shift",
+      """WITH q AS (SELECT (year(o_orderdate) * 4 + quarter(o_orderdate) - 1)
+        |    AS qtr, o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT qtr, CAST(sum(n) AS BIGINT) AS tot FROM q GROUP BY qtr),
+        |sh AS (SELECT q.qtr, q.pri, q.n,
+        |    CAST((1000000 * q.n) // t.tot AS BIGINT) AS share_ppm
+        |  FROM q JOIN t ON q.qtr = t.qtr)
+        |SELECT CAST(qtr AS BIGINT) AS qtr, pri, n, share_ppm,
+        |  CAST(share_ppm - coalesce(lag(share_ppm)
+        |    OVER (PARTITION BY pri ORDER BY qtr), 0) AS BIGINT) AS delta_ppm
+        |FROM sh ORDER BY qtr, pri""".stripMargin) { (s, d) =>
+      val q = Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")) - 1)
+            .cast("long").as("qtr"),
+          col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // totals join + lag window reuse
+      val t = q.groupBy("qtr").agg(sum(col("n")).as("tot"))
+      val w = Window.partitionBy("pri").orderBy("qtr")
+      q.join(broadcast(t), "qtr")
+        .withColumn("share_ppm", expr("(1000000 * n) div tot"))
+        .withColumn("delta_ppm",
+          col("share_ppm") - coalesce(lag(col("share_ppm"), 1).over(w), lit(0L)))
+        .select("qtr", "pri", "n", "share_ppm", "delta_ppm")
+        .orderBy("qtr", "pri")
     }
   )
 

@@ -1051,6 +1051,27 @@ object EventsOps {
         .groupBy(col("bkt").as("day"))
         .agg(max(col("conc")).as("peak_concurrency"))
         .orderBy("day")
+    },
+
+    // Weekly activity heatmap: events and distinct users per (ISO
+    // weekday, hour) cell — the 168-cell traffic-shape readout behind
+    // capacity planning and send-time optimization. One map-side-
+    // combined pass into the fixed-size frame; the distinct-user count
+    // shuffles on (cell, user) first, so no cell ever holds more than
+    // its user set. Weekday convention pinned to ISO (1 = Monday):
+    // Spark's weekday() is 0-based Monday, DuckDB's isodow 1-based.
+    Q("q211_hour_dow_heatmap",
+      """SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+        |  CAST(hour(ts) AS BIGINT) AS hr,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy((expr("weekday(ts)") + 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("dow", "hr")
     }
   )
 

@@ -125,19 +125,21 @@ object GraphOps {
     * shuffle (min-combine on id); the frontier table is node-sized, the
     * edge table is scanned in place. */
   private[graft] def bfsLevels(edges: DataFrame, seeds: DataFrame,
-      rounds: Int, checkpointEvery: Int = 1): DataFrame = {
+      rounds: Int, checkpointEvery: Int = 3): DataFrame = {
     var dist = seeds.select(col("id"), lit(0L).as("dist"))
     for (r <- 1 to rounds) {
       val cand = edges.join(dist, col("src") === col("id"))
         .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
-      // checkpoint cadence: dist is consumed TWICE per iteration (join
-      // side + union side), so un-checkpointed lineage DOUBLES every
-      // round (NOTES.md iterative-algorithm rule) — but each
-      // checkpoint also materializes a node-sized table, so rounds
-      // are traded against lineage width. Measured at 10× edges
-      // (ScaleSmoke SPARK_GRAFT_BFS_CADENCE, NOTES.md): every-round
-      // checkpointing wins for 3+ rounds; cadence kept parameterized
-      // so the experiment stays re-runnable.
+      // Checkpoint cadence, MEASURED at 10× edges (20M, ScaleSmoke
+      // SPARK_GRAFT_BFS_CADENCE): every-round 5.07 s, every-2 4.06 s,
+      // none-within-3-rounds 3.06 s. dist is consumed twice per round
+      // so the logical plan doubles per un-checkpointed round — but the
+      // replayed stages end at ALREADY-MATERIALIZED shuffle outputs
+      // (Spark skips them via shuffle-file reuse), so replay is nearly
+      // free at small round counts while every checkpoint pays a real
+      // node-sized materialization. Cadence 3 bounds plan growth at 8×
+      // for deeper BFS; for the 3-round queries it means no
+      // mid-iteration checkpoint at all.
       dist = dist.unionByName(cand).groupBy("id").agg(min(col("dist")).as("dist"))
       if (r % checkpointEvery == 0 && r < rounds) dist = dist.localCheckpoint()
     }

@@ -597,6 +597,78 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Seq((0L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("price elasticity: exact integer OLS sums per brand") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_elast").toString
+    // brand B1: (x=0, y=10), (x=5, y=20) → n=2 sx=5 sy=30 sxy=100 sxx=25
+    // brand B2: (x=10, y=4)              → n=1 sx=10 sy=4 sxy=40 sxx=100
+    Seq((1L, 1L, 0.00, 10.0), (2L, 1L, 0.05, 20.0), (3L, 2L, 0.10, 4.0))
+      .toDF("l_orderkey", "l_partkey", "l_discount", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
+      .write.parquet(s"$dir/part.parquet")
+    val got = SparkEntry.queries("q208_price_elasticity")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("B1", 2L, 5L, 30L, 100L, 25L),
+      ("B2", 1L, 10L, 4L, 40L, 100L)))
+  }
+
+  test("return rate: counts, returned cents, integer ppm per brand") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rr").toString
+    // B1: 3 lines, 1 returned (2.50 → 250 cents) → 333333 ppm
+    // B2: 1 line, 0 returned → 0 ppm
+    Seq((1L, 1L, "R", 2.50), (2L, 1L, "N", 1.00), (3L, 1L, "A", 1.00),
+        (4L, 2L, "N", 9.99))
+      .toDF("l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
+      .write.parquet(s"$dir/part.parquet")
+    val got = SparkEntry.queries("q209_return_rate")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("B1", 3L, 1L, 250L, 333333L), ("B2", 1L, 0L, 0L, 0L)))
+  }
+
+  test("quartile migration: per-year value-level quartiles, absent = 0") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qm").toString
+    // 1999 spends: c1=100, c2=200, c3=300, c4=400 → type-1 quartile
+    // thresholds t1=100 t2=200 t3=300 → quartiles 1,2,3,4.
+    // 2000 spends: c1=400 (q4 of {50,400}: t1=50 t2=50 t3=400 → c1=3?)
+    //   2000 set = {c1=400, c5=50}: n=2, t1 = min val with cum >= 1 = 50,
+    //   t2 = cum >= 1 → 50, t3 = cum >= 2 → 400 → c5→1, c1→3.
+    // c2, c3, c4 absent in 2000 → q_next 0; c5 absent in 1999 → q_prev 0.
+    Seq((1L, 100L, d("1999-02-01"), 1.00), (2L, 101L, d("1999-03-01"), 2.00),
+        (3L, 102L, d("1999-04-01"), 3.00), (4L, 103L, d("1999-05-01"), 4.00),
+        (5L, 100L, d("2000-02-01"), 4.00), (6L, 104L, d("2000-03-01"), 0.50))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q210_quartile_migration")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 1L), (1L, 3L, 1L), (2L, 0L, 1L),
+      (3L, 0L, 1L), (4L, 0L, 1L)))
+  }
+
+  test("priority mix shift: ppm shares and per-priority quarter deltas") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    // Q1-2024 (qtr 8096): HIGH 1, LOW 3 → 250000 / 750000 ppm.
+    // Q2-2024 (qtr 8097): HIGH 1, LOW 1 → 500000 / 500000 ppm.
+    // deltas: HIGH +250000 (vs 250000), LOW −250000; first quarter
+    // deltas are vs 0.
+    Seq((1L, "HIGH", d("2024-01-05")), (2L, "LOW", d("2024-02-05")),
+        (3L, "LOW", d("2024-02-06")), (4L, "LOW", d("2024-03-07")),
+        (5L, "HIGH", d("2024-04-05")), (6L, "LOW", d("2024-05-05")))
+      .map { case (k, p, dt) => (k, p, dt) }
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q212_priority_mix_shift")(spark, dir)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val q1 = 2024L * 4 + 0
+    assert(got == Seq(
+      (q1, "HIGH", 1L, 250000L, 250000L), (q1, "LOW", 3L, 750000L, 750000L),
+      (q1 + 1, "HIGH", 1L, 500000L, 250000L),
+      (q1 + 1, "LOW", 1L, 500000L, -250000L)))
+  }
+
   test("discount profile: per-mille quantization, exact cents per band") {
     val dir = java.nio.file.Files.createTempDirectory("graft_disc").toString
     Seq(("A", 0.04, 1.00), ("A", 0.04, 1.00), ("N", 0.00, 2.00),

@@ -386,6 +386,20 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("hour-dow heatmap: ISO weekday cells, distinct users per cell") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday (isodow 1); 2024-01-06 a Saturday (6).
+    // Monday 09h: three events from two users; Saturday 23h: one.
+    val dir = eventsDir(Seq(
+      (1L, "view", ts("2024-01-01 09:00:00")),
+      (1L, "view", ts("2024-01-01 09:45:00")),
+      (2L, "click", ts("2024-01-01 09:30:00")),
+      (3L, "view", ts("2024-01-06 23:59:59"))))
+    val got = SparkEntry.queries("q211_hour_dow_heatmap")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 9L, 3L, 2L), (6L, 23L, 1L, 1L)))
+  }
+
   test("concurrency peak: overlapping sessions count once per user-session at the sweep point") {
     def ts(s: String) = Timestamp.valueOf(s)
     def d(s: String) = java.sql.Date.valueOf(s)
