@@ -1365,6 +1365,109 @@ object AnalyticsOps {
           col("share_ppm") - coalesce(lag(col("share_ppm"), 1).over(w), lit(0L)))
         .select("qtr", "pri", "n", "share_ppm", "delta_ppm")
         .orderBy("qtr", "pri")
+    },
+
+    // Cross-border trade matrix (TPC-H Q7's volume-shipping shape,
+    // generalized to all nation pairs): discounted revenue cents
+    // shipped in 2000 between every distinct (customer nation,
+    // supplier nation) pair. One fact-fact shuffle (lineitem⋈orders,
+    // the unavoidable one); customer/supplier joins ride size-based
+    // broadcasts at test scale and plain shuffles at cluster scale
+    // (no hand hint — q195's discipline); the two nation decodes are
+    // explicit broadcasts. Output is ≤ 25×24 rows.
+    Q("q213_trade_matrix",
+      """WITH j AS (SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |    CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |      AS BIGINT) AS cents
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  WHERE cn.n_name <> sn.n_name
+        |    AND year(CAST(l.l_shipdate AS DATE)) = 2000)
+        |SELECT cust_nation, supp_nation,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM j GROUP BY 1, 2 ORDER BY cust_nation, supp_nation""".stripMargin) { (s, d) =>
+      val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      val li = Tables.lineitem(s, d)
+        .where(year(col("l_shipdate").cast("date")) === 2000)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("cents"))
+      li.join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+        .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .where(col("cust_nation") =!= col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("cents"))
+        .orderBy("cust_nation", "supp_nation")
+    },
+
+    // Seasonal revenue index inputs: per observed month, exact cents
+    // plus the trailing-12-observed-months rolling sum and count —
+    // the index (month vs trailing-year mean) derives by integer
+    // cross-multiplication downstream (cents·t12_n vs t12_cents).
+    // The fact collapses map-side to the months frame; the rolling
+    // window runs over that ~100-row frame only (an unpartitioned
+    // window is fine at months-cardinality — the q180 small-frame
+    // rule). ROWS-based frame = observed months, documented.
+    Q("q214_seasonal_index",
+      """WITH m AS (SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1)
+        |    AS mo,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(mo AS BIGINT) AS mo, cents,
+        |  CAST(sum(cents) OVER (ORDER BY mo
+        |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS t12_cents,
+        |  CAST(count(*) OVER (ORDER BY mo
+        |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS t12_n
+        |FROM m ORDER BY mo""".stripMargin) { (s, d) =>
+      val w = Window.orderBy("mo").rowsBetween(-11, 0)
+      Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mo"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("t12_cents", sum(col("cents")).over(w))
+        .withColumn("t12_n", count(lit(1)).over(w))
+        .orderBy("mo")
+    },
+
+    // Supplier market-reach distribution: how many suppliers ship to
+    // exactly k distinct customer nations — the channel-breadth
+    // readout. Distinct (supplier, nation) collapses in one shuffle
+    // (never count-distinct over the raw fact); the per-supplier
+    // count and the final distribution are supplier-sized and
+    // 25-row frames.
+    Q("q215_supplier_reach",
+      """WITH j AS (SELECT DISTINCT l.l_suppkey AS sk, c.c_nationkey AS cn
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey),
+        |r AS (SELECT sk, CAST(count(*) AS BIGINT) AS n_nations
+        |  FROM j GROUP BY sk)
+        |SELECT n_nations, CAST(count(*) AS BIGINT) AS n_suppliers
+        |FROM r GROUP BY 1 ORDER BY n_nations""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("l_suppkey").as("sk"), col("c_nationkey").as("cn"))
+        .distinct()
+        .groupBy("sk").agg(count(lit(1)).as("n_nations"))
+        .groupBy("n_nations").agg(count(lit(1)).as("n_suppliers"))
+        .orderBy("n_nations")
     }
   )
 

@@ -669,6 +669,63 @@ class AnalyticsSpec extends AnyFunSuite {
       (q1 + 1, "LOW", 1L, 500000L, -250000L)))
   }
 
+  test("trade matrix: cross-nation pairs only, discounted cents, year filter") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_trade").toString
+    // line 1: FR customer ← DE supplier, 10.00 @ 10% → 900 cents (kept)
+    // line 2: FR ← FR (same nation, dropped)
+    // line 3: 1999 shipdate (dropped by year filter)
+    Seq((1L, 10L, 10.00, 0.10, ts("2000-03-01 00:00:00")),
+        (1L, 11L, 5.00, 0.00, ts("2000-03-02 00:00:00")),
+        (1L, 10L, 7.00, 0.00, ts("1999-03-01 00:00:00")))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 100L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((100L, 0L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L), (11L, 0L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((0L, "FRANCE"), (1L, "GERMANY")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$dir/nation.parquet")
+    val got = SparkEntry.queries("q213_trade_matrix")(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("FRANCE", "GERMANY", 1L, 900L)))
+  }
+
+  test("seasonal index: trailing-12-observed-months sums and counts") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_season").toString
+    // months: 2024-01 (100), 2024-02 (200), 2024-03 (50) → trailing
+    // sums 100, 300, 350 with counts 1, 2, 3.
+    Seq((1L, d("2024-01-05"), 1.00), (2L, d("2024-02-05"), 2.00),
+        (3L, d("2024-03-05"), 0.50))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val m0 = 2024L * 12 + 0
+    val got = SparkEntry.queries("q214_seasonal_index")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((m0, 100L, 100L, 1L), (m0 + 1, 200L, 300L, 2L),
+      (m0 + 2, 50L, 350L, 3L)))
+  }
+
+  test("supplier reach: distinct nations per supplier, distribution rollup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_reach").toString
+    // supp 10 ships to nations {0, 1} (via two customers, one dup
+    // line); supp 11 to {0} → distribution: 1 nation × 1 supplier,
+    // 2 nations × 1 supplier.
+    Seq((1L, 10L), (1L, 10L), (2L, 10L), (2L, 11L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 100L), (2L, 101L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((100L, 1L), (101L, 0L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = SparkEntry.queries("q215_supplier_reach")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L)))
+  }
+
   test("discount profile: per-mille quantization, exact cents per band") {
     val dir = java.nio.file.Files.createTempDirectory("graft_disc").toString
     Seq(("A", 0.04, 1.00), ("A", 0.04, 1.00), ("N", 0.00, 2.00),
