@@ -773,6 +773,144 @@ object LlmOps {
       simhashAgg(tokens).orderBy(col("doc_id"))
     },
 
+    // SimHash near-neighbor pairs via 8-bit banding — the SCALE path
+    // for q45's signatures (the all-pairs hamming compare a naive
+    // implementation would do is quadratic). Pigeonhole guarantee: a
+    // pair within hamming ≤ 3 over 32 bits differs in at most 3 of the
+    // 4 bands, so at least one band matches exactly → banded-join
+    // recall is 1.0, NOT probabilistic (unlike MinHash banding), and
+    // the bucket join + exact bit_count verify recomputes in DuckDB.
+    Q("q216_simhash_neighbors", {
+      val sigSql = simhashOracleSql
+      s"""WITH sig AS (
+         |$sigSql
+         |),
+         |bb AS (SELECT doc_id, simhash, band,
+         |    (simhash // CASE band WHEN 0 THEN 1 WHEN 1 THEN 256
+         |                 WHEN 2 THEN 65536 ELSE 16777216 END) % 256 AS bv
+         |  FROM (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS band
+         |        FROM sig)),
+         |p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id,
+         |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM p WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin
+    }) { (s, d) =>
+      val tokens = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+      // banded self-join consumes the signature frame twice
+      val sig = simhashAgg(tokens).localCheckpoint()
+      val bb = sig.select(col("doc_id"), col("simhash"),
+          explode(array((0 to 3).map(lit): _*)).as("band"))
+        .withColumn("bv", expr("shiftright(simhash, band * 8) % 256"))
+      val a = bb.select(col("doc_id").as("a_id"), col("simhash").as("sa"),
+        col("band"), col("bv"))
+      val b = bb.select(col("doc_id").as("b_id"), col("simhash").as("sb"),
+        col("band").as("bandb"), col("bv").as("bvb"))
+      a.join(b, col("band") === col("bandb") && col("bv") === col("bvb")
+          && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("sa"), col("sb")).distinct()
+        .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        .where(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // Dedup threshold-sensitivity sweep: how many near-dup pairs each
+    // candidate Jaccard threshold would flag — the certificate a data
+    // team reads before choosing t (the pair count's elbow). ONE pass
+    // over the memoized pair graph (threshold-independent stats),
+    // fanned across the 7 thresholds by a broadcast cross join; never
+    // re-joins the corpus per threshold.
+    Q("q217_threshold_sweep",
+      """WITH sh AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS lb,
+        |    list_distinct(list_transform(
+        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sg
+        |  FROM documents),
+        |p AS (SELECT len(list_intersect(a.sg, b.sg)) AS i,
+        |    len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS u
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |  WHERE len(a.sg) > 0 AND len(b.sg) > 0
+        |    AND len(list_intersect(a.sg, b.sg)) > 0),
+        |t AS (SELECT unnest([3, 4, 5, 6, 7, 8, 9]) AS t10)
+        |SELECT CAST(t.t10 AS BIGINT) AS t10,
+        |  CAST(coalesce(sum(CASE WHEN p.i * 10 >= p.u * t.t10
+        |    THEN 1 END), 0) AS BIGINT) AS n_pairs
+        |FROM t LEFT JOIN p ON true GROUP BY t.t10 ORDER BY t10""".stripMargin) { (s, d) =>
+      val stats = cachedPairStats(s, d).select(col("inter"), col("uni"))
+      val t = s.range(3, 10).select(col("id").as("t10"))
+      broadcast(t).join(stats, lit(true), "left")
+        .groupBy("t10")
+        .agg(coalesce(sum(when(col("inter") * 10 >= col("uni") * col("t10"), 1L)),
+          lit(0L)).as("n_pairs"))
+        .orderBy("t10")
+    },
+
+    // Vocabulary growth curve (Heaps-law certificate): new distinct
+    // tokens first seen in each corpus decile, with the cumulative
+    // curve — how fast the vocabulary is still growing tells a
+    // pipeline whether its token-frequency assumptions transfer to
+    // the next 10× of data. First-occurrence is a min-aggregate per
+    // token (one shuffle); deciles come from VALUE-LEVEL doc_id
+    // thresholds (PrefixScan + 9-threshold broadcast, the q177
+    // machinery — never a global row window); the cumulative sum runs
+    // over the 10-row output frame.
+    Q("q218_vocab_growth", {
+      val tDefs = (1 to 9)
+        .map(k => s"min(CASE WHEN cum >= (($k * n.n + 9) // 10) THEN val END) AS t$k")
+        .mkString(",\n    ")
+      val decile = "1 " + (1 to 9)
+        .map(k => s"+ CASE WHEN fo.fd > t.t$k THEN 1 ELSE 0 END").mkString(" ")
+      s"""WITH docs AS (SELECT DISTINCT doc_id FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+         |cu AS (SELECT doc_id AS val,
+         |    sum(1) OVER (ORDER BY doc_id) AS cum FROM docs),
+         |t AS (SELECT
+         |    $tDefs
+         |  FROM cu CROSS JOIN n),
+         |fo AS (SELECT token, min(doc_id) AS fd
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |        FROM documents) GROUP BY token),
+         |g AS (SELECT ($decile) AS decile,
+         |    CAST(count(*) AS BIGINT) AS new_tokens
+         |  FROM fo CROSS JOIN t GROUP BY 1)
+         |SELECT CAST(decile AS BIGINT) AS decile, new_tokens,
+         |  CAST(sum(new_tokens) OVER (ORDER BY decile) AS BIGINT)
+         |    AS cum_tokens
+         |FROM g ORDER BY decile""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id")).distinct()
+        .localCheckpoint() // count + threshold scan
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val vc = docs.select(col("doc_id").as("val"))
+        .withColumn("cnt", lit(1L)).withColumn("bkt", expr("val div 1024"))
+      val thrAggs = (1 to 9).map(k =>
+        min(when(col("cum") >= expr(s"($k * n + 9) div 10"), col("val"))).as(s"t$k"))
+      val thr = graft.plans.PrefixScan.cumsum(vc, part = Seq(), bucket = "bkt",
+          order = Seq("val"), value = "cnt", out = "cum")
+        .crossJoin(broadcast(nRow))
+        .agg(thrAggs.head, thrAggs.tail: _*)
+      val fo = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(min(col("doc_id")).as("fd"))
+      val decile = (1 to 9).map(k =>
+        when(col("fd") > col(s"t$k"), 1L).otherwise(0L)).reduce(_ + _) + lit(1L)
+      val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+      fo.crossJoin(broadcast(thr))
+        .groupBy(decile.as("decile"))
+        .agg(count(lit(1)).as("new_tokens"))
+        .withColumn("cum_tokens", sum(col("new_tokens")).over(w))
+        .orderBy("decile")
+    },
+
     // Text quality scoring: token stats + stopword/whitespace ratios as
     // floor-scaled integers (hash-exact across engines).
     Q("q46_text_quality",

@@ -150,6 +150,47 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash neighbors: exact dups at hamming 0, all pairs verified <= 3") {
+    val rows = SparkEntry.queries("q216_simhash_neighbors")(spark, plantedDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.contains((1L, 5L, 0L)), s"exact dup pair missing: $rows")
+    assert(rows.forall(_._3 <= 3L))
+    assert(rows.forall(r => r._1 < r._2), "pairs must be canonically ordered")
+    assert(rows.distinct == rows, "band join must dedupe multi-band matches")
+  }
+
+  test("threshold sweep: pair counts step down at the planted Jaccard values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sweep").toString
+    // A = B (J = 1.0, counted at every threshold); C shares 7 of its 10
+    // shingles with each of A/B → J = 7/13 ≈ 0.538: counted at t10 =
+    // 3, 4, 5 only. Expect n_pairs = 3, 3, 3, 1, 1, 1, 1.
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val half = ((1 to 9).map(i => s"w$i") ++ Seq("x", "y", "z")).mkString(" ")
+    Seq((1L, base), (2L, base), (3L, half))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q217_threshold_sweep")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 3L), (4L, 3L), (5L, 3L), (6L, 1L), (7L, 1L),
+      (8L, 1L), (9L, 1L)))
+  }
+
+  test("vocab growth: per-decile first occurrences with cumulative curve") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vocab").toString
+    // 10 docs: doc k carries its own token tk plus the shared token
+    // 'common' (first seen in decile 1) → decile 1 gets 2 new tokens,
+    // every later decile exactly 1.
+    (1L to 10L).map(k => (k, s"common t$k", "en", "src", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q218_vocab_growth")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val expected = (1L to 10L).map(d =>
+      (d, if (d == 1) 2L else 1L, d + 1L)).toSeq
+    assert(got == expected)
+  }
+
   test("MinHash-LSH is deterministic across runs") {
     val run1 = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir).collect().toSeq
     val run2 = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir).collect().toSeq
