@@ -256,6 +256,67 @@ object GraphOps {
         .orderBy("dist")
     },
 
+    // 2-core peeling trace on the supplier co-occurrence graph: 3
+    // unrolled peel rounds (drop degree-<2 nodes, keep edges with both
+    // endpoints alive), emitting nodes/edges remaining per round — the
+    // standard densification step before triangle/community work (a
+    // node outside the 2-core is in no triangle, so q103 on the peeled
+    // graph computes the same counts over less data). Each round is
+    // one degree aggregate + two semi-join-shaped edge filters; the
+    // edge table is checkpointed per round because the next round's
+    // degree build AND the stats row both consume it. Fixed-point
+    // integer output, tiny frame.
+    Q("q219_kcore_peel", {
+      val rounds = (1 to 3).map { r =>
+        val p = r - 1
+        s"""k$r AS (SELECT node FROM d$p WHERE dg >= 2),
+           |e$r AS (SELECT e$p.a, e$p.b FROM e$p
+           |  JOIN k$r x ON e$p.a = x.node JOIN k$r y ON e$p.b = y.node),
+           |d$r AS (SELECT node, count(*) AS dg FROM
+           |  (SELECT a AS node FROM e$r UNION ALL SELECT b FROM e$r)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 3).map(r =>
+        s"""SELECT $r AS round,
+           |  (SELECT count(*) FROM d$r) AS n_nodes,
+           |  (SELECT count(*) FROM e$r) AS n_edges""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+         |            WHERE l_quantity >= 48),
+         |e0 AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+         |       FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+         |d0 AS (SELECT node, count(*) AS dg FROM
+         |  (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+         |  GROUP BY node),
+         |$rounds
+         |SELECT CAST(round AS BIGINT) AS round,
+         |  CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(n_edges AS BIGINT) AS n_edges
+         |FROM ($rows) ORDER BY round""".stripMargin
+    }) { (s, d) =>
+      val li = Tables.lineitem(s, d).where(col("l_quantity") >= 48)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      var e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
+        .localCheckpoint()
+      val stats = (1 to 3).map { r =>
+        val deg = e.select(col("a").as("node"))
+          .unionByName(e.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val keep = deg.where(col("dg") >= 2).select("node")
+          .localCheckpoint() // both endpoint joins consume it
+        e = e.join(keep.select(col("node").as("a")), "a")
+          .join(keep.select(col("node").as("b")), "b")
+          .localCheckpoint() // next round's degree build + this stats row
+        e.select(explode(array(col("a"), col("b"))).as("node"))
+          .agg(countDistinct(col("node")).as("n_nodes"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      }
+      stats.reduce(_.unionByName(_)).orderBy("round")
+    },
+
     // Degree-assortativity certificate of the bipartite part–supplier
     // graph — the exact integer sums (m, Σd, Σd·d', Σd²) from which
     // the float Pearson assortativity coefficient derives; emitting

@@ -274,7 +274,9 @@ object ScaleSmoke {
           element_at(array(lit("A"), lit("N"), lit("R")),
             (pmod(col("id"), lit(3)) + 1).cast("int")).as("l_returnflag"),
           (pmod(xxhash64(col("id") + 29), lit(11L)).cast("double") / 100.0)
-            .as("l_discount"))
+            .as("l_discount"),
+          (pmod(xxhash64(col("id") + 31), lit(50L)) + 1).cast("double")
+            .as("l_quantity"))
         .write.mode("overwrite").parquet(s"$adir/lineitem.parquet")
       spark.range(1500000L)
         .select(col("id").as("o_orderkey"),
@@ -302,7 +304,9 @@ object ScaleSmoke {
       spark.range(200000L).select(col("id").as("p_partkey"),
           element_at(array(lit("PROMO"), lit("STANDARD"), lit("ECONOMY"),
             lit("MEDIUM"), lit("LARGE"), lit("SMALL")),
-            (pmod(col("id"), lit(6)) + 1).cast("int")).as("p_type"))
+            (pmod(col("id"), lit(6)) + 1).cast("int")).as("p_type"),
+          format_string("Brand#%02d", pmod(col("id"), lit(25)))
+            .as("p_brand"))
         .write.mode("overwrite").parquet(s"$adir/part.parquet")
       spark.range(25L).select(col("id").as("n_nationkey"),
           pmod(col("id"), lit(5)).as("n_regionkey"),
@@ -359,7 +363,16 @@ object ScaleSmoke {
         "q204_discount_profile",
         // round-6 thirteenth batch (sweep-line / reconciliation / coverage)
         "q205_concurrency_peak", "q206_amount_reconciliation",
-        "q207_embedding_coverage")
+        "q207_embedding_coverage",
+        // round-7 batch (adaptive jaccard, brand economics, migration,
+        // heatmap, mix shift, trade matrix, seasonal, reach, simhash
+        // banding, threshold sweep, vocab growth, k-core)
+        "q43c_jaccard_adaptive", "q208_price_elasticity",
+        "q209_return_rate", "q210_quartile_migration",
+        "q211_hour_dow_heatmap", "q212_priority_mix_shift",
+        "q213_trade_matrix", "q214_seasonal_index", "q215_supplier_reach",
+        "q216_simhash_neighbors", "q217_threshold_sweep",
+        "q218_vocab_growth", "q219_kcore_peel")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

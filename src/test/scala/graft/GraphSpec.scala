@@ -67,6 +67,20 @@ class GraphSpec extends AnyFunSuite {
     assert(run(forceShuffle = false) == run(forceShuffle = true))
   }
 
+  test("k-core peel: pendant node drops round 1, triangle core is stable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kcore").toString
+    // order 1 links suppliers {1,2,3} (triangle), order 2 links {3,4}
+    // (pendant edge). Degrees 1:2 2:2 3:3 4:1 → round 1 peels node 4;
+    // the triangle (3 nodes, 3 edges) survives rounds 2 and 3 intact.
+    Seq((1L, 1L, 50.0), (1L, 2L, 50.0), (1L, 3L, 50.0),
+        (2L, 3L, 50.0), (2L, 4L, 50.0))
+      .toDF("l_orderkey", "l_suppkey", "l_quantity")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q219_kcore_peel")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L)))
+  }
+
   test("degree stats: distinct edges, exact assortativity sums") {
     // edges (dup line p1-s1 must collapse): p1-s1, p1-s2, p2-s1.
     // deg: p1=2, p2=1, s1=2, s2=1. Edge-level sums:
