@@ -1468,6 +1468,45 @@ object AnalyticsOps {
         .groupBy("sk").agg(count(lit(1)).as("n_nations"))
         .groupBy("n_nations").agg(count(lit(1)).as("n_suppliers"))
         .orderBy("n_nations")
+    },
+
+    // Supplier revenue concentration per nation (Herfindahl–Hirschman
+    // index in ppm², exact integers): the antitrust-style market-
+    // structure readout next to q139's Gini. One fact collapse to
+    // (nation, supplier) cents; totals are a 25-row broadcast; shares
+    // are integer-ppm so HHI = Σ share² is engine-exact (bounded by
+    // 10¹² ≪ 2⁶³).
+    Q("q220_nation_hhi",
+      """WITH r AS (SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+        |    CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT nk, CAST(sum(cents) AS BIGINT) AS tot FROM r GROUP BY nk)
+        |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(((1000000 * r.cents) // t.tot)
+        |    * ((1000000 * r.cents) // t.tot)) AS BIGINT) AS hhi_ppm2
+        |FROM r JOIN t ON r.nk = t.nk JOIN nation n ON r.nk = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY nation""".stripMargin) { (s, d) =>
+      val r = Tables.lineitem(s, d)
+        .select(col("l_suppkey"),
+          floor(col("l_extendedprice") * 100).cast("long").as("c"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nk"), col("l_suppkey").as("sk"))
+        .agg(sum(col("c")).as("cents"))
+        .localCheckpoint() // totals + share join
+      val t = r.groupBy("nk").agg(sum(col("cents")).as("tot"))
+      r.join(broadcast(t), "nk")
+        .withColumn("share", expr("(1000000 * cents) div tot"))
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("share") * col("share")).as("hhi_ppm2"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("nk") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_suppliers"), col("hhi_ppm2"))
+        .orderBy("nation")
     }
   )
 

@@ -502,7 +502,9 @@ object LlmOps {
     if (shingleSkewStat(s, d) > SkewPickThreshold)
       ("ppjoin", jaccardPrefixJoinAt(s, d, t10))
     else
-      ("count", finishJaccard(blockedPairStats(s, d), t10))
+      // threshold-independent memoized pair graph (cachedPairStats) —
+      // the count branch shares q43/q70/q82's persisted intermediate
+      ("count", finishJaccard(cachedPairStats(s, d), t10))
   }
 
   /** Containment-specialized prefix join (q89's scale lever, NOTES
@@ -1113,6 +1115,83 @@ object LlmOps {
         .select(col("node").as("doc_id"), col("label").as("cluster_id"),
           (col("label") === col("node")).as("keeper"))
         .orderBy(col("doc_id"))
+    },
+
+    // Quality-based keeper selection per near-dup cluster: instead of
+    // q70's keep-lowest-id policy, keep the HIGHEST-quality member
+    // (q46's integer quality score; ties → lowest doc_id) — the
+    // curation policy real pipelines ship, because the canonical copy
+    // of a near-dup family should be the cleanest one, not the one
+    // ingested first. Group-argmax is the q199 broadcast-maxima +
+    // equality-join shape over cluster-sized frames; clusters come
+    // from the same memoized pair graph + CC as q70.
+    Q("q221_dedup_best_keeper", {
+      val pairSql = ccPairSql
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, lang, n_chars // 100 AS lb,
+         |    list_distinct(list_transform(
+         |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+         |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         |           || ' ' || string_split(text,' ')[i+2])) AS sg
+         |  FROM documents
+         |), pairs AS (
+         |  $pairSql
+         |), edges AS (
+         |  SELECT a_id AS a, b_id AS b FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |), clusters AS (
+         |  SELECT a AS doc_id, min(b) AS cluster_id
+         |  FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges) t
+         |  GROUP BY a
+         |), q AS (
+         |  SELECT doc_id,
+         |    CAST(floor(100.0 * ${duckHits("en")} / len(string_split(text, ' ')))
+         |      AS BIGINT)
+         |    + CASE WHEN n_chars BETWEEN 100 AND 400 THEN 10 ELSE 0 END
+         |      AS quality
+         |  FROM documents
+         |), c AS (
+         |  SELECT cl.cluster_id, cl.doc_id, q.quality
+         |  FROM clusters cl JOIN q ON cl.doc_id = q.doc_id
+         |), g AS (
+         |  SELECT cluster_id, max(quality) AS mq,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM c GROUP BY cluster_id
+         |)
+         |SELECT CAST(g.cluster_id AS BIGINT) AS cluster_id, g.n_docs,
+         |  CAST(g.mq AS BIGINT) AS best_quality,
+         |  CAST(min(c.doc_id) AS BIGINT) AS keeper_id
+         |FROM g JOIN c ON c.cluster_id = g.cluster_id AND c.quality = g.mq
+         |GROUP BY g.cluster_id, g.n_docs, g.mq
+         |ORDER BY cluster_id""".stripMargin
+    }) { (s, d) =>
+      val pairs = jaccardCountJoin(s, d).select(col("a_id"), col("b_id"))
+      val clusters = graft.plans.ConnectedComponents.components(pairs)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val q = Tables.documents(s, d)
+        .withColumn("words", TextFns.tokens(col("text")))
+        .withColumn("nw", size(col("words")))
+        .withColumn("hits", hitsCol("en"))
+        .select(col("doc_id"),
+          (floor(lit(100.0) * col("hits") / col("nw")) +
+            when(col("n_chars").between(100, 400), 10L).otherwise(0L))
+            .as("quality"))
+      val c = clusters.join(q, "doc_id")
+        .localCheckpoint() // maxima + equality join-back
+      val g = c.groupBy("cluster_id")
+        .agg(max(col("quality")).as("mq"), count(lit(1)).as("n_docs"))
+      g.join(c, Seq("cluster_id"))
+        .where(col("quality") === col("mq"))
+        .groupBy("cluster_id", "n_docs", "mq")
+        .agg(min(col("doc_id")).as("keeper_id"))
+        .select(col("cluster_id"), col("n_docs"),
+          col("mq").as("best_quality"), col("keeper_id"))
+        .orderBy("cluster_id")
     },
 
     // End-to-end near-dup REMOVAL: exact-dup collapse + near-dup

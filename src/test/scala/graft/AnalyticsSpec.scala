@@ -726,6 +726,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L), (2L, 1L)))
   }
 
+  test("nation HHI: exact integer ppm shares, monopoly = 1e12") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hhi").toString
+    // nation A: suppliers 1 (3.00) + 2 (1.00) → shares 750000/250000 →
+    // HHI 625e9; nation B: single supplier → HHI 1e12.
+    Seq((1L, 1L, 3.00), (2L, 2L, 1.00), (3L, 3L, 7.77))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((0L, "ALPHA"), (1L, "BETA")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$dir/nation.parquet")
+    val got = SparkEntry.queries("q220_nation_hhi")(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("ALPHA", 2L, 625000000000L),
+      ("BETA", 1L, 1000000000000L)))
+  }
+
   test("discount profile: per-mille quantization, exact cents per band") {
     val dir = java.nio.file.Files.createTempDirectory("graft_disc").toString
     Seq(("A", 0.04, 1.00), ("A", 0.04, 1.00), ("N", 0.00, 2.00),

@@ -191,6 +191,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("best-quality keeper: beats keep-lowest-id; ties fall back to min id") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_keeper").toString
+    // Cluster {1, 3}: identical text (J = 1), same length bucket
+    // (450 // 100 == 400 // 100 == 4) but doc 3 gets the 100-400
+    // n_chars quality bonus → keeper 3, NOT the lower id.
+    // Cluster {5, 6}: identical text and quality → tie → keeper 5.
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "omega psi chi phi upsilon tau"
+    Seq((1L, t1, 450L), (3L, t1, 400L), (5L, t2, 450L), (6L, t2, 450L))
+      .map { case (id, t, nc) => (id, t, "en", "src", nc) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q221_dedup_best_keeper")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 10L, 3L), (5L, 2L, 0L, 5L)))
+  }
+
   test("MinHash-LSH is deterministic across runs") {
     val run1 = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir).collect().toSeq
     val run2 = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir).collect().toSeq
