@@ -1039,6 +1039,44 @@ object LlmOps {
         .orderBy("a_id", "b_id")
     },
 
+    // Mutual nearest neighbors (reciprocal top-1 cosine): pairs where
+    // each vector is the other's closest neighbor — the coupling
+    // primitive under SemDeDup-style clustering, bitext mining, and
+    // record linkage (a one-sided NN is a guess; a mutual NN is a
+    // match). Deterministic argmax: (cosine DESC, id ASC) via struct
+    // max, identical in both engines because the cosine doubles are
+    // computed with the same summation order. Exact all-pairs is the
+    // oracle-spec path (q50's contract); the production route is ANN
+    // candidates (q51/q67) + the same mutual filter.
+    Q("q222_mutual_nn",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    list_cosine_similarity(a.emb, b.emb) AS c
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |nn AS (SELECT a_id, (list(b_id ORDER BY c DESC, b_id))[1] AS nb
+        |  FROM p GROUP BY a_id)
+        |SELECT x.a_id AS a_id, CAST(x.nb AS BIGINT) AS b_id
+        |FROM nn x JOIN nn y ON x.nb = y.a_id AND y.nb = x.a_id
+        |WHERE x.a_id < x.nb
+        |ORDER BY a_id""".stripMargin) { (s, d) =>
+      val e = embWithNorm(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("emb").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("emb").as("eb"), col("nrm").as("nb"))
+      val p = a.join(b, col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          VectorFns.cosineWithNorms(fastDot(col("ea"), col("eb")),
+            col("na"), col("nb")).as("c"))
+      val nn = p.groupBy("a_id")
+        .agg(max(struct(col("c"), (-col("b_id")).as("negb"))).as("m"))
+        .select(col("a_id"), (-col("m.negb")).as("nb"))
+        .localCheckpoint() // both sides of the reciprocity join
+      nn.join(nn.select(col("a_id").as("ya"), col("nb").as("ynb")),
+          col("nb") === col("ya") && col("ynb") === col("a_id")
+            && col("a_id") < col("nb"))
+        .select(col("a_id"), col("nb").as("b_id"))
+        .orderBy("a_id")
+    },
+
     // INT8 symmetric quantization of embeddings — the storage/bandwidth
     // lever for ANN at 100 TB (4× smaller vectors, SIMD-friendly dot
     // products). Per-vector max-abs scale; q_i = floor(x_i·scale + 0.5)

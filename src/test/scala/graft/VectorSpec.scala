@@ -39,6 +39,31 @@ class VectorSpec extends AnyFunSuite {
     dir
   }
 
+  test("mutual NN: reciprocal top-1 pairs only, one-sided NNs excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mnn").toString
+    // v1↔v2 are each other's top-1 (mutual). v3's NN is v2 (whose NN
+    // is v1) and v4's NN is v3 (whose NN is v2) → a one-sided chain
+    // that must yield NO further pairs.
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),
+      (3L, Array(0.5f, 0.5f, 0.0f), 0),
+      (4L, Array(0.0f, 1.0f, 0.2f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q222_mutual_nn")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("planted corpus: every exact copy forms a mutual pair") {
+    val got = SparkEntry.queries("q222_mutual_nn")(spark, plantedDir)
+      .as[(Long, Long)].collect().toSeq
+    (0L until 10L).foreach { q =>
+      assert(got.contains((q, 100L + q)), s"copy pair ($q, ${100 + q}) missing")
+    }
+  }
+
   test("brute-force cosine top-k ranks the exact copy first") {
     val topk = SparkEntry.queries("q49_cosine_topk")(spark, plantedDir)
       .as[(Long, Int, Long)].collect()
