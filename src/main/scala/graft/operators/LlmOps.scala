@@ -164,7 +164,7 @@ object LlmOps {
   }
 
   /** Per-doc language-ID projection (doc_id, lang, pred_lang, correct) —
-    * the shared core of q47 (per-doc listing) and q209 (confusion
+    * the shared core of q47 (per-doc listing) and q223 (confusion
     * matrix). Argmax over stopword hit counts with the fixed tie-break
     * order of TextFns.stopwords. */
   private lazy val langIdPerDocSql: String = {
@@ -965,10 +965,25 @@ object LlmOps {
 
     // Heuristic language-ID: stopword hit counts per language, argmax
     // with fixed tie-break order (en, de, es, fr, zh). Shared per-doc
-    // core in langIdPerDoc / langIdPerDocSql (q209 regroups it into
+    // core in langIdPerDoc / langIdPerDocSql (q223 regroups it into
     // the confusion matrix).
     Q("q47_lang_id", s"$langIdPerDocSql ORDER BY doc_id") { (s, d) =>
       langIdPerDoc(s, d).orderBy(col("doc_id"))
+    },
+
+    // Language-ID confusion matrix: (labeled, predicted) doc counts —
+    // the evaluation readout for q47's classifier (precision/recall
+    // derive from the margins). Per-doc core collapses map-side to a
+    // ≤ 25-cell frame.
+    Q("q223_langid_confusion",
+      s"""SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM ($langIdPerDocSql)
+         |GROUP BY lang, pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin) { (s, d) =>
+      langIdPerDoc(s, d)
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")
     },
 
     // Document fingerprinting: Karp-Rabin rolling hash (exact integer

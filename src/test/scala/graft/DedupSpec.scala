@@ -208,6 +208,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 10L, 3L), (5L, 2L, 0L, 5L)))
   }
 
+  test("lang-id confusion matrix: correct cell and planted confusion cell") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conf").toString
+    // doc 1: labeled en, English stopwords → (en, en).
+    // doc 2: labeled de, English stopwords → predicted en → (de, en).
+    // doc 3: labeled de, German stopwords → (de, de).
+    val rows = Seq(
+      (1L, "the cat and the dog of note", "en"),
+      (2L, "the hund and the katze of note", "de"),
+      (3L, "der hund und die katze ist hier", "de"))
+      .map { case (id, t, l) => (id, t, l, "src", t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q223_langid_confusion")(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("de", "de", 1L), ("de", "en", 1L), ("en", "en", 1L)))
+  }
+
   test("MinHash-LSH is deterministic across runs") {
     val run1 = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir).collect().toSeq
     val run2 = SparkEntry.queries("q44_minhash_lsh")(spark, plantedDir).collect().toSeq
