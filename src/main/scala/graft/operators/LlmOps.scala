@@ -507,6 +507,28 @@ object LlmOps {
       ("count", finishJaccard(cachedPairStats(s, d), t10))
   }
 
+  /** q89's count-join shape: language-blocked pair stats + containment
+    * threshold (|A∩B|/min ≥ 0.5). */
+  private[graft] def containmentCountJoin(s: SparkSession, d: String): DataFrame =
+    pairStatsBlockedBy(s, d, useLenBucket = false)
+      .filter(col("inter") * 10 >= least(col("a_sz"), col("b_sz")) * 5)
+      .select(col("a_id"), col("b_id"),
+        floor(lit(10000.0) * col("inter") / least(col("a_sz"), col("b_sz")))
+          .as("containment_bp"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Adaptive containment join — q43c's routing applied to its
+    * sibling: the sampled shingle-skew probe picks the count join
+    * (uniform df) or the asymmetric prefix filter (skewed df). Both
+    * exact, identical output. */
+  private[graft] def adaptiveContainmentJoin(
+      s: SparkSession, d: String): (String, DataFrame) = {
+    if (shingleSkewStat(s, d) > SkewPickThreshold)
+      ("prefix", containmentPrefixJoin(s, d))
+    else
+      ("count", containmentCountJoin(s, d))
+  }
+
   /** Containment-specialized prefix join (q89's scale lever, NOTES
     * backlog #4): same output as the language-blocked count join, but
     * candidates come from an ASYMMETRIC prefix filter. For containment
@@ -759,12 +781,13 @@ object LlmOps {
         |  AND len(list_intersect(a.sg, b.sg)) * 10
         |      >= 5 * least(len(a.sg), len(b.sg))
         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      pairStatsBlockedBy(s, d, useLenBucket = false)
-        .filter(col("inter") * 10 >= least(col("a_sz"), col("b_sz")) * 5)
-        .select(col("a_id"), col("b_id"),
-          floor(lit(10000.0) * col("inter") / least(col("a_sz"), col("b_sz")))
-            .as("containment_bp"))
-        .orderBy(col("a_id"), col("b_id"))
+      // Adaptive like q43c: the same sampled skew probe routes to the
+      // asymmetric prefix filter when hot shingles dominate (where the
+      // count join's co-occurrence volume explodes — SCALE.md measures
+      // the crossover), else to the count join. Both paths are exact
+      // and equal (DedupSpec proves it on two fixtures + the Zipf
+      // routing corpus).
+      adaptiveContainmentJoin(s, d)._2
     },
 
     // 32-bit SimHash document signatures, sha256-derived so the oracle

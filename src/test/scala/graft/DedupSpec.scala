@@ -147,6 +147,15 @@ class DedupSpec extends AnyFunSuite {
       assert(got.nonEmpty, "planted (k, k+200) twins must appear")
       assert(got == count && got == pp,
         s"route=$route missed=${(count -- got).take(5)} extra=${(got -- count).take(5)}")
+      // the containment sibling routes on the same probe with the
+      // same both-paths-identical guarantee
+      val (cRoute, cPicked) = LlmOps.adaptiveContainmentJoin(spark, dir)
+      assert(cRoute == (if (dir == uniform) "count" else "prefix"))
+      val cGot = cPicked.as[(Long, Long, Long)].collect().toSet
+      val cCount = LlmOps.containmentCountJoin(spark, dir)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(cGot == cCount,
+        s"containment route=$cRoute missed=${(cCount -- cGot).take(5)} extra=${(cGot -- cCount).take(5)}")
     }
   }
 
