@@ -70,18 +70,20 @@ object Bench {
     // the tail window with room for sbt's "[success]" epilogue — so the
     // driver's tail capture always ends with one parseable JSON line.
     println(line)
+    // Compact headline: total + the 10 slowest queries only, kept well
+    // under 400 chars so the driver's 2000-char tail always contains it
+    // in full even with sbt's "[success] Total time" epilogue after it.
     val slowest = results.collect { case (k, Some(v)) => (k, v) }
-      .sortBy(-_._2)
-    val budget = 1600 // chars for the headline `queries` map
-    val headline = new StringBuilder
-    var taken = 0
-    slowest.foreach { case (k, v) =>
-      val ent = (if (taken == 0) "" else ",") + "\"" + k + "\":" + fmt(v)
-      if (headline.length + ent.length <= budget) { headline ++= ent; taken += 1 }
-    }
+      .sortBy(-_._2).take(10)
+    val headline =
+      slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_ok":${results.count(_._2.isDefined)},"queries":{$headline},"queries_full":"bench_out.json","sf":"$sfDir"}"""
-    println(compact)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_ok":${results.count(_._2.isDefined)},"queries":{$headline},"sf":"$sfDir"}"""
+    // Stop Spark BEFORE the final print so shutdown logging can't land
+    // after the compact line; emit on stderr too in case the driver
+    // captures the combined or stderr stream instead.
     spark.stop()
+    System.err.println(compact)
+    println(compact)
   }
 }

@@ -442,10 +442,11 @@ object MiningOps {
     // probe is a min over 4 rows — and because the hash is plain
     // integer arithmetic on the token's vocab rank, DuckDB rebuilds the
     // IDENTICAL sketch, so the oracle hash-matches the ESTIMATES, not
-    // just invariants. (The vocab-rank keying exists for the oracle; a
-    // production build hashes the token bytes directly — xxhash64 — and
-    // skips the rank window, which is the one vocab-sized single
-    // partition here.)
+    // just invariants. The vocab rank is computed DISTRIBUTED
+    // (PrefixScan.rowNumber — no vocab-sized single-partition window),
+    // so the rank keying survives a Heaps-growing vocabulary; a
+    // production build may still hash token bytes directly (xxhash64)
+    // and skip the rank entirely.
     Q("q134_cms_freq",
       """WITH u AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY w),
@@ -463,8 +464,10 @@ object MiningOps {
       val c = Tables.documents(s, d)
         .select(explode(TextFns.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
-      val r = c.withColumn("rk",
-        dense_rank().over(Window.orderBy("w")).cast("long"))
+      // Vocab rank computed distributed (PrefixScan range-bucketed scan,
+      // no vocab-sized single-partition window); `w` is unique per row
+      // so row_number == the oracle's dense_rank.
+      val r = graft.plans.PrefixScan.rowNumber(c, Seq("w"), "rk")
       val seeds = explode(array(
         Seq((0, 31, 7), (1, 37, 11), (2, 41, 13), (3, 43, 17)).map {
           case (i, a, b) =>

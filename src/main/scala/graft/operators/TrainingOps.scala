@@ -274,17 +274,18 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
-    // Token rarity: dense-rank every token by corpus frequency (rank 1 =
+    // Token rarity: rank every token by corpus frequency (rank 1 =
     // most frequent; ties broken by token text) and score each doc by its
     // mean token rank ×100 — an exact-integer stand-in for unigram
     // log-likelihood scoring (floating-point ln is libm-dependent across
-    // engines, so the proxy keeps the oracle hash-exact). Frequency
-    // table is bounded by vocabulary size → broadcast; the global rank
-    // window runs over that bounded table, not the corpus. If the
-    // vocabulary itself outgrew one partition (open-domain web tokens),
-    // the scale variant replaces the rank with a per-token log2(count)
-    // bucket — a pure map over the frequency table with the same
-    // exact-integer property and no global window at all.
+    // engines, so the proxy keeps the oracle hash-exact). The frequency
+    // table grows ~n^β with the corpus (Heaps — q218 measures it), so
+    // the rank is computed DISTRIBUTED: PrefixScan.rowNumber range-
+    // partitions the vocab by (-count, token) and two-level-scans — no
+    // vocabulary-sized single-partition window — and the rank table
+    // joins back to the token stream by SHUFFLE (no vocabulary-sized
+    // broadcast). (count, token) is unique per token, so row_number ==
+    // the oracle's dense_rank.
     Q("q78_token_rarity",
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -301,11 +302,12 @@ object TrainingOps {
         |GROUP BY t.doc_id
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val t = tokenized(s, d).select(col("doc_id"), explode(col("words")).as("w"))
-      val ranks = t.groupBy("w").agg(count(lit(1)).as("c"))
-        .select(col("w"), dense_rank().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("w")))
-          .cast("long").as("rk"))
-      t.join(broadcast(ranks), "w")
+      val freq = t.groupBy("w").agg(count(lit(1)).as("c"))
+        .withColumn("negc", -col("c"))
+      val ranks = graft.plans.PrefixScan
+        .rowNumber(freq, Seq("negc", "w"), "rk")
+        .select(col("w"), col("rk"))
+      t.join(ranks, "w")
         .groupBy("doc_id")
         .agg(floor(lit(100.0) * sum(col("rk")) / count(lit(1))).as("mean_rank_x100"),
           max(col("rk")).as("rarest_rank"))

@@ -38,6 +38,31 @@ object PrefixScan {
       .drop("__lc", "__off")
   }
 
+  /** Adds `out` = row_number() over rows ordered ASCENDING by `order`,
+    * without the global single-partition window Spark plans for an
+    * unpartitioned ranking: range-partition by the sort key (so the
+    * shuffle partition index is a monotone bucket of the key), stamp
+    * `spark_partition_id()` as that bucket, and run the two-level
+    * cumsum-of-1. Each task ranks ~1/numParts of the rows; the only
+    * global window left is over the numParts-row offsets table. The two
+    * consumers of the range exchange (offsets + main) share one
+    * ReusedExchange, so the nondeterministic partition-id projection is
+    * evaluated once per row. PRECONDITION: `order` is unique per row
+    * (ties may split across range boundaries, making their relative
+    * numbering partitioner-dependent) — under that precondition
+    * row_number == rank == dense_rank. For a descending key, pass a
+    * negated column. */
+  def rowNumber(df: DataFrame, order: Seq[String], out: String,
+      numParts: Int = 0): DataFrame = {
+    val n = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, order.map(col): _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .withColumn("__one", lit(1L))
+    cumsum(ranged, Seq.empty, "__pid", order, "__one", out)
+      .drop("__pid", "__one")
+  }
+
   /** Adds `out` = EXCLUSIVE running max of `value` over rows ordered by
     * (`bucket`, `order`...) DESCENDING within each `part` group — i.e.
     * the max of `value` among all strictly-preceding rows in descending

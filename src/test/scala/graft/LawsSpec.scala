@@ -152,6 +152,31 @@ class LawsSpec extends AnyFunSuite {
       s"stale pair graph served after overwrite: $after")
   }
 
+  test("PrefixScan.rowNumber ≡ global row_number, independent of partitioning") {
+    // The distributed rank behind q78/q134: range-bucketed two-level
+    // scan must equal the single-partition window for ANY input
+    // partitioning and ANY bucket count — including buckets ≫ distinct
+    // keys (empty ranges) and a Zipf-skewed key distribution.
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // Zipf-ish counts: many 1s, few large — the real vocab shape.
+      val rows = (1 to 500).map { i =>
+        (s"w${rnd.nextInt(100000)}_$i", (500.0 / i).toLong.max(1L))
+      }
+      val df = rows.toDF("w", "c").withColumn("negc", -$"c")
+      val expect = df
+        .withColumn("rk", row_number().over(Window.orderBy($"negc", $"w")).cast("long"))
+        .select($"w", $"rk").collect().toSeq.sorted(RowOrd)
+      for (nParts <- Seq(1, 3, 32, 1000); inParts <- Seq(1, 7)) {
+        val got = graft.plans.PrefixScan
+          .rowNumber(df.repartition(inParts), Seq("negc", "w"), "rk", nParts)
+          .select($"w", $"rk").collect().toSeq.sorted(RowOrd)
+        assert(got == expect, s"nParts=$nParts inParts=$inParts seed=$seed")
+      }
+    }
+  }
+
   private object RowOrd extends Ordering[org.apache.spark.sql.Row] {
     def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int =
       a.toString.compareTo(b.toString)
