@@ -168,6 +168,98 @@ object IvfAnn {
     (probe2.select("query_id", "cell"), ranked)
   }
 
+  /** Exact mutual nearest neighbors routed through the IVF index — the
+    * production form of q222's all-pairs plan. EVERY vector is a query,
+    * so nothing corpus-sized is ever broadcast (boundedTopK's
+    * broadcast-the-query-side shape is for small query sets): the
+    * probe list joins the member table by SHUFFLE on cell. Same
+    * triangle-inequality bound as boundedTopK with k=1 — after an
+    * initial nprobe-nearest-cells pass establishes each vector's best
+    * candidate L, only cells whose bound cos(max(0, θ(q,c) − r)) can
+    * beat L−ε are searched — so the per-vector argmax EQUALS the
+    * brute-force argmax and the mutual filter yields EXACTLY the
+    * all-pairs answer (certified against q222 in VectorSpec). Work is
+    * data-dependent: clustered corpora (the dedup regime, where mutual
+    * NN matters) probe few cells; the near-orthogonal fixture probes
+    * most. Candidate cosines use the identical formula/summation as
+    * q222 so the argmax can never diverge from the oracle's. */
+  /** All-vectors-as-queries scaffolding shared by the IVF-routed pair
+    * operators: the member table keyed by cell, and every vector's
+    * (cell, θ, cosine upper bound) scores via the tiny broadcast
+    * centroid table — 16 rows per vector, linear in the corpus. The
+    * scores are checkpointed (consumed by multiple probe phases). */
+  private def memberAndScores(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.functions.GraftFunctions
+    val corpus = fullCorpus(s, d)
+    val (assigned, cmeta) = cachedIndex(s, d)
+    val members = corpus.join(assigned, "vec_id")
+      .select(col("vec_id").as("b_id"), col("emb").as("eb"),
+        col("nrm").as("nb"), col("cell"))
+    val queries = corpus.select(col("vec_id").as("a_id"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val scored = queries.join(broadcast(cmeta))
+      .withColumn("theta", acos(clamp(
+        GraftFunctions.dot(col("ea"), col("cemb")) / (col("na") * col("cnrm")))))
+      .withColumn("ub", cos(greatest(lit(0.0), col("theta") - col("radius"))))
+      .select(col("a_id"), col("ea"), col("na"), col("cell"), col("theta"), col("ub"))
+      .localCheckpoint()
+    (members, scored)
+  }
+
+  /** Candidate cosines for a probe list (a_id, ea, na, cell): SHUFFLE
+    * join on cell — never a corpus-sized broadcast — scored with the
+    * identical formula/summation as the all-pairs oracle paths. */
+  private def probeCosines(members: DataFrame, probe: DataFrame): DataFrame =
+    members.join(probe, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("c", graft.functions.VectorFns.cosineWithNorms(
+        graft.functions.GraftFunctions.dot(col("ea"), col("eb")),
+        col("na"), col("nb")))
+
+  def mutualNnExact(s: SparkSession, d: String): DataFrame = {
+    val (members, scored) = memberAndScores(s, d)
+    def cosines(probe: DataFrame): DataFrame = probeCosines(members, probe)
+    // Phase 1: each vector's best candidate from its nprobe nearest
+    // cells (window is per-vector over nlist rows — never global).
+    val wq = Window.partitionBy(col("a_id")).orderBy(col("theta"), col("cell"))
+    val probe1 = scored.withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= nprobe)
+      .select(col("a_id"), col("ea"), col("na"), col("cell"))
+    val lbound = cosines(probe1).groupBy(col("a_id")).agg(max(col("c")).as("lb"))
+    // Phase 2: exact search of every cell the bound cannot exclude.
+    // The cell holding the phase-1 best always survives (ub ≥ its
+    // cosine = lb), so phase 2 alone sees the global argmax.
+    val probe2 = scored.join(lbound, Seq("a_id"), "left")
+      .filter(col("lb").isNull || col("ub") >= col("lb") - lit(1e-6))
+      .select(col("a_id"), col("ea"), col("na"), col("cell"))
+    val nn = cosines(probe2).groupBy(col("a_id"))
+      .agg(max(struct(col("c"), (-col("b_id")).as("negb"))).as("m"))
+      .select(col("a_id"), (-col("m.negb")).cast("long").as("nb"))
+      .localCheckpoint() // both sides of the reciprocity join
+    nn.join(nn.select(col("a_id").as("ya"), col("nb").as("ynb")),
+        col("nb") === col("ya") && col("ynb") === col("a_id")
+          && col("a_id") < col("nb"))
+      .select(col("a_id"), col("nb").as("b_id"))
+      .orderBy("a_id")
+  }
+
+  /** Exact threshold near-dup pairs routed through the IVF index —
+    * q50's production form. Here the threshold itself is the pruning
+    * bound (no phase-1 pass needed): any neighbor with cos(a,b) > t
+    * lives in a cell whose upper bound cos(max(0, θ(a,c) − r)) ≥
+    * cos(a,b) > t, so probing only cells with ub ≥ t−ε is exhaustive.
+    * Each unordered pair is emitted exactly once, from its lower id's
+    * probe (the a_id < b_id filter drops the mirror row). */
+  def thresholdPairsExact(s: SparkSession, d: String, t: Double): DataFrame = {
+    val (members, scored) = memberAndScores(s, d)
+    val probe = scored.filter(col("ub") >= lit(t) - lit(1e-6))
+      .select(col("a_id"), col("ea"), col("na"), col("cell"))
+    probeCosines(members, probe)
+      .filter(col("a_id") < col("b_id") && col("c") > lit(t))
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Persist the corpus clustered by IVF cell: `partitionBy(cell)` is
     * the on-disk form of the inverted file — a probe then reads only
     * nprobe/nlist of the data via partition pruning (proved in
@@ -203,6 +295,45 @@ object IvfAnn {
       boundedTopK(corpus, corpus.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn")),
         index = Some(cachedIndex(s, d)))._2
+    },
+
+    // Mutual NN, IVF-routed (q222's production path as real code, not a
+    // comment): candidates from bound-surviving IVF cells via shuffle
+    // join — no corpus-sized broadcast, no all-pairs join — then the
+    // same struct-argmax + reciprocity filter. The triangle-inequality
+    // bound makes the route EXACT, so the oracle is the exact SQL; the
+    // oracle's cosine is spelled out as dot/(nrm_a*nrm_b) with
+    // precomputed norms — the identical formula, association, and
+    // summation order Spark evaluates — so near-tied neighbors cannot
+    // flip cross-engine (both engines compare the same doubles).
+    Q("q222b_mutual_nn_ivf",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |         ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END AS c
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |nn AS (SELECT a_id, (list(b_id ORDER BY c DESC, b_id))[1] AS nb
+        |  FROM p GROUP BY a_id)
+        |SELECT x.a_id AS a_id, CAST(x.nb AS BIGINT) AS b_id
+        |FROM nn x JOIN nn y ON x.nb = y.a_id AND y.nb = x.a_id
+        |WHERE x.a_id < x.nb
+        |ORDER BY a_id""".stripMargin) { (s, d) => mutualNnExact(s, d) },
+
+    // Threshold near-dup pairs, IVF-routed (q50's production path):
+    // probe only cells the threshold bound cannot exclude, shuffle-join
+    // candidates by cell, keep pairs with cosine > 0.35. Exact by the
+    // triangle bound → the oracle is the exact all-pairs SQL with the
+    // cosine spelled out in Spark's own formula.
+    Q("q50b_embedding_neardup_ivf",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE (CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |       ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END) > 0.35
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      thresholdPairsExact(s, d, 0.35)
     }
   )
 }

@@ -1060,7 +1060,11 @@ object LlmOps {
     // Embedding near-dup pairs above a cosine threshold (pair ids only;
     // the fixture embeddings are near-orthogonal random vectors — max
     // pairwise cosine ≈ 0.51 — so 0.35 selects a real high-similarity
-    // tail rather than an always-empty set).
+    // tail rather than an always-empty set). All-pairs is the
+    // oracle-spec path; the production route is
+    // q50b_embedding_neardup_ivf (IvfAnn.thresholdPairsExact — the
+    // threshold bound prunes cells, certified output-equal in
+    // VectorSpec).
     Q("q50_embedding_neardup",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id
@@ -1082,15 +1086,21 @@ object LlmOps {
     // primitive under SemDeDup-style clustering, bitext mining, and
     // record linkage (a one-sided NN is a guess; a mutual NN is a
     // match). Deterministic argmax: (cosine DESC, id ASC) via struct
-    // max, identical in both engines because the cosine doubles are
-    // computed with the same summation order. Exact all-pairs is the
-    // oracle-spec path (q50's contract); the production route is ANN
-    // candidates (q51/q67) + the same mutual filter.
+    // max, identical in both engines because the oracle spells the
+    // cosine out as dot/(nrm_a*nrm_b) with precomputed norms — the
+    // exact formula, association, and summation order Spark evaluates,
+    // so a near-tie between distinct neighbors cannot flip
+    // cross-engine. Exact all-pairs is the oracle-spec path (q50's
+    // contract); the production route is q222b_mutual_nn_ivf
+    // (IvfAnn.mutualNnExact — IVF cells + triangle bound, certified
+    // output-equal in VectorSpec).
     Q("q222_mutual_nn",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |    list_cosine_similarity(a.emb, b.emb) AS c
-        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |    CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |         ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END AS c
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
         |nn AS (SELECT a_id, (list(b_id ORDER BY c DESC, b_id))[1] AS nb
         |  FROM p GROUP BY a_id)
         |SELECT x.a_id AS a_id, CAST(x.nb AS BIGINT) AS b_id

@@ -64,6 +64,34 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-routed mutual NN ≡ all-pairs mutual NN (production route is exact)") {
+    // The q43c-style routing law for q222: the IVF-candidate +
+    // triangle-bound route must return the IDENTICAL pair set as the
+    // all-pairs argmax — on the planted-copy corpus (tight mutual
+    // pairs), the near-orthogonal sf0.001 fixture (worst case for
+    // pruning: most cells probed), and a chain fixture with one-sided
+    // NNs that must stay excluded.
+    for (dir <- Seq(plantedDir, "/root/testdata/sf0.001")) {
+      val exact = SparkEntry.queries("q222_mutual_nn")(spark, dir)
+        .as[(Long, Long)].collect().toSeq
+      val ivf = SparkEntry.queries("q222b_mutual_nn_ivf")(spark, dir)
+        .as[(Long, Long)].collect().toSeq
+      assert(ivf == exact, s"dir=$dir: ivf=$ivf exact=$exact")
+      assert(exact.nonEmpty, s"dir=$dir: vacuous equivalence")
+    }
+  }
+
+  test("IVF-routed threshold pairs ≡ all-pairs threshold pairs") {
+    for (dir <- Seq(plantedDir, "/root/testdata/sf0.001")) {
+      val exact = SparkEntry.queries("q50_embedding_neardup")(spark, dir)
+        .as[(Long, Long)].collect().toSeq
+      val ivf = SparkEntry.queries("q50b_embedding_neardup_ivf")(spark, dir)
+        .as[(Long, Long)].collect().toSeq
+      assert(ivf == exact, s"dir=$dir: ivf=$ivf exact=$exact")
+      assert(exact.nonEmpty, s"dir=$dir: vacuous equivalence")
+    }
+  }
+
   test("brute-force cosine top-k ranks the exact copy first") {
     val topk = SparkEntry.queries("q49_cosine_topk")(spark, plantedDir)
       .as[(Long, Int, Long)].collect()
