@@ -71,6 +71,23 @@ object LlmOps {
       concat_ws("_", lit(j.toString) +: (0 until 4).map(r => element_at(sig, j * 4 + r + 1)): _*)
     }: _*)
 
+  /** Banding projection shared with the STREAMING near-dup operator:
+    * (band_key, doc_id, shingles) rows for a (doc_id, text) frame — the
+    * identical shingle → minhash → band pipeline behind q44's batch
+    * candidates, all per-row deterministic expressions, so it plans on
+    * a streaming DataFrame unchanged (that identity is what the
+    * StreamingSpec batch-parity law certifies). */
+  private[graft] def bandedDocRows(s: SparkSession, docs: DataFrame): DataFrame = {
+    val sh = docs
+      .withColumn("words", TextFns.tokens(col("text")))
+      .withColumn("shingles", array_distinct(TextFns.shingles(col("words"), 3)))
+      .filter(size(col("shingles")) > 0)
+    sh.withColumn("hx", shingleHashes(col("shingles")))
+      .withColumn("sig", minhashSig(s, col("hx")))
+      .select(explode(bandKeys(col("sig"))).as("band_key"),
+        col("doc_id"), col("shingles"))
+  }
+
   /** Embeddings as double arrays with precomputed norms. Norms and all
     * pairwise dots go through the codegen'd DotProduct expression —
     * identical summation order to the zip_with+aggregate baseline, but a
@@ -224,6 +241,41 @@ object LlmOps {
     grouped.select(col("doc_id"), assemble.as("simhash"))
   }
 
+  /** q216's banding fan-out, for scale measurement (ScaleSmoke
+    * SIMHASH100X): per band over DISTINCT signatures — bucket count,
+    * max bucket, and Σ sz² (the band's candidate-join volume) — plus
+    * the signature-diversity row the banded join's cost tracks. */
+  private[graft] def simhashBandProfile(s: SparkSession, d: String): DataFrame = {
+    val tokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+    val sig = simhashAgg(tokens)
+    val uniq = sig.select(col("simhash")).distinct()
+    val bb = uniq.select(col("simhash"),
+        explode(array((0 to 3).map(lit): _*)).as("band"))
+      .withColumn("bv", expr("shiftright(simhash, band * 8) % 256"))
+    bb.groupBy("band", "bv").agg(count(lit(1)).as("sz"))
+      .groupBy("band").agg(count(lit(1)).as("n_buckets"),
+        max(col("sz")).as("max_bucket"),
+        sum(col("sz") * col("sz")).as("cand_volume"))
+      .orderBy("band")
+  }
+
+  /** q216b's fan-out under the same lens: per 16-bit band over distinct
+    * 64-bit signatures. */
+  private[graft] def simhash64BandProfile(s: SparkSession, d: String): DataFrame = {
+    val tokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+    val uniq = simhash64Agg(tokens)
+      .select("simhash", "bv0", "bv1", "bv2", "bv3").distinct()
+    val bb = uniq.select(posexplode(
+      array(col("bv0"), col("bv1"), col("bv2"), col("bv3"))).as(Seq("band", "bv")))
+    bb.groupBy("band", "bv").agg(count(lit(1)).as("sz"))
+      .groupBy("band").agg(count(lit(1)).as("n_buckets"),
+        max(col("sz")).as("max_bucket"),
+        sum(col("sz") * col("sz")).as("cand_volume"))
+      .orderBy("band")
+  }
+
   private def simhashOracleSql: String = {
     val digitDefs = (0 until 8)
       .map(i => s"strpos('0123456789abcdef', substr(hex, ${i + 1}, 1)) - 1 AS d$i")
@@ -251,6 +303,81 @@ object LlmOps {
        |FROM sm ORDER BY doc_id""".stripMargin
   }
 
+
+  // ---- 64-bit SimHash (q216's 100×-Heaps scale path) --------------------
+
+  /** 64-bit simhash + its four 16-bit band values in one aggregation:
+    * 16 hex digits of sha256(token) → 64 signed bit sums per doc. The
+    * full signature (bit 63 makes it a negative long — harmless, every
+    * consumer is a sign-agnostic bitwise op) feeds the hamming verify;
+    * the band values bv0..bv3 are assembled INDEPENDENTLY as small
+    * positive ints so no engine ever shifts a negative long (DuckDB's
+    * // and % disagree with Spark on negatives). Why 64/16 exists:
+    * recall-1 banding for hamming ≤ k needs k+1 disjoint bands, so
+    * 32-bit sigs cap bands at 8 bits = 256 buckets — SCALE.md round 8
+    * measures that saturating at 100× (Σsz² grew 92×, 6.0 per-unit).
+    * Widening the signature is the production lever: 16-bit bands give
+    * 65536 buckets/band and restore the linear regime at the same
+    * k = 3 pigeonhole guarantee. */
+  private def simhash64Agg(tokens: DataFrame): DataFrame = {
+    val hexd = tokens
+      .withColumn("hex", substring(sha2(col("token"), 256), 1, 16))
+      .select(col("doc_id") +: (0 until 16).map(i =>
+        (instr(lit("0123456789abcdef"), substring(col("hex"), i + 1, 1)) - 1).as(s"d$i")): _*)
+    val sums = (0 until 64).map { b =>
+      val digit = col(s"d${b / 4}")
+      sum(when(shiftright(digit, b % 4).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    val grouped = hexd.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bvs = (0 until 4).map { k =>
+      (16 * k until 16 * (k + 1)).map { b =>
+        when(col(s"s$b") > 0, lit(1L << (b - 16 * k))).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"bv$k")
+    }
+    grouped.select(col("doc_id") +: sig.as("simhash") +: bvs: _*)
+  }
+
+  private def simhash64OracleSql: String = {
+    val digitDefs = (0 until 16)
+      .map(i => s"strpos('0123456789abcdef', substr(hex, ${i + 1}, 1)) - 1 AS d$i")
+      .mkString(",\n    ")
+    val sumDefs = (0 until 64)
+      .map(b => s"sum(CASE WHEN (d${b / 4} // ${1L << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n    ")
+    // Bit 63's weight is Long.MinValue; spell it without a bare
+    // 9223372036854775808 literal (out of BIGINT range pre-negation).
+    def weight(b: Int): String =
+      if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+    val assemble = (0 until 64)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${weight(b)} ELSE 0 END")
+      .mkString(" + ")
+    val bvDefs = (0 until 4).map { k =>
+      (16 * k until 16 * (k + 1))
+        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << (b - 16 * k)} ELSE 0 END")
+        .mkString("(", " + ", s") AS bv$k")
+    }.mkString(",\n    ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+       |), hx AS (
+       |  SELECT doc_id, substr(sha256(token), 1, 16) AS hex FROM tok
+       |), dg AS (
+       |  SELECT doc_id,
+       |    $digitDefs
+       |  FROM hx
+       |), sm AS (
+       |  SELECT doc_id,
+       |    $sumDefs
+       |  FROM dg GROUP BY doc_id
+       |), sig64 AS (
+       |  SELECT doc_id, CAST($assemble AS BIGINT) AS simhash,
+       |    $bvDefs
+       |  FROM sm
+       |)""".stripMargin
+  }
 
   // ---- n-gram Jaccard (two exact algorithms, one oracle) ----------------
 
@@ -862,6 +989,66 @@ object LlmOps {
         .select(least(col("da"), col("db")).as("a_id"),
           greatest(col("da"), col("db")).as("b_id"), col("hamming"))
       // same-signature doc groups: every pair is hamming 0 (output-sized)
+      val within = sig.select(col("simhash"), col("doc_id").as("a_id"))
+        .join(sig.select(col("simhash"), col("doc_id").as("b_id")), "simhash")
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), lit(0L).as("hamming"))
+      cross.unionByName(within).orderBy("a_id", "b_id")
+    },
+
+    // (q216's banding fan-out profiler lives below as
+    // simhashBandProfile — measurement tool, not a declared query.)
+
+    // q216's 100×-Heaps scale path: 64-bit simhash, 4 bands × 16 bits.
+    // SCALE.md round 8 measured the 32-bit/8-bit-band form saturating
+    // its 256-bucket band space at 500k docs (Σsz² up 92×, wall-clock
+    // 6.0 per-unit — quadratic despite linear output). Recall-1
+    // banding for hamming ≤ 3 needs 4 disjoint bands (pigeonhole), so
+    // more buckets requires a WIDER signature, not more bands: 16-bit
+    // bands give 65536 buckets/band — bucket occupancy stays O(n/65536)
+    // and the candidate join tracks output again. Same sha256-derived
+    // construction (first 16 hex digits → 64 signed bit sums), so
+    // DuckDB rebuilds the identical signature AND band values — band
+    // values are assembled independently as small positive ints (never
+    // a shift of the negative 64-bit sig, where // and % semantics
+    // diverge across engines).
+    Q("q216b_simhash64_neighbors", {
+      val sigSql = simhash64OracleSql
+      s"""$sigSql,
+         |bb AS (SELECT doc_id, simhash, band,
+         |    CASE band WHEN 0 THEN bv0 WHEN 1 THEN bv1
+         |              WHEN 2 THEN bv2 ELSE bv3 END AS bv
+         |  FROM (SELECT doc_id, simhash, bv0, bv1, bv2, bv3,
+         |        unnest([0, 1, 2, 3]) AS band FROM sig64)),
+         |p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id,
+         |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM p WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin
+    }) { (s, d) =>
+      val tokens = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+      val sig = simhash64Agg(tokens).localCheckpoint() // members + distinct
+      val uniq = sig.select("simhash", "bv0", "bv1", "bv2", "bv3")
+        .distinct().localCheckpoint()
+      val bb = uniq.select(col("simhash"), posexplode(
+          array(col("bv0"), col("bv1"), col("bv2"), col("bv3"))).as(Seq("band", "bv")))
+      val sigPairs = bb.select(col("simhash").as("sa"), col("band"), col("bv"))
+        .join(bb.select(col("simhash").as("sb"), col("band").as("bandb"),
+          col("bv").as("bvb")),
+          col("band") === col("bandb") && col("bv") === col("bvb")
+            && col("sa") < col("sb"))
+        .select(col("sa"), col("sb")).distinct()
+        .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        .where(col("hamming") <= 3)
+      val mA = sig.select(col("simhash").as("sa"), col("doc_id").as("da"))
+      val mB = sig.select(col("simhash").as("sb"), col("doc_id").as("db"))
+      val cross = sigPairs.join(mA, "sa").join(mB, "sb")
+        .select(least(col("da"), col("db")).as("a_id"),
+          greatest(col("da"), col("db")).as("b_id"), col("hamming"))
       val within = sig.select(col("simhash"), col("doc_id").as("a_id"))
         .join(sig.select(col("simhash"), col("doc_id").as("b_id")), "simhash")
         .where(col("a_id") < col("b_id"))

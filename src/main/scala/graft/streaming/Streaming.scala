@@ -347,6 +347,74 @@ object Streaming {
       .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming MinHash-LSH near-dup detection — the streaming form of
+    * q44: each arriving doc is shingled, minhash-signed, and banded
+    * with the IDENTICAL batch pipeline (LlmOps.bandedDocRows), then
+    * keyed by band key into transformWithState buckets. A bucket's
+    * ListState holds the (doc_id, shingles) of prior members; a new
+    * arrival exact-verifies Jaccard against each of them (the same
+    * integer threshold test and floor(10000·inter/uni) basis points as
+    * the batch verify) and emits the canonical (lo, hi) pair on a hit.
+    * State hygiene is TTL eviction per member — the streaming
+    * equivalent of dedup-horizon watermarking: a bucket never grows
+    * past its TTL window's arrivals, so state stays bounded at any
+    * stream length (the reason LSH banding is the production dedup
+    * shape: per-bucket membership is small by construction).
+    *
+    * A pair that collides in k bands is emitted k times (the batch
+    * path dedupes candidates the same way before verifying); consumers
+    * wanting exactly-once pairs add dropDuplicatesWithinWatermark on
+    * (a_id, b_id) — the q40 primitive — or a downstream distinct, as
+    * the parity spec does. Within a batch, docs are verified in doc_id
+    * order so replays are deterministic. */
+  final case class BandDoc(band_key: String, doc_id: Long, shingles: Seq[String])
+  final case class BandMember(doc_id: Long, shingles: Seq[String])
+  final case class NearDupPair(a_id: Long, b_id: Long, jaccard_bp: Long)
+
+  class NearDupProcessor(t10: Int, ttl: java.time.Duration)
+      extends StatefulProcessor[String, BandDoc, NearDupPair] {
+    @transient private var members: ListState[BandMember] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[BandMember]("members",
+        Encoders.product[BandMember], TTLConfig(ttl))
+    override def handleInputRows(key: String, rows: Iterator[BandDoc],
+        timerValues: TimerValues): Iterator[NearDupPair] = {
+      val out = Seq.newBuilder[NearDupPair]
+      // Prior-batch members once per (batch, bucket); within-batch
+      // arrivals append below so same-batch pairs are found too.
+      var live = members.get().map(m => (m.doc_id, m.shingles.toSet)).toList
+      rows.toList.sortBy(_.doc_id).foreach { d =>
+        val sg = d.shingles.toSet
+        live.foreach { case (mid, msg) =>
+          if (mid != d.doc_id) {
+            val inter = sg.count(msg.contains)
+            val uni = sg.size + msg.size - inter
+            if (inter * 10 >= uni * t10)
+              out += NearDupPair(math.min(mid, d.doc_id), math.max(mid, d.doc_id),
+                math.floor(10000.0 * inter / uni).toLong)
+          }
+        }
+        live ::= ((d.doc_id, sg))
+        members.appendValue(BandMember(d.doc_id, d.shingles))
+      }
+      out.result().iterator
+    }
+  }
+
+  /** docs: streaming (doc_id, text) frame. Emits verified near-dup
+    * pairs at Jaccard ≥ t10/10 against every doc seen within `ttl`. */
+  def nearDupStream(docs: DataFrame, t10: Int,
+      ttl: java.time.Duration): Dataset[NearDupPair] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.operators.LlmOps.bandedDocRows(s, docs).as[BandDoc]
+      .groupByKey(_.band_key)
+      // TTL needs the processing-time clock (same contract as
+      // recentIdsTtl); pairs are emit-once facts → Update mode.
+      .transformWithState(new NearDupProcessor(t10, ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
   /** Parquet sink with checkpointing (exactly-once file sink). */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()) =

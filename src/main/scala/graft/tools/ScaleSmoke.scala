@@ -231,6 +231,42 @@ object ScaleSmoke {
       return
     }
 
+    // SimHash-at-100× mode (r7 verdict #7): q216 on the TEMPLATED
+    // Heaps-vocab corpus (vocab = nDocs/10 — the production regime the
+    // round-7 30-word-synthetic measurement could not speak to), 50k
+    // vs 500k docs, warm reps both scales, plus the banding fan-out
+    // profile (per-band bucket count / max bucket / Σsz² candidate
+    // volume over distinct signatures) and the output pair count.
+    if (sys.env.contains("SPARK_GRAFT_SIMHASH100X")) {
+      val d10 = "/tmp/graft_dedup10x"
+      val d100 = "/tmp/graft_dedup100x"
+      synthesizeTemplated(spark, d10, nDocs = 50000L, vocabSize = 5000)
+      synthesizeTemplated(spark, d100, nDocs = 500000L, vocabSize = 50000)
+      def one(name: String, dir: String): Double = time(noop(
+        SparkEntry.queries(name)(spark, dir)))
+      // SPARK_GRAFT_SIMHASH100X=64 measures only the 64-bit scale path
+      // (the 32-bit form's 100× rep alone is ~4 minutes — measured once,
+      // recorded in SCALE.md round 8).
+      val only64 = sys.env.get("SPARK_GRAFT_SIMHASH100X").contains("64")
+      val variants = (if (only64) Seq.empty else Seq(
+        ("q216_simhash_neighbors", () => graft.operators.LlmOps.simhashBandProfile _))) :+
+        (("q216b_simhash64_neighbors", () => graft.operators.LlmOps.simhash64BandProfile _))
+      for ((name, profile) <- variants;
+           (tag, dir) <- Seq(("10x(50k)", d10), ("100x(500k)", d100))) {
+        one(name, dir) // warm
+        val t = math.min(one(name, dir), one(name, dir))
+        val nOut = SparkEntry.queries(name)(spark, dir).count()
+        println(f"SIMHASH100X $name%-26s $tag%-11s $t%8.2f s  out_pairs $nOut%10d")
+        profile()(spark, dir).collect().foreach { r =>
+          println(f"SIMHASH100X $name%-26s $tag%-11s band ${r.getInt(0)}" +
+            f" n_buckets ${r.getLong(1)}%6d max_bucket ${r.getLong(2)}%8d" +
+            f" cand_volume ${r.getLong(3)}%12d")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // Dedup-at-100× mode (r6 verdict #6): the production dedup path
     // (q44 LSH banding, q137 incremental exact, q82 full pipeline) on a
     // TEMPLATED corpus at 50k (10×) vs 500k (100×) docs. Template

@@ -168,6 +168,22 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.distinct == rows, "band join must dedupe multi-band matches")
   }
 
+  test("simhash64 neighbors: exact dups at hamming 0, wider bands stay recall-1 on them") {
+    val rows = SparkEntry.queries("q216b_simhash64_neighbors")(spark, plantedDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.contains((1L, 5L, 0L)), s"exact dup pair missing: $rows")
+    assert(rows.forall(_._3 <= 3L))
+    assert(rows.forall(r => r._1 < r._2), "pairs must be canonically ordered")
+    assert(rows.distinct == rows, "band join must dedupe multi-band matches")
+    // 64-bit hamming ≤ 3 is strictly tighter than 32-bit hamming ≤ 3
+    // on the same corpus: every 64-bit pair's doc ids must also appear
+    // in q216's pair set (the reverse does not hold).
+    val p32 = SparkEntry.queries("q216_simhash_neighbors")(spark, plantedDir)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(rows.forall(r => p32.contains((r._1, r._2))),
+      "64-bit pair set must be a subset of the 32-bit pair set's ids")
+  }
+
   test("threshold sweep: pair counts step down at the planted Jaccard values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sweep").toString
     // A = B (J = 1.0, counted at every threshold); C shares 7 of its 10

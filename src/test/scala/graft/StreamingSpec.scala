@@ -381,6 +381,114 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming MinHash-LSH near-dup: replayed corpus == batch q44 pair set") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // Planted corpus: 10 families × 3 docs (1 canonical + 2 one-word
+      // mutants → pairwise J ≈ 0.85-0.95) + 10 unrelated docs.
+      def word(f: Int, i: Int) = s"w${math.abs((f * 131 + i) * 2654435761L % 7919)}_$f"
+      val docs: Seq[(Long, String)] =
+        (0 until 10).flatMap { f =>
+          val base = (0 until 40).map(i => word(f, i))
+          (0 until 3).map { m =>
+            val id = (f * 3 + m).toLong
+            val words = if (m == 0) base else base.updated(7 * m, s"mut_${id}")
+            (id, words.mkString(" "))
+          }
+        } ++ (100L until 110L).map(id =>
+          (id, (0 until 40).map(i => s"solo${id}_$i").mkString(" ")))
+      val dir = java.nio.file.Files.createTempDirectory("graft_sndd").toString
+      docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val expect = SparkEntry.queries("q44_minhash_lsh")(spark, dir)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(expect.nonEmpty, "planted corpus produced no batch pairs — vacuous")
+
+      def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
+        val deadline = System.currentTimeMillis() + timeoutMs
+        while (System.currentTimeMillis() < deadline) {
+          if (cond) return true
+          Thread.sleep(500)
+        }
+        cond
+      }
+      val mem = MemoryStream[(Long, String)]
+      val q = Streaming.nearDupStream(mem.toDS().toDF("doc_id", "text"),
+          t10 = 8, ttl = java.time.Duration.ofDays(1))
+        .writeStream.format("memory").queryName("near_dup_out")
+        .outputMode(OutputMode.Update).start()
+      try {
+        // Replay in 3 arrival chunks that split families across batches.
+        val chunks = docs.grouped((docs.size + 2) / 3).toSeq
+        chunks.foreach(mem.addData(_))
+        assert(eventually(90000) {
+          spark.table("near_dup_out").as[(Long, Long, Long)].collect().toSet == expect
+        }, s"stream pairs != batch pairs; got ${
+          spark.table("near_dup_out").as[(Long, Long, Long)].collect().toSet
+        } want $expect")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming near-dup: TTL evicts horizon-expired band members") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
+        val deadline = System.currentTimeMillis() + timeoutMs
+        while (System.currentTimeMillis() < deadline) {
+          if (cond) return true
+          Thread.sleep(500)
+        }
+        cond
+      }
+      val text = (0 until 30).map(i => s"tok$i").mkString(" ")
+      val ttl = java.time.Duration.ofSeconds(2)
+      val mem = MemoryStream[(Long, String)]
+      val q = Streaming.nearDupStream(mem.toDS().toDF("doc_id", "text"),
+          t10 = 8, ttl = ttl)
+        .writeStream.format("memory").queryName("near_dup_ttl")
+        .outputMode(OutputMode.Update).start()
+      try {
+        // Batch 1 is self-observable (1 and 10 pair immediately), so
+        // the TTL clock measurably starts before the sleep.
+        mem.addData(Seq((1L, text), (10L, text)))
+        assert(eventually(90000) {
+          spark.table("near_dup_ttl").as[(Long, Long, Long)].collect().toSet
+            .contains((1L, 10L, 10000L))
+        }, "batch-1 pair never arrived")
+        Thread.sleep(ttl.toMillis + 1500) // let the TTL horizon pass
+        // 2 and 3 pair with each other (inside the window) but must NOT
+        // pair with the evicted 1/10.
+        mem.addData(Seq((2L, text), (3L, text)))
+        assert(eventually(90000) {
+          spark.table("near_dup_ttl").as[(Long, Long, Long)].collect().toSet
+            .contains((2L, 3L, 10000L))
+        }, "post-TTL pair never arrived")
+        val got = spark.table("near_dup_ttl").as[(Long, Long, Long)].collect().toSet
+        val crossHorizon = got.filter(p => Set(1L, 10L).contains(p._1)
+          && Set(2L, 3L).contains(p._2))
+        assert(crossHorizon.isEmpty, s"TTL failed to evict: $crossHorizon")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState funnel: event-time-ordered stream replay == batch q93") {
     implicit val sqlCtx = spark.sqlContext
     import Streaming.FunnelEvent
