@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated scale-killer gate: every declared query's PHYSICAL plan is
+  * audited for the one shape that flatly dies at 100× — funneling an
+  * unbounded frame through a single partition (a partition-less Window
+  * or a SinglePartition shuffle). A query may legitimately plan one,
+  * but only over a frame that is BOUNDED BY CONSTRUCTION (a calendar
+  * frame, a per-bucket offsets table, a ≤k-row report) — and then it
+  * must be allowlisted here WITH its bound. A new query that plans a
+  * global window without a conscious allowlist entry fails this spec:
+  * scale regressions cannot land silently. (The final presentation
+  * `orderBy` every query carries plans as a range exchange, not a
+  * single partition, so it is invisible to this audit — as it should
+  * be: range partitioning scales.)
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries allowed to plan partition-less windows / single-partition
+    * exchanges, each with the reason its frame is bounded. */
+  private val boundedGlobal: Map[String, String] = Map(
+    // PrefixScan offsets windows: the two-level scan's only global
+    // window runs over ONE PRE-AGGREGATED ROW PER BUCKET (value-level
+    // buckets / calendar days / hash buckets) — bounded by bucket
+    // count, never by rows.
+    "q78_token_rarity" -> "PrefixScan offsets: one row per range bucket (numShufflePartitions)",
+    "q101_price_histogram" -> "PrefixScan offsets: one row per price-value bucket",
+    "q109_pps_sample" -> "PrefixScan offsets: one row per hash bucket",
+    "q121_rolling_mau" -> "PrefixScan offsets over day-granular support change points",
+    "q126_rolling_mau_approx" -> "PrefixScan offsets over day-granular HLL deltas",
+    "q143_equidepth_hist" -> "PrefixScan offsets: one row per distinct-value bucket",
+    "q145_quantile_transform" -> "PrefixScan offsets: one row per distinct-value bucket",
+    "q169_ks_drift" -> "PrefixScan offsets: one row per distinct-value bucket",
+    "q175_power_user_deciles" -> "PrefixScan offsets: one row per 256-way hash bucket",
+    "q179_source_length_drift" -> "PrefixScan offsets: one row per distinct-length bucket",
+    "q192_abc_class" -> "PrefixScan offsets: one row per revenue-value bucket",
+    "q201_max_drawdown" -> "PrefixScan offsets: one row per calendar day",
+    "q205_concurrency_peak" -> "PrefixScan offsets: one row per calendar day",
+    "q214_seasonal_index" -> "PrefixScan offsets: one row per calendar month",
+    "q218_vocab_growth" -> "PrefixScan offsets: one row per doc-id decile bucket",
+    // Report-frame windows: the windowed frame is an aggregate whose
+    // cardinality is fixed by the calendar or the report shape, not by
+    // data volume.
+    "q97_bm25" -> "final ranking over the fused (n_queries × top-k) retrieval frame",
+    "q162_time_to_convert" -> "cumulative share over the fixed lag-bucket frame",
+    "q171_stickiness" -> "28-day rolling frame over one row per calendar day",
+    "q180_region_share" -> "share-of-parent over the region×nation rollup frame (≤ 30 rows)",
+    "q183_cumulative_reach" -> "cumulative sum over one first-seen count per calendar day",
+    "q186_mixture_alloc" -> "largest-remainder sweep over one row per source (≤ 20)",
+    "q187_growth_accounting" -> "lag over one row per calendar week",
+    "q200_rolling_median" -> "7-day rolling frame over one row per calendar day (zero-filled)")
+
+  /** A SinglePartition exchange fed (within its own stage) by a
+    * partial-mode aggregate is the ordinary global-scalar shape — the
+    * shuffle moves one pre-combined row per map task, bounded by task
+    * count, never by data volume. Anything else funneling through one
+    * partition is what this audit exists to catch. */
+  private def partialAggUpstream(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec
+      if a.aggregateExpressions.forall(e =>
+        e.mode == Partial || e.mode == PartialMerge) => true
+    case _: Exchange => false // next stage — pre-shuffle combine ends here
+    case other => other.children.exists(partialAggUpstream)
+  }
+
+  private def offendingNodes(plan: SparkPlan): Seq[String] = {
+    val nodes = Seq.newBuilder[String]
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          nodes += "global-window"
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+          nodes += "global-window-limit"
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning == SinglePartition && !partialAggUpstream(e.child) =>
+          nodes += "single-partition-exchange"
+        case a: AdaptiveSparkPlanExec => walk(a.initialPlan)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(plan)
+    nodes.result()
+  }
+
+  test("every declared query's plan is free of unallowlisted single-partition funnels") {
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val nodes = offendingNodes(
+        q.fn(spark, dir).queryExecution.executedPlan)
+      if (nodes.nonEmpty && !boundedGlobal.contains(q.name))
+        Some(s"${q.name}: ${nodes.distinct.mkString(", ")}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"\nqueries planning single-partition funnels without an allowlist bound:\n  ${
+        offenders.mkString("\n  ")}")
+  }
+
+  test("allowlist carries no stale entries") {
+    val declared = SparkEntry.registry.map(_.name).toSet
+    val stale = boundedGlobal.keys.filterNot(declared.contains)
+    assert(stale.isEmpty, s"allowlisted but not declared: $stale")
+    val noLongerGlobal = boundedGlobal.keys.filter { name =>
+      offendingNodes(SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan).isEmpty
+    }
+    assert(noLongerGlobal.isEmpty,
+      s"allowlisted but now clean (remove the entries): $noLongerGlobal")
+  }
+}
