@@ -1189,6 +1189,103 @@ object LlmOps {
         .orderBy(col("doc_id"))
     },
 
+    // MinHash estimator audit: for EVERY co-occurring pair in the
+    // memoized pair graph, compare the 32-perm signature estimate
+    // (matching slots / 32) against the exact Jaccard and certify all
+    // of them inside a ±0.35 envelope (Hoeffding at n=32:
+    // P(|est−J| ≥ 0.35) ≤ 2e^−7.8 per pair; the signatures are
+    // deterministic, so the certificate is reproducible, not a coin
+    // flip). This is the accuracy side of the q44 LSH production
+    // path — q44 certifies recall of the BANDS, this certifies the
+    // SKETCH the bands are built from. Envelope-oracle shape (q54's
+    // pattern): DuckDB recomputes the exact pair count and the
+    // invariant's expected value; a single out-of-envelope pair makes
+    // n_within < n_pairs and the hash compare fail.
+    Q("q224_minhash_est_audit",
+      """WITH sh AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS lb,
+        |    list_distinct(list_transform(
+        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sg
+        |  FROM documents),
+        |p AS (SELECT 1 AS one
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |  WHERE len(a.sg) > 0 AND len(b.sg) > 0
+        |    AND len(list_intersect(a.sg, b.sg)) > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(*) AS BIGINT) AS n_within
+        |FROM p""".stripMargin) { (s, d) =>
+      val sig = docsWithShingles(s, d)
+        .filter(size(col("shingles")) > 0)
+        .select(col("doc_id"),
+          minhashSig(s, shingleHashes(col("shingles"))).as("sig"))
+      cachedPairStats(s, d)
+        .join(sig.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
+        .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+        .withColumn("matches",
+          size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b)))
+        .withColumn("est_bp", expr("(matches * 10000) div 32"))
+        .withColumn("exact_bp",
+          floor(lit(10000.0) * col("inter") / col("uni")).cast("long"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(abs(col("est_bp") - col("exact_bp")) <= 3500, 1L)
+            .otherwise(0L)).as("n_within"))
+    },
+
+    // Tokenizer fertility per language: chars per token ×1000 — the
+    // capacity-planning stat behind token budgeting (how many bytes of
+    // corpus buy how many tokens differs by language; zh vs en fertility
+    // is the canonical example). One map-side-combined aggregate into a
+    // ≤n_languages frame; exact integer ratio.
+    Q("q225_token_fertility",
+      """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST((1000 * sum(n_chars)) // sum(len(string_split(text, ' ')))
+        |    AS BIGINT) AS chars_per_token_x1000
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("total_chars"),
+          sum(size(TextFns.tokens(col("text"))).cast("long")).as("total_tokens"))
+        .select(col("lang"), col("total_chars"), col("total_tokens"),
+          expr("(1000 * total_chars) div total_tokens").as("chars_per_token_x1000"))
+        .orderBy("lang")
+    },
+
+    // Pair-similarity histogram: co-occurring pairs bucketed by Jaccard
+    // decile — the distribution a data team reads NEXT TO q217's
+    // threshold sweep (the sweep gives cumulative counts at candidate
+    // thresholds; this gives the full shape, where the near-dup mass
+    // and the long tail separate). One pass over the memoized pair
+    // graph; output ≤ 11 rows.
+    Q("q226_jaccard_histogram",
+      """WITH sh AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS lb,
+        |    list_distinct(list_transform(
+        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sg
+        |  FROM documents),
+        |p AS (SELECT len(list_intersect(a.sg, b.sg)) AS i,
+        |    len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS u
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |  WHERE len(a.sg) > 0 AND len(b.sg) > 0
+        |    AND len(list_intersect(a.sg, b.sg)) > 0)
+        |SELECT CAST(CAST(floor(10000.0 * i / u) AS BIGINT) // 1000 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      cachedPairStats(s, d)
+        .withColumn("bucket",
+          expr("CAST(floor(10000.0 * inter / uni) AS BIGINT) div 1000"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bucket")
+    },
+
     // Heuristic language-ID: stopword hit counts per language, argmax
     // with fixed tie-break order (en, de, es, fr, zh). Shared per-doc
     // core in langIdPerDoc / langIdPerDocSql (q223 regroups it into

@@ -201,6 +201,37 @@ class DedupSpec extends AnyFunSuite {
       (8L, 1L), (9L, 1L)))
   }
 
+  test("minhash estimator audit: every pair in envelope on the planted sweep corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_est").toString
+    // Same 3-doc shape as the sweep test: (1,2) at J = 1.0 and
+    // (1,3)/(2,3) at J = 7/13 — 3 co-occurring pairs, all of which the
+    // deterministic 32-perm estimate must place within ±0.35.
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val half = ((1 to 9).map(i => s"w$i") ++ Seq("x", "y", "z")).mkString(" ")
+    Seq((1L, base), (2L, base), (3L, half))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q224_minhash_est_audit")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 3L)))
+  }
+
+  test("jaccard histogram: planted pairs land in their deciles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jhist").toString
+    // (1,2): J = 1.0 → 10000 bp → bucket 10; (1,3)/(2,3): J = 7/13 →
+    // 5384 bp → bucket 5.
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val half = ((1 to 9).map(i => s"w$i") ++ Seq("x", "y", "z")).mkString(" ")
+    Seq((1L, base), (2L, base), (3L, half))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q226_jaccard_histogram")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 2L), (10L, 1L)))
+  }
+
   test("vocab growth: per-decile first occurrences with cumulative curve") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vocab").toString
     // 10 docs: doc k carries its own token tk plus the shared token

@@ -449,6 +449,17 @@ class MiningSpec extends AnyFunSuite {
       (d("2024-01-03"), 0L, 50L), (d("2024-01-04"), 500L, 50L)))
   }
 
+  test("token fertility: exact per-language chars-per-token ratio") {
+    val dir = tmpDir("graft_fert")
+    // en: "ab cd ef" (8 chars, 3 tokens) + "xyzzy" (5, 1) → 13000 div 4
+    // = 3250; zh: "ab" (2, 1) → 2000.
+    writeDocs(dir, Seq((1L, "ab cd ef", "en"), (2L, "xyzzy", "en"),
+      (3L, "ab", "zh")))
+    val got = SparkEntry.queries("q225_token_fertility")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("en", 13L, 4L, 3250L), ("zh", 2L, 1L, 2000L)))
+  }
+
   test("drawdown: peak references the DAILY series, cum rides the prefix scan") {
     def d(s: String) = java.sql.Date.valueOf(s)
     val dir = tmpDir("graft_drawdown")
