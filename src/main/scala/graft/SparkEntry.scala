@@ -22,6 +22,7 @@ object SparkEntry {
       operators.CurationOps.qs ++
       operators.GraphOps.qs ++
       operators.AnalyticsOps.qs ++
+      operators.WarehouseOps.qs ++
       operators.MiningOps.qs ++
       operators.AuditOps.qs
 
