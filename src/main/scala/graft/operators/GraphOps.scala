@@ -359,6 +359,46 @@ object GraphOps {
         .crossJoin(broadcast(nP)).crossJoin(broadcast(nS))
         .select(col("m"), col("n_parts"), col("n_supps"), col("sum_dp"),
           col("sum_ds"), col("sum_dpds"), col("sum_dp2"), col("sum_ds2"))
+    },
+
+    // Link prediction by common-neighbor count: for NON-adjacent part
+    // pairs of the co-purchase graph, how many shared neighbors they
+    // have — the classic "who should be connected next" primitive
+    // (recommendations, entity resolution candidates). Wedge
+    // enumeration (edges joined on the middle vertex) bounded by the
+    // same l_quantity sparsification as q103 — Σ deg(m)² stays linear
+    // when the projection is sparse; an unfiltered co-purchase
+    // projection would go dense and wedge volume would explode. The
+    // candidate set is then anti-joined against the edge set so only
+    // genuinely new links surface. Top-20 by (count, a, b) —
+    // deterministic, integer-only.
+    Q("q240_link_prediction",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_quantity >= 40),
+        |e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |       FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+        |w AS (SELECT e1.a AS a, e2.b AS b, CAST(count(*) AS BIGINT) AS cn
+        |      FROM e e1 JOIN e e2 ON e1.b = e2.a AND e1.a < e2.b
+        |      GROUP BY 1, 2)
+        |SELECT w.a AS a, w.b AS b, w.cn AS common_neighbors
+        |FROM w LEFT JOIN e0 ON w.a = e0.a AND w.b = e0.b
+        |WHERE e0.a IS NULL
+        |ORDER BY common_neighbors DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).where(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val e0 = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        .localCheckpoint() // wedge join consumes it twice + the anti join
+      val e = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      val w = e.as("e1").join(e.as("e2"),
+          col("e1.b") === col("e2.a") && col("e1.a") < col("e2.b"))
+        .groupBy(col("e1.a").as("a"), col("e2.b").as("b"))
+        .agg(count(lit(1)).as("common_neighbors"))
+      w.join(e0, w("a") === e0("a") && w("b") === e0("b"), "left_anti")
+        .orderBy(col("common_neighbors").desc, col("a"), col("b"))
+        .limit(20)
     }
   )
 }

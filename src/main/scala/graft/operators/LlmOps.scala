@@ -1951,6 +1951,41 @@ object LlmOps {
         .withColumn("coverage_ppm",
           expr("(1000000 * n_with_vec) div n_docs"))
         .orderBy("source")
+    },
+
+    // Per-dimension embedding distribution profile — the whitening /
+    // normalization prep read before any ANN index build (a dimension
+    // with near-zero variance contributes nothing to cosine and can be
+    // dropped; a dominant-variance dimension argues for per-dim
+    // scaling). Each element is quantized to integers FIRST
+    // (floor(x·10⁶) for sums/extremes, floor(x·10³) for the squared
+    // sum), then integer-summed — so cross-engine summation order
+    // cannot drift the hash, and Σq² stays far from long overflow at
+    // any corpus size (10⁶ per element² × rows). posexplode is a
+    // per-row flat map — embarrassingly parallel, and the groupBy(dim)
+    // aggregate is map-side combined to 64 rows per task.
+    Q("q241_embedding_dim_profile",
+      """WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (SELECT i AS dim, emb[i] AS v
+        |      FROM x, (SELECT unnest(range(1, 65)) AS i))
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT) AS sum_q6,
+        |  CAST(min(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT) AS min_q6,
+        |  CAST(max(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT) AS max_q6,
+        |  CAST(sum(CAST(floor(v * 1000) AS BIGINT) * CAST(floor(v * 1000) AS BIGINT)) AS BIGINT) AS sum_sq_q3
+        |FROM e GROUP BY 1 ORDER BY dim""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("pos", "f")))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          col("f").cast("double").as("v"))
+        .select(col("dim"),
+          floor(col("v") * 1000000).as("q6"),
+          floor(col("v") * 1000).as("q3"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum(col("q6")).as("sum_q6"),
+          min(col("q6")).as("min_q6"), max(col("q6")).as("max_q6"),
+          sum(col("q3") * col("q3")).as("sum_sq_q3"))
+        .orderBy("dim")
     }
   )
 }

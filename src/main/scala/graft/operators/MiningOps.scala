@@ -936,6 +936,49 @@ object MiningOps {
         .select(col("day"), col("cents"), col("cum"), col("peak_daily"),
           col("drawdown"))
         .orderBy("day")
+    },
+
+    // CUSUM change-point certificate over the daily revenue series:
+    // cusum_i = Σ_{j≤i}(n·x_j − S) = n·cum_i − i·S — the cumulative
+    // deviation from the global mean kept in EXACT integers by
+    // multiplying through by n (no float mean ever exists; the peak
+    // |cusum| day is the classic single-change-point estimator). Day
+    // frame is calendar-bounded (q201's shape): the running sum rides
+    // the 32-day-bucketed PrefixScan and the day index is a global
+    // window over one row per calendar day. At 100 TB the n·cum
+    // product argues for dollar (not cent) units — same certificate,
+    // 100× more headroom; the fixture stays in cents for oracle
+    // richness.
+    Q("q242_cusum_changepoint",
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM dly),
+        |w AS (SELECT day, cents,
+        |    CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx FROM dly),
+        |c AS (SELECT w.day, w.cents, t.n * w.cum - w.idx * t.s AS cusum FROM w, t),
+        |m AS (SELECT CAST(max(abs(cusum)) AS BIGINT) AS mx FROM c)
+        |SELECT c.day AS day, c.cents AS cents, CAST(c.cusum AS BIGINT) AS cusum,
+        |  (abs(c.cusum) = m.mx) AS is_peak
+        |FROM c, m ORDER BY day""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("bkt", expr("datediff(day, DATE '1970-01-05') div 32"))
+        .localCheckpoint() // totals + the prefix scan share one build
+      val t = daily.agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+      val cum = graft.plans.PrefixScan.cumsum(daily, part = Seq(),
+        bucket = "bkt", order = Seq("day"), value = "cents", out = "cum")
+      val dayWin = Window.orderBy("day")
+      val c = cum.withColumn("idx", row_number().over(dayWin).cast("long"))
+        .crossJoin(broadcast(t))
+        .withColumn("cusum", col("n") * col("cum") - col("idx") * col("s"))
+      val m = c.agg(max(abs(col("cusum"))).as("mx"))
+      c.crossJoin(broadcast(m))
+        .select(col("day"), col("cents"), col("cusum"),
+          (abs(col("cusum")) === col("mx")).as("is_peak"))
+        .orderBy("day")
     }
   )
 }

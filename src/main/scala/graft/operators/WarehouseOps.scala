@@ -369,5 +369,120 @@ object WarehouseOps {
         .agg(sum(col("h")).as("high_line_count"),
           sum(lit(1L) - col("h")).as("low_line_count"))
         .orderBy("ship_bucket")
+    },
+
+    // TPC-H Q9 shape — "product profit" per supplier nation and year:
+    // revenue minus a modeled supply cost (half the part's retail
+    // price per unit — the fixture has no partsupp table), everything
+    // floored to integer cents per line BEFORE the aggregate. The
+    // profit frame shuffles once on the lineitem⋈orders key; part,
+    // supplier, nation are broadcast.
+    Q("q243_nation_profit",
+      """WITH pl AS (SELECT n.n_name AS nation,
+        |    CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |    CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+        |      - CAST(l.l_quantity AS BIGINT) * CAST(floor(p.p_retailprice * 50) AS BIGINT)
+        |      AS profit_cents
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        |SELECT nation, yr, CAST(sum(profit_cents) AS BIGINT) AS profit_cents,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM pl GROUP BY 1, 2 ORDER BY nation, yr""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          revCents.as("rev"), col("l_quantity").cast("long").as("qty"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate").cast("date")).cast("long").as("yr")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"),
+          floor(col("p_retailprice") * 50).as("cost_unit"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"),
+          col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("nation"), col("yr"),
+          (col("rev") - col("qty") * col("cost_unit")).as("pc"))
+        .groupBy("nation", "yr")
+        .agg(sum(col("pc")).as("profit_cents"), count(lit(1)).as("n_lines"))
+        .orderBy("nation", "yr")
+    },
+
+    // Functional-dependency audit — does determinant → dependent
+    // actually hold in the data? For each candidate FD: distinct
+    // determinant keys, keys with >1 dependent class (violating), and
+    // the minimum row repairs (rows outside each key's majority
+    // class). Two map-side-combinable aggregates per FD — the
+    // profiling pass that validates assumed uniqueness/hierarchy
+    // constraints before a 100 TB pipeline bakes them into joins.
+    Q("q238_fd_violations", {
+      def fdSql(label: String, table: String, det: String, dep: String) =
+        s"""SELECT '$label' AS fd, CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+           |  CAST(sum(tot - mx) AS BIGINT) AS n_violation_rows
+           |FROM (SELECT k, count(*) AS ndv, max(c) AS mx, sum(c) AS tot
+           |      FROM (SELECT $det AS k, $dep AS v, count(*) AS c
+           |            FROM $table GROUP BY 1, 2) g
+           |      GROUP BY 1) kk""".stripMargin
+      Seq(
+        fdSql("documents.source->lang", "documents", "source", "lang"),
+        fdSql("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+        fdSql("part.p_brand->p_type", "part", "p_brand", "p_type"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    }) { (s, d) =>
+      def fd(label: String, df: DataFrame, det: String, dep: String): DataFrame =
+        df.groupBy(col(det).as("k"), col(dep).as("v")).agg(count(lit(1)).as("c"))
+          .groupBy("k").agg(count(lit(1)).as("ndv"), max(col("c")).as("mx"),
+            sum(col("c")).as("tot"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("ndv") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+            sum(col("tot") - col("mx")).as("n_violation_rows"))
+          .select(lit(label).as("fd"), col("n_keys"), col("n_violating_keys"),
+            col("n_violation_rows"))
+      fd("documents.source->lang", Tables.documents(s, d), "source", "lang")
+        .unionAll(fd("orders.o_custkey->o_orderpriority", Tables.orders(s, d),
+          "o_custkey", "o_orderpriority"))
+        .unionAll(fd("part.p_brand->p_type", Tables.part(s, d), "p_brand", "p_type"))
+        .orderBy("fd")
+    },
+
+    // Primary-key candidate discovery — which columns could key the
+    // table? Exact NDV + null count per column (q118's
+    // single-distinct-per-aggregate plan: no Expand, no row
+    // multiplication), flagged is_pk when NDV equals the row count
+    // with zero nulls. Run over two tables to show the cross-table
+    // report shape.
+    Q("q239_pk_discovery", {
+      def colSql(table: String, c: String) =
+        s"""SELECT '$table.$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+           |  CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_nulls,
+           |  (count(DISTINCT $c) = count(*) AND count(*) FILTER (WHERE $c IS NULL) = 0) AS is_pk
+           |FROM $table""".stripMargin
+      (Seq("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus")
+        .map(colSql("orders", _)) ++
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+          .map(colSql("customer", _)))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }) { (s, d) =>
+      def profile(table: String, df: DataFrame, cols: Seq[String]): DataFrame = {
+        val base = df.select(cols.map(col): _*).localCheckpoint()
+        cols.map { c =>
+          base.agg(count(lit(1)).as("n_rows"), count_distinct(col(c)).as("ndv"),
+              sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as("n_nulls"))
+            .select(lit(s"$table.$c").as("col_name"), col("n_rows"), col("ndv"),
+              col("n_nulls"),
+              (col("ndv") === col("n_rows") && col("n_nulls") === 0).as("is_pk"))
+        }.reduce(_ unionAll _)
+      }
+      profile("orders", Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"))
+        .unionAll(profile("customer", Tables.customer(s, d),
+          Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")))
+        .orderBy("col_name")
     })
 }
