@@ -362,17 +362,24 @@ object ScaleSmoke {
             .as("c_acctbal"),
           element_at(array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),
             lit("HOUSEHOLD"), lit("MACHINERY")),
-            (pmod(col("id"), lit(5)) + 1).cast("int")).as("c_mktsegment"))
+            (pmod(col("id"), lit(5)) + 1).cast("int")).as("c_mktsegment"),
+          format_string("CUST%06d", col("id")).as("c_name"))
         .write.mode("overwrite").parquet(s"$adir/customer.parquet")
       spark.range(10000L).select(col("id").as("s_suppkey"),
-          pmod(col("id"), lit(25)).as("s_nationkey"))
+          pmod(col("id"), lit(25)).as("s_nationkey"),
+          format_string("SUPP%05d", col("id")).as("s_name"),
+          ((pmod(xxhash64(col("id") + 37), lit(1100000L)).cast("double") - 100000.0) / 100.0)
+            .as("s_acctbal"))
         .write.mode("overwrite").parquet(s"$adir/supplier.parquet")
       spark.range(200000L).select(col("id").as("p_partkey"),
           element_at(array(lit("PROMO"), lit("STANDARD"), lit("ECONOMY"),
             lit("MEDIUM"), lit("LARGE"), lit("SMALL")),
             (pmod(col("id"), lit(6)) + 1).cast("int")).as("p_type"),
           format_string("Brand#%02d", pmod(col("id"), lit(25)))
-            .as("p_brand"))
+            .as("p_brand"),
+          (pmod(col("id"), lit(50)) + 1).cast("int").as("p_size"),
+          (pmod(xxhash64(col("id") + 41), lit(100000L)).cast("double") / 100.0)
+            .as("p_retailprice"))
         .write.mode("overwrite").parquet(s"$adir/part.parquet")
       spark.range(25L).select(col("id").as("n_nationkey"),
           pmod(col("id"), lit(5)).as("n_regionkey"),
@@ -438,7 +445,18 @@ object ScaleSmoke {
         "q211_hour_dow_heatmap", "q212_priority_mix_shift",
         "q213_trade_matrix", "q214_seasonal_index", "q215_supplier_reach",
         "q216_simhash_neighbors", "q217_threshold_sweep",
-        "q218_vocab_growth", "q219_kcore_peel")
+        "q218_vocab_growth", "q219_kcore_peel",
+        // round-8 batch (TPC-H decision-support shapes + audits/graph/
+        // profile/change-point)
+        "q227_small_qty_revenue", "q228_big_order_customers",
+        "q229_priority_late_exists", "q230_market_share",
+        "q231_waiting_suppliers", "q232_parts_supplier_cnt",
+        "q233_important_parts", "q234_or_pushdown_revenue",
+        "q235_min_price_supplier", "q236_excess_stock",
+        "q237_shipmode_priority", "q238_fd_violations",
+        "q239_pk_discovery", "q240_link_prediction",
+        "q241_embedding_dim_profile", "q242_cusum_changepoint",
+        "q243_nation_profit")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")
