@@ -24,7 +24,8 @@ object SparkEntry {
       operators.AnalyticsOps.qs ++
       operators.WarehouseOps.qs ++
       operators.MiningOps.qs ++
-      operators.AuditOps.qs
+      operators.AuditOps.qs ++
+      operators.ScienceOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

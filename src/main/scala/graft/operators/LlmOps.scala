@@ -1986,6 +1986,58 @@ object LlmOps {
           min(col("q6")).as("min_q6"), max(col("q6")).as("max_q6"),
           sum(col("q3") * col("q3")).as("sum_sq_q3"))
         .orderBy("dim")
+    },
+
+    // Retrieval-quality evaluation (recall@10, MRR): the harness every
+    // embedding pipeline needs before swapping an index — run the query
+    // set, mark candidates sharing the query's label as relevant, and
+    // report per-query recall@10, the rank of the first relevant hit,
+    // and MRR in exact micro-units (10⁶ div rank — no float
+    // reciprocal). Ranking follows the q49 discipline: (cosine DESC,
+    // id ASC) with the oracle spelling the cosine as dot/(nrm·nrm) —
+    // the exact formula and summation order Spark evaluates. The query
+    // side (5 vectors) broadcasts; the corpus never shuffles; the
+    // per-query top-10 is a WindowGroupLimit.
+    Q("q250_retrieval_eval",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, label, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+        |s AS (SELECT q.vec_id AS qid, q.label AS qlab, c.vec_id AS cid, c.label AS clab,
+        |    CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN 0.0
+        |         ELSE list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) END AS sim
+        |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT qid, qlab, cid, clab,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+        |      FROM s),
+        |t AS (SELECT qid,
+        |        CAST(sum(CASE WHEN clab = qlab THEN 1 ELSE 0 END) AS BIGINT) AS recall10,
+        |        CAST(coalesce(min(CASE WHEN clab = qlab THEN rnk END), 0) AS BIGINT) AS first_rank
+        |      FROM r WHERE rnk <= 10 GROUP BY qid)
+        |SELECT qid AS query_id, recall10, first_rank,
+        |  CAST(CASE WHEN first_rank = 0 THEN 0 ELSE 1000000 // first_rank END AS BIGINT) AS mrr_micro
+        |FROM t ORDER BY query_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("nrm", sqrt(fastDot(col("emb"), col("emb"))))
+      val qside = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("label").as("qlab"),
+          col("emb").as("qe"), col("nrm").as("qn"))
+      val cside = e.select(col("vec_id").as("cid"), col("label").as("clab"),
+        col("emb").as("ce"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+      cside.join(broadcast(qside), col("qid") =!= col("cid"))
+        .withColumn("sim", VectorFns.cosineWithNorms(
+          fastDot(col("qe"), col("ce")), col("qn"), col("cn")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .groupBy(col("qid").as("query_id"))
+        .agg(sum(when(col("clab") === col("qlab"), 1L).otherwise(0L)).as("recall10"),
+          coalesce(min(when(col("clab") === col("qlab"), col("rnk"))), lit(0))
+            .cast("long").as("first_rank"))
+        .select(col("query_id"), col("recall10"), col("first_rank"),
+          when(col("first_rank") === 0, 0L)
+            .otherwise(expr("1000000 div first_rank")).as("mrr_micro"))
+        .orderBy("query_id")
     }
   )
 }

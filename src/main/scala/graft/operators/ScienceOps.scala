@@ -1,0 +1,472 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 corpus-science batch: winnowing fingerprints (the MOSS
+  * local-fingerprint scheme), integer-exact surprisal / bigram-LM
+  * quality scores, label-propagation communities, robust trend
+  * statistics (Theil–Sen, Mann–Kendall), the embedding Gram matrix,
+  * the TPC-H Q10 returned-item report, and a Kaplan–Meier-style
+  * churn life table.
+  *
+  * Integer discipline throughout: money is floored to cents before
+  * aggregation, logarithms are floor(log₂ x) = length(bin(x)) − 1
+  * (exact on both engines — no float log), rates are basis points via
+  * truncating division (DuckDB `//` ≡ Spark `div`, identical on
+  * non-negative operands AND on negative numerators — both truncate
+  * toward zero, measured in round 6), and robust statistics are order
+  * statistics over integer-scaled values, so every output hash-matches
+  * the DuckDB oracle bit-for-bit.
+  *
+  * Reference scope: the reference engine (extractor.go:219-307) only
+  * scans/projects; this family is north-star §2B surface.
+  */
+object ScienceOps {
+
+  /** floor(log2(x)) for a positive long column, exact in both engines:
+    * the bit length of x minus one. DuckDB spells it identically
+    * (length(bin(x)) - 1). */
+  private def floorLog2(x: Column): Column = length(bin(x)) - 1
+
+  private def revCents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+
+  /** Monthly revenue (integer cents) per customer nation — the bounded
+    * time-series frame under the Theil–Sen and Mann–Kendall queries.
+    * Month index = year·12 + month, so pair gaps are exact integers.
+    * The frame is CALENDAR-BOUNDED: more data adds rows per (nation,
+    * month) cell, never months, so the downstream pairwise self-join
+    * (≤ months²/2 per nation) is constant-size at any corpus scale. */
+  private def nationMonthly(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), revCents.as("cents"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        (year(col("o_orderdate").cast("date")) * 12 +
+          month(col("o_orderdate").cast("date"))).cast("long").as("mi")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"),
+        col("n_name").as("nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("nation", "mi")
+      .agg(sum(col("cents")).as("c"))
+
+  /** Winnowing fingerprint selection over (doc_id, source, text):
+    * word k-gram Karp-Rabin hashes, minimum of each w-shingle window
+    * (full windows only), distinct selected hashes per (doc, source).
+    * Factored out so the spec can certify the winnowing GUARANTEE
+    * (shared runs of ≥ w+k−1 tokens always share a fingerprint) on a
+    * planted corpus. */
+  private[graft] def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"), col("source"),
+      posexplode(graft.functions.TextFns.shingles(
+        graft.functions.TextFns.tokens(col("text")), k)).as(Seq("pos", "sh")))
+    val h = sh.select(col("doc_id"), col("source"), col("pos"),
+      graft.functions.TextFns.rollingHash(col("sh")).as("hv"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    h.select(col("doc_id"), col("source"), col("pos"),
+        min(col("hv")).over(byDoc.orderBy(col("pos")).rowsBetween(0, w - 1)).as("fpv"),
+        count(lit(1)).over(byDoc).as("cnt"))
+      .where(col("pos") <= col("cnt") - w) // full w-shingle windows only (pos is 0-based)
+      .select(col("doc_id"), col("source"), col("fpv"))
+      .distinct()
+  }
+
+  /** One semi-synchronous label-propagation round: every node adopts
+    * the most frequent label among its neighbors, ties toward the
+    * smaller label (argmax via struct max over (count, −label) —
+    * deterministic under any partitioning). `labels` is (id, lbl);
+    * `edges` is the symmetric (src, dst) set. */
+  private[graft] def lpaRound(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges.join(labels.select(col("id").as("src"), col("lbl")), "src")
+      .groupBy(col("dst").as("id"), col("lbl")).agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+      .select(col("id"), (-col("m.neg")).as("lbl"))
+
+  private val nationMonthlySql =
+    """m AS (SELECT n.n_name AS nation,
+      |    CAST(year(CAST(o.o_orderdate AS DATE)) * 12 + month(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS mi,
+      |    CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer cu ON o.o_custkey = cu.c_custkey
+      |  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    // scheme): hash every word 3-gram (Karp-Rabin fold — the q48
+    // primitive, proven hash-equal cross-engine), then keep only the
+    // MINIMUM hash of each 4-shingle window. Winnowing guarantees any
+    // shared run of ≥ w+k-1 tokens yields a shared fingerprint while
+    // storing ~2/(w+1) of the shingles — the sub-linear local dedup
+    // signature. Report: source-pair overlap of selected fingerprint
+    // sets in integer Jaccard basis points. Scale shape: the window
+    // min is per-document (never global), the fingerprint set shrinks
+    // the shingle stream 2.5×, and the pair join is keyed on the
+    // fingerprint VALUE with sources² output — no all-pairs doc join.
+    Q("q244_winnowing_overlap",
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS wds
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, source,
+        |    unnest(range(1, len(wds) - 1)) AS pos,
+        |    unnest(list_transform(range(1, len(wds) - 1),
+        |      i -> wds[i] || ' ' || wds[i + 1] || ' ' || wds[i + 2])) AS sh
+        |  FROM w),
+        |h AS (SELECT doc_id, source, pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(sh, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS hv
+        |  FROM sh),
+        |fp AS (SELECT DISTINCT source, fpv FROM (
+        |    SELECT source, pos,
+        |      min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fpv,
+        |      count(*) OVER (PARTITION BY doc_id) AS cnt
+        |    FROM h) x WHERE pos <= cnt - 3),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS nf FROM fp GROUP BY 1),
+        |p AS (SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM fp a JOIN fp b ON a.fpv = b.fpv AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT p.s1 AS s1, p.s2 AS s2, n1.nf AS n1, n2.nf AS n2,
+        |  p.n_shared AS n_shared,
+        |  CAST(p.n_shared * 10000 // (n1.nf + n2.nf - p.n_shared) AS BIGINT) AS jaccard_bp
+        |FROM p JOIN n n1 ON p.s1 = n1.source JOIN n n2 ON p.s2 = n2.source
+        |ORDER BY s1, s2""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val fp = winnowFingerprints(Tables.documents(s, d), k = 3, w = 4)
+        .select(col("source"), col("fpv"))
+        .distinct()
+        .localCheckpoint() // consumed by per-source counts AND the pair join (twice)
+      val n = fp.groupBy("source").agg(count(lit(1)).as("nf"))
+      val p = fp.as("a")
+        .join(fp.as("b"), col("a.fpv") === col("b.fpv") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("n_shared"))
+      p.join(broadcast(n.select(col("source").as("s1"), col("nf").as("n1"))), "s1")
+        .join(broadcast(n.select(col("source").as("s2"), col("nf").as("n2"))), "s2")
+        .select(col("s1"), col("s2"), col("n1"), col("n2"), col("n_shared"),
+          expr("(n_shared * 10000) div (n1 + n2 - n_shared)").as("jaccard_bp"))
+        .orderBy("s1", "s2")
+    },
+
+    // Unigram surprisal quality score — the integer-exact form of the
+    // IDF-weighted "informativeness" filter: each token contributes
+    // floor(log2 N) − floor(log2 df) bits (floor-log2 = bit length −
+    // 1, exact in both engines; no float log anywhere). Low-scoring
+    // documents are boilerplate/stopword soup — the cheap first-pass
+    // quality gate before an LM-based filter. Plan: tokens collapse to
+    // (doc, word, count) BEFORE the df join, so the shuffle joins a
+    // per-doc-vocabulary frame (≪ token stream) against the corpus df
+    // table on the word key — no broadcast of the unbounded vocab, no
+    // global window (the q78 lesson).
+    Q("q245_surprisal_score",
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |dtc AS (SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS c
+        |        FROM tok GROUP BY 1, 2, 3),
+        |df AS (SELECT w, CAST(sum(c) AS BIGINT) AS df FROM dtc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(df) AS BIGINT) AS n FROM df),
+        |ds AS (SELECT d.doc_id, d.source,
+        |    CAST(sum(d.c * ((length(bin(t.n)) - 1) - (length(bin(f.df)) - 1))) AS BIGINT) AS score
+        |  FROM dtc d JOIN df f ON d.w = f.w CROSS JOIN tot t
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(score) AS BIGINT) AS total_surprisal,
+        |  CAST(sum(score) // count(*) AS BIGINT) AS mean_surprisal
+        |FROM ds GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+      val dtc = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "source", "w")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // consumed by the df aggregate AND the score join
+      val df = dtc.groupBy("w").agg(sum(col("c")).as("df"))
+      val tot = df.agg(sum(col("df")).as("n"))
+      dtc.join(df, "w") // shuffle join on the word key: vocab is unbounded (Heaps)
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(sum(col("c") * (floorLog2(col("n")) - floorLog2(col("df")))).as("score"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("total_surprisal"))
+        .select(col("source"), col("n_docs"), col("total_surprisal"),
+          expr("total_surprisal div n_docs").as("mean_surprisal"))
+        .orderBy("source")
+    },
+
+    // Bigram-LM pseudo-perplexity — the CCNet-style fluency filter in
+    // exact integers: each bigram (w1 w2) contributes
+    // floor(log2 count(w1 ·)) − floor(log2 count(w1 w2)) bits, i.e.
+    // the bit-length of the inverse conditional probability. High
+    // scores = improbable word transitions (garbled text); low = rote
+    // repetition. Same decomposed shape as q245: per-doc bigram counts
+    // join the corpus bigram table on the bigram key, context counts
+    // derive from the bigram table itself (one extra vocabulary-sized
+    // aggregate, zero extra passes over the corpus).
+    Q("q253_bigram_fluency",
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS wds
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(wds)),
+        |      i -> wds[i] || ' ' || wds[i + 1])) AS bg,
+        |    unnest(list_transform(range(1, len(wds)), i -> wds[i])) AS w1
+        |  FROM w),
+        |dbc AS (SELECT doc_id, source, bg, w1, CAST(count(*) AS BIGINT) AS c
+        |        FROM bg GROUP BY 1, 2, 3, 4),
+        |cbg AS (SELECT bg, CAST(sum(c) AS BIGINT) AS nbg FROM dbc GROUP BY 1),
+        |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS nctx FROM dbc GROUP BY 1),
+        |ds AS (SELECT d.doc_id, d.source,
+        |    CAST(sum(d.c * ((length(bin(x.nctx)) - 1) - (length(bin(b.nbg)) - 1))) AS BIGINT) AS score,
+        |    CAST(sum(d.c) AS BIGINT) AS n_bigrams
+        |  FROM dbc d JOIN cbg b ON d.bg = b.bg JOIN ctx x ON d.w1 = x.w1
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(score) AS BIGINT) AS total_bits,
+        |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(score) * 1000 // sum(n_bigrams) AS BIGINT) AS milli_bits_per_bigram
+        |FROM ds GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+      val words = graft.functions.TextFns.tokens(col("text"))
+      val dbc = Tables.documents(s, d)
+        .where(size(words) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.TextFns.shingles(words, 2)).as("bg"))
+        .select(col("doc_id"), col("source"), col("bg"),
+          element_at(split(col("bg"), " "), 1).as("w1"))
+        .groupBy("doc_id", "source", "bg", "w1")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // consumed by cbg, ctx, AND the score join
+      val cbg = dbc.groupBy("bg").agg(sum(col("c")).as("nbg"))
+      val ctx = dbc.groupBy("w1").agg(sum(col("c")).as("nctx"))
+      dbc.join(cbg, "bg").join(ctx, "w1") // both joins shuffle on vocab-sized keys
+        .groupBy("doc_id", "source")
+        .agg(sum(col("c") * (floorLog2(col("nctx")) - floorLog2(col("nbg")))).as("score"),
+          sum(col("c")).as("nb"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("total_bits"),
+          sum(col("nb")).as("n_bigrams"))
+        .select(col("source"), col("n_docs"), col("total_bits"), col("n_bigrams"),
+          expr("(total_bits * 1000) div n_bigrams").as("milli_bits_per_bigram"))
+        .orderBy("source")
+    },
+
+    // Label-propagation communities on the order graph (two
+    // semi-synchronous rounds, unrolled): every node starts as its own
+    // label; each round it adopts the most frequent label among its
+    // neighbors, ties broken toward the smaller label (argmax via
+    // struct max over (count, −label) — deterministic in any engine,
+    // any partitioning). Two rounds of one shuffle each on the edge
+    // dst key — the same per-iteration shape as q98 PageRank, reusing
+    // its cached+checkpointed symmetric edge table. Integer labels,
+    // integer counts: hash-exact.
+    Q("q246_label_propagation",
+      """WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |c1 AS (SELECT e.dst AS id, e.src AS lbl, count(*) AS c FROM e GROUP BY 1, 2),
+        |l1 AS (SELECT id, (list(lbl ORDER BY c DESC, lbl))[1] AS lbl FROM c1 GROUP BY id),
+        |c2 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+        |       FROM e JOIN l1 l ON e.src = l.id GROUP BY 1, 2),
+        |l2 AS (SELECT id, (list(lbl ORDER BY c DESC, lbl))[1] AS lbl FROM c2 GROUP BY id)
+        |SELECT CAST(lbl AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM l2 GROUP BY 1 ORDER BY n_nodes DESC, community LIMIT 25""".stripMargin) { (s, d) =>
+      val e = GraphOps.symEdges(s, d) // cached + checkpointed build (q98/q105 contract)
+      val l0 = e.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      val l1 = lpaRound(e, l0)
+      val l2 = lpaRound(e, l1)
+      l2.groupBy(col("lbl").cast("long").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community")).limit(25)
+    },
+
+    // Theil–Sen robust slope of each nation's monthly revenue: the
+    // median of all pairwise slopes (c_j − c_i)/(m_j − m_i), immune to
+    // 29% outlier contamination where OLS (q149) is not. Slopes are
+    // integer milli-cents/month via truncating division (identical
+    // toward-zero truncation in both engines, negative numerators
+    // included); the median is the lower order statistic at rank
+    // ⌈n/2⌉ — value-level, deterministic under ties. The pairwise
+    // frame is months²/2 per nation — calendar-bounded (~3k pairs per
+    // nation at ANY corpus scale; the heavy work is the monthly
+    // aggregate, which shuffles once).
+    Q("q247_theil_sen",
+      s"""WITH $nationMonthlySql,
+        |p AS (SELECT a.nation AS nation, ((b.c - a.c) * 1000) // (b.mi - a.mi) AS slope
+        |      FROM m a JOIN m b ON a.nation = b.nation AND a.mi < b.mi),
+        |r AS (SELECT nation, slope,
+        |        row_number() OVER (PARTITION BY nation ORDER BY slope) AS rn,
+        |        count(*) OVER (PARTITION BY nation) AS cnt
+        |      FROM p)
+        |SELECT nation, CAST(cnt AS BIGINT) AS n_pairs, CAST(slope AS BIGINT) AS ts_slope_mc
+        |FROM r WHERE rn = (cnt + 1) // 2
+        |ORDER BY nation""".stripMargin) { (s, d) =>
+      val m = nationMonthly(s, d).localCheckpoint() // both sides of the pair join
+      val p = m.as("a").join(m.as("b"),
+          col("a.nation") === col("b.nation") && col("a.mi") < col("b.mi"))
+        .select(col("a.nation").as("nation"),
+          ((col("b.c") - col("a.c")) * 1000).as("dc"),
+          (col("b.mi") - col("a.mi")).as("dm"))
+        .select(col("nation"), expr("dc div dm").as("slope"))
+      val w = Window.partitionBy(col("nation"))
+      p.select(col("nation"), col("slope"),
+          row_number().over(w.orderBy(col("slope"))).as("rn"),
+          count(lit(1)).over(w).as("cnt"))
+        .where(col("rn") === expr("(cnt + 1) div 2")) // lower median, exact
+        .select(col("nation"), col("cnt").as("n_pairs"), col("slope").as("ts_slope_mc"))
+        .orderBy("nation")
+    },
+
+    // Mann–Kendall trend test statistic per nation: S = Σ_{i<j}
+    // sign(c_j − c_i) over the monthly series — the non-parametric
+    // "is there a monotone trend" certificate that needs no
+    // distributional assumption and no float. |S| near n·(n−1)/2 ⇒
+    // strong monotone trend; near 0 ⇒ none. Same calendar-bounded
+    // pairwise frame as q247 (explicit CASE instead of sign(): Spark's
+    // signum returns DOUBLE, the CASE keeps everything integer).
+    Q("q248_mann_kendall",
+      s"""WITH $nationMonthlySql,
+        |p AS (SELECT a.nation AS nation,
+        |        CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sg
+        |      FROM m a JOIN m b ON a.nation = b.nation AND a.mi < b.mi)
+        |SELECT nation, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(sg) AS BIGINT) AS s_stat,
+        |  CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+        |  CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant
+        |FROM p GROUP BY 1 ORDER BY nation""".stripMargin) { (s, d) =>
+      val m = nationMonthly(s, d).localCheckpoint()
+      m.as("a").join(m.as("b"),
+          col("a.nation") === col("b.nation") && col("a.mi") < col("b.mi"))
+        .select(col("a.nation").as("nation"),
+          when(col("b.c") > col("a.c"), 1L)
+            .when(col("b.c") < col("a.c"), -1L).otherwise(0L).as("sg"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("sg")).as("s_stat"),
+          sum(when(col("sg") === 1, 1L).otherwise(0L)).as("n_concordant"),
+          sum(when(col("sg") === -1, 1L).otherwise(0L)).as("n_discordant"))
+        .orderBy("nation")
+    },
+
+    // Embedding Gram/covariance matrix: Σ xᵢ·xⱼ over all vectors for
+    // every dimension pair i ≤ j, on milli-scaled integer components
+    // (the q241 quantization). sx/sy/sxy/n are the sufficient
+    // statistics for the full covariance/correlation matrix — the
+    // input to PCA whitening and the SemDeDup preprocessing step. Plan
+    // is join-free: each row expands to its d(d+1)/2 upper-triangle
+    // pairs via two nested posexplodes (map-side only), then one
+    // map-side-combinable groupBy on (dim_i, dim_j) — 2080 cells for
+    // d=64 regardless of corpus size.
+    Q("q249_embedding_gram",
+      """WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (SELECT i, j,
+        |    CAST(floor(emb[i] * 1000) AS BIGINT) AS qi,
+        |    CAST(floor(emb[j] * 1000) AS BIGINT) AS qj
+        |  FROM x, (SELECT unnest(range(1, 65)) AS i), (SELECT unnest(range(1, 65)) AS j)
+        |  WHERE i <= j)
+        |SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(qi) AS BIGINT) AS sx,
+        |  CAST(sum(qj) AS BIGINT) AS sy, CAST(sum(qi * qj) AS BIGINT) AS sxy
+        |FROM e GROUP BY 1, 2 ORDER BY dim_i, dim_j""".stripMargin) { (s, d) =>
+      val q3 = Tables.embeddings(s, d)
+        .select(transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+      q3.select(col("q"), posexplode(col("q")).as(Seq("i0", "qi")))
+        .select(col("qi"), (col("i0") + 1).cast("long").as("dim_i"),
+          col("i0"), posexplode(slice(col("q"), col("i0") + 1, size(col("q")) - col("i0")))
+            .as(Seq("p0", "qj")))
+        .select(col("dim_i"), (col("i0") + col("p0") + 1).cast("long").as("dim_j"),
+          col("qi"), col("qj"))
+        .groupBy("dim_i", "dim_j")
+        .agg(count(lit(1)).as("n"), sum(col("qi")).as("sx"), sum(col("qj")).as("sy"),
+          sum(col("qi") * col("qj")).as("sxy"))
+        .orderBy("dim_i", "dim_j")
+    },
+
+    // TPC-H Q10 shape — returned-item revenue report: the customers
+    // whose returned lines ('R' flag) cost the most revenue, with
+    // their nation. The return filter prunes the fact scan first
+    // (~25% selectivity), the join tree shuffles lineitem⋈orders once,
+    // customer/nation are broadcast, and the final top-20 is a
+    // TakeOrderedAndProject — no window, no global sort of the full
+    // aggregate.
+    Q("q251_returned_items",
+      """SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS lost_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_cents DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), revCents.as("cents"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("lost_cents"))
+        .orderBy(col("lost_cents").desc, col("c_custkey")).limit(20)
+    },
+
+    // Kaplan–Meier-style churn life table over customer order
+    // lifetimes: tenure = floor(days between first and last order /
+    // 180) half-years; a customer whose last order falls within 180
+    // days of the corpus end is CENSORED (still alive at observation
+    // cutoff), not churned — the distinction every naive churn query
+    // gets wrong. Output per tenure bucket: the risk set (suffix
+    // cumulative count — customers surviving AT LEAST h half-years),
+    // observed churn, censored exits, and the hazard in basis points.
+    // The only global window runs over one row per tenure bucket
+    // (calendar-bounded; PlanAuditSpec allowlisted).
+    Q("q252_km_churn",
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mend FROM orders),
+        |u AS (SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS fd,
+        |        max(CAST(o_orderdate AS DATE)) AS ld
+        |      FROM orders GROUP BY 1),
+        |t AS (SELECT o_custkey, datediff('day', fd, ld) // 180 AS tm,
+        |        (datediff('day', ld, mend) <= 180) AS cens
+        |      FROM u, mx),
+        |g AS (SELECT tm, CAST(count(*) AS BIGINT) AS n_end,
+        |        CAST(sum(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT) AS n_churned,
+        |        CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+        |      FROM t GROUP BY 1)
+        |SELECT CAST(tm AS BIGINT) AS tenure_hy,
+        |  CAST(sum(n_end) OVER (ORDER BY tm DESC) AS BIGINT) AS n_at_risk,
+        |  n_churned, n_censored,
+        |  CAST(n_churned * 10000 // sum(n_end) OVER (ORDER BY tm DESC) AS BIGINT) AS hazard_bp
+        |FROM g ORDER BY tenure_hy""".stripMargin) { (s, d) =>
+      val mx = Tables.orders(s, d).agg(max(col("o_orderdate").cast("date")).as("mend"))
+      val t = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(min(col("o_orderdate").cast("date")).as("fd"),
+          max(col("o_orderdate").cast("date")).as("ld"))
+        .crossJoin(broadcast(mx))
+        .select(datediff(col("ld"), col("fd")).cast("long").as("dd"),
+          (datediff(col("mend"), col("ld")) <= 180).as("cens"))
+        .select(expr("dd div 180").as("tm"), col("cens"))
+      val g = t.groupBy("tm")
+        .agg(count(lit(1)).as("n_end"),
+          sum(when(col("cens"), 0L).otherwise(1L)).as("n_churned"),
+          sum(when(col("cens"), 1L).otherwise(0L)).as("n_censored"))
+      val wDesc = Window.orderBy(col("tm").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("tm").as("tenure_hy"),
+          sum(col("n_end")).over(wDesc).as("n_at_risk"),
+          col("n_churned"), col("n_censored"))
+        .select(col("tenure_hy"), col("n_at_risk"), col("n_churned"), col("n_censored"),
+          expr("(n_churned * 10000) div n_at_risk").as("hazard_bp"))
+        .orderBy("tenure_hy")
+    })
+}

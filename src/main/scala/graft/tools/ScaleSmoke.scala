@@ -456,7 +456,13 @@ object ScaleSmoke {
         "q237_shipmode_priority", "q238_fd_violations",
         "q239_pk_discovery", "q240_link_prediction",
         "q241_embedding_dim_profile", "q242_cusum_changepoint",
-        "q243_nation_profit")
+        "q243_nation_profit",
+        // round-8 corpus-science batch (winnowing, integer-log scores,
+        // LPA, robust trends, Gram matrix, retrieval eval, Q10, KM)
+        "q244_winnowing_overlap", "q245_surprisal_score",
+        "q246_label_propagation", "q247_theil_sen", "q248_mann_kendall",
+        "q249_embedding_gram", "q250_retrieval_eval",
+        "q251_returned_items", "q252_km_churn", "q253_bigram_fluency")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

@@ -60,7 +60,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q186_mixture_alloc" -> "largest-remainder sweep over one row per source (≤ 20)",
     "q187_growth_accounting" -> "lag over one row per calendar week",
     "q200_rolling_median" -> "7-day rolling frame over one row per calendar day (zero-filled)",
-    "q242_cusum_changepoint" -> "PrefixScan offsets + day-index window over one row per calendar day")
+    "q242_cusum_changepoint" -> "PrefixScan offsets + day-index window over one row per calendar day",
+    "q252_km_churn" -> "suffix cumulative risk set over one row per tenure month (calendar-bounded)")
 
   /** A SinglePartition exchange fed (within its own stage) by a
     * partial-mode aggregate is the ordinary global-scalar shape — the

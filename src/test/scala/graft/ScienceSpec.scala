@@ -1,0 +1,257 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior laws for the round-8 corpus-science batch (ScienceOps +
+  * q250). Each law re-derives the query's core invariant through an
+  * independent formulation — a driver-side brute force over a planted
+  * or bounded frame, or a conservation identity — so a silent
+  * aggregation/join/window bug cannot pass both the oracle and the law.
+  */
+class ScienceSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val d = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  // ---- q244 winnowing -------------------------------------------------
+
+  test("q244: winnowing guarantee — docs sharing a k+w-1 token run share a fingerprint") {
+    graft.functions.GraftFunctions.register(spark)
+    // k=3, w=4 ⇒ any shared run of ≥ 6 tokens must yield a shared
+    // selected fingerprint (Schleimer et al. §2). The shared run sits
+    // at different offsets inside different surrounding junk.
+    val sharedRun = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, "s1", s"one two three four $sharedRun five six seven eight"),
+      (2L, "s2", s"nine ten $sharedRun eleven twelve thirteen fourteen fifteen"))
+      .toDF("doc_id", "source", "text")
+    val fp = operators.ScienceOps.winnowFingerprints(docs, k = 3, w = 4)
+    val a = fp.where($"doc_id" === 1L).select("fpv").as[Long].collect().toSet
+    val b = fp.where($"doc_id" === 2L).select("fpv").as[Long].collect().toSet
+    assert(a.intersect(b).nonEmpty,
+      "winnowing must select a common fingerprint from the shared 6-token run")
+  }
+
+  test("q244: selected fingerprints are window minima — brute-force parity") {
+    graft.functions.GraftFunctions.register(spark)
+    val text = "a b c d e f g h i j k l m n o p q r s t"
+    val docs = Seq((7L, "s", text)).toDF("doc_id", "source", "text")
+    val got = operators.ScienceOps.winnowFingerprints(docs, k = 3, w = 4)
+      .select("fpv").as[Long].collect().toSet
+    // independent formulation: hash every 3-gram in the driver with the
+    // same Karp-Rabin fold, slide the 4-window by hand
+    def kr(sg: String): Long =
+      sg.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val toks = text.split(" ")
+    val hs = toks.sliding(3).map(_.mkString(" ")).map(kr).toArray
+    val want = hs.sliding(4).map(_.min).toSet
+    assert(got == want)
+  }
+
+  test("q244: overlap matrix respects set bounds") {
+    val res = SparkEntry.queries("q244_winnowing_overlap")(spark, d).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val (n1, n2, sh, bp) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(sh <= math.min(n1, n2) && sh >= 1)
+      assert(bp >= 0 && bp <= 10000)
+      assert(bp == sh * 10000 / (n1 + n2 - sh))
+    }
+  }
+
+  // ---- q245 / q253 integer-log scores --------------------------------
+
+  test("floorLog2 via bin() matches math.log2 floor on 1..4096") {
+    val got = spark.range(1, 4097)
+      .select((length(bin(col("id"))) - 1).cast("long").as("fl2"))
+      .as[Long].collect()
+    (1 until 4097).foreach { x =>
+      assert(got(x - 1) == (63 - java.lang.Long.numberOfLeadingZeros(x.toLong)),
+        s"floorLog2($x)")
+    }
+  }
+
+  test("q245: per-source totals re-derive from a window formulation") {
+    val res = SparkEntry.queries("q245_surprisal_score")(spark, d)
+      .agg(sum("total_surprisal")).head.getLong(0)
+    // independent: df via a window over the exploded token stream (no
+    // join), summed globally
+    val tok = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val n = tok.count()
+    val fl2n = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val want = tok
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w")))
+      .select(sum(lit(fl2n) - (length(bin(col("df"))) - 1)).as("s"))
+      .head.getLong(0)
+    assert(res == want)
+  }
+
+  test("q253: bigram fluency is non-negative and mean is exact integer division") {
+    val rows = SparkEntry.queries("q253_bigram_fluency")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bits, nbg, mean) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bits >= 0, "ctx count >= bigram count implies non-negative bits")
+      assert(mean == bits * 1000 / nbg)
+    }
+  }
+
+  // ---- q246 label propagation ----------------------------------------
+
+  test("q246: two LPA rounds on a planted graph match a driver-side brute force") {
+    // two triangles bridged by one weak edge
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val sym = und ++ und.map { case (a, b) => (b, a) }
+    val edges = sym.toDF("src", "dst")
+    val l0 = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    val l2 = operators.ScienceOps.lpaRound(edges,
+      operators.ScienceOps.lpaRound(edges, l0))
+    val got = l2.as[(Long, Long)].collect().toMap
+    // independent driver-side reference with identical tie rule
+    def round(lbls: Map[Long, Long]): Map[Long, Long] =
+      sym.groupBy(_._2).map { case (v, es) =>
+        val counts = es.map(e => lbls(e._1)).groupBy(identity).view.mapValues(_.size)
+        v -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+    val want = round(round(sym.map(_._1).distinct.map(x => x -> x).toMap))
+    assert(got == want)
+  }
+
+  test("q246: community sizes sum to the node count") {
+    // LIMIT 25 in the query would hide mass at scale; at sf0.001 there
+    // are far fewer than 25 communities, so the histogram is complete.
+    val res = SparkEntry.queries("q246_label_propagation")(spark, d)
+    val total = res.agg(sum("n_nodes")).head.getLong(0)
+    val nodes = operators.GraphOps.symEdges(spark, d)
+      .select("src").distinct().count()
+    assert(total == nodes)
+  }
+
+  // ---- q247 / q248 robust trend --------------------------------------
+
+  private def monthlyPairs(): Map[String, Seq[(Long, Long)]] = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).as("cents"))
+      .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"),
+        (year(col("o_orderdate").cast("date")) * 12 +
+          month(col("o_orderdate").cast("date"))).cast("long").as("mi")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, d).select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("mi")).agg(sum("cents").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    li.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+  }
+
+  test("q247: Theil-Sen slope is the lower median of driver-computed pairwise slopes") {
+    val res = SparkEntry.queries("q247_theil_sen")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val series = monthlyPairs()
+    res.foreach { case (nation, (nPairs, slope)) =>
+      val pts = series(nation)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.size
+      } yield (pts(j)._2 - pts(i)._2) * 1000L / (pts(j)._1 - pts(i)._1)).sorted
+      assert(nPairs == slopes.size, s"$nation pair count")
+      assert(slope == slopes((slopes.size + 1) / 2 - 1), s"$nation median slope")
+    }
+  }
+
+  test("q248: S = concordant - discordant, bounded by pair count, consistent with q247") {
+    val mk = SparkEntry.queries("q248_mann_kendall")(spark, d).collect()
+    val ts = SparkEntry.queries("q247_theil_sen")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mk.nonEmpty)
+    mk.foreach { r =>
+      val (nation, np, s, nc, nd) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(s == nc - nd)
+      assert(math.abs(s) <= np && nc + nd <= np)
+      assert(np == ts(nation), "q247/q248 share the pairwise frame")
+    }
+  }
+
+  // ---- q249 embedding Gram -------------------------------------------
+
+  test("q249: Gram matrix satisfies Cauchy-Schwarz and diagonal laws") {
+    val rows = SparkEntry.queries("q249_embedding_gram")(spark, d).collect()
+    val n0 = Tables.embeddings(spark, d).count()
+    val diag = rows.filter(r => r.getLong(0) == r.getLong(1))
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(rows.length == 64 * 65 / 2)
+    rows.foreach { r =>
+      val (i, j, n, sxy) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5))
+      assert(n == n0)
+      if (i == j) assert(sxy >= 0)
+      // Cauchy-Schwarz on the quantized vectors, computed in BigInt
+      assert(BigInt(sxy) * BigInt(sxy) <= BigInt(diag(i)) * BigInt(diag(j)),
+        s"cell ($i,$j)")
+    }
+  }
+
+  test("q249: one off-diagonal cell matches a driver-side dot product") {
+    val vecs = Tables.embeddings(spark, d)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000).toLong))
+    val want = vecs.map(v => v(0) * v(4)).sum
+    val got = SparkEntry.queries("q249_embedding_gram")(spark, d)
+      .where(col("dim_i") === 1 && col("dim_j") === 5)
+      .head.getLong(5)
+    assert(got == want)
+  }
+
+  // ---- q250 retrieval eval -------------------------------------------
+
+  test("q250: metric identities hold per query") {
+    val rows = SparkEntry.queries("q250_retrieval_eval")(spark, d).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (rec, fr, mrr) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rec >= 0 && rec <= 10)
+      assert(fr >= 0 && fr <= 10)
+      assert(if (fr == 0) rec == 0 && mrr == 0 else rec >= 1 && mrr == 1000000L / fr)
+    }
+  }
+
+  // ---- q251 returned items -------------------------------------------
+
+  test("q251: top-20 equals the driver-side sort of the full aggregate") {
+    val got = SparkEntry.queries("q251_returned_items")(spark, d)
+      .select("c_custkey", "lost_cents").as[(Long, Long)].collect().toSeq
+    val full = Tables.lineitem(spark, d).where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).as("cents"))
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(sum("cents").as("lost"))
+      .as[(Long, Long)].collect()
+      .sortBy { case (ck, lost) => (-lost, ck) }.take(20).toSeq
+    assert(got == full)
+  }
+
+  // ---- q252 KM life table --------------------------------------------
+
+  test("q252: life-table conservation — risk sets telescope and exits partition them") {
+    val rows = SparkEntry.queries("q252_km_churn")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val nCust = Tables.orders(spark, d).select("o_custkey").distinct().count()
+    assert(rows.head._2 == nCust, "risk set at tenure 0 is every customer")
+    rows.sliding(2).foreach {
+      case Array((_, atRisk, ch, ce), (_, nextRisk, _, _)) =>
+        assert(atRisk - ch - ce == nextRisk, "exits at t leave the t+1 risk set")
+      case _ => ()
+    }
+    val last = rows.last
+    assert(last._2 == last._3 + last._4, "final bucket fully exits")
+    assert(rows.map(r => r._3 + r._4).sum == nCust, "every customer exits exactly once")
+  }
+}
