@@ -2038,6 +2038,132 @@ object LlmOps {
           when(col("first_rank") === 0, 0L)
             .otherwise(expr("1000000 div first_rank")).as("mrr_micro"))
         .orderBy("query_id")
+    },
+
+    // Incremental (delta) near-dup: the daily-ingest shape — q137's
+    // incremental contract applied to NEAR-duplicates. Today's
+    // arrivals are the top id decile (deterministic stand-in for an
+    // ingest-date predicate); only pairs touching the delta are
+    // produced, at the q43b production threshold t = 0.8. Because the
+    // delta is the TOP of the id space, every qualifying pair has its
+    // larger element in the delta — so the inverted-index count join
+    // runs with the probe side pre-filtered to delta docs BEFORE the
+    // shingle explode: per-day cost scales with delta × co-occurrence,
+    // never corpus². (At 100 TB the index side is the persisted
+    // shingle inventory — the same snapshot artifact cachedPairStats
+    // models; only delta shingles are computed fresh each day.)
+    Q("q255_delta_neardup",
+      s"""WITH sh AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS lb,
+        |    list_distinct(list_transform(
+        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sg
+        |  FROM documents
+        |),
+        |m AS (SELECT max(doc_id) AS mx FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(floor(10000.0 * len(list_intersect(a.sg, b.sg))
+        |       / len(list_distinct(list_concat(a.sg, b.sg)))) AS BIGINT) AS jaccard_bp
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |CROSS JOIN m
+        |WHERE b.doc_id * 10 > m.mx * 9
+        |  AND len(a.sg) > 0 AND len(b.sg) > 0
+        |  AND len(list_intersect(a.sg, b.sg)) * 10
+        |      >= $productionThreshold10 * len(list_distinct(list_concat(a.sg, b.sg)))
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val mx = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
+      val sh = shingleBlocks(s, d)
+      val delta = sh.crossJoin(broadcast(mx))
+        .where(col("doc_id") * 10 > col("mx") * 9).drop("mx")
+      val exAll = sh.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
+        col("lang"), col("lb"), explode(col("sg")).as("shingle"))
+      val exNew = delta.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
+        col("lang").as("langb"), col("lb").as("lbb"), explode(col("sg")).as("shingleb"))
+      val stats = exAll.join(exNew,
+          col("shingle") === col("shingleb") && col("lang") === col("langb") &&
+            col("lb") === col("lbb") && col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
+      stats.filter(col("inter") * 10 >= col("uni") * productionThreshold10)
+        .select(col("a_id"), col("b_id"),
+          floor(lit(10000.0) * col("inter") / col("uni")).as("jaccard_bp"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // INT8 quantization fidelity audit — does q69's 4×-smaller vector
+    // preserve RANKING? For each query vector: top-10 by full-precision
+    // cosine vs top-10 by quantized cosine (integer dot of the q69
+    // int8 codes, normalized by the integer norms), reported as
+    // overlap@10 and set-Jaccard basis points. Both rankings use the
+    // (sim DESC, id ASC) discipline with the oracle spelling out the
+    // identical arithmetic — the q49/q69 proven patterns composed. The
+    // answer every ANN deployment needs before switching its index to
+    // int8 storage.
+    Q("q259_quant_fidelity",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS mx FROM e),
+        |q AS (SELECT vec_id, emb,
+        |    list_transform(emb, x -> CAST(floor(x * (CASE WHEN mx = 0 THEN 0.0
+        |      ELSE 127.0 / mx END) + 0.5) AS BIGINT)) AS qv
+        |  FROM m),
+        |n AS (SELECT vec_id, emb, qv, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS qn
+        |  FROM q),
+        |p AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |         ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END AS fsim,
+        |    CASE WHEN a.qn = 0 OR b.qn = 0 THEN 0.0
+        |         ELSE CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) / (a.qn * b.qn) END AS qsim
+        |  FROM n a JOIN n b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY fsim DESC, cid) AS rf,
+        |    row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, cid) AS rq
+        |  FROM p),
+        |t AS (SELECT qid,
+        |    CAST(sum(CASE WHEN rf <= 10 AND rq <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS overlap10
+        |  FROM r GROUP BY qid)
+        |SELECT qid AS query_id, overlap10,
+        |  CAST(overlap10 * 10000 // (20 - overlap10) AS BIGINT) AS set_jaccard_bp
+        |FROM t ORDER BY query_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("mx", array_max(transform(col("emb"), x => abs(x))))
+        .withColumn("qv", transform(col("emb"), x =>
+          floor(x * when(col("mx") === 0, lit(0.0)).otherwise(lit(127.0) / col("mx"))
+            + lit(0.5)).cast("long")))
+        .withColumn("nrm", sqrt(fastDot(col("emb"), col("emb"))))
+        .withColumn("qn", sqrt(aggregate(
+          zip_with(col("qv"), col("qv"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).cast("double")))
+        .select(col("vec_id"), col("emb"), col("qv"), col("nrm"), col("qn"))
+      val qside = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("emb").as("qe"), col("qv").as("qqv"),
+          col("nrm").as("qnrm"), col("qn").as("qqn"))
+      val cside = e.select(col("vec_id").as("cid"), col("emb").as("ce"),
+        col("qv").as("cqv"), col("nrm").as("cnrm"), col("qn").as("cqn"))
+      val qdot = aggregate(zip_with(col("qqv"), col("cqv"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+      val joined = cside.join(broadcast(qside), col("qid") =!= col("cid"))
+        .withColumn("fsim", VectorFns.cosineWithNorms(
+          fastDot(col("qe"), col("ce")), col("qnrm"), col("cnrm")))
+        .withColumn("qsim", when(col("qqn") === 0 || col("cqn") === 0, lit(0.0))
+          .otherwise(qdot.cast("double") / (col("qqn") * col("cqn"))))
+      val wf = Window.partitionBy(col("qid")).orderBy(col("fsim").desc, col("cid"))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
+      joined
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rq", row_number().over(wq))
+        .groupBy(col("qid").as("query_id"))
+        .agg(sum(when(col("rf") <= 10 && col("rq") <= 10, 1L).otherwise(0L))
+          .as("overlap10"))
+        .select(col("query_id"), col("overlap10"),
+          expr("(overlap10 * 10000) div (20 - overlap10)").as("set_jaccard_bp"))
+        .orderBy("query_id")
     }
   )
 }

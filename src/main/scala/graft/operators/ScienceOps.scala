@@ -420,6 +420,169 @@ object ScienceOps {
         .orderBy(col("lost_cents").desc, col("c_custkey")).limit(20)
     },
 
+    // BPE merge-step pair counting — the first iteration of byte-pair
+    // encoding tokenizer training, distributed: count adjacent
+    // character pairs across the corpus, weighted by word frequency.
+    // The BPE trick is that pair counting runs over the VOCABULARY
+    // (word, freq) table, not the token stream — after the one
+    // word-count aggregate, per-merge cost is corpus-size-independent
+    // (Heaps-bounded), which is why tokenizer training on a 100 TB
+    // corpus is feasible at all. Top-20 merge candidates by
+    // (count DESC, pair ASC) — the pair BPE would merge first.
+    Q("q254_bpe_merge_step",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1),
+        |p AS (SELECT f, unnest(list_transform(range(1, length(w)),
+        |        i -> w[i] || w[i + 1])) AS pair
+        |      FROM v WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+      val v = Tables.documents(s, d)
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      val chars = split(col("w"), "")
+      val m = size(chars) - 1
+      v.where(length(col("w")) >= 2)
+        .select(col("f"),
+          explode(zip_with(slice(chars, lit(1), m), slice(chars, lit(2), m),
+            (a, b) => concat(a, b))).as("pair"))
+        .groupBy("pair").agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
+    },
+
+    // N-gram frequency spectrum power-law certificate: bucket the
+    // 3-gram shingle vocabulary by frequency OCTAVE (floor-log₂ f —
+    // the rank-free dual of the Zipf rank-frequency plot), then fit
+    // the doubly-log spectrum with exact-integer OLS. The spectrum
+    // slope is what calibrates dedup thresholds and LSH banding: a
+    // fast-decaying spectrum (slope ≪ 0) means shingle collisions are
+    // rare and banding is cheap; a flat one predicts hot-bucket blowup
+    // (the q43c skew probe's corpus-level companion). NO per-shingle
+    // rank is ever computed — the octave histogram is one vocab-sized
+    // groupBy (the global-rank trap q78 fell into, designed out), and
+    // the OLS runs over ≤ 64 octave points.
+    Q("q258_freq_spectrum",
+      """WITH w AS (SELECT string_split(text, ' ') AS wds FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT unnest(list_transform(range(1, len(wds) - 1),
+        |         i -> wds[i] || ' ' || wds[i + 1] || ' ' || wds[i + 2])) AS g
+        |       FROM w),
+        |v AS (SELECT g, CAST(count(*) AS BIGINT) AS f FROM sh GROUP BY 1),
+        |oct AS (SELECT CAST(length(bin(f)) - 1 AS BIGINT) AS k,
+        |          CAST(count(*) AS BIGINT) AS nw
+        |        FROM v GROUP BY 1),
+        |pts AS (SELECT k AS x, CAST(length(bin(nw)) - 1 AS BIGINT) AS y FROM oct),
+        |fit AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |          CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |          CAST(sum(x * x) AS BIGINT) AS sxx
+        |        FROM pts)
+        |SELECT oct.k AS octave, oct.nw AS n_words,
+        |  CAST((fit.n * fit.sxy - fit.sx * fit.sy) * 1000
+        |       // (fit.n * fit.sxx - fit.sx * fit.sx) AS BIGINT) AS slope_milli
+        |FROM oct, fit ORDER BY octave""".stripMargin) { (s, d) =>
+      val v = Tables.documents(s, d)
+        .select(explode(graft.functions.TextFns.shingles(
+          graft.functions.TextFns.tokens(col("text")), 3)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("f"))
+      val oct = v.groupBy(floorLog2(col("f")).cast("long").as("k"))
+        .agg(count(lit(1)).as("nw"))
+        .localCheckpoint() // consumed by the fit aggregate AND the output join
+      val pts = oct.select(col("k").as("x"), floorLog2(col("nw")).cast("long").as("y"))
+      val fit = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      oct.crossJoin(broadcast(fit))
+        .select(col("k").as("octave"), col("nw").as("n_words"),
+          expr("((n * sxy - sx * sy) * 1000) div (n * sxx - sx * sx)").as("slope_milli"))
+        .orderBy("octave")
+    },
+
+    // Dataset card — the one-row corpus summary a training-data
+    // release ships with: document/source/language counts, token
+    // volume, mean document length, and the exact-duplicate rate. Each
+    // statistic is its own scalar aggregate cross-joined into one row
+    // (separate single-distinct aggregates, NOT one multi-distinct agg
+    // — that would plan an Expand multiplying every corpus row by the
+    // distinct-column count). All integers; rates in basis points.
+    Q("q256_dataset_card",
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |  FROM documents),
+        |s AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM documents),
+        |l AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents),
+        |dup AS (SELECT CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+        |        FROM (SELECT text, count(*) AS c FROM documents GROUP BY 1) g)
+        |SELECT n_docs, n_sources, n_langs, total_tokens,
+        |  total_tokens // n_docs AS mean_tokens,
+        |  n_dup_docs, (n_dup_docs * 10000) // n_docs AS dup_bp
+        |FROM a, s, l, dup""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val a = docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("total_tokens"))
+      val srcs = docs.agg(countDistinct(col("source")).as("n_sources"))
+      val langs = docs.agg(countDistinct(col("lang")).as("n_langs"))
+      val dup = docs.groupBy("text").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") - 1).as("n_dup_docs"))
+      a.crossJoin(broadcast(srcs)).crossJoin(broadcast(langs))
+        .crossJoin(broadcast(dup))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"), col("total_tokens"),
+          expr("total_tokens div n_docs").as("mean_tokens"),
+          col("n_dup_docs"), expr("(n_dup_docs * 10000) div n_docs").as("dup_bp"))
+    },
+
+    // Additive seasonal decomposition of the global monthly revenue
+    // series: trend = centered 13-month moving sum div 13 (full
+    // windows only), seasonal = month-of-year mean of the detrended
+    // series, residual = the remainder — so cents = trend + seasonal +
+    // residual holds EXACTLY row-by-row (pure integer arithmetic;
+    // truncating division matches across engines on the negative
+    // detrended values too). The windows run over ONE ROW PER CALENDAR
+    // MONTH (bounded; PlanAuditSpec allowlisted) — at any corpus scale
+    // the heavy work is the single monthly aggregate.
+    Q("q257_seasonal_decompose",
+      """WITH mt AS (SELECT CAST(year(CAST(o.o_orderdate AS DATE)) * 12 + month(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS mi,
+        |    CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |r AS (SELECT mi, c, row_number() OVER (ORDER BY mi) AS rn,
+        |        count(*) OVER () AS n,
+        |        sum(c) OVER (ORDER BY mi ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS s13
+        |      FROM mt),
+        |t AS (SELECT mi, c, s13 // 13 AS trend, c - s13 // 13 AS det
+        |      FROM r WHERE rn >= 7 AND rn <= n - 6),
+        |se AS (SELECT mi % 12 AS moy, CAST(sum(det) AS BIGINT) AS sd,
+        |         CAST(count(*) AS BIGINT) AS nd
+        |       FROM t GROUP BY 1)
+        |SELECT t.mi AS mi, t.c AS cents, CAST(t.trend AS BIGINT) AS trend,
+        |  CAST(se.sd // se.nd AS BIGINT) AS seasonal,
+        |  CAST(t.det - se.sd // se.nd AS BIGINT) AS residual
+        |FROM t JOIN se ON t.mi % 12 = se.moy
+        |ORDER BY mi""".stripMargin) { (s, d) =>
+      val mt = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), revCents.as("cents"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          (year(col("o_orderdate").cast("date")) * 12 +
+            month(col("o_orderdate").cast("date"))).cast("long").as("mi")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("mi").agg(sum(col("cents")).as("c"))
+      val wOrd = Window.orderBy(col("mi"))
+      val r = mt.select(col("mi"), col("c"),
+        row_number().over(wOrd).as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("n"),
+        sum(col("c")).over(wOrd.rowsBetween(-6, 6)).as("s13"))
+      val t = r.where(col("rn") >= 7 && col("rn") <= col("n") - 6)
+        .select(col("mi"), col("c"), expr("s13 div 13").as("trend"),
+          (col("c") - expr("s13 div 13")).as("det"))
+        .localCheckpoint() // consumed by the seasonal aggregate AND the final join
+      val se = t.groupBy(pmod(col("mi"), lit(12)).as("moy"))
+        .agg(sum(col("det")).as("sd"), count(lit(1)).as("nd"))
+      t.join(broadcast(se), pmod(col("mi"), lit(12)) === col("moy"))
+        .select(col("mi"), col("c").as("cents"), col("trend"),
+          expr("sd div nd").as("seasonal"),
+          (col("det") - expr("sd div nd")).as("residual"))
+        .orderBy("mi")
+    },
+
     // Kaplan–Meier-style churn life table over customer order
     // lifetimes: tenure = floor(days between first and last order /
     // 180) half-years; a customer whose last order falls within 180

@@ -462,7 +462,10 @@ object ScaleSmoke {
         "q244_winnowing_overlap", "q245_surprisal_score",
         "q246_label_propagation", "q247_theil_sen", "q248_mann_kendall",
         "q249_embedding_gram", "q250_retrieval_eval",
-        "q251_returned_items", "q252_km_churn", "q253_bigram_fluency")
+        "q251_returned_items", "q252_km_churn", "q253_bigram_fluency",
+        "q254_bpe_merge_step", "q255_delta_neardup", "q256_dataset_card",
+        "q257_seasonal_decompose", "q258_freq_spectrum",
+        "q259_quant_fidelity")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

@@ -62,6 +62,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q200_rolling_median" -> "7-day rolling frame over one row per calendar day (zero-filled)",
     "q242_cusum_changepoint" -> "PrefixScan offsets + day-index window over one row per calendar day",
     "q252_km_churn" -> "suffix cumulative risk set over one row per tenure month (calendar-bounded)")
+  // (q257_seasonal_decompose also windows over one row per calendar
+  // month, but its localCheckpoint materializes that stage eagerly at
+  // construction — the declared plan the audit walks is already the
+  // post-checkpoint remainder, so no allowlist entry is needed.)
 
   /** A SinglePartition exchange fed (within its own stage) by a
     * partial-mode aggregate is the ordinary global-scalar shape — the

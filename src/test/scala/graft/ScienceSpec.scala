@@ -237,6 +237,154 @@ class ScienceSpec extends AnyFunSuite {
     assert(got == full)
   }
 
+  // ---- q254 BPE merge step -------------------------------------------
+
+  test("q254: top-20 merge candidates match a driver-side brute force") {
+    val got = SparkEntry.queries("q254_bpe_merge_step")(spark, d)
+      .as[(String, Long)].collect().toSeq
+    val vocab = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    vocab.foreach { case (w, f) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+    }
+    val want = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(got == want)
+  }
+
+  // ---- q255 delta near-dup -------------------------------------------
+
+  test("q255: delta pairs = full t=0.8 pair graph restricted to delta-touching pairs") {
+    val got = SparkEntry.queries("q255_delta_neardup")(spark, d)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val mx = Tables.documents(spark, d).agg(max("doc_id")).head.getLong(0)
+    val want = operators.LlmOps.jaccardCountJoinAt(spark, d, 8)
+      .where(col("b_id") * 10 > mx * 9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    // the top-id-decile delta means every qualifying pair's LARGER
+    // element is in the delta — so the restriction loses nothing that
+    // touches the delta
+    got.foreach { case (_, b) => assert(b * 10 > mx * 9) }
+  }
+
+  // ---- q256 dataset card ---------------------------------------------
+
+  test("q256: every card field re-derives independently") {
+    val r = SparkEntry.queries("q256_dataset_card")(spark, d).head
+    val docs = Tables.documents(spark, d)
+    val nDocs = docs.count()
+    assert(r.getLong(0) == nDocs)
+    assert(r.getLong(1) == docs.select("source").distinct().count())
+    assert(r.getLong(2) == docs.select("lang").distinct().count())
+    val toks = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(r.getLong(3) == toks)
+    assert(r.getLong(4) == toks / nDocs)
+    val nDup = nDocs - docs.select("text").distinct().count()
+    assert(r.getLong(5) == nDup)
+    assert(r.getLong(6) == nDup * 10000 / nDocs)
+  }
+
+  // ---- q257 seasonal decomposition -----------------------------------
+
+  test("q257: cents = trend + seasonal + residual exactly, full windows only") {
+    val rows = SparkEntry.queries("q257_seasonal_decompose")(spark, d).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"additive identity at mi=${r.getLong(0)}")
+    }
+    // 13-month centered window drops 6 months from each end
+    val nMonths = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .select((year(col("o_orderdate").cast("date")) * 12 +
+        month(col("o_orderdate").cast("date"))).as("mi"))
+      .distinct().count()
+    assert(rows.length == nMonths - 12)
+  }
+
+  test("q257: one trend value matches a driver-side 13-month mean") {
+    val monthly = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).as("cents"))
+      .join(Tables.orders(spark, d).select(col("o_orderkey"),
+        (year(col("o_orderdate").cast("date")) * 12 +
+          month(col("o_orderdate").cast("date"))).cast("long").as("mi")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("mi").agg(sum("cents").as("c"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val mid = monthly.length / 2
+    val wantTrend = monthly.slice(mid - 6, mid + 7).map(_._2).sum / 13
+    val got = SparkEntry.queries("q257_seasonal_decompose")(spark, d)
+      .where(col("mi") === monthly(mid)._1).head.getLong(2)
+    assert(got == wantTrend)
+  }
+
+  // ---- q258 frequency spectrum ---------------------------------------
+
+  test("q258: octave histogram and OLS slope re-derive driver-side") {
+    val rows = SparkEntry.queries("q258_freq_spectrum")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val shingleFreqs = Tables.documents(spark, d)
+      .select(explode(graft.functions.TextFns.shingles(
+        split(col("text"), " "), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("f"))
+      .select("f").as[Long].collect()
+    def fl2(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val wantHist = shingleFreqs.groupBy(f => fl2(f).toLong)
+      .view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == wantHist)
+    val pts = wantHist.toSeq.map { case (k, nw) => (k, fl2(nw).toLong) }
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxy, sxx) = (pts.map(p => p._1 * p._2).sum, pts.map(p => p._1 * p._1).sum)
+    val wantSlope = (n * sxy - sx * sy) * 1000 / (n * sxx - sx * sx)
+    rows.foreach(r => assert(r._3 == wantSlope))
+    assert(wantSlope < 0, "fixture spectrum decays")
+  }
+
+  // ---- q259 quantization fidelity ------------------------------------
+
+  test("q259: overlap@10 re-derives from a driver-side double ranking") {
+    val res = SparkEntry.queries("q259_quant_fidelity")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vecs = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def quant(v: Array[Double]): Array[Long] = {
+      val mx = v.map(math.abs).max
+      val sc = if (mx == 0) 0.0 else 127.0 / mx
+      v.map(x => math.floor(x * sc + 0.5).toLong)
+    }
+    def top10(qid: Long, score: (Array[Double], Long) => Double): Set[Long] = {
+      val q = vecs(qid)
+      vecs.keys.filter(_ != qid).toSeq
+        .map(c => (c, score(q, c)))
+        .sortBy { case (c, s) => (-s, c) }.take(10).map(_._1).toSet
+    }
+    res.foreach { case (qid, overlap, jbp) =>
+      val full = top10(qid, (q, c) => {
+        val cv = vecs(c)
+        val dot = q.zip(cv).map { case (a, b) => a * b }.sum
+        val na = math.sqrt(q.map(x => x * x).sum)
+        val nb = math.sqrt(cv.map(x => x * x).sum)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      })
+      val qz = top10(qid, (q, c) => {
+        val (qa, qb) = (quant(q), quant(vecs(c)))
+        val dot = qa.zip(qb).map { case (a, b) => a * b }.sum.toDouble
+        val na = math.sqrt(qa.map(x => x * x).sum.toDouble)
+        val nb = math.sqrt(qb.map(x => x * x).sum.toDouble)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      })
+      assert(overlap == full.intersect(qz).size.toLong, s"query $qid")
+      assert(jbp == overlap * 10000 / (20 - overlap))
+    }
+  }
+
   // ---- q252 KM life table --------------------------------------------
 
   test("q252: life-table conservation — risk sets telescope and exits partition them") {
