@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Ckpt.CkptOps
 import graft.{Q, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -62,14 +63,14 @@ object AuditOps {
     liKeysCache.getOrCompute(s, d) {
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
-        .localCheckpoint()
+        .ckpt()
     }
 
   private def orderKeys(s: SparkSession, d: String): DataFrame =
     ordKeysCache.getOrCompute(s, d) {
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"))
-        .localCheckpoint()
+        .ckpt()
     }
 
   /** FK edge with a caller-supplied (already-counted) child cardinality
@@ -121,7 +122,7 @@ object AuditOps {
       // Tokenizing the corpus is the expensive step and the exploded
       // stream has 3 consumers (MG pass, total, recount) — checkpoint it
       // once (multiply-consumed-subtree rule, same as q101/q110).
-      val tokDf = toks.toDF("w").localCheckpoint()
+      val tokDf = toks.toDF("w").ckpt()
       val candidates = tokDf.as[String].mapPartitions(mg).toDF("w").distinct()
       val tot = tokDf.agg(count(lit(1)).as("n"))
       tokDf
@@ -168,8 +169,8 @@ object AuditOps {
       // One counting pass per fact table, shared across its edges
       // (1-row frames; checkpointed so each reuse is a lookup, not a
       // recount of the projection).
-      val nLi = li.agg(count(lit(1)).as("n_child")).localCheckpoint()
-      val nOrd = ord.agg(count(lit(1)).as("n_child")).localCheckpoint()
+      val nLi = li.agg(count(lit(1)).as("n_child")).ckpt()
+      val nOrd = ord.agg(count(lit(1)).as("n_child")).ckpt()
       fkEdge("customer->nation", Tables.customer(s, d), "c_nationkey",
           Tables.nation(s, d), "n_nationkey")
         .unionAll(fkEdgeWith("lineitem->orders", li, "l_orderkey", nLi,
@@ -212,7 +213,7 @@ object AuditOps {
       // One materialized 6-column projection; each column then profiles
       // as a SINGLE-distinct aggregate (two-stage partial-distinct plan,
       // null count rides along) — no Expand, no 6× row multiplication.
-      val base = Tables.orders(s, d).select(cols.map(col): _*).localCheckpoint()
+      val base = Tables.orders(s, d).select(cols.map(col): _*).ckpt()
       cols.map { c =>
         base.agg(
             sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as("n_nulls"),
@@ -455,7 +456,7 @@ object AuditOps {
         .groupBy(col("source"), col("n_chars").as("x"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("bkt", (col("x") / 64L).cast("long"))
-        .localCheckpoint() // feeds cumsum's two sides + the totals
+        .ckpt() // feeds cumsum's two sides + the totals
       val cum = graft.plans.PrefixScan.cumsum(byVal, part = Seq("source"),
         bucket = "bkt", order = Seq("x"), value = "cnt", out = "cum")
       val tot = byVal.groupBy("source")
@@ -576,7 +577,7 @@ object AuditOps {
       val cells = Tables.orders(s, d)
         .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
         .agg(count(lit(1)).as("o"))
-        .localCheckpoint() // marginals + totals all derive from it
+        .ckpt() // marginals + totals all derive from it
       val rowT = cells.groupBy("pri").agg(sum(col("o")).as("rt"))
       val colT = cells.groupBy("st").agg(sum(col("o")).as("ct"))
       val n = cells.agg(sum(col("o")).as("n"))
@@ -705,7 +706,7 @@ object AuditOps {
         .groupBy("v")
         .agg(sum(col("early")).as("n_a"), sum(lit(1L) - col("early")).as("n_b"))
         .withColumn("bkt", expr("v div 5000000"))
-        .localCheckpoint() // feeds two cumsums + the totals
+        .ckpt() // feeds two cumsums + the totals
       val cum = graft.plans.PrefixScan.cumsum(
         graft.plans.PrefixScan.cumsum(byVal, part = Seq(), bucket = "bkt",
           order = Seq("v"), value = "n_a", out = "cum_a"),
@@ -860,7 +861,7 @@ object AuditOps {
           col("o_custkey") === col("c_custkey"))
         .groupBy("seg", "prio")
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint() // winner join + per-segment max share one pass
+        .ckpt() // winner join + per-segment max share one pass
       val m = cnt.groupBy(col("seg").as("mseg")).agg(max(col("n")).as("mx"))
       cnt.join(broadcast(m), col("seg") === col("mseg") && col("n") === col("mx"))
         .groupBy("seg")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Ckpt.CkptOps
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
 
@@ -603,7 +604,7 @@ object EventsOps {
         .select(expr("timestampdiff(MICROSECOND, vts, pts)").as("us"))
       val vc = dl.groupBy("us").agg(count(lit(1)).as("cnt"))
         .withColumn("bkt", (col("us") / 3600000000L).cast("long"))
-        .localCheckpoint() // cumsum + total
+        .ckpt() // cumsum + total
       val cm = graft.plans.PrefixScan.cumsum(vc, part = Seq(), bucket = "bkt",
         order = Seq("us"), value = "cnt", out = "cum")
       val k = vc.agg(sum(col("cnt")).as("n"))
@@ -643,7 +644,7 @@ object EventsOps {
           expr("CAST(datediff(to_date(ts), DATE '1970-01-05') AS BIGINT) div 7")
             .as("wk"),
           floor(col("value") * 100).cast("long").as("c"))
-        .localCheckpoint() // cohort build + revenue join-back
+        .ckpt() // cohort build + revenue join-back
       val f = e.groupBy("user_id").agg(min(col("wk")).as("cohort"))
       e.join(f, "user_id")
         .groupBy(col("cohort"), (col("wk") - col("cohort")).as("age"))
@@ -696,7 +697,7 @@ object EventsOps {
           expr("timestampdiff(MICROSECOND, pts, ts)").as("gap"))
         .groupBy("event_type", "wk", "gap").agg(count(lit(1)).as("cnt"))
         .withColumn("bkt", (col("gap") / 3600000000L).cast("long"))
-        .localCheckpoint() // cumsum + group sizes
+        .ckpt() // cumsum + group sizes
       val cm = graft.plans.PrefixScan.cumsum(vc,
         part = Seq("event_type", "wk"), bucket = "bkt",
         order = Seq("gap"), value = "cnt", out = "cum")
@@ -767,7 +768,7 @@ object EventsOps {
         .withColumn("negc", -col("n_ev"))
         .withColumn("bkt", expr("negc div 16"))
         .withColumn("one", lit(1L))
-        .localCheckpoint() // rank scan + totals
+        .ckpt() // rank scan + totals
       val t = c.agg(count(lit(1)).as("nu"), sum(col("n_ev")).as("te"))
       graft.plans.PrefixScan.cumsum(c, part = Seq(), bucket = "bkt",
           order = Seq("negc", "user_id"), value = "one", out = "rk")
@@ -841,7 +842,7 @@ object EventsOps {
         |FROM w GROUP BY wk ORDER BY wk""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d)
         .select(col("user_id"), col("event_type"), col("ts"))
-        .localCheckpoint() // first-view aggregate + purchase join
+        .ckpt() // first-view aggregate + purchase join
       val fv = e.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("ts")).as("fv"))
       val cp = fv.join(e.filter(col("event_type") === "purchase"), Seq("user_id"))
@@ -935,7 +936,7 @@ object EventsOps {
         .select(col("user_id"),
           expr("CAST(datediff(day, DATE '1970-01-05') AS BIGINT) div 7").as("wk"))
         .distinct()
-        .localCheckpoint() // actives + first-week + adjacent-week join
+        .ckpt() // actives + first-week + adjacent-week join
       val act = uw.groupBy("wk").agg(count(lit(1)).as("n_active"))
       val nw = uw.groupBy("user_id").agg(min(col("wk")).as("fw"))
         .groupBy(col("fw").as("wk")).agg(count(lit(1)).as("n_new"))
@@ -1083,7 +1084,7 @@ object EventsOps {
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      .localCheckpoint()
+      .ckpt()
 
   /** Exact rolling 28-day MAU per covered day from distinct user-days,
     * ONE definition shared by q121 and q126 so the window length, clip

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Ckpt.CkptOps
 import graft.{Q, Tables}
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -65,9 +66,9 @@ object IvfAnn {
     // without the eager localCheckpoint every reference re-executes the
     // whole k-means chain (on a cluster: reliable checkpoint instead).
     val centroids = (1 to lloydIters).foldLeft(init) { (cents, _) =>
-      recompute(corpus, assign(corpus, cents)).localCheckpoint()
+      recompute(corpus, assign(corpus, cents)).ckpt()
     }
-    (assign(corpus, centroids).localCheckpoint(), centroids)
+    (assign(corpus, centroids).ckpt(), centroids)
   }
 
   /** Exact IVF top-k with a triangle-inequality probe bound. For a cell
@@ -93,7 +94,7 @@ object IvfAnn {
       .withColumn("ang", acos(clamp(
         GraftFunctions.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))))
       .groupBy(col("cell")).agg(max(col("ang")).as("radius"))
-    (assigned, centroids.join(radii, "cell").localCheckpoint())
+    (assigned, centroids.join(radii, "cell").ckpt())
   }
 
   /** Memoized index per (session, fixture dir): an ANN index is built
@@ -202,7 +203,7 @@ object IvfAnn {
         GraftFunctions.dot(col("ea"), col("cemb")) / (col("na") * col("cnrm")))))
       .withColumn("ub", cos(greatest(lit(0.0), col("theta") - col("radius"))))
       .select(col("a_id"), col("ea"), col("na"), col("cell"), col("theta"), col("ub"))
-      .localCheckpoint()
+      .ckpt()
     (members, scored)
   }
 
@@ -235,7 +236,7 @@ object IvfAnn {
     val nn = cosines(probe2).groupBy(col("a_id"))
       .agg(max(struct(col("c"), (-col("b_id")).as("negb"))).as("m"))
       .select(col("a_id"), (-col("m.negb")).cast("long").as("nb"))
-      .localCheckpoint() // both sides of the reciprocity join
+      .ckpt() // both sides of the reciprocity join
     nn.join(nn.select(col("a_id").as("ya"), col("nb").as("ynb")),
         col("nb") === col("ya") && col("ynb") === col("a_id")
           && col("a_id") < col("nb"))

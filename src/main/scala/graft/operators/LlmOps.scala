@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Ckpt.CkptOps
 import graft.{Q, Tables}
 import graft.functions.{TextFns, VectorFns}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -426,7 +427,7 @@ object LlmOps {
       |        >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))""".stripMargin
 
   /** Distinct shingle sets per doc with blocking keys and set size. */
-  private def shingleBlocks(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingleBlocks(s: SparkSession, d: String): DataFrame =
     docsWithShingles(s, d)
       .select(col("doc_id"), col("lang"), (col("n_chars") / 100).cast("long").as("lb"),
         col("shingles").as("sg"))
@@ -465,6 +466,28 @@ object LlmOps {
       .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
   }
 
+  /** Delta-restricted inverted-index near-dup probe over a prepared
+    * shingle inventory: exact-Jaccard pairs (a_id < b_id) at t10/10
+    * whose LARGER element lies in `shDelta`. `shIndex` models the
+    * persisted corpus shingle inventory (callers checkpoint/persist it
+    * untimed); only the delta side is "today's" work — the per-day cost
+    * shape ScaleSmoke's DELTAPROBE mode measures against a fixed-size
+    * delta on a growing corpus. */
+  private[graft] def deltaNearDupProbe(
+      shIndex: DataFrame, shDelta: DataFrame, t10: Int): DataFrame = {
+    val exAll = shIndex.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
+      col("lang"), col("lb"), explode(col("sg")).as("shingle"))
+    val exNew = shDelta.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
+      col("lang").as("langb"), col("lb").as("lbb"), explode(col("sg")).as("shingleb"))
+    val stats = exAll.join(exNew,
+        col("shingle") === col("shingleb") && col("lang") === col("langb") &&
+          col("lb") === col("lbb") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
+    finishJaccard(stats, t10)
+  }
+
   private def finishJaccard(stats: DataFrame, t10: Int): DataFrame =
     stats
       .filter(col("inter") * 10 >= col("uni") * t10)
@@ -483,7 +506,7 @@ object LlmOps {
   private val pairStatsCache = new graft.plans.DerivationCache[DataFrame]
 
   private def cachedPairStats(s: SparkSession, d: String): DataFrame =
-    pairStatsCache.getOrCompute(s, d)(blockedPairStats(s, d).localCheckpoint())
+    pairStatsCache.getOrCompute(s, d)(blockedPairStats(s, d).ckpt())
 
   private def jaccardCountJoin(s: SparkSession, d: String): DataFrame =
     finishJaccard(cachedPairStats(s, d), jaccardThreshold10)
@@ -969,8 +992,8 @@ object LlmOps {
       // the only super-output work left is the distinct-sig bucket
       // join. Measured: 18.8× → ~linear at 10× docs on the
       // low-diversity synthetic corpus (SCALE.md round 7).
-      val sig = simhashAgg(tokens).localCheckpoint() // members + distinct
-      val uniq = sig.select(col("simhash")).distinct().localCheckpoint()
+      val sig = simhashAgg(tokens).ckpt() // members + distinct
+      val uniq = sig.select(col("simhash")).distinct().ckpt()
       val bb = uniq.select(col("simhash"),
           explode(array((0 to 3).map(lit): _*)).as("band"))
         .withColumn("bv", expr("shiftright(simhash, band * 8) % 256"))
@@ -1031,9 +1054,9 @@ object LlmOps {
     }) { (s, d) =>
       val tokens = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
-      val sig = simhash64Agg(tokens).localCheckpoint() // members + distinct
+      val sig = simhash64Agg(tokens).ckpt() // members + distinct
       val uniq = sig.select("simhash", "bv0", "bv1", "bv2", "bv3")
-        .distinct().localCheckpoint()
+        .distinct().ckpt()
       val bb = uniq.select(col("simhash"), posexplode(
           array(col("bv0"), col("bv1"), col("bv2"), col("bv3"))).as(Seq("band", "bv")))
       val sigPairs = bb.select(col("simhash").as("sa"), col("band"), col("bv"))
@@ -1133,7 +1156,7 @@ object LlmOps {
          |FROM g ORDER BY decile""".stripMargin
     }) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id")).distinct()
-        .localCheckpoint() // count + threshold scan
+        .ckpt() // count + threshold scan
       val nRow = docs.agg(count(lit(1)).as("n"))
       val vc = docs.select(col("doc_id").as("val"))
         .withColumn("cnt", lit(1L)).withColumn("bkt", expr("val div 1024"))
@@ -1231,8 +1254,11 @@ object LlmOps {
         .withColumn("exact_bp",
           floor(lit(10000.0) * col("inter") / col("uni")).cast("long"))
         .agg(count(lit(1)).as("n_pairs"),
-          sum(when(abs(col("est_bp") - col("exact_bp")) <= 3500, 1L)
-            .otherwise(0L)).as("n_within"))
+          // coalesce: sum over ZERO rows is NULL in Spark but the
+          // oracle's count(*) is 0 — a legitimately pair-free corpus
+          // must not hash-mismatch
+          coalesce(sum(when(abs(col("est_bp") - col("exact_bp")) <= 3500, 1L)
+            .otherwise(0L)), lit(0L)).as("n_within"))
     },
 
     // Tokenizer fertility per language: chars per token ×1000 — the
@@ -1417,7 +1443,7 @@ object LlmOps {
       val nn = p.groupBy("a_id")
         .agg(max(struct(col("c"), (-col("b_id")).as("negb"))).as("m"))
         .select(col("a_id"), (-col("m.negb")).as("nb"))
-        .localCheckpoint() // both sides of the reciprocity join
+        .ckpt() // both sides of the reciprocity join
       nn.join(nn.select(col("a_id").as("ya"), col("nb").as("ynb")),
           col("nb") === col("ya") && col("ynb") === col("a_id")
             && col("a_id") < col("nb"))
@@ -1568,7 +1594,7 @@ object LlmOps {
             when(col("n_chars").between(100, 400), 10L).otherwise(0L))
             .as("quality"))
       val c = clusters.join(q, "doc_id")
-        .localCheckpoint() // maxima + equality join-back
+        .ckpt() // maxima + equality join-back
       val g = c.groupBy("cluster_id")
         .agg(max(col("quality")).as("mq"), count(lit(1)).as("n_docs"))
       g.join(c, Seq("cluster_id"))
@@ -1778,7 +1804,7 @@ object LlmOps {
     }) { (s, d) =>
       val comp = graft.plans.ConnectedComponents
         .components(jaccardCountJoin(s, d).select(col("a_id"), col("b_id")))
-        .localCheckpoint() // histogram + clustered-count consumers
+        .ckpt() // histogram + clustered-count consumers
       val h = comp.groupBy("label").agg(count(lit(1)).as("size"))
         .groupBy("size").agg(count(lit(1)).as("n_clusters"))
         .withColumn("n_docs", col("size") * col("n_clusters"))
@@ -2052,6 +2078,8 @@ object LlmOps {
     // never corpus². (At 100 TB the index side is the persisted
     // shingle inventory — the same snapshot artifact cachedPairStats
     // models; only delta shingles are computed fresh each day.)
+    // (core factored into deltaNearDupProbe so ScaleSmoke can time the
+    // per-day probe against a FIXED-size delta while the corpus grows)
     Q("q255_delta_neardup",
       s"""WITH sh AS (
         |  SELECT doc_id, lang, n_chars // 100 AS lb,
@@ -2075,23 +2103,12 @@ object LlmOps {
         |      >= $productionThreshold10 * len(list_distinct(list_concat(a.sg, b.sg)))
         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       val mx = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
-      val sh = shingleBlocks(s, d)
+      // consumed by BOTH the index side and the delta probe side —
+      // without the checkpoint the scan+shingle pipeline runs twice
+      val sh = shingleBlocks(s, d).ckpt()
       val delta = sh.crossJoin(broadcast(mx))
         .where(col("doc_id") * 10 > col("mx") * 9).drop("mx")
-      val exAll = sh.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
-        col("lang"), col("lb"), explode(col("sg")).as("shingle"))
-      val exNew = delta.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
-        col("lang").as("langb"), col("lb").as("lbb"), explode(col("sg")).as("shingleb"))
-      val stats = exAll.join(exNew,
-          col("shingle") === col("shingleb") && col("lang") === col("langb") &&
-            col("lb") === col("lbb") && col("a_id") < col("b_id"))
-        .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
-      stats.filter(col("inter") * 10 >= col("uni") * productionThreshold10)
-        .select(col("a_id"), col("b_id"),
-          floor(lit(10000.0) * col("inter") / col("uni")).as("jaccard_bp"))
-        .orderBy(col("a_id"), col("b_id"))
+      deltaNearDupProbe(sh, delta, productionThreshold10)
     },
 
     // INT8 quantization fidelity audit — does q69's 4×-smaller vector

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Ckpt.CkptOps
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -31,7 +32,7 @@ object ScienceOps {
     * (length(bin(x)) - 1). */
   private def floorLog2(x: Column): Column = length(bin(x)) - 1
 
-  private def revCents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+  private def revCents = WarehouseOps.revCents // ONE cents formula repo-wide
 
   /** Monthly revenue (integer cents) per customer nation — the bounded
     * time-series frame under the Theil–Sen and Mann–Kendall queries.
@@ -142,7 +143,7 @@ object ScienceOps {
       val fp = winnowFingerprints(Tables.documents(s, d), k = 3, w = 4)
         .select(col("source"), col("fpv"))
         .distinct()
-        .localCheckpoint() // consumed by per-source counts AND the pair join (twice)
+        .ckpt() // consumed by per-source counts AND the pair join (twice)
       val n = fp.groupBy("source").agg(count(lit(1)).as("nf"))
       val p = fp.as("a")
         .join(fp.as("b"), col("a.fpv") === col("b.fpv") && col("a.source") < col("b.source"))
@@ -185,7 +186,7 @@ object ScienceOps {
           explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
         .groupBy("doc_id", "source", "w")
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint() // consumed by the df aggregate AND the score join
+        .ckpt() // consumed by the df aggregate AND the score join
       val df = dtc.groupBy("w").agg(sum(col("c")).as("df"))
       val tot = df.agg(sum(col("df")).as("n"))
       dtc.join(df, "w") // shuffle join on the word key: vocab is unbounded (Heaps)
@@ -239,7 +240,7 @@ object ScienceOps {
           element_at(split(col("bg"), " "), 1).as("w1"))
         .groupBy("doc_id", "source", "bg", "w1")
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint() // consumed by cbg, ctx, AND the score join
+        .ckpt() // consumed by cbg, ctx, AND the score join
       val cbg = dbc.groupBy("bg").agg(sum(col("c")).as("nbg"))
       val ctx = dbc.groupBy("w1").agg(sum(col("c")).as("nctx"))
       dbc.join(cbg, "bg").join(ctx, "w1") // both joins shuffle on vocab-sized keys
@@ -305,7 +306,7 @@ object ScienceOps {
         |SELECT nation, CAST(cnt AS BIGINT) AS n_pairs, CAST(slope AS BIGINT) AS ts_slope_mc
         |FROM r WHERE rn = (cnt + 1) // 2
         |ORDER BY nation""".stripMargin) { (s, d) =>
-      val m = nationMonthly(s, d).localCheckpoint() // both sides of the pair join
+      val m = nationMonthly(s, d).ckpt() // both sides of the pair join
       val p = m.as("a").join(m.as("b"),
           col("a.nation") === col("b.nation") && col("a.mi") < col("b.mi"))
         .select(col("a.nation").as("nation"),
@@ -338,7 +339,7 @@ object ScienceOps {
         |  CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
         |  CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant
         |FROM p GROUP BY 1 ORDER BY nation""".stripMargin) { (s, d) =>
-      val m = nationMonthly(s, d).localCheckpoint()
+      val m = nationMonthly(s, d).ckpt()
       m.as("a").join(m.as("b"),
           col("a.nation") === col("b.nation") && col("a.mi") < col("b.mi"))
         .select(col("a.nation").as("nation"),
@@ -477,8 +478,9 @@ object ScienceOps {
         |          CAST(sum(x * x) AS BIGINT) AS sxx
         |        FROM pts)
         |SELECT oct.k AS octave, oct.nw AS n_words,
-        |  CAST((fit.n * fit.sxy - fit.sx * fit.sy) * 1000
-        |       // (fit.n * fit.sxx - fit.sx * fit.sx) AS BIGINT) AS slope_milli
+        |  CAST(CASE WHEN fit.n * fit.sxx - fit.sx * fit.sx = 0 THEN 0
+        |       ELSE (fit.n * fit.sxy - fit.sx * fit.sy) * 1000
+        |            // (fit.n * fit.sxx - fit.sx * fit.sx) END AS BIGINT) AS slope_milli
         |FROM oct, fit ORDER BY octave""".stripMargin) { (s, d) =>
       val v = Tables.documents(s, d)
         .select(explode(graft.functions.TextFns.shingles(
@@ -486,14 +488,19 @@ object ScienceOps {
         .groupBy("g").agg(count(lit(1)).as("f"))
       val oct = v.groupBy(floorLog2(col("f")).cast("long").as("k"))
         .agg(count(lit(1)).as("nw"))
-        .localCheckpoint() // consumed by the fit aggregate AND the output join
+        .ckpt() // consumed by the fit aggregate AND the output join
       val pts = oct.select(col("k").as("x"), floorLog2(col("nw")).cast("long").as("y"))
       val fit = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       oct.crossJoin(broadcast(fit))
         .select(col("k").as("octave"), col("nw").as("n_words"),
-          expr("((n * sxy - sx * sy) * 1000) div (n * sxx - sx * sx)").as("slope_milli"))
+          // zero-denominator guard: a single-octave spectrum (every
+          // shingle unique) has an undefined slope — report 0, matching
+          // the oracle's CASE, instead of a cross-engine NULL divergence
+          when(expr("n * sxx - sx * sx") === 0, 0L)
+            .otherwise(expr("((n * sxy - sx * sy) * 1000) div (n * sxx - sx * sx)"))
+            .as("slope_milli"))
         .orderBy("octave")
     },
 
@@ -573,7 +580,7 @@ object ScienceOps {
       val t = r.where(col("rn") >= 7 && col("rn") <= col("n") - 6)
         .select(col("mi"), col("c"), expr("s13 div 13").as("trend"),
           (col("c") - expr("s13 div 13")).as("det"))
-        .localCheckpoint() // consumed by the seasonal aggregate AND the final join
+        .ckpt() // consumed by the seasonal aggregate AND the final join
       val se = t.groupBy(pmod(col("mi"), lit(12)).as("moy"))
         .agg(sum(col("det")).as("sd"), count(lit(1)).as("nd"))
       t.join(broadcast(se), pmod(col("mi"), lit(12)) === col("moy"))

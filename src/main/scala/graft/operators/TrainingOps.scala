@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Ckpt.CkptOps
 import graft.{Q, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -712,7 +713,7 @@ object TrainingOps {
         |FROM r CROSS JOIN e ORDER BY source""".stripMargin) { (s, d) =>
       val c = Tables.documents(s, d)
         .groupBy("source").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // total + base/remainder pass share the count
+        .ckpt() // total + base/remainder pass share the count
       val t = c.agg(sum(col("cnt")).as("n"))
       val b = c.crossJoin(broadcast(t))
         .select(col("source"), col("cnt"),

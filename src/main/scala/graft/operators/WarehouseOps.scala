@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Ckpt.CkptOps
 import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -27,7 +28,9 @@ import org.apache.spark.sql.functions._
   */
 object WarehouseOps {
 
-  private def revCents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+  /** Revenue in integer cents — the hash-exactness-critical expression;
+    * shared with ScienceOps so the formula cannot silently diverge. */
+  private[operators] def revCents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
 
   val qs: Seq[Q] = Seq(
 
@@ -152,11 +155,13 @@ object WarehouseOps {
           .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
           col("s_nationkey") === col("snk"))
       val a = mkt.groupBy("yr", "supp_nation").agg(sum(col("cents")).as("cents"))
-        .localCheckpoint() // consumed by the year-total AND the share join
+        .ckpt() // consumed by the year-total AND the share join
       val t = a.groupBy(col("yr").as("tyr")).agg(sum(col("cents")).as("tot"))
       a.join(broadcast(t), col("yr") === col("tyr"))
         .select(col("yr"), col("supp_nation"), col("cents"),
-          ((col("cents") * 10000) / col("tot")).cast("long").as("share_bp"))
+          // exact integer division, matching the oracle's `//` — float
+          // `/` + cast loses integer precision past 2⁵³ at scale
+          expr("(cents * 10000) div tot").as("share_bp"))
         .orderBy("yr", "supp_nation")
     },
 
@@ -233,7 +238,7 @@ object WarehouseOps {
       val pv = Tables.lineitem(s, d)
         .select(col("l_partkey"), floor(col("l_extendedprice") * 100).as("c"))
         .groupBy("l_partkey").agg(sum(col("c")).as("cents"))
-        .localCheckpoint() // consumed by the scalar total AND the filter
+        .ckpt() // consumed by the scalar total AND the filter
       val t = pv.agg(sum(col("cents")).as("tot"), count(lit(1)).as("np"))
       pv.crossJoin(broadcast(t))
         .where(col("cents") * col("np") > col("tot"))
@@ -300,7 +305,10 @@ object WarehouseOps {
         .groupBy("pk", "sk")
         .agg(sum(col("c")).as("cents"), sum(col("q")).as("qty"))
         .select(col("pk"), col("sk"),
-          ((col("cents") * 10000) / col("qty")).cast("long").as("unit"))
+          // exact integer division (NOT float `/` + cast): cents·10⁴
+          // exceeds double's 2⁵³ integer range in the 100 TB regime and
+          // a half-ulp rounding would flip the per-part argmin
+          expr("(cents * 10000) div qty").as("unit"))
       u.groupBy("pk")
         .agg(min(struct(col("unit"), col("sk"))).as("w"))
         .select(col("pk").as("p_partkey"), col("w.sk").as("s_suppkey"),
@@ -470,7 +478,7 @@ object WarehouseOps {
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     }) { (s, d) =>
       def profile(table: String, df: DataFrame, cols: Seq[String]): DataFrame = {
-        val base = df.select(cols.map(col): _*).localCheckpoint()
+        val base = df.select(cols.map(col): _*).ckpt()
         cols.map { c =>
           base.agg(count(lit(1)).as("n_rows"), count_distinct(col(c)).as("ndv"),
               sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as("n_nulls"))

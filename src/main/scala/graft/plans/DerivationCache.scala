@@ -33,6 +33,10 @@ final class DerivationCache[V] {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), V]()
 
   def getOrCompute(s: SparkSession, dir: String)(f: => V): V = {
+    // Plan-audit mode: compute WITHOUT caching — `f` builds an
+    // uncheckpointed frame there (Ckpt no-ops), and storing it would
+    // poison the shared-session cache for every later consumer.
+    if (Ckpt.auditMode) return f
     cache.keySet().removeIf(k => k._1.sparkContext.isStopped)
     val fp = DerivationCache.dirFingerprint(dir)
     val it = cache.entrySet().iterator()

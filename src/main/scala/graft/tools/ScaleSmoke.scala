@@ -222,11 +222,39 @@ object ScaleSmoke {
       synthesizeTemplated(spark, d100, nDocs = 500000L, vocabSize = 50000)
       def pg(dir: String): Double = time(noop(
         graft.operators.LlmOps.jaccardCountJoinAt(spark, dir, 3)))
+      // warm BOTH scales before timing (the DEDUP100X lesson: an
+      // unwarmed 100× rep pays first-touch page cache + codegen and
+      // biases the per-unit ratio upward)
       pg(d10) // warm
       val t10 = math.min(pg(d10), pg(d10))
-      val t100 = pg(d100)
+      pg(d100) // warm
+      val t100 = math.min(pg(d100), pg(d100))
       println(f"PAIRGRAPH 10x(50k) $t10%8.2f  100x(500k) $t100%9.2f" +
         f"  per-unit ${(t100 / t10) / 10.0}%5.2f")
+      spark.stop()
+      return
+    }
+
+    // Fixed-delta probe mode: the q255 claim stated honestly — "per-day
+    // cost ∝ delta" — measured with the SAME 5k-doc delta against a 50k
+    // vs 500k corpus. The index side (shingle inventory) is built and
+    // checkpointed UNTIMED, modeling the persisted per-snapshot
+    // artifact a production pipeline reads; only the delta probe
+    // (filter + explode + inverted-index join + verify) is timed.
+    if (sys.env.contains("SPARK_GRAFT_DELTA_ONLY")) {
+      val d10 = "/tmp/graft_dedup10x"
+      val d100 = "/tmp/graft_dedup100x"
+      synthesizeTemplated(spark, d10, nDocs = 50000L, vocabSize = 5000)
+      synthesizeTemplated(spark, d100, nDocs = 500000L, vocabSize = 50000)
+      for ((tag, dir, minId) <- Seq(("50k", d10, 45000L), ("500k", d100, 495000L))) {
+        val sh = graft.operators.LlmOps.shingleBlocks(spark, dir)
+          .localCheckpoint() // untimed: the persisted index
+        def probe(): Double = time(noop(graft.operators.LlmOps.deltaNearDupProbe(
+          sh, sh.where(col("doc_id") >= minId), 8)))
+        probe() // warm
+        val t = math.min(probe(), probe())
+        println(f"DELTAPROBE corpus $tag%-6s delta 5k docs $t%8.2f s")
+      }
       spark.stop()
       return
     }
@@ -253,9 +281,12 @@ object ScaleSmoke {
         (("q216b_simhash64_neighbors", () => graft.operators.LlmOps.simhash64BandProfile _))
       for ((name, profile) <- variants;
            (tag, dir) <- Seq(("10x(50k)", d10), ("100x(500k)", d100))) {
-        one(name, dir) // warm
+        // the warm rep doubles as the output materialization: counting
+        // its checkpointed result later is free, instead of a fourth
+        // full pipeline execution (~4 min at 100× for the 32-bit form)
+        val warm = SparkEntry.queries(name)(spark, dir).localCheckpoint()
         val t = math.min(one(name, dir), one(name, dir))
-        val nOut = SparkEntry.queries(name)(spark, dir).count()
+        val nOut = warm.count()
         println(f"SIMHASH100X $name%-26s $tag%-11s $t%8.2f s  out_pairs $nOut%10d")
         profile()(spark, dir).collect().foreach { r =>
           println(f"SIMHASH100X $name%-26s $tag%-11s band ${r.getInt(0)}" +

@@ -49,6 +49,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q205_concurrency_peak" -> "PrefixScan offsets: one row per calendar day",
     "q214_seasonal_index" -> "PrefixScan offsets: one row per calendar month",
     "q218_vocab_growth" -> "PrefixScan offsets: one row per doc-id decile bucket",
+    // newly visible since the audit walks PRE-checkpoint plans (Ckpt
+    // audit mode): the same bounded offsets class, previously hidden
+    // behind eager localCheckpoints.
+    "q134_cms_freq" -> "PrefixScan offsets: one row per range bucket (numShufflePartitions)",
     // Report-frame windows: the windowed frame is an aggregate whose
     // cardinality is fixed by the calendar or the report shape, not by
     // data volume.
@@ -61,11 +65,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q187_growth_accounting" -> "lag over one row per calendar week",
     "q200_rolling_median" -> "7-day rolling frame over one row per calendar day (zero-filled)",
     "q242_cusum_changepoint" -> "PrefixScan offsets + day-index window over one row per calendar day",
-    "q252_km_churn" -> "suffix cumulative risk set over one row per tenure month (calendar-bounded)")
-  // (q257_seasonal_decompose also windows over one row per calendar
-  // month, but its localCheckpoint materializes that stage eagerly at
-  // construction — the declared plan the audit walks is already the
-  // post-checkpoint remainder, so no allowlist entry is needed.)
+    "q252_km_churn" -> "suffix cumulative risk set over one row per tenure month (calendar-bounded)",
+    "q257_seasonal_decompose" -> "13-month centered + month-index windows over one row per calendar month")
 
   /** A SinglePartition exchange fed (within its own stage) by a
     * partial-mode aggregate is the ordinary global-scalar shape — the
@@ -101,10 +102,20 @@ class PlanAuditSpec extends AnyFunSuite {
     nodes.result()
   }
 
+  /** Build the query with checkpoints DISABLED (graft.plans.Ckpt
+    * audit mode) so the audit walks the FULL pre-checkpoint plan — an
+    * eager localCheckpoint would otherwise execute its upstream stages
+    * at construction and hide any funnel above it from the audit. */
+  private def auditedNodes(name: String): Seq[String] = {
+    graft.plans.Ckpt.auditMode = true
+    try offendingNodes(
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+    finally graft.plans.Ckpt.auditMode = false
+  }
+
   test("every declared query's plan is free of unallowlisted single-partition funnels") {
     val offenders = SparkEntry.registry.flatMap { q =>
-      val nodes = offendingNodes(
-        q.fn(spark, dir).queryExecution.executedPlan)
+      val nodes = auditedNodes(q.name)
       if (nodes.nonEmpty && !boundedGlobal.contains(q.name))
         Some(s"${q.name}: ${nodes.distinct.mkString(", ")}")
       else None
@@ -118,10 +129,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val declared = SparkEntry.registry.map(_.name).toSet
     val stale = boundedGlobal.keys.filterNot(declared.contains)
     assert(stale.isEmpty, s"allowlisted but not declared: $stale")
-    val noLongerGlobal = boundedGlobal.keys.filter { name =>
-      offendingNodes(SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan).isEmpty
-    }
+    val noLongerGlobal = boundedGlobal.keys.filter(auditedNodes(_).isEmpty)
     assert(noLongerGlobal.isEmpty,
       s"allowlisted but now clean (remove the entries): $noLongerGlobal")
   }
