@@ -466,6 +466,66 @@ object LlmOps {
       .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
   }
 
+  /** q255/q255b shared oracle: exact t=0.8 Jaccard pairs whose larger
+    * element lies in the top id decile — route-agnostic (the q43c
+    * pattern), so the checkpointed-inventory and bucketed-table forms
+    * verify against the same SQL. */
+  private[graft] val deltaNearDupOracleSql: String =
+    s"""WITH sh AS (
+      |  SELECT doc_id, lang, n_chars // 100 AS lb,
+      |    list_distinct(list_transform(
+      |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+      |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+      |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |           || ' ' || string_split(text,' ')[i+2])) AS sg
+      |  FROM documents
+      |),
+      |m AS (SELECT max(doc_id) AS mx FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(floor(10000.0 * len(list_intersect(a.sg, b.sg))
+      |       / len(list_distinct(list_concat(a.sg, b.sg)))) AS BIGINT) AS jaccard_bp
+      |FROM sh a JOIN sh b
+      |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      |CROSS JOIN m
+      |WHERE b.doc_id * 10 > m.mx * 9
+      |  AND len(a.sg) > 0 AND len(b.sg) > 0
+      |  AND len(list_intersect(a.sg, b.sg)) * 10
+      |      >= $productionThreshold10 * len(list_distinct(list_concat(a.sg, b.sg)))
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Persisted pre-exploded inverted shingle index, BUCKETED by
+    * shingle — q255b's production layout: the corpus side of the daily
+    * probe joins straight off the bucketed files with no exchange (the
+    * write already hash-clustered it), so the only shuffle left is the
+    * delta-sized one. Table name carries the dir fingerprint: a
+    * changed corpus gets a fresh build, an unchanged one reuses the
+    * existing table across sessions (the persisted-snapshot contract —
+    * same idea as IvfAnn.writeClustered, realized as a bucketed
+    * catalog table). */
+  private[graft] def bucketedShingleIndex(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.plans.DerivationCache.dirFingerprint(d)
+    // v2: bucketed by ALL pair-join keys — with the default
+    // requireAllClusterKeysForCoPartition a shingle-only bucketing is
+    // rejected and the planner silently falls back to a full shuffle
+    val name = f"graft_shidx2_${(fp ^ scala.util.hashing.MurmurHash3.stringHash(d).toLong) & Long.MaxValue}%x"
+    if (!s.catalog.tableExists(name)) {
+      val loc = new java.io.File(s"spark-warehouse/$name")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+      shingleBlocks(s, d)
+        .select(col("doc_id"), col("sz"), col("lang"), col("lb"),
+          explode(col("sg")).as("shingle"))
+        .write.mode("overwrite")
+        .bucketBy(16, "shingle", "lang", "lb").sortBy("shingle", "lang", "lb")
+        .saveAsTable(name)
+    }
+    s.table(name)
+  }
+
   /** Delta-restricted inverted-index near-dup probe over a prepared
     * shingle inventory: exact-Jaccard pairs (a_id < b_id) at t10/10
     * whose LARGER element lies in `shDelta`. `shIndex` models the
@@ -2080,8 +2140,62 @@ object LlmOps {
     // models; only delta shingles are computed fresh each day.)
     // (core factored into deltaNearDupProbe so ScaleSmoke can time the
     // per-day probe against a FIXED-size delta while the corpus grows)
-    Q("q255_delta_neardup",
-      s"""WITH sh AS (
+    Q("q255_delta_neardup", deltaNearDupOracleSql) { (s, d) =>
+      val mx = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
+      // consumed by BOTH the index side and the delta probe side —
+      // without the checkpoint the scan+shingle pipeline runs twice
+      val sh = shingleBlocks(s, d).ckpt()
+      val delta = sh.crossJoin(broadcast(mx))
+        .where(col("doc_id") * 10 > col("mx") * 9).drop("mx")
+      deltaNearDupProbe(sh, delta, productionThreshold10)
+    },
+
+    // q255's PRODUCTION layout made a real code path (the q43c/q222b
+    // precedent): the corpus shingle inventory lives as a PERSISTED
+    // TABLE BUCKETED BY SHINGLE, so the probe's corpus side comes off
+    // the bucketed files already hash-clustered — NO corpus-side
+    // exchange (certified in ScienceSpec); the delta side is shingled
+    // fresh from the raw documents with the ingest filter pushed into
+    // the parquet scan, and pays the only shuffle (delta-sized). The
+    // index build runs once per corpus snapshot (fingerprint-keyed
+    // table), exactly like a daily dedup pipeline's persisted
+    // inverted index. Same oracle as q255 — route-agnostic.
+    Q("q255b_delta_neardup_bucketed", deltaNearDupOracleSql) { (s, d) =>
+      val idx = bucketedShingleIndex(s, d)
+      // A4-style planning scalar: the ingest cutoff (max id decile)
+      val mxV = Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0)
+      val a = idx.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
+        col("lang"), col("lb"), col("shingle"))
+      val delta = shingleBlocks(s,
+        d) // fresh delta shingling — the filter prunes the doc scan
+        .where(col("doc_id") * 10 > mxV * 9)
+      val b = delta.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
+        col("lang").as("langb"), col("lb").as("lbb"),
+        explode(col("sg")).as("shingleb"))
+      val stats = a.join(b,
+          col("shingle") === col("shingleb") && col("lang") === col("langb") &&
+            col("lb") === col("lbb") && col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
+      finishJaccard(stats, productionThreshold10)
+    },
+
+    // Near-dup kNN graph: each doc's top-3 most-similar neighbors
+    // AMONG its near-duplicates (J ≥ 0.3, the corpus pair-graph
+    // threshold) — the dedup diagnostician's view (q43 answers "which
+    // pairs exceed t"; this ranks each doc's neighborhood within that
+    // graph, feeding cluster inspection and keeper selection). One
+    // pass over the memoized pair graph (cachedPairStats — shared
+    // with q43/q70/q82/q217, built once per corpus), thresholded,
+    // symmetrized, then a per-doc WindowGroupLimit top-3. The
+    // threshold is what bounds the windowed frame by near-dup density
+    // — an UNthresholded kNN ranks the full co-occurrence pair graph,
+    // measured 27.6× wall-clock at 10× docs on the uniform smoke
+    // corpus (n²-within-block); with it the frame is the same pair
+    // set every other t=0.3 consumer reads.
+    Q("q260_doc_knn",
+      """WITH sh AS (
         |  SELECT doc_id, lang, n_chars // 100 AS lb,
         |    list_distinct(list_transform(
         |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
@@ -2090,25 +2204,35 @@ object LlmOps {
         |           || ' ' || string_split(text,' ')[i+2])) AS sg
         |  FROM documents
         |),
-        |m AS (SELECT max(doc_id) AS mx FROM documents)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  CAST(floor(10000.0 * len(list_intersect(a.sg, b.sg))
-        |       / len(list_distinct(list_concat(a.sg, b.sg)))) AS BIGINT) AS jaccard_bp
-        |FROM sh a JOIN sh b
-        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-        |CROSS JOIN m
-        |WHERE b.doc_id * 10 > m.mx * 9
-        |  AND len(a.sg) > 0 AND len(b.sg) > 0
-        |  AND len(list_intersect(a.sg, b.sg)) * 10
-        |      >= $productionThreshold10 * len(list_distinct(list_concat(a.sg, b.sg)))
-        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val mx = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
-      // consumed by BOTH the index side and the delta probe side —
-      // without the checkpoint the scan+shingle pipeline runs twice
-      val sh = shingleBlocks(s, d).ckpt()
-      val delta = sh.crossJoin(broadcast(mx))
-        .where(col("doc_id") * 10 > col("mx") * 9).drop("mx")
-      deltaNearDupProbe(sh, delta, productionThreshold10)
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(floor(10000.0 * len(list_intersect(a.sg, b.sg))
+        |         / len(list_distinct(list_concat(a.sg, b.sg)))) AS BIGINT) AS jb
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |  WHERE len(a.sg) > 0 AND len(b.sg) > 0
+        |    AND len(list_intersect(a.sg, b.sg)) * 10
+        |        >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))),
+        |sym AS (SELECT a_id AS id, b_id AS nb, jb FROM p
+        |        UNION ALL SELECT b_id AS id, a_id AS nb, jb FROM p),
+        |r AS (SELECT id, nb, jb,
+        |        row_number() OVER (PARTITION BY id ORDER BY jb DESC, nb) AS rk
+        |      FROM sym)
+        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(rk AS BIGINT) AS rank,
+        |  CAST(nb AS BIGINT) AS neighbor_id, jb AS jaccard_bp
+        |FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      val p = cachedPairStats(s, d)
+        .filter(col("inter") * 10 >= col("uni") * jaccardThreshold10)
+        .select(col("a_id"), col("b_id"),
+          floor(lit(10000.0) * col("inter") / col("uni")).as("jb"))
+      val sym = p.select(col("a_id").as("id"), col("b_id").as("nb"), col("jb"))
+        .unionAll(p.select(col("b_id").as("id"), col("a_id").as("nb"), col("jb")))
+      val w = Window.partitionBy(col("id")).orderBy(col("jb").desc, col("nb"))
+      sym.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3) // WindowGroupLimit
+        .select(col("id").as("doc_id"), col("rk").cast("long").as("rank"),
+          col("nb").as("neighbor_id"), col("jb").as("jaccard_bp"))
+        .orderBy("doc_id", "rank")
     },
 
     // INT8 quantization fidelity audit — does q69's 4×-smaller vector

@@ -66,7 +66,7 @@ object DerivationCache {
     * never-matching sentinel: the derivation recomputes and the sentinel
     * entry is evicted by the next clean fingerprint.
     */
-  private[plans] def dirFingerprint(dir: String): Long = {
+  private[graft] def dirFingerprint(dir: String): Long = {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(root)) return 0L
     var acc = 0L

@@ -253,7 +253,30 @@ object ScaleSmoke {
           sh, sh.where(col("doc_id") >= minId), 8)))
         probe() // warm
         val t = math.min(probe(), probe())
-        println(f"DELTAPROBE corpus $tag%-6s delta 5k docs $t%8.2f s")
+        println(f"DELTAPROBE corpus $tag%-6s delta 5k docs $t%8.2f s (checkpointed inventory)")
+        // bucketed-table route (q255b layout): index written untimed,
+        // probe joins it exchange-free on the corpus side
+        val idx = graft.operators.LlmOps.bucketedShingleIndex(spark, dir)
+        val deltaSh = graft.operators.LlmOps.shingleBlocks(spark, dir)
+          .where(col("doc_id") >= minId)
+        // join the pre-exploded bucketed index directly (q255b's shape)
+        def probeB2(): Double = time {
+          val a = idx.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
+            col("lang"), col("lb"), col("shingle"))
+          val b = deltaSh.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
+            col("lang").as("langb"), col("lb").as("lbb"),
+            explode(col("sg")).as("shingleb"))
+          val stats = a.join(b,
+              col("shingle") === col("shingleb") && col("lang") === col("langb") &&
+                col("lb") === col("lbb") && col("a_id") < col("b_id"))
+            .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+            .agg(count(lit(1)).as("inter"))
+          noop(stats.filter(col("inter") * 10 >=
+            (col("a_sz") + col("b_sz") - col("inter")) * 8))
+        }
+        probeB2() // warm
+        val tb = math.min(probeB2(), probeB2())
+        println(f"DELTAPROBE corpus $tag%-6s delta 5k docs $tb%8.2f s (bucketed table, q255b)")
       }
       spark.stop()
       return
@@ -496,7 +519,8 @@ object ScaleSmoke {
         "q251_returned_items", "q252_km_churn", "q253_bigram_fluency",
         "q254_bpe_merge_step", "q255_delta_neardup", "q256_dataset_card",
         "q257_seasonal_decompose", "q258_freq_spectrum",
-        "q259_quant_fidelity")
+        "q259_quant_fidelity", "q255b_delta_neardup_bucketed",
+        "q260_doc_knn")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

@@ -272,6 +272,68 @@ class ScienceSpec extends AnyFunSuite {
     got.foreach { case (_, b) => assert(b * 10 > mx * 9) }
   }
 
+  test("q255b: bucketed route output-equals q255 and never shuffles the corpus side") {
+    val got = SparkEntry.queries("q255b_delta_neardup_bucketed")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("q255_delta_neardup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // plan law: with broadcast disabled the pair join must be an SMJ
+    // whose BUCKETED (corpus) side reads straight from the bucketed
+    // files — no ShuffleExchange anywhere beneath that side.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val plan = SparkEntry.queries("q255b_delta_neardup_bucketed")(spark, d)
+        .queryExecution.executedPlan
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case other => other
+      }
+      def findSmj(p: SparkPlan): Seq[SortMergeJoinExec] = {
+        val self = p match { case s: SortMergeJoinExec => Seq(s); case _ => Nil }
+        self ++ p.children.flatMap(c => findSmj(unwrap(c)))
+      }
+      def hasShuffle(p: SparkPlan): Boolean = p match {
+        case _: ShuffleExchangeExec => true
+        case other => other.children.exists(hasShuffle)
+      }
+      val smjs = findSmj(unwrap(plan))
+      assert(smjs.nonEmpty, s"expected an SMJ pair join in:\n$plan")
+      val pairJoin = smjs.last // deepest = the shingle-key pair join
+      assert(!hasShuffle(pairJoin.left) || !hasShuffle(pairJoin.right),
+        s"one side of the pair join must be exchange-free (bucketed):\n$pairJoin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q260: kNN rows re-derive from a driver-side brute force over blocked pairs") {
+    val got = SparkEntry.queries("q260_doc_knn")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute force: shingle sets per doc, blocked pairs, top-3 per doc
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("lb"),
+        array_distinct(graft.functions.TextFns.shingles(
+          split(col("text"), " "), 3)).as("sg"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getSeq[String](3).toSet)).filter(_._4.nonEmpty)
+    val pairs = for {
+      a <- docs; b <- docs
+      if a._1 < b._1 && a._2 == b._2 && a._3 == b._3
+      inter = a._4.intersect(b._4).size
+      uni = a._4.union(b._4).size if inter * 10 >= uni * 3
+    } yield (a._1, b._1, math.floor(10000.0 * inter / uni).toLong)
+    val sym = pairs.flatMap { case (x, y, j) => Seq((x, y, j), (y, x, j)) }
+    val want = sym.groupBy(_._1).toSeq.flatMap { case (id, ns) =>
+      ns.sortBy { case (_, nb, j) => (-j, nb) }.take(3).zipWithIndex
+        .map { case ((_, nb, j), i) => (id, (i + 1).toLong, nb, j) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+  }
+
   // ---- q256 dataset card ---------------------------------------------
 
   test("q256: every card field re-derives independently") {
