@@ -504,18 +504,39 @@ object LlmOps {
     * catalog table). */
   private[graft] def bucketedShingleIndex(s: SparkSession, d: String): DataFrame = {
     val fp = graft.plans.DerivationCache.dirFingerprint(d)
-    // v2: bucketed by ALL pair-join keys — with the default
-    // requireAllClusterKeysForCoPartition a shingle-only bucketing is
-    // rejected and the planner silently falls back to a full shuffle
-    val name = f"graft_shidx2_${(fp ^ scala.util.hashing.MurmurHash3.stringHash(d).toLong) & Long.MaxValue}%x"
+    // Name = <dir-hash>_<fingerprint>: the dir part identifies every
+    // generation of this corpus's index, the fingerprint part the
+    // current one — so stale generations are enumerable and removed
+    // below instead of leaking one full pre-exploded index per corpus
+    // overwrite. Reuse is per catalog lifetime: the default in-memory
+    // catalog forgets managed tables at JVM exit (a production
+    // deployment keeps them in a persistent metastore — bucketing
+    // metadata lives in the catalog, so raw parquet files alone cannot
+    // be re-read AS a bucketed table).
+    val dirTag = f"${scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL}%x"
+    val name = f"graft_shidx2_${dirTag}_${fp & Long.MaxValue}%x"
     if (!s.catalog.tableExists(name)) {
-      val loc = new java.io.File(s"spark-warehouse/$name")
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(loc)
+      val warehouse = new java.net.URI(
+        s.conf.get("spark.sql.warehouse.dir")) match {
+        case u if u.getScheme == "file" => new java.io.File(u.getPath)
+        case u => new java.io.File(u.toString.stripPrefix("file:"))
       }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      // drop every stale generation of THIS corpus's index (other
+      // fingerprints), in the catalog and on disk
+      Option(warehouse.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith(s"graft_shidx2_${dirTag}_") && f.getName != name) {
+          s.sql(s"DROP TABLE IF EXISTS ${f.getName}")
+          rm(f)
+        }
+      })
+      val loc = new java.io.File(warehouse, name)
+      if (loc.exists()) rm(loc) // orphaned location from a dead catalog
+      // v2: bucketed by ALL pair-join keys — with the default
+      // requireAllClusterKeysForCoPartition a shingle-only bucketing is
+      // rejected and the planner silently falls back to a full shuffle
       shingleBlocks(s, d)
         .select(col("doc_id"), col("sz"), col("lang"), col("lb"),
           explode(col("sg")).as("shingle"))
@@ -524,6 +545,25 @@ object LlmOps {
         .saveAsTable(name)
     }
     s.table(name)
+  }
+
+  /** q255b's probe body over the pre-exploded bucketed index — shared
+    * with ScaleSmoke's DELTAPROBE so the smoke always times the plan
+    * the declared query ships. */
+  private[graft] def bucketedDeltaPairs(
+      idx: DataFrame, deltaSh: DataFrame, t10: Int): DataFrame = {
+    val a = idx.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
+      col("lang"), col("lb"), col("shingle"))
+    val b = deltaSh.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
+      col("lang").as("langb"), col("lb").as("lbb"),
+      explode(col("sg")).as("shingleb"))
+    val stats = a.join(b,
+        col("shingle") === col("shingleb") && col("lang") === col("langb") &&
+          col("lb") === col("lbb") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
+    finishJaccard(stats, t10)
   }
 
   /** Delta-restricted inverted-index near-dup probe over a prepared
@@ -2162,23 +2202,15 @@ object LlmOps {
     // inverted index. Same oracle as q255 — route-agnostic.
     Q("q255b_delta_neardup_bucketed", deltaNearDupOracleSql) { (s, d) =>
       val idx = bucketedShingleIndex(s, d)
-      // A4-style planning scalar: the ingest cutoff (max id decile)
-      val mxV = Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0)
-      val a = idx.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
-        col("lang"), col("lb"), col("shingle"))
+      // A4-style planning scalar: the ingest cutoff (max id decile).
+      // coalesce(-1): an empty corpus must yield an empty result (the
+      // q255/oracle behavior), not a null-primitive crash.
+      val mxV = Tables.documents(s, d)
+        .agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0)
       val delta = shingleBlocks(s,
         d) // fresh delta shingling — the filter prunes the doc scan
         .where(col("doc_id") * 10 > mxV * 9)
-      val b = delta.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
-        col("lang").as("langb"), col("lb").as("lbb"),
-        explode(col("sg")).as("shingleb"))
-      val stats = a.join(b,
-          col("shingle") === col("shingleb") && col("lang") === col("langb") &&
-            col("lb") === col("lbb") && col("a_id") < col("b_id"))
-        .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
-      finishJaccard(stats, productionThreshold10)
+      bucketedDeltaPairs(idx, delta, productionThreshold10)
     },
 
     // Near-dup kNN graph: each doc's top-3 most-similar neighbors
@@ -2195,7 +2227,7 @@ object LlmOps {
     // corpus (n²-within-block); with it the frame is the same pair
     // set every other t=0.3 consumer reads.
     Q("q260_doc_knn",
-      """WITH sh AS (
+      s"""WITH sh AS (
         |  SELECT doc_id, lang, n_chars // 100 AS lb,
         |    list_distinct(list_transform(
         |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
@@ -2211,7 +2243,7 @@ object LlmOps {
         |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
         |  WHERE len(a.sg) > 0 AND len(b.sg) > 0
         |    AND len(list_intersect(a.sg, b.sg)) * 10
-        |        >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))),
+        |        >= $jaccardThreshold10 * len(list_distinct(list_concat(a.sg, b.sg)))),
         |sym AS (SELECT a_id AS id, b_id AS nb, jb FROM p
         |        UNION ALL SELECT b_id AS id, a_id AS nb, jb FROM p),
         |r AS (SELECT id, nb, jb,

@@ -259,21 +259,10 @@ object ScaleSmoke {
         val idx = graft.operators.LlmOps.bucketedShingleIndex(spark, dir)
         val deltaSh = graft.operators.LlmOps.shingleBlocks(spark, dir)
           .where(col("doc_id") >= minId)
-        // join the pre-exploded bucketed index directly (q255b's shape)
-        def probeB2(): Double = time {
-          val a = idx.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
-            col("lang"), col("lb"), col("shingle"))
-          val b = deltaSh.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
-            col("lang").as("langb"), col("lb").as("lbb"),
-            explode(col("sg")).as("shingleb"))
-          val stats = a.join(b,
-              col("shingle") === col("shingleb") && col("lang") === col("langb") &&
-                col("lb") === col("lbb") && col("a_id") < col("b_id"))
-            .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
-            .agg(count(lit(1)).as("inter"))
-          noop(stats.filter(col("inter") * 10 >=
-            (col("a_sz") + col("b_sz") - col("inter")) * 8))
-        }
+        // the SHARED q255b probe body — the smoke always times the
+        // plan the declared query ships
+        def probeB2(): Double = time(noop(graft.operators.LlmOps.bucketedDeltaPairs(
+          idx, deltaSh, graft.operators.LlmOps.productionThreshold10)))
         probeB2() // warm
         val tb = math.min(probeB2(), probeB2())
         println(f"DELTAPROBE corpus $tag%-6s delta 5k docs $tb%8.2f s (bucketed table, q255b)")

@@ -305,8 +305,19 @@ class ScienceSpec extends AnyFunSuite {
       val smjs = findSmj(unwrap(plan))
       assert(smjs.nonEmpty, s"expected an SMJ pair join in:\n$plan")
       val pairJoin = smjs.last // deepest = the shingle-key pair join
-      assert(!hasShuffle(pairJoin.left) || !hasShuffle(pairJoin.right),
-        s"one side of the pair join must be exchange-free (bucketed):\n$pairJoin")
+      // pin the CORPUS side specifically: the side whose leaf scan is
+      // the bucketed graft_shidx2_* table must be exchange-free (a
+      // merely-accidentally-clean delta side must not mask a corpus
+      // shuffle regression — e.g. a bucketing-keys mismatch silently
+      // falling back under requireAllClusterKeysForCoPartition)
+      def readsBucketedIndex(p: SparkPlan): Boolean =
+        p.collectLeaves().exists(_.toString.contains("graft_shidx2_"))
+      val corpusSide = Seq(pairJoin.left, pairJoin.right)
+        .filter(readsBucketedIndex)
+      assert(corpusSide.nonEmpty,
+        s"pair join must read the bucketed index table:\n$pairJoin")
+      corpusSide.foreach(side => assert(!hasShuffle(side),
+        s"the bucketed corpus side must be exchange-free:\n$side"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
