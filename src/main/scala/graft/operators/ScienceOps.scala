@@ -590,6 +590,115 @@ object ScienceOps {
         .orderBy("mi")
     },
 
+    // Part-price dispersion audit — within one part, how far apart are
+    // supplier unit prices? The procurement anomaly screen: a wide
+    // spread means money left on the table (or a data-quality issue in
+    // the price feed). Unit prices in exact integer micro-cents per
+    // quantity unit (q235's discipline), spread in basis points of the
+    // minimum. One grouped aggregate over the per-(part, supplier)
+    // frame; top-20 spreads, ties to the lower part key.
+    Q("q261_price_dispersion",
+      """WITH psu AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |u AS (SELECT pk, sk, (cents * 10000) // qty AS unit FROM psu),
+        |p AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |    CAST(min(unit) AS BIGINT) AS min_unit, CAST(max(unit) AS BIGINT) AS max_unit
+        |  FROM u GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT pk AS p_partkey, n_suppliers, min_unit, max_unit,
+        |  CAST((max_unit - min_unit) * 10000 // min_unit AS BIGINT) AS spread_bp
+        |FROM p WHERE min_unit > 0
+        |ORDER BY spread_bp DESC, p_partkey LIMIT 20""".stripMargin) { (s, d) =>
+      val u = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+          floor(col("l_extendedprice") * 100).as("c"),
+          col("l_quantity").cast("long").as("q"))
+        .groupBy("pk", "sk")
+        .agg(sum(col("c")).as("cents"), sum(col("q")).as("qty"))
+        .select(col("pk"), expr("(cents * 10000) div qty").as("unit"))
+      u.groupBy("pk")
+        .agg(count(lit(1)).as("n_suppliers"), min(col("unit")).as("min_unit"),
+          max(col("unit")).as("max_unit"))
+        .where(col("n_suppliers") >= 2 && col("min_unit") > 0)
+        .select(col("pk").as("p_partkey"), col("n_suppliers"), col("min_unit"),
+          col("max_unit"),
+          expr("((max_unit - min_unit) * 10000) div min_unit").as("spread_bp"))
+        .orderBy(col("spread_bp").desc, col("p_partkey")).limit(20)
+    },
+
+    // Order-cadence regularity — which customers order like clockwork?
+    // Per customer with ≥ 5 orders: mean inter-order gap and the mean
+    // absolute deviation of gaps, both in exact integer days (MAD via
+    // cross-multiplied |gap·n − total| so no float mean ever exists),
+    // regularity = MAD·1000 div mean (lower = steadier). The
+    // subscription-detection / replenishment-forecast primitive.
+    // Per-customer windows only (orders-per-customer-sized frames).
+    Q("q262_order_regularity",
+      """WITH o AS (SELECT o_custkey AS ck, o_orderkey AS ok,
+        |           CAST(o_orderdate AS DATE) AS od FROM orders),
+        |g AS (SELECT ck, datediff('day',
+        |        lag(od) OVER (PARTITION BY ck ORDER BY od, ok), od) AS gap
+        |      FROM o),
+        |a AS (SELECT ck, CAST(count(*) AS BIGINT) AS n_gaps,
+        |        CAST(sum(gap) AS BIGINT) AS total_days
+        |      FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 4),
+        |m AS (SELECT g.ck, a.n_gaps, a.total_days,
+        |        CAST(sum(abs(g.gap * a.n_gaps - a.total_days)) AS BIGINT) AS mad_num
+        |      FROM g JOIN a ON g.ck = a.ck WHERE g.gap IS NOT NULL
+        |      GROUP BY 1, 2, 3)
+        |SELECT ck AS c_custkey, n_gaps, CAST(total_days // n_gaps AS BIGINT) AS mean_gap_days,
+        |  CAST(mad_num * 1000 // (n_gaps * total_days) AS BIGINT) AS regularity_milli
+        |FROM m WHERE total_days > 0
+        |ORDER BY regularity_milli, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+          col("o_orderdate").cast("date").as("od"))
+      // (od, ok) total order: same-day orders would otherwise make the
+      // lag pairing engine-dependent
+      val w = Window.partitionBy(col("ck")).orderBy(col("od"), col("ok"))
+      val g = o.select(col("ck"), datediff(col("od"), lag(col("od"), 1).over(w))
+          .cast("long").as("gap"))
+        .where(col("gap").isNotNull)
+        .localCheckpoint() // consumed by the totals aggregate AND the MAD join
+      val a = g.groupBy("ck")
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("total_days"))
+        .where(col("n_gaps") >= 4)
+      g.join(a, "ck")
+        .groupBy(col("ck"), col("n_gaps"), col("total_days"))
+        .agg(sum(abs(col("gap") * col("n_gaps") - col("total_days"))).as("mad_num"))
+        .where(col("total_days") > 0)
+        .select(col("ck").as("c_custkey"), col("n_gaps"),
+          expr("total_days div n_gaps").as("mean_gap_days"),
+          expr("(mad_num * 1000) div (n_gaps * total_days)").as("regularity_milli"))
+        .orderBy(col("regularity_milli"), col("c_custkey")).limit(20)
+    },
+
+    // Per-class embedding moments — the sufficient statistics for
+    // Fisher/LDA class separability: for every (label, dimension),
+    // the count, sum, and sum of squares of the milli-quantized
+    // components (q241's quantization, conditioned on the label).
+    // Downstream, between-class scatter = Σ n_l·μ_l² − N·μ² derives
+    // entirely from these integers. Join-free posexplode, map-side
+    // combined to labels × dims rows.
+    Q("q263_class_moments",
+      """WITH x AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (SELECT label, i AS dim, CAST(floor(emb[i] * 1000) AS BIGINT) AS q3
+        |      FROM x, (SELECT unnest(range(1, 65)) AS i))
+        |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(q3) AS BIGINT) AS sx,
+        |  CAST(sum(q3 * q3) AS BIGINT) AS sxx
+        |FROM e GROUP BY 1, 2 ORDER BY label, dim""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          posexplode(transform(col("embedding"),
+            x => floor(x.cast("double") * 1000).cast("long"))).as(Seq("i0", "q3")))
+        .groupBy(col("label"), (col("i0") + 1).cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("q3")).as("sx"),
+          sum(col("q3") * col("q3")).as("sxx"))
+        .orderBy("label", "dim")
+    },
+
     // Kaplan–Meier-style churn life table over customer order
     // lifetimes: tenure = floor(days between first and last order /
     // 180) half-years; a customer whose last order falls within 180

@@ -509,7 +509,8 @@ object ScaleSmoke {
         "q254_bpe_merge_step", "q255_delta_neardup", "q256_dataset_card",
         "q257_seasonal_decompose", "q258_freq_spectrum",
         "q259_quant_fidelity", "q255b_delta_neardup_bucketed",
-        "q260_doc_knn")
+        "q260_doc_knn", "q261_price_dispersion", "q262_order_regularity",
+        "q263_class_moments")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

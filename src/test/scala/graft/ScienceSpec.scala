@@ -458,6 +458,68 @@ class ScienceSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q261-q263 final trio ------------------------------------------
+
+  test("q261: spreads re-derive from q235's unit-price frame and are ordered") {
+    val rows = SparkEntry.queries("q261_price_dispersion")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val units = Tables.lineitem(spark, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+        floor(col("l_extendedprice") * 100).as("c"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("pk", "sk")
+      .agg(expr("(sum(c) * 10000) div sum(q)").as("unit"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val (pk, n, mn, mx, sp) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val us = units(pk)
+      assert(n == us.size && mn == us.min && mx == us.max)
+      assert(sp == (mx - mn) * 10000 / mn)
+      assert(sp <= prev); prev = sp
+    }
+  }
+
+  test("q262: regularity re-derives from driver-side gap lists") {
+    val rows = SparkEntry.queries("q262_order_regularity")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val orders = Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("date"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val (ck, nGaps, meanGap, reg) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val sorted = orders(ck).sortBy(t => (t._3.toEpochDay, t._2))
+      val gaps = sorted.sliding(2).map { case Array(a, b) =>
+        b._3.toEpochDay - a._3.toEpochDay }.toSeq
+      val (n, t) = (gaps.size.toLong, gaps.sum)
+      assert(nGaps == n && n >= 4 && t > 0)
+      assert(meanGap == t / n)
+      assert(reg == gaps.map(g => math.abs(g * n - t)).sum * 1000 / (n * t))
+    }
+  }
+
+  test("q263: class moments sum to the unconditioned q241-style profile") {
+    val rows = SparkEntry.queries("q263_class_moments")(spark, d).collect()
+    assert(rows.length == 10 * 64)
+    val byDim = rows.groupBy(_.getLong(1))
+    val nVecs = Tables.embeddings(spark, d).count()
+    byDim.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sum == nVecs, "class counts partition the corpus")
+    }
+    // spot-check one (label, dim) cell driver-side
+    val want = Tables.embeddings(spark, d)
+      .where(col("label") === 0)
+      .select(floor(col("embedding").getItem(0).cast("double") * 1000)
+        .cast("long").as("q3"))
+      .agg(sum("q3"), sum(col("q3") * col("q3"))).head
+    val cell = rows.find(r => r.getLong(0) == 0 && r.getLong(1) == 1).get
+    assert(cell.getLong(3) == want.getLong(0) && cell.getLong(4) == want.getLong(1))
+  }
+
   // ---- q252 KM life table --------------------------------------------
 
   test("q252: life-table conservation — risk sets telescope and exits partition them") {
