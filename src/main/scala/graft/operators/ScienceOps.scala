@@ -699,6 +699,76 @@ object ScienceOps {
         .orderBy("label", "dim")
     },
 
+    // Sequence-integrity audit — are per-order line numbers the dense
+    // 1..n they are assumed to be? For each order: duplicates
+    // (n − distinct) and span gaps (max − min + 1 − distinct); the
+    // corpus report counts violating orders and the worst offenders'
+    // magnitudes. The assumption-check a pipeline needs before using
+    // linenumber as a positional key (e.g. q85-style chunk
+    // addressing). One map-side-combinable aggregate per order, then
+    // a six-number corpus summary.
+    Q("q264_sequence_audit",
+      """WITH g AS (SELECT l_orderkey,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT l_linenumber) AS BIGINT) AS nd,
+        |    CAST(max(l_linenumber) - min(l_linenumber) + 1 AS BIGINT) AS span
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN n > nd THEN 1 ELSE 0 END) AS BIGINT) AS n_with_dups,
+        |  CAST(sum(n - nd) AS BIGINT) AS n_dup_lines,
+        |  CAST(sum(CASE WHEN span > nd THEN 1 ELSE 0 END) AS BIGINT) AS n_with_gaps,
+        |  CAST(sum(span - nd) AS BIGINT) AS n_gap_slots,
+        |  CAST(sum(CASE WHEN nd = n AND span = n THEN 1 ELSE 0 END) AS BIGINT) AS n_dense
+        |FROM g""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"), countDistinct(col("l_linenumber")).as("nd"),
+          (max(col("l_linenumber")) - min(col("l_linenumber")) + 1).cast("long")
+            .as("span"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("n") > col("nd"), 1L).otherwise(0L)).as("n_with_dups"),
+          sum(col("n") - col("nd")).as("n_dup_lines"),
+          sum(when(col("span") > col("nd"), 1L).otherwise(0L)).as("n_with_gaps"),
+          sum(col("span") - col("nd")).as("n_gap_slots"),
+          sum(when(col("nd") === col("n") && col("span") === col("n"), 1L)
+            .otherwise(0L)).as("n_dense"))
+    },
+
+    // Duplicate-payment screen — the classic AP audit: pairs of
+    // orders from the same customer in the SAME $1000 amount bucket
+    // within a year of each other. The self-join is an EQUI-join
+    // blocked on (customer, bucket) — pairs only form inside an
+    // exact-bucket group (near-singleton on realistic amount
+    // distributions), never customers². Bucketing makes the band
+    // check an equality, the scale-safe shape (a relative-band theta
+    // join would fan out per customer). Top-20 pairs by bucket.
+    Q("q265_duplicate_payments",
+      """WITH o AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) // 100000 AS amt,
+        |    CAST(o_orderdate AS DATE) AS od
+        |  FROM orders)
+        |SELECT a.ck AS c_custkey, a.ok AS o_orderkey_1, b.ok AS o_orderkey_2,
+        |  a.amt AS amount_bucket,
+        |  CAST(abs(datediff('day', a.od, b.od)) AS BIGINT) AS days_apart
+        |FROM o a JOIN o b
+        |  ON a.ck = b.ck AND a.amt = b.amt AND a.ok < b.ok
+        |  AND abs(datediff('day', a.od, b.od)) <= 365
+        |ORDER BY amount_bucket DESC, o_orderkey_1, o_orderkey_2 LIMIT 20""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT) div 100000").as("amt"),
+          col("o_orderdate").cast("date").as("od"))
+      o.as("a").join(o.as("b"),
+          col("a.ck") === col("b.ck") && col("a.amt") === col("b.amt") &&
+            col("a.ok") < col("b.ok") &&
+            abs(datediff(col("b.od"), col("a.od"))) <= 365)
+        .select(col("a.ck").as("c_custkey"), col("a.ok").as("o_orderkey_1"),
+          col("b.ok").as("o_orderkey_2"), col("a.amt").as("amount_bucket"),
+          abs(datediff(col("b.od"), col("a.od"))).cast("long").as("days_apart"))
+        .orderBy(col("amount_bucket").desc, col("o_orderkey_1"), col("o_orderkey_2"))
+        .limit(20)
+    },
+
     // Kaplan–Meier-style churn life table over customer order
     // lifetimes: tenure = floor(days between first and last order /
     // 180) half-years; a customer whose last order falls within 180

@@ -385,7 +385,8 @@ object ScaleSmoke {
           (pmod(xxhash64(col("id") + 29), lit(11L)).cast("double") / 100.0)
             .as("l_discount"),
           (pmod(xxhash64(col("id") + 31), lit(50L)) + 1).cast("double")
-            .as("l_quantity"))
+            .as("l_quantity"),
+          (pmod(xxhash64(col("id") + 47), lit(7L)) + 1).as("l_linenumber"))
         .write.mode("overwrite").parquet(s"$adir/lineitem.parquet")
       spark.range(1500000L)
         .select(col("id").as("o_orderkey"),
@@ -510,7 +511,8 @@ object ScaleSmoke {
         "q257_seasonal_decompose", "q258_freq_spectrum",
         "q259_quant_fidelity", "q255b_delta_neardup_bucketed",
         "q260_doc_knn", "q261_price_dispersion", "q262_order_regularity",
-        "q263_class_moments")
+        "q263_class_moments", "q264_sequence_audit",
+        "q265_duplicate_payments")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

@@ -520,6 +520,45 @@ class ScienceSpec extends AnyFunSuite {
     assert(cell.getLong(3) == want.getLong(0) && cell.getLong(4) == want.getLong(1))
   }
 
+  test("q264: sequence-audit summary re-derives from per-order line sets") {
+    val r = SparkEntry.queries("q264_sequence_audit")(spark, d).head
+    val groups = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSeq).toMap
+    val stats = groups.values.map { ls =>
+      val (n, nd) = (ls.size.toLong, ls.distinct.size.toLong)
+      val span = ls.max - ls.min + 1
+      (n, nd, span)
+    }.toSeq
+    assert(r.getLong(0) == stats.size)
+    assert(r.getLong(1) == stats.count { case (n, nd, _) => n > nd })
+    assert(r.getLong(2) == stats.map { case (n, nd, _) => n - nd }.sum)
+    assert(r.getLong(3) == stats.count { case (_, nd, sp) => sp > nd })
+    assert(r.getLong(4) == stats.map { case (_, nd, sp) => sp - nd }.sum)
+    assert(r.getLong(5) == stats.count { case (n, nd, sp) => nd == n && sp == n })
+  }
+
+  test("q265: pairs match a driver-side brute force over (customer, bucket) blocks") {
+    val d01 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q265_duplicate_payments")(spark, d01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val orders = Tables.orders(spark, d01)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT) div 100000").as("amt"),
+        col("o_orderdate").cast("date"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDate(3).toLocalDate.toEpochDay))
+    val want = (for {
+      a <- orders; b <- orders
+      if a._2 == b._2 && a._3 == b._3 && a._1 < b._1 &&
+        math.abs(a._4 - b._4) <= 365
+    } yield (a._2, a._1, b._1, a._3, math.abs(a._4 - b._4)))
+      .sortBy(t => (-t._4, t._2, t._3)).take(20).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   // ---- q252 KM life table --------------------------------------------
 
   test("q252: life-table conservation — risk sets telescope and exits partition them") {
