@@ -19,6 +19,22 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
     val names = SparkEntry.registry.map(_.name)
+    // Checkpoint-cache hygiene (VERDICT r8 #1): every query rep calls
+    // .ckpt() afresh, so a full bench accumulates hundreds of orphaned
+    // localCheckpoint caches — by the r8 capture's tail the session
+    // pressure inflated individual queries 8× over their BenchOne
+    // steady states (q177 7.6 s vs 0.9 s). After each rep, unpersist
+    // every persistent RDD EXCEPT the DerivationCache-owned shared
+    // derivations (their checkpoint blocks are unrecoverable — lineage
+    // is truncated — and later queries reuse them). Cleanup runs
+    // outside the timed region.
+    val sc = spark.sparkContext
+    def dropOrphanCheckpoints(): Unit = {
+      val owned = graft.plans.DerivationCache.ownedRddIds
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!owned.contains(id)) { try rdd.unpersist(blocking = false) catch { case _: Throwable => () } }
+      }
+    }
     // Per-query adaptive repeats: the first run absorbs whole-stage-
     // codegen compilation (3s+ even for trivial queries — NOTES.md
     // documents ±25% run-to-run noise from this plus container jitter).
@@ -31,7 +47,9 @@ object Bench {
       def once(): Double = { // throws on query failure
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        dropOrphanCheckpoints()
+        t
       }
       // A failed query must NOT masquerade as a (near-zero) timing in
       // the JSON — it is excluded from `queries` and listed in `failed`.
@@ -79,11 +97,22 @@ object Bench {
       slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_ok":${results.count(_._2.isDefined)},"queries":{$headline},"sf":"$sfDir"}"""
+    // Durable + greppable copies of the compact headline (VERDICT r8
+    // #5 — five rounds of "parsed": null). The driver's tail capture
+    // keeps ~2000 chars of stdout and sbt appends an epilogue after
+    // our last line, so parsing "the last line" can fail; the sentinel
+    // prefix "BENCHJSON " makes the line findable anywhere in the tail
+    // regardless of what follows, and BENCH_HEADLINE.json +
+    // bench_out.json are the file-system fallbacks. Any remaining
+    // parse failure is driver-side (see NOTES.md).
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HEADLINE.json"),
+      (compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Stop Spark BEFORE the final print so shutdown logging can't land
     // after the compact line; emit on stderr too in case the driver
     // captures the combined or stderr stream instead.
     spark.stop()
-    System.err.println(compact)
+    System.err.println("BENCHJSON " + compact)
+    println("BENCHJSON " + compact)
     println(compact)
   }
 }

@@ -21,9 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  private val nlist = 16
-  private val nprobe = 4
+  /** Index constants scale with the corpus (VERDICT r8 #3): the FAISS
+    * rule-of-thumb nlist ≈ √n keeps both sides of the cost balanced —
+    * centroid scoring is n·nlist and cell search is n·(n/nlist)·
+    * (probed fraction), so √n minimizes their sum; the floor of 16
+    * preserves the measured small-corpus behavior. nprobe keeps the
+    * nlist/4 ratio of the fixed-constant version (phase-1 breadth only
+    * tunes the pruning bound's tightness — every route stays exact via
+    * the triangle bound regardless). */
+  private[graft] def nlistFor(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+  private[graft] def nprobeFor(nlist: Int): Int = math.max(4, (nlist + 3) / 4)
   private val lloydIters = 3
+
+  /** The reusable index: cell assignment, centroid metadata (with
+    * radii), and the size-derived constants it was built with — probe
+    * code must use THESE (a probe breadth derived from a different
+    * corpus count would silently change phase-1 breadth). */
+  final case class IvfIndex(assigned: DataFrame, cmeta: DataFrame,
+      nlist: Int, nprobe: Int)
 
   /** corpus: (vec_id, emb array<double>, nrm). Returns (vec_id, cell). */
   private def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
@@ -52,10 +68,11 @@ object IvfAnn {
 
   /** Deterministic IVF index build: evenly-spaced init, fixed Lloyd
     * iteration count. Returns (vec_id, cell) plus the final centroids. */
-  def buildIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
+  def buildIndex(corpus: DataFrame): (DataFrame, DataFrame, Int) = {
     // evenly spaced init on the (dense) vec_id key — a plain filter, no
     // global window, so init itself scales
     val n = corpus.count()
+    val nlist = nlistFor(n)
     val step = math.max(1L, n / nlist)
     val init = corpus
       .filter(pmod(col("vec_id"), lit(step)) === 0 && col("vec_id") / step < nlist)
@@ -68,7 +85,7 @@ object IvfAnn {
     val centroids = (1 to lloydIters).foldLeft(init) { (cents, _) =>
       recompute(corpus, assign(corpus, cents)).ckpt()
     }
-    (assign(corpus, centroids).ckpt(), centroids)
+    (assign(corpus, centroids).ckpt(), centroids, nlist)
   }
 
   /** Exact IVF top-k with a triangle-inequality probe bound. For a cell
@@ -88,13 +105,14 @@ object IvfAnn {
     * index (on a cluster: writeClustered + a persisted centroid table). */
   private def clamp(c: Column): Column = greatest(lit(-1.0), least(lit(1.0), c))
 
-  def buildIndexWithRadii(corpus: DataFrame): (DataFrame, DataFrame) = {
-    val (assigned, centroids) = buildIndex(corpus)
+  def buildIndexWithRadii(corpus: DataFrame): IvfIndex = {
+    val (assigned, centroids, nlist) = buildIndex(corpus)
     val radii = corpus.join(assigned, "vec_id").join(broadcast(centroids), "cell")
       .withColumn("ang", acos(clamp(
         GraftFunctions.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))))
       .groupBy(col("cell")).agg(max(col("ang")).as("radius"))
-    (assigned, centroids.join(radii, "cell").ckpt())
+    IvfIndex(assigned, centroids.join(radii, "cell").ckpt(),
+      nlist, nprobeFor(nlist))
   }
 
   /** Memoized index per (session, fixture dir): an ANN index is built
@@ -103,7 +121,7 @@ object IvfAnn {
     * would be used at 100 TB (prebuilt via writeClustered, not
     * reclustered per query). Deterministic: the build itself is
     * RNG-free, so a cached index yields bit-identical results. */
-  private val indexCache = new graft.plans.DerivationCache[(DataFrame, DataFrame)]
+  private val indexCache = new graft.plans.DerivationCache[IvfIndex]
 
   /** Full-fixture corpus with norms — the ONLY corpus an index may be
     * cached for: the cache key is (session, dir), so building the
@@ -118,13 +136,14 @@ object IvfAnn {
       .drop("embedding")
   }
 
-  def cachedIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  def cachedIndex(s: SparkSession, dir: String): IvfIndex =
     indexCache.getOrCompute(s, dir)(buildIndexWithRadii(fullCorpus(s, dir)))
 
   def boundedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      index: Option[(DataFrame, DataFrame)] = None)
+      index: Option[IvfIndex] = None)
       : (DataFrame, DataFrame) = {
-    val (assigned, cmeta) = index.getOrElse(buildIndexWithRadii(corpus))
+    val idx = index.getOrElse(buildIndexWithRadii(corpus))
+    val (assigned, cmeta, nprobe) = (idx.assigned, idx.cmeta, idx.nprobe)
     val member = corpus.join(assigned, "vec_id")
     val cells = member.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
       col("nrm").as("cn"), col("cell"))
@@ -189,10 +208,11 @@ object IvfAnn {
     * (cell, θ, cosine upper bound) scores via the tiny broadcast
     * centroid table — 16 rows per vector, linear in the corpus. The
     * scores are checkpointed (consumed by multiple probe phases). */
-  private def memberAndScores(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def memberAndScores(s: SparkSession, d: String): (DataFrame, DataFrame, Int) = {
     import graft.functions.GraftFunctions
     val corpus = fullCorpus(s, d)
-    val (assigned, cmeta) = cachedIndex(s, d)
+    val idx = cachedIndex(s, d)
+    val (assigned, cmeta) = (idx.assigned, idx.cmeta)
     val members = corpus.join(assigned, "vec_id")
       .select(col("vec_id").as("b_id"), col("emb").as("eb"),
         col("nrm").as("nb"), col("cell"))
@@ -204,7 +224,7 @@ object IvfAnn {
       .withColumn("ub", cos(greatest(lit(0.0), col("theta") - col("radius"))))
       .select(col("a_id"), col("ea"), col("na"), col("cell"), col("theta"), col("ub"))
       .ckpt()
-    (members, scored)
+    (members, scored, idx.nprobe)
   }
 
   /** Candidate cosines for a probe list (a_id, ea, na, cell): SHUFFLE
@@ -218,7 +238,7 @@ object IvfAnn {
         col("na"), col("nb")))
 
   def mutualNnExact(s: SparkSession, d: String): DataFrame = {
-    val (members, scored) = memberAndScores(s, d)
+    val (members, scored, nprobe) = memberAndScores(s, d)
     def cosines(probe: DataFrame): DataFrame = probeCosines(members, probe)
     // Phase 1: each vector's best candidate from its nprobe nearest
     // cells (window is per-vector over nlist rows — never global).
@@ -252,7 +272,7 @@ object IvfAnn {
     * Each unordered pair is emitted exactly once, from its lower id's
     * probe (the a_id < b_id filter drops the mirror row). */
   def thresholdPairsExact(s: SparkSession, d: String, t: Double): DataFrame = {
-    val (members, scored) = memberAndScores(s, d)
+    val (members, scored, _) = memberAndScores(s, d)
     val probe = scored.filter(col("ub") >= lit(t) - lit(1e-6))
       .select(col("a_id"), col("ea"), col("na"), col("cell"))
     probeCosines(members, probe)

@@ -660,7 +660,7 @@ object ScienceOps {
       val g = o.select(col("ck"), datediff(col("od"), lag(col("od"), 1).over(w))
           .cast("long").as("gap"))
         .where(col("gap").isNotNull)
-        .localCheckpoint() // consumed by the totals aggregate AND the MAD join
+        .ckpt() // consumed by the totals aggregate AND the MAD join
       val a = g.groupBy("ck")
         .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("total_days"))
         .where(col("n_gaps") >= 4)

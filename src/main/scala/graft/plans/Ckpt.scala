@@ -16,6 +16,13 @@ import org.apache.spark.sql.DataFrame
   */
 object Ckpt {
 
+  /** JVM-global audit switch. THREADING CONTRACT: flipped only by
+    * PlanAuditSpec, whose suites run forked-sequential (build.sbt does
+    * not enable testForkedParallel) — so no concurrent
+    * DerivationCache.getOrCompute can observe the flag mid-flip and
+    * memoize an uncheckpointed frame. If test parallelism is ever
+    * enabled in one JVM, make this a per-call parameter or share a
+    * lock with DerivationCache before trusting the caches. */
   @volatile var auditMode: Boolean = false
 
   implicit final class CkptOps(private val df: DataFrame) extends AnyVal {

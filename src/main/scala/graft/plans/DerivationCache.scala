@@ -31,6 +31,12 @@ import org.apache.spark.sql.SparkSession
 final class DerivationCache[V] {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), V]()
+  DerivationCache.register(this)
+
+  private[plans] def liveValues: Iterator[V] = {
+    import scala.jdk.CollectionConverters._
+    cache.values().iterator().asScala
+  }
 
   def getOrCompute(s: SparkSession, dir: String)(f: => V): V = {
     // Plan-audit mode: compute WITHOUT caching — `f` builds an
@@ -52,6 +58,39 @@ final class DerivationCache[V] {
 }
 
 object DerivationCache {
+  // Instance registry: DerivationCaches are a fixed handful of
+  // object-level vals (one per operator family), so this list is
+  // bounded and never needs weak references.
+  private val instances =
+    new java.util.concurrent.ConcurrentLinkedQueue[DerivationCache[_]]()
+  private def register(c: DerivationCache[_]): Unit = { instances.add(c); () }
+
+  /** RDD ids pinned by any live cache entry — the shared derivations a
+    * bench harness must NOT unpersist between queries. Their storage is
+    * localCheckpoint blocks: lineage is truncated at the checkpoint, so
+    * a dropped block is unrecoverable and every later consumer of the
+    * cached frame would fail. Ids are read from the LogicalRDD leaves
+    * of each cached Dataset's analyzed plan (the exact RDDs
+    * localCheckpoint persisted); non-Dataset values (planning scalars)
+    * pin nothing. */
+  def ownedRddIds: Set[Int] = {
+    val b = Set.newBuilder[Int]
+    instances.forEach(c => c.liveValues.foreach(v => collectRddIds(v, b)))
+    b.result()
+  }
+
+  private def collectRddIds(
+      v: Any, b: scala.collection.mutable.Builder[Int, Set[Int]]): Unit =
+    v match {
+      case ds: org.apache.spark.sql.Dataset[_] =>
+        ds.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => b += lr.rdd.id
+          case _ => ()
+        }
+      case p: Product     => p.productIterator.foreach(collectRddIds(_, b))
+      case i: Iterable[_] => i.foreach(collectRddIds(_, b))
+      case _              => ()
+    }
   /** Order-independent fingerprint of a fixture dir: XOR-folded 64-bit
     * hash of (relative path, length, mtime) for every regular file under
     * it. Metadata-only (no reads), one directory walk — microseconds for

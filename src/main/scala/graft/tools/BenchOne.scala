@@ -13,6 +13,12 @@ object BenchOne {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       println(f"BENCHONE $name rep$i ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      // same per-rep hygiene as Bench: drop the rep's orphaned
+      // checkpoint caches, keep the shared derivations
+      val owned = graft.plans.DerivationCache.ownedRddIds
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!owned.contains(id)) { try rdd.unpersist(blocking = false) catch { case _: Throwable => () } }
+      }
     }
     spark.stop()
   }

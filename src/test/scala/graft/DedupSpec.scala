@@ -184,6 +184,44 @@ class DedupSpec extends AnyFunSuite {
       "64-bit pair set must be a subset of the 32-bit pair set's ids")
   }
 
+  test("q216c router: banded on sparse sigs, expansion on dense; branches output-identical") {
+    import graft.operators.LlmOps
+    // Sparse regime: plantedDir has ≤ 5 distinct signatures → banded,
+    // and the routed output must equal q216's declared banded form.
+    val (route, picked) = LlmOps.adaptiveSimhashNeighbors(spark, plantedDir)
+    assert(route == "banded", s"5-doc corpus must route banded, got $route")
+    val banded216 = SparkEntry.queries("q216_simhash_neighbors")(spark, plantedDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(picked.as[(Long, Long, Long)].collect().toSeq == banded216)
+
+    // Dense regime: 3000 docs of unique tokens (distinct sigs ≫ the
+    // 2560 threshold), plus a planted exact dup so the output is
+    // non-empty. Router must pick expansion, and BOTH branches must
+    // produce the identical pair set — the k = 3 pigeonhole holds for
+    // 4×8-bit bands and for 2×16-bit half-expansion alike, and the
+    // exact bit_count verify is shared.
+    val dir = java.nio.file.Files.createTempDirectory("graft_simhash_dense").toString
+    val rows = (1L to 3000L).map { id =>
+      val src = if (id == 3000L) 1L else id // 3000 duplicates doc 1
+      val t = (1 to 8).map(i => s"d${src}w$i").mkString(" ")
+      (id, t, "en", "src", t.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(4).write.parquet(s"$dir/documents.parquet")
+    val (sig, uniq, n) = LlmOps.simhashSigs(spark, dir)
+    assert(n > LlmOps.SimhashRouteThreshold,
+      s"dense fixture must exceed the ${LlmOps.SimhashRouteThreshold} route threshold, got $n")
+    val (denseRoute, densePicked) = LlmOps.adaptiveSimhashNeighbors(spark, dir)
+    assert(denseRoute == "expansion")
+    val exp = densePicked.as[(Long, Long, Long)].collect().toSeq
+    val ban = LlmOps.simhashBandedPairs(sig, uniq)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(exp.contains((1L, 3000L, 0L)), "planted exact dup pair missing")
+    assert(exp == ban,
+      s"branch mismatch: onlyExp=${(exp.toSet -- ban.toSet).take(5)} " +
+        s"onlyBan=${(ban.toSet -- exp.toSet).take(5)}")
+  }
+
   test("threshold sweep: pair counts step down at the planted Jaccard values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sweep").toString
     // A = B (J = 1.0, counted at every threshold); C shares 7 of its 10

@@ -65,7 +65,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q187_growth_accounting" -> "lag over one row per calendar week",
     "q200_rolling_median" -> "7-day rolling frame over one row per calendar day (zero-filled)",
     "q242_cusum_changepoint" -> "PrefixScan offsets + day-index window over one row per calendar day",
-    "q252_km_churn" -> "suffix cumulative risk set over one row per tenure month (calendar-bounded)",
+    "q252_km_churn" -> "suffix cumulative risk set over one row per tenure half-year (180-day buckets, calendar-bounded)",
     "q257_seasonal_decompose" -> "13-month centered + month-index windows over one row per calendar month")
 
   /** A SinglePartition exchange fed (within its own stage) by a

@@ -141,7 +141,7 @@ class VectorSpec extends AnyFunSuite {
         col("embedding"), x => x.cast("double")))
       .withColumn("nrm", sqrt(GraftFunctions.dot(col("emb"), col("emb"))))
       .drop("embedding")
-    val (assigned, _) = graft.operators.IvfAnn.buildIndex(corpus)
+    val (assigned, _, _) = graft.operators.IvfAnn.buildIndex(corpus)
     val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
     graft.operators.IvfAnn.writeClustered(corpus, assigned, path)
 
