@@ -23,15 +23,19 @@ object IvfAnn {
 
   /** Index constants scale with the corpus (VERDICT r8 #3): the FAISS
     * rule-of-thumb nlist ≈ √n keeps both sides of the cost balanced —
-    * centroid scoring is n·nlist and cell search is n·(n/nlist)·
-    * (probed fraction), so √n minimizes their sum; the floor of 16
-    * preserves the measured small-corpus behavior. nprobe keeps the
-    * nlist/4 ratio of the fixed-constant version (phase-1 breadth only
-    * tunes the pruning bound's tightness — every route stays exact via
-    * the triangle bound regardless). */
+    * centroid scoring is n·nlist and a probed cell is n/nlist deep, so
+    * √n balances them at O(n^1.5); the floor of 16 preserves the
+    * measured small-corpus behavior. nprobe must NOT scale with nlist:
+    * phase-1 cost is n·nprobe·(n/nlist), so a proportional nprobe
+    * (nlist/4) makes phase 1 n²/4 — quadratic at ANY nlist. Phase 1
+    * only establishes the pruning bound L (exactness comes from the
+    * triangle bound in phase 2 regardless of breadth), so nprobe grows
+    * logarithmically: enough extra cells on big corpora to tighten L,
+    * while phase 1 stays Õ(n^1.5). */
   private[graft] def nlistFor(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-  private[graft] def nprobeFor(nlist: Int): Int = math.max(4, (nlist + 3) / 4)
+  private[graft] def nprobeFor(nlist: Int): Int =
+    math.max(4, math.ceil(math.log(nlist.toDouble) / math.log(2.0)).toInt)
   private val lloydIters = 3
 
   /** The reusable index: cell assignment, centroid metadata (with
@@ -208,7 +212,15 @@ object IvfAnn {
     * (cell, θ, cosine upper bound) scores via the tiny broadcast
     * centroid table — 16 rows per vector, linear in the corpus. The
     * scores are checkpointed (consumed by multiple probe phases). */
-  private def memberAndScores(s: SparkSession, d: String): (DataFrame, DataFrame, Int) = {
+  /** Member table, SLIM per-vector cell scores, the vector lookup
+    * table, and the index's nprobe. The scored frame carries only
+    * (a_id, cell, theta, ub): it has n·nlist rows, so keeping the
+    * 64-dim embedding on every row would checkpoint n·nlist·dim
+    * doubles — ~50 GB at 200k vectors, the shape that OOMed the first
+    * IVF100X run. Probe lists re-attach vectors via an a_id join AFTER
+    * the bound filters, when they are probe-sized again. */
+  private def memberAndScores(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, Int) = {
     import graft.functions.GraftFunctions
     val corpus = fullCorpus(s, d)
     val idx = cachedIndex(s, d)
@@ -216,15 +228,15 @@ object IvfAnn {
     val members = corpus.join(assigned, "vec_id")
       .select(col("vec_id").as("b_id"), col("emb").as("eb"),
         col("nrm").as("nb"), col("cell"))
-    val queries = corpus.select(col("vec_id").as("a_id"),
+    val vecs = corpus.select(col("vec_id").as("a_id"),
       col("emb").as("ea"), col("nrm").as("na"))
-    val scored = queries.join(broadcast(cmeta))
+    val scored = vecs.join(broadcast(cmeta))
       .withColumn("theta", acos(clamp(
         GraftFunctions.dot(col("ea"), col("cemb")) / (col("na") * col("cnrm")))))
       .withColumn("ub", cos(greatest(lit(0.0), col("theta") - col("radius"))))
-      .select(col("a_id"), col("ea"), col("na"), col("cell"), col("theta"), col("ub"))
+      .select(col("a_id"), col("cell"), col("theta"), col("ub"))
       .ckpt()
-    (members, scored, idx.nprobe)
+    (members, scored, vecs, idx.nprobe)
   }
 
   /** Candidate cosines for a probe list (a_id, ea, na, cell): SHUFFLE
@@ -238,21 +250,22 @@ object IvfAnn {
         col("na"), col("nb")))
 
   def mutualNnExact(s: SparkSession, d: String): DataFrame = {
-    val (members, scored, nprobe) = memberAndScores(s, d)
-    def cosines(probe: DataFrame): DataFrame = probeCosines(members, probe)
+    val (members, scored, vecs, nprobe) = memberAndScores(s, d)
+    def cosines(probe: DataFrame): DataFrame =
+      probeCosines(members, probe.join(vecs, "a_id"))
     // Phase 1: each vector's best candidate from its nprobe nearest
     // cells (window is per-vector over nlist rows — never global).
     val wq = Window.partitionBy(col("a_id")).orderBy(col("theta"), col("cell"))
     val probe1 = scored.withColumn("crnk", row_number().over(wq))
       .filter(col("crnk") <= nprobe)
-      .select(col("a_id"), col("ea"), col("na"), col("cell"))
+      .select(col("a_id"), col("cell"))
     val lbound = cosines(probe1).groupBy(col("a_id")).agg(max(col("c")).as("lb"))
     // Phase 2: exact search of every cell the bound cannot exclude.
     // The cell holding the phase-1 best always survives (ub ≥ its
     // cosine = lb), so phase 2 alone sees the global argmax.
     val probe2 = scored.join(lbound, Seq("a_id"), "left")
       .filter(col("lb").isNull || col("ub") >= col("lb") - lit(1e-6))
-      .select(col("a_id"), col("ea"), col("na"), col("cell"))
+      .select(col("a_id"), col("cell"))
     val nn = cosines(probe2).groupBy(col("a_id"))
       .agg(max(struct(col("c"), (-col("b_id")).as("negb"))).as("m"))
       .select(col("a_id"), (-col("m.negb")).cast("long").as("nb"))
@@ -272,13 +285,33 @@ object IvfAnn {
     * Each unordered pair is emitted exactly once, from its lower id's
     * probe (the a_id < b_id filter drops the mirror row). */
   def thresholdPairsExact(s: SparkSession, d: String, t: Double): DataFrame = {
-    val (members, scored, _) = memberAndScores(s, d)
+    val (members, scored, vecs, _) = memberAndScores(s, d)
     val probe = scored.filter(col("ub") >= lit(t) - lit(1e-6))
-      .select(col("a_id"), col("ea"), col("na"), col("cell"))
+      .select(col("a_id"), col("cell")).join(vecs, "a_id")
     probeCosines(members, probe)
       .filter(col("a_id") < col("b_id") && col("c") > lit(t))
       .select(col("a_id"), col("b_id"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Planning diagnostic for the threshold route (the IVF100X lesson,
+    * SCALE.md round 9): the fraction of cells whose angular radius is
+    * below acos(t) — the only cells the triangle bound can ever
+    * EXCLUDE for a threshold-t probe. Flat IVF prunes nothing when the
+    * quantizer is coarser than the corpus's natural cluster structure:
+    * a cell that aggregates many unrelated tight clusters has radius
+    * ≈ 90°, so its bound cos(θ − r) ≈ 1 ≥ t for EVERY query and the
+    * probe degenerates to the all-pairs join. Prunability ≈ 0 says the
+    * index needs more cells (or a hierarchical quantizer) before the
+    * threshold route pays — a one-row planning read on the nlist-row
+    * metadata, same contract as Extract.keyBounds. */
+  def thresholdPrunability(index: IvfIndex, t: Double): Double = {
+    val total = index.cmeta.count()
+    if (total == 0) return 0.0
+    val prunable = index.cmeta
+      .filter(col("radius") < lit(math.acos(math.min(1.0, math.max(-1.0, t)))))
+      .count()
+    prunable.toDouble / total
   }
 
   /** Persist the corpus clustered by IVF cell: `partitionBy(cell)` is

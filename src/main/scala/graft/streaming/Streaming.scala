@@ -415,6 +415,42 @@ object Streaming {
         TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
+  /** Streaming similarity search: arriving query vectors are top-k
+    * searched against a PREBUILT IVF index (the clustered corpus
+    * layout IvfAnn.writeClustered persists, plus its centroid/radius
+    * table). Each micro-batch runs the identical exact two-phase
+    * bounded probe as batch q67 (IvfAnn.boundedTopK) with the
+    * micro-batch's queries broadcast against the static member table —
+    * the stream-static join shape: the corpus never moves, and
+    * per-batch work is (batch queries) × (probed cells) ×
+    * (cell depth), with the triangle bound pruning cells exactly as in
+    * batch. Results are exact top-k by construction (same code path),
+    * so stream/batch parity is structural — StreamingSpec asserts it
+    * against q67 on a replayed query stream. foreachBatch is the
+    * idiomatic carrier: the probe needs two correlated passes
+    * (phase-1 bound, phase-2 refine), which no single stream-static
+    * join expresses, and each micro-batch is a complete, bounded,
+    * deterministic search problem.
+    *
+    * `queries` is a streaming (query_id, embedding array<float>)
+    * frame; `emit` receives each micro-batch's exact ranked
+    * (query_id, rank, neighbor_id) result. */
+  def annStream(queries: DataFrame, corpus: DataFrame,
+      index: graft.operators.IvfAnn.IvfIndex, k: Int,
+      emit: (DataFrame, Long) => Unit) = {
+    import graft.functions.GraftFunctions
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qs = batch.select(col("query_id"),
+            transform(col("embedding"), x => x.cast("double")).as("qe"))
+          .withColumn("qn", sqrt(GraftFunctions.dot(col("qe"), col("qe"))))
+        emit(graft.operators.IvfAnn
+          .boundedTopK(corpus, qs, k, Some(index))._2, batchId)
+      }
+      .outputMode(OutputMode.Update)
+      .start()
+  }
+
   /** Parquet sink with checkpointing (exactly-once file sink). */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()) =

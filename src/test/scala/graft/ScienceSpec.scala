@@ -321,6 +321,53 @@ class ScienceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("shared pair graph: bucketed build equals the raw count join; BOTH sides exchange-free") {
+    import graft.operators.LlmOps
+    // Output law: the family entry q43 (which consumes cachedPairStats,
+    // now fed by the bucketed build) must equal the raw exchange-ful
+    // count join at the same threshold.
+    val got = SparkEntry.queries("q43_ngram_jaccard")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = LlmOps.jaccardCountJoinAt(spark, d, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // Plan law (the q255b law extended to the SHARED build): with
+    // broadcast disabled, the self-join must be an SMJ where BOTH
+    // sides read the bucketed graft_shidx2_* table with no
+    // ShuffleExchange beneath — the whole point of promoting the
+    // layout is that the corpus never shuffles for the pair graph.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val plan = LlmOps.bucketedPairStats(spark, d).queryExecution.executedPlan
+      def unwrap(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case other => other
+      }
+      def findSmj(p: SparkPlan): Seq[SortMergeJoinExec] = {
+        val self = p match { case s: SortMergeJoinExec => Seq(s); case _ => Nil }
+        self ++ p.children.flatMap(c => findSmj(unwrap(c)))
+      }
+      def hasShuffle(p: SparkPlan): Boolean = p match {
+        case _: ShuffleExchangeExec => true
+        case other => other.children.exists(hasShuffle)
+      }
+      val smjs = findSmj(unwrap(plan))
+      assert(smjs.nonEmpty, s"expected an SMJ self-join in:\n$plan")
+      val pairJoin = smjs.last
+      Seq(pairJoin.left, pairJoin.right).foreach { side =>
+        assert(side.collectLeaves().exists(_.toString.contains("graft_shidx2_")),
+          s"each self-join side must read the bucketed index:\n$side")
+        assert(!hasShuffle(side),
+          s"neither self-join side may shuffle:\n$side")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q260: kNN rows re-derive from a driver-side brute force over blocked pairs") {
     val got = SparkEntry.queries("q260_doc_knn")(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -532,4 +532,36 @@ class StreamingSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming ANN: micro-batched query stream equals batch q67 on the same index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // Batch anchor: q67's exact IVF top-5 for queries vec_id < 10.
+    val expect = SparkEntry.queries("q67_ann_ivf")(spark, dir)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(expect.nonEmpty, "batch q67 produced no rows — vacuous")
+    val corpus = graft.operators.IvfAnn.fullCorpus(spark, dir)
+    val index = graft.operators.IvfAnn.cachedIndex(spark, dir)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Long)]()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.annStream(
+      mem.toDS().toDF("query_id", "embedding"), corpus, index, k = 5,
+      (df, _) => df.as[(Long, Int, Long)].collect().foreach(got.add))
+    try {
+      // Replay the 10 query vectors in 3 arrival chunks: each
+      // micro-batch must produce its queries' exact batch answers.
+      val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      queries.grouped(4).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet == expect,
+        s"stream ANN != batch q67: only-stream=${(got.asScala.toSet -- expect).take(5)} " +
+          s"only-batch=${(expect -- got.asScala.toSet).take(5)}")
+    } finally q.stop()
+  }
 }

@@ -196,6 +196,39 @@ class VectorSpec extends AnyFunSuite {
     assert(probed < 10 * 16 / 2, s"expected <80 probed (query,cell) pairs, got $probed")
   }
 
+  test("thresholdPrunability: high on cluster-aligned cells, zero on incoherent ones") {
+    import graft.functions.GraftFunctions
+    import graft.operators.IvfAnn
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def mkCorpus(vecs: Seq[(Long, Array[Float])]) =
+      vecs.toDF("vec_id", "embedding")
+        .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("nrm", sqrt(GraftFunctions.dot(col("emb"), col("emb"))))
+        .drop("embedding")
+    // Coherent: 16 tight clusters of 25 (noise 0.05) — cell radii stay
+    // far below acos(0.35), so (nearly) every cell is prunable.
+    val centers = Seq.fill(16)(unit())
+    val tight = for (c <- 0 until 16; i <- 0 until 25) yield {
+      val noise = Array.fill(64)(rnd.nextGaussian() * 0.05)
+      ((c * 25 + i).toLong, centers(c).zip(noise).map { case (a, b) => (a + b).toFloat })
+    }
+    val coherent = IvfAnn.buildIndexWithRadii(mkCorpus(tight))
+    assert(IvfAnn.thresholdPrunability(coherent, 0.35) > 0.5,
+      "tight clusters must make most cells prunable at t=0.35")
+    // Incoherent: 400 uniform random directions — every cell aggregates
+    // unrelated vectors, radius ≈ 90°, nothing prunable at t = 0.9.
+    val noise = (0 until 400).map(i => (i.toLong, unit().map(_.toFloat)))
+    val incoherent = IvfAnn.buildIndexWithRadii(mkCorpus(noise))
+    assert(IvfAnn.thresholdPrunability(incoherent, 0.9) == 0.0,
+      "random directions must leave no cell prunable at t=0.9")
+  }
+
   test("approx_count_distinct within rsd of exact on events fixture") {
     val d = "/root/testdata/sf0.001"
     // q54 output is (event_type, exact_users, hll_ok): the exact count
