@@ -2402,6 +2402,91 @@ object LlmOps {
         .orderBy("doc_id", "rank")
     },
 
+    // Cross-source near-dup LEAKAGE matrix: for each unordered source
+    // pair, how many near-dup pairs (J ≥ 0.3) cross it and at what
+    // mean similarity — the certificate a data team reads before
+    // deduplicating sources independently (off-diagonal mass means
+    // per-source dedup leaves cross-source duplicates in the mix) and
+    // before attributing provenance (which sources copy from which).
+    // One pass over the SHARED memoized pair graph (the bucketed
+    // build every t=0.3 consumer reads) + two doc_id joins to attach
+    // sources; the (source, source) frame is report-sized.
+    Q("q266_source_leakage", {
+      val pairSql = jaccardOracleSqlAt(jaccardThreshold10)
+      // Substitute AFTER stripMargin: the pair SQL contains '||'
+      // string concatenation at line starts, which an outer
+      // stripMargin would truncate into bitwise-or garbage.
+      """WITH p AS (
+         |@PAIRS@
+         |),
+         |m AS (SELECT doc_id, source FROM documents),
+         |x AS (SELECT least(ma.source, mb.source) AS source_a,
+         |        greatest(ma.source, mb.source) AS source_b,
+         |        p.jaccard_bp AS jb
+         |      FROM p JOIN m ma ON p.a_id = ma.doc_id
+         |             JOIN m mb ON p.b_id = mb.doc_id)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(jb) // count(*) AS BIGINT) AS mean_jaccard_bp
+         |FROM x GROUP BY 1, 2
+         |ORDER BY n_pairs DESC, source_a, source_b LIMIT 30""".stripMargin
+        .replace("@PAIRS@", pairSql)
+    }) { (s, d) =>
+      val m = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      jaccardCountJoin(s, d)
+        .join(m.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+        .join(m.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"),
+          col("jaccard_bp").as("jb"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(jb) div count(1)").as("mean_jaccard_bp"))
+        .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
+        .limit(30)
+    },
+
+    // Exact-dedup token savings per source — the dedup ROI
+    // certificate: of each source's token mass, how much survives
+    // keeper selection (global min-doc_id keeper per content hash, the
+    // q41 basis — so a doc dropped because ANOTHER source published
+    // the same text earlier counts against THIS source's kept mass).
+    // This is the number that prices a dedup stage: savings_ppm ≈ 0
+    // means the stage is wasted compute for that source; large means
+    // the source is mostly recycled text. One hash shuffle (groupBy
+    // content hash), keeper join on the SAME key (no extra exchange),
+    // then a source-sized aggregate.
+    Q("q267_dedup_token_savings",
+      """WITH t AS (SELECT doc_id, source, sha256(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |k AS (SELECT h, min(doc_id) AS keeper FROM t GROUP BY h)
+        |SELECT t.source,
+        |  CAST(sum(t.n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN t.doc_id = k.keeper THEN t.n_tok ELSE 0 END)
+        |    AS BIGINT) AS kept_tokens,
+        |  CAST(sum(CASE WHEN t.doc_id = k.keeper THEN 0 ELSE t.n_tok END)
+        |    AS BIGINT) AS dropped_tokens,
+        |  CAST((1000000 * sum(CASE WHEN t.doc_id = k.keeper THEN 0 ELSE t.n_tok END))
+        |    // sum(t.n_tok) AS BIGINT) AS savings_ppm
+        |FROM t JOIN k ON t.h = k.h
+        |GROUP BY t.source ORDER BY t.source""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+        .ckpt() // consumed by the keeper aggregate AND the join
+      val k = t.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+      t.join(k, "h")
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("total_tokens"),
+          sum(when(col("doc_id") === col("keeper"), col("n_tok"))
+            .otherwise(0L)).as("kept_tokens"),
+          sum(when(col("doc_id") === col("keeper"), 0L)
+            .otherwise(col("n_tok"))).as("dropped_tokens"))
+        .withColumn("savings_ppm",
+          expr("(1000000 * dropped_tokens) div total_tokens"))
+        .orderBy(col("source"))
+    },
+
     // INT8 quantization fidelity audit — does q69's 4×-smaller vector
     // preserve RANKING? For each query vector: top-10 by full-precision
     // cosine vs top-10 by quantized cosine (integer dot of the q69

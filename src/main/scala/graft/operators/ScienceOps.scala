@@ -699,6 +699,55 @@ object ScienceOps {
         .orderBy("label", "dim")
     },
 
+    // Between-class separation matrix — the companion certificate to
+    // q263's moments: the cosine between every pair of class MEAN
+    // embeddings, computed entirely from the milli-quantized per-dim
+    // SUMS (cos of the sum vectors equals cos of the means — the
+    // counts cancel), so the heavy part is one map-side (label, dim)
+    // aggregate; the pair join runs on the labels×dims frame. dot and
+    // the squared norms are exact integers; only the final basis-point
+    // projection touches floats (IEEE sqrt/division, identically
+    // spelled on both engines — the q123 precedent). Near-1 cos_bp
+    // between two labels says the embedding space cannot separate
+    // them — the go/no-go for training a linear probe on it.
+    Q("q268_class_separation",
+      """WITH x AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (SELECT label, i AS dim, CAST(floor(emb[i] * 1000) AS BIGINT) AS q3
+        |      FROM x, (SELECT unnest(range(1, 65)) AS i)),
+        |s AS (SELECT CAST(label AS BIGINT) AS label, dim, CAST(sum(q3) AS BIGINT) AS sx
+        |      FROM e GROUP BY 1, 2),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b,
+        |        CAST(sum(a.sx * b.sx) AS BIGINT) AS dot,
+        |        CAST(sum(a.sx * a.sx) AS BIGINT) AS na2,
+        |        CAST(sum(b.sx * b.sx) AS BIGINT) AS nb2
+        |      FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+        |      GROUP BY 1, 2)
+        |SELECT label_a, label_b, dot,
+        |  CAST(CASE WHEN na2 = 0 OR nb2 = 0 THEN 0
+        |       ELSE floor(10000.0 * dot / (sqrt(na2) * sqrt(nb2))) END
+        |    AS BIGINT) AS cos_bp
+        |FROM p ORDER BY label_a, label_b""".stripMargin) { (s, d) =>
+      val sx = Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          posexplode(transform(col("embedding"),
+            x => floor(x.cast("double") * 1000).cast("long"))).as(Seq("i0", "q3")))
+        .groupBy(col("label"), (col("i0") + 1).cast("long").as("dim"))
+        .agg(sum(col("q3")).as("sx"))
+      val a = sx.select(col("label").as("label_a"), col("dim"), col("sx").as("sxa"))
+      val b = sx.select(col("label").as("label_b"), col("dim").as("dimb"),
+        col("sx").as("sxb"))
+      a.join(b, col("dim") === col("dimb") && col("label_a") < col("label_b"))
+        .groupBy(col("label_a"), col("label_b"))
+        .agg(sum(col("sxa") * col("sxb")).as("dot"),
+          sum(col("sxa") * col("sxa")).as("na2"),
+          sum(col("sxb") * col("sxb")).as("nb2"))
+        .select(col("label_a"), col("label_b"), col("dot"),
+          when(col("na2") === 0 || col("nb2") === 0, 0L)
+            .otherwise(floor(lit(10000.0) * col("dot")
+              / (sqrt(col("na2")) * sqrt(col("nb2"))))).as("cos_bp"))
+        .orderBy(col("label_a"), col("label_b"))
+    },
+
     // Sequence-integrity audit — are per-order line numbers the dense
     // 1..n they are assumed to be? For each order: duplicates
     // (n − distinct) and span gaps (max − min + 1 − distinct); the

@@ -668,7 +668,11 @@ object ScaleSmoke {
         "q259_quant_fidelity", "q255b_delta_neardup_bucketed",
         "q260_doc_knn", "q261_price_dispersion", "q262_order_regularity",
         "q263_class_moments", "q264_sequence_audit",
-        "q265_duplicate_payments")
+        "q265_duplicate_payments",
+        // round-9 batch (routed simhash, leakage matrix, dedup ROI,
+        // class separation)
+        "q216c_simhash_neighbors_routed", "q266_source_leakage",
+        "q267_dedup_token_savings", "q268_class_separation")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

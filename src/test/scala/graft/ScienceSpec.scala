@@ -623,4 +623,56 @@ class ScienceSpec extends AnyFunSuite {
     assert(last._2 == last._3 + last._4, "final bucket fully exits")
     assert(rows.map(r => r._3 + r._4).sum == nCust, "every customer exits exactly once")
   }
+
+  // ---- round-9 batch: q266/q267/q268 ---------------------------------
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9docs").toString
+    rows.map { case (id, src, t) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q266: planted cross-source twins land in the right matrix cells") {
+    val t1 = (1 to 12).map(i => s"aa$i").mkString(" ")
+    val t2 = (1 to 12).map(i => s"bb$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, "srcA", t1), (2L, "srcB", t1), // cross-source twins
+      (3L, "srcA", t2), (4L, "srcA", t2), // within-source twins
+      (5L, "srcC", (1 to 12).map(i => s"cc$i").mkString(" "))))
+    val got = SparkEntry.queries("q266_source_leakage")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == Set(("srcA", "srcB", 1L, 10000L),
+      ("srcA", "srcA", 1L, 10000L)), s"got ${got.toSeq}")
+  }
+
+  test("q267: a cross-source duplicate's tokens count against the LATER source") {
+    val t = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val u = (1 to 5).map(i => s"u$i").mkString(" ")  // 5 tokens
+    val dir = writeDocs(Seq((1L, "srcA", t), (2L, "srcB", t), (3L, "srcB", u)))
+    val got = SparkEntry.queries("q267_dedup_token_savings")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      ("srcA", 10L, 10L, 0L, 0L),
+      // srcB: 15 total, keeps only its unique 5 — the copy of srcA's
+      // text is dropped (global keeper = min doc_id = 1, in srcA)
+      ("srcB", 15L, 5L, 10L, 1000000L * 10 / 15)), s"got $got")
+  }
+
+  test("q268: identical class directions read 10000 bp, orthogonal read 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9emb").toString
+    def axis(k: Int): Seq[Float] = Seq.tabulate(64)(i => if (i == k) 1f else 0f)
+    // labels 0 and 1 point along e1; label 2 along e2
+    val rows = Seq(
+      (0L, axis(0), 0), (1L, axis(0), 0),
+      (2L, axis(0), 1), (3L, axis(0), 1),
+      (4L, axis(1), 2), (5L, axis(1), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q268_class_separation")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == Set((0L, 1L, 10000L), (0L, 2L, 0L), (1L, 2L, 0L)), s"got $got")
+  }
 }
