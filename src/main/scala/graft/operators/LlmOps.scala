@@ -2402,6 +2402,102 @@ object LlmOps {
         .orderBy("doc_id", "rank")
     },
 
+    // Boilerplate share per source — the CCNet/RefinedWeb-style
+    // template-text screen: a 3-gram shingle is boilerplate when it
+    // appears in ≥ 5% of documents (and ≥ 2), and a source's share is
+    // the fraction of its shingle occurrences that are boilerplate —
+    // high share means navigation chrome / licence headers / template
+    // text that a cleaning stage should strip before training. The
+    // df threshold is a broadcast one-row scalar (never a driver
+    // action); the boilerplate set is tiny by construction (≥5% df)
+    // so the occurrence join broadcasts; everything else is two
+    // shuffles (df groupBy, per-doc groupBy) + a source-sized report.
+    Q("q269_boilerplate_share",
+      """WITH sh AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sg
+        |  FROM documents),
+        |f AS (SELECT doc_id, source, sg FROM sh WHERE len(sg) > 0),
+        |n AS (SELECT count(*) AS nd FROM f),
+        |e AS (SELECT doc_id, source, unnest(sg) AS shingle FROM f),
+        |dfq AS (SELECT shingle, count(*) AS df FROM e GROUP BY 1),
+        |b AS (SELECT shingle FROM dfq CROSS JOIN n
+        |      WHERE df * 20 >= nd AND df >= 2),
+        |pd AS (SELECT e.doc_id, e.source, count(*) AS n_sh,
+        |         sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_bp
+        |       FROM e LEFT JOIN b ON e.shingle = b.shingle GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_sh) AS BIGINT) AS total_shingles,
+        |  CAST(sum(n_bp) AS BIGINT) AS boilerplate_shingles,
+        |  CAST((1000000 * sum(n_bp)) // sum(n_sh) AS BIGINT) AS share_ppm
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val f = docsWithShingles(s, d)
+        .select(col("doc_id"), col("source"), col("shingles").as("sg"))
+        .filter(size(col("sg")) > 0)
+      val e = f.select(col("doc_id"), col("source"),
+        explode(col("sg")).as("shingle")).ckpt() // df build + the bp join
+      val nd = f.agg(count(lit(1)).as("nd"))
+      val bp = e.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nd))
+        .filter(col("df") * 20 >= col("nd") && col("df") >= 2)
+        .select(col("shingle"), lit(1L).as("isbp"))
+      e.join(broadcast(bp), Seq("shingle"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(coalesce(col("isbp"), lit(0L))).as("n_bp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_sh")).as("total_shingles"),
+          sum(col("n_bp")).as("boilerplate_shingles"))
+        .withColumn("share_ppm",
+          expr("(1000000 * boilerplate_shingles) div total_shingles"))
+        .orderBy(col("source"))
+    },
+
+    // Context-window fit histogram — the packing-planning certificate:
+    // how much of each source's DOCUMENT and TOKEN mass fits common
+    // context lengths (512/1k/2k/4k/8k, else "over"). share_ppm is a
+    // token-mass share, which is what a sequence-packing stage (q72/
+    // q136) actually budgets against. One map-side pass into a
+    // (source × 6)-bucket frame.
+    Q("q270_context_fit",
+      """WITH t AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |x AS (SELECT source, n_tok,
+        |    CASE WHEN n_tok <= 512 THEN 512 WHEN n_tok <= 1024 THEN 1024
+        |         WHEN n_tok <= 2048 THEN 2048 WHEN n_tok <= 4096 THEN 4096
+        |         WHEN n_tok <= 8192 THEN 8192 ELSE 0 END AS ctx
+        |  FROM t),
+        |s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens
+        |      FROM t GROUP BY source)
+        |SELECT x.source, CAST(x.ctx AS BIGINT) AS ctx,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(x.n_tok) AS BIGINT) AS tokens,
+        |  CAST((1000000 * sum(x.n_tok)) // greatest(s.src_tokens, 1) AS BIGINT)
+        |    AS share_ppm
+        |FROM x JOIN s ON x.source = s.source
+        |GROUP BY x.source, x.ctx, s.src_tokens
+        |ORDER BY x.source, ctx""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      val x = t.withColumn("ctx",
+        when(col("n_tok") <= 512, 512L).when(col("n_tok") <= 1024, 1024L)
+          .when(col("n_tok") <= 2048, 2048L).when(col("n_tok") <= 4096, 4096L)
+          .when(col("n_tok") <= 8192, 8192L).otherwise(0L))
+      val srcTot = t.groupBy(col("source")).agg(sum(col("n_tok")).as("src_tokens"))
+      x.join(srcTot, "source")
+        .groupBy(col("source"), col("ctx"), col("src_tokens"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+        .withColumn("share_ppm",
+          expr("(1000000 * tokens) div greatest(src_tokens, 1)"))
+        .select(col("source"), col("ctx"), col("n_docs"), col("tokens"),
+          col("share_ppm"))
+        .orderBy(col("source"), col("ctx"))
+    },
+
     // Cross-source near-dup LEAKAGE matrix: for each unordered source
     // pair, how many near-dup pairs (J ≥ 0.3) cross it and at what
     // mean similarity — the certificate a data team reads before

@@ -672,7 +672,8 @@ object ScaleSmoke {
         // round-9 batch (routed simhash, leakage matrix, dedup ROI,
         // class separation)
         "q216c_simhash_neighbors_routed", "q266_source_leakage",
-        "q267_dedup_token_savings", "q268_class_separation")
+        "q267_dedup_token_savings", "q268_class_separation",
+        "q269_boilerplate_share", "q270_context_fit")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

@@ -661,6 +661,36 @@ class ScienceSpec extends AnyFunSuite {
       ("srcB", 15L, 5L, 10L, 1000000L * 10 / 15)), s"got $got")
   }
 
+  test("q269: all-duplicate source reads 100% boilerplate, all-unique source reads 0") {
+    val common = (1 to 12).map(i => s"hdr$i").mkString(" ")
+    val dupDocs = (1L to 5L).map(id => (id, "srcA", common))
+    val uniqDocs = (6L to 10L).map(id =>
+      (id, "srcB", (1 to 12).map(i => s"u${id}x$i").mkString(" ")))
+    val dir = writeDocs(dupDocs ++ uniqDocs)
+    // srcA: every shingle occurs in all 5 copies (df 5 ≥ 2 and ≥ 5% of
+    // 10 docs) → 100% boilerplate. srcB: every shingle df = 1 → 0.
+    val bySrc = SparkEntry.queries("q269_boilerplate_share")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(bySrc("srcA") == ((5L, 1000000L)), s"got ${bySrc("srcA")}")
+    assert(bySrc("srcB") == ((5L, 0L)), s"got ${bySrc("srcB")}")
+  }
+
+  test("q270: planted lengths land in their context buckets with exact token shares") {
+    def text(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, "s", text(100)), (2L, "s", text(600)),
+      (3L, "s", text(3000)), (4L, "s", text(9000))))
+    val got = SparkEntry.queries("q270_context_fit")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val tot = 100L + 600L + 3000L + 9000L
+    assert(got == Set(
+      (0L, 1L, 9000L, 1000000L * 9000 / tot),
+      (512L, 1L, 100L, 1000000L * 100 / tot),
+      (1024L, 1L, 600L, 1000000L * 600 / tot),
+      (4096L, 1L, 3000L, 1000000L * 3000 / tot)), s"got $got")
+  }
+
   test("q268: identical class directions read 10000 bp, orthogonal read 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft_r9emb").toString
     def axis(k: Int): Seq[Float] = Seq.tabulate(64)(i => if (i == k) 1f else 0f)
