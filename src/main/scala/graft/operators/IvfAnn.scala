@@ -314,6 +314,43 @@ object IvfAnn {
     prunable.toDouble / total
   }
 
+  /** Exact blocked all-pairs threshold join — the optimal exact
+    * algorithm when the corpus has NO usable metric structure
+    * (prunability ≈ 0): the IVF probe is then provably the same
+    * all-pairs candidate set PLUS n·nlist centroid scoring on top
+    * (measured, SCALE.md round 9). Same cosine expression as
+    * probeCosines, so branch outputs are structurally identical. */
+  private[graft] def allPairsThreshold(s: SparkSession, d: String,
+      t: Double): DataFrame = {
+    val e = fullCorpus(s, d)
+    val a = e.select(col("vec_id").as("a_id"), col("emb").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("emb").as("eb"),
+      col("nrm").as("nb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("c", graft.functions.VectorFns.cosineWithNorms(
+        GraftFunctions.dot(col("ea"), col("eb")), col("na"), col("nb")))
+      .filter(col("c") > lit(t))
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Prunability-routed threshold pairs — q50's production entry
+    * (q50c), the q43c/q216c routing pattern applied to round 9's
+    * measured geometry bound: when at least half the cells can exclude
+    * anything at threshold t (radius < acos(t)), take the IVF probe
+    * (Θ(n·cellDepth) in its designed regime); otherwise the triangle
+    * bound is dead weight and the direct all-pairs join wins. Both
+    * branches compute the identical cosine, so the route never changes
+    * the result — VectorSpec proves branch identity on both a
+    * clustered and an incoherent corpus. */
+  def adaptiveThresholdPairs(s: SparkSession, d: String,
+      t: Double): (String, DataFrame) = {
+    val idx = cachedIndex(s, d)
+    if (thresholdPrunability(idx, t) >= 0.5) ("ivf", thresholdPairsExact(s, d, t))
+    else ("allpairs", allPairsThreshold(s, d, t))
+  }
+
   /** Persist the corpus clustered by IVF cell: `partitionBy(cell)` is
     * the on-disk form of the inverted file — a probe then reads only
     * nprobe/nlist of the data via partition pruning (proved in
@@ -321,6 +358,19 @@ object IvfAnn {
   def writeClustered(corpus: DataFrame, assigned: DataFrame, path: String): Unit =
     corpus.join(assigned, "vec_id")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** q50b/q50c shared oracle: exact all-pairs with the cosine spelled
+    * out as dot/(nrm·nrm) with precomputed norms — the identical
+    * formula/association Spark evaluates on every route. Declared
+    * BEFORE qs (object val initialization order). */
+  private val thresholdPairsOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE (CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+      |       ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END) > 0.35
+      |ORDER BY a_id, b_id""".stripMargin
 
   val qs: Seq[Q] = Seq(
     // IVF ANN top-5 for queries vec_id < 10 with a triangle-inequality
@@ -379,15 +429,15 @@ object IvfAnn {
     // candidates by cell, keep pairs with cosine > 0.35. Exact by the
     // triangle bound → the oracle is the exact all-pairs SQL with the
     // cosine spelled out in Spark's own formula.
-    Q("q50b_embedding_neardup_ivf",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
-        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE (CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
-        |       ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END) > 0.35
-        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    Q("q50b_embedding_neardup_ivf", thresholdPairsOracleSql) { (s, d) =>
       thresholdPairsExact(s, d, 0.35)
-    }
+    },
+
+    // Routed production entry for threshold near-dup (the q43c/q216c
+    // pattern, closing round 9's measured geometry bound): the
+    // prunability planning read picks the IVF probe or the direct
+    // all-pairs join. Route-agnostic oracle — both branches exact.
+    Q("q50c_embedding_neardup_routed", thresholdPairsOracleSql)(
+      (s, d) => adaptiveThresholdPairs(s, d, 0.35)._2)
   )
 }

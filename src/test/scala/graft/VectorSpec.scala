@@ -229,6 +229,47 @@ class VectorSpec extends AnyFunSuite {
       "random directions must leave no cell prunable at t=0.9")
   }
 
+  test("q50c router: ivf on clustered corpus, allpairs on incoherent; branches identical") {
+    import graft.functions.GraftFunctions
+    import graft.operators.IvfAnn
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def writeVecs(vecs: Seq[(Long, Array[Float])]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q50c").toString
+      vecs.toDF("vec_id", "embedding")
+        .withColumn("label", lit(0))
+        .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    // clustered: 16 tight families of 25 — radius ≪ acos(0.35)
+    val centers = Seq.fill(16)(unit())
+    val tight = for (c <- 0 until 16; i <- 0 until 25) yield {
+      val noise = Array.fill(64)(rnd.nextGaussian() * 0.05)
+      ((c * 25 + i).toLong,
+        centers(c).zip(noise).map { case (a, b) => (a + b).toFloat })
+    }
+    // incoherent: uniform random directions
+    val loose = (0 until 300).map(i => (i.toLong, unit().map(_.toFloat)))
+    for ((vecs, wantRoute) <- Seq((tight, "ivf"), (loose, "allpairs"))) {
+      val dir = writeVecs(vecs)
+      val (route, picked) = IvfAnn.adaptiveThresholdPairs(spark, dir, 0.35)
+      assert(route == wantRoute, s"expected $wantRoute, got $route")
+      val got = picked.as[(Long, Long)].collect().toSet
+      val ivf = IvfAnn.thresholdPairsExact(spark, dir, 0.35)
+        .as[(Long, Long)].collect().toSet
+      val ap = IvfAnn.allPairsThreshold(spark, dir, 0.35)
+        .as[(Long, Long)].collect().toSet
+      assert(got.nonEmpty, "fixture must produce threshold pairs")
+      assert(got == ivf && got == ap,
+        s"route=$route onlyIvf=${(ivf -- ap).take(5)} onlyAp=${(ap -- ivf).take(5)}")
+    }
+  }
+
   test("approx_count_distinct within rsd of exact on events fixture") {
     val d = "/root/testdata/sf0.001"
     // q54 output is (event_type, exact_users, hll_ok): the exact count
