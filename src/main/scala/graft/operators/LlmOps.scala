@@ -2498,6 +2498,43 @@ object LlmOps {
         .orderBy(col("source"), col("ctx"))
     },
 
+    // PII density screen per source — the batch certificate behind the
+    // streaming scrub: email and US-phone pattern hits per source,
+    // with a per-million-token density (what a compliance gate
+    // thresholds on). Both engines run the IDENTICAL pattern strings;
+    // the constructs used (character classes, \d, bounded and
+    // unbounded repetition) behave the same under Java regex and RE2,
+    // and both `regexp_count` (Spark) and `len(regexp_extract_all)`
+    // (DuckDB) count non-overlapping matches left-to-right. One
+    // map-side pass, source-sized output.
+    Q("q271_pii_density",
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))) AS BIGINT) AS emails,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '\d\d\d-\d\d\d-\d\d\d\d'))) AS BIGINT) AS phones,
+        |  CAST((1000000 * (sum(len(regexp_extract_all(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')))
+        |    + sum(len(regexp_extract_all(text, '\d\d\d-\d\d\d-\d\d\d\d')))))
+        |    // greatest(sum(len(string_split(text, ' '))), 1) AS BIGINT)
+        |    AS pii_ppm
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+      val phonePat = "\\d\\d\\d-\\d\\d\\d-\\d\\d\\d\\d"
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"),
+          regexp_count(col("text"), lit(emailPat)).cast("long").as("em"),
+          regexp_count(col("text"), lit(phonePat)).cast("long").as("ph"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          sum(col("em")).as("emails"), sum(col("ph")).as("phones"))
+        .withColumn("pii_ppm",
+          expr("(1000000 * (emails + phones)) div greatest(n_tokens, 1)"))
+        .orderBy(col("source"))
+    },
+
     // Cross-source near-dup LEAKAGE matrix: for each unordered source
     // pair, how many near-dup pairs (J ≥ 0.3) cross it and at what
     // mean similarity — the certificate a data team reads before

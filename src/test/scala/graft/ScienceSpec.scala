@@ -691,6 +691,20 @@ class ScienceSpec extends AnyFunSuite {
       (4096L, 1L, 3000L, 1000000L * 3000 / tot)), s"got $got")
   }
 
+  test("q271: planted emails and phone numbers are counted, clean docs read zero") {
+    val dir = writeDocs(Seq(
+      (1L, "dirty", "contact me at bob.smith@example.com or alice@test.org today"),
+      (2L, "dirty", "call 555-123-4567 and 555-987-6543 or mail x_1@a.io now ok"),
+      (3L, "clean", (1 to 10).map(i => s"w$i").mkString(" "))))
+    val got = SparkEntry.queries("q271_pii_density")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // dirty: 2 docs, 7+9=16 tokens, 3 emails, 2 phones → 5 hits /
+    // 16 tokens = 312500 ppm
+    assert(got("dirty") == ((2L, 16L, 3L, 2L, 312500L)), s"got ${got("dirty")}")
+    assert(got("clean") == ((1L, 10L, 0L, 0L, 0L)), s"got ${got("clean")}")
+  }
+
   test("q268: identical class directions read 10000 bp, orthogonal read 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft_r9emb").toString
     def axis(k: Int): Seq[Float] = Seq.tabulate(64)(i => if (i == k) 1f else 0f)
