@@ -2498,6 +2498,48 @@ object LlmOps {
         .orderBy(col("source"), col("ctx"))
     },
 
+    // Shingle diversity per source — Gini–Simpson 1 − Σp² in exact
+    // ppm: 10⁶ − (10⁶·Σc²) // T² over per-source shingle occurrence
+    // counts (occurrence = a doc containing the shingle, q269's
+    // frame). Low diversity = a few shingles carry the source's mass
+    // (template/spam farms); high = evenly spread vocabulary. No
+    // float probabilities: the cross-multiplied form is exact while
+    // 10⁶·Σc² < 2⁶³ (Σc² ≤ T², so the envelope is T ≤ ~3·10⁶
+    // source-occurrences per partition report — beyond that, compute
+    // in DECIMAL or report per shard). Two shuffles: the
+    // (source, shingle) count and the source rollup.
+    Q("q272_shingle_diversity",
+      """WITH sh AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sg
+        |  FROM documents),
+        |f AS (SELECT doc_id, source, unnest(sg) AS shingle FROM sh
+        |      WHERE len(sg) > 0),
+        |c AS (SELECT source, shingle, CAST(count(*) AS BIGINT) AS c
+        |      FROM f GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(c) AS BIGINT) AS n_occ,
+        |  CAST(1000000 - (1000000 * sum(c * c)) // (sum(c) * sum(c)) AS BIGINT)
+        |    AS simpson_ppm
+        |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val f = docsWithShingles(s, d)
+        .select(col("doc_id"), col("source"), col("shingles").as("sg"))
+        .filter(size(col("sg")) > 0)
+        .select(col("doc_id"), col("source"), explode(col("sg")).as("shingle"))
+      f.groupBy(col("source"), col("shingle"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_occ"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("source"), col("n_types"), col("n_occ"),
+          (lit(1000000L) - expr("(1000000 * s2) div (n_occ * n_occ)"))
+            .as("simpson_ppm"))
+        .orderBy(col("source"))
+    },
+
     // PII density screen per source — the batch certificate behind the
     // streaming scrub: email and US-phone pattern hits per source,
     // with a per-million-token density (what a compliance gate

@@ -674,7 +674,8 @@ object ScaleSmoke {
         "q216c_simhash_neighbors_routed", "q266_source_leakage",
         "q267_dedup_token_savings", "q268_class_separation",
         "q269_boilerplate_share", "q270_context_fit",
-        "q50c_embedding_neardup_routed", "q271_pii_density")
+        "q50c_embedding_neardup_routed", "q271_pii_density",
+        "q272_shingle_diversity")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

@@ -705,6 +705,20 @@ class ScienceSpec extends AnyFunSuite {
     assert(got("clean") == ((1L, 10L, 0L, 0L, 0L)), s"got ${got("clean")}")
   }
 
+  test("q272: single-shingle source reads 0 ppm, all-unique source reads 1 - 1/n") {
+    // srcLow: five docs of the same single shingle (3 tokens) → one
+    // type, Σc² = T² → simpson 0. srcHigh: five docs, each one unique
+    // shingle → uniform over 5 types → 1e6 - 1e6/5 = 800000.
+    val dir = writeDocs(
+      (1L to 5L).map(id => (id, "srcLow", "a b c")) ++
+        (6L to 10L).map(id => (id, "srcHigh", s"u$id v$id w$id")))
+    val got = SparkEntry.queries("q272_shingle_diversity")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("srcLow") == ((1L, 5L, 0L)), s"got ${got("srcLow")}")
+    assert(got("srcHigh") == ((5L, 5L, 800000L)), s"got ${got("srcHigh")}")
+  }
+
   test("q268: identical class directions read 10000 bp, orthogonal read 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft_r9emb").toString
     def axis(k: Int): Seq[Float] = Seq.tabulate(64)(i => if (i == k) 1f else 0f)
