@@ -335,20 +335,256 @@ object IvfAnn {
       .orderBy("a_id", "b_id")
   }
 
+  // ---- hierarchical refinement for the degenerate threshold regime ----
+  // (VERDICT r9 #1). Flat IVF prunes nothing when the quantizer is
+  // coarser than the corpus's natural clusters (every cell radius ≈ 90°,
+  // every bound ≥ t — the geometry whose 100× leg was killed at 35 min,
+  // SCALE.md round 9). The scale-safe fix is to SPLIT every unprunable
+  // cell with a per-cell k-means until cells align with the natural
+  // clusters (radius < acos(t)), then probe via a CELL-ADJACENCY join:
+  // for a pair cos(a,b) > t with a ∈ cell g, b ∈ cell f, the triangle
+  // inequality forces θ(μ_g, μ_f) ≤ r_g + acos(t) + r_f — so the cells
+  // any member of g can need are computable once at the centroid level
+  // (ncells² centroid pairs, ncells ≈ n/clusterDepth ≪ n), and the
+  // per-vector probe list is its own cell's adjacency filtered by the
+  // exact per-vector bound. On an aligned corpus adjacency ≈ identity
+  // and the probe is output-bound; past ~10⁵ cells the same refinement
+  // applies recursively to the centroid set (not needed at measured
+  // scales — the adjacency join is centroid-count-bounded, documented
+  // in SCALE.md).
+
+  /** Elementwise mean of member vectors per composite key (the
+    * per-cell-k-means generalization of [[recompute]]). `members` must
+    * carry (emb) plus the key columns. */
+  private def recomputeBy(members: DataFrame, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val dims = members
+      .select(kc :+ posexplode(col("emb")).as(Seq("pos", "v")): _*)
+      .groupBy(kc :+ col("pos"): _*).agg(avg(col("v")).as("m"))
+    dims.groupBy(kc: _*)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cemb"))
+      .withColumn("cnrm", sqrt(GraftFunctions.dot(col("cemb"), col("cemb"))))
+  }
+
+  /** Nearest subcentroid within each parent cell: broadcast the
+    * subcentroid table (ncells·k rows — centroid-count-bounded), argmax
+    * by (score, −sub) as a hash aggregation, the [[assign]] shape. */
+  private def assignSub(members: DataFrame, subc: DataFrame): DataFrame =
+    members.join(broadcast(subc), "cell")
+      .withColumn("score",
+        GraftFunctions.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max_by(col("sub"), struct(col("score"), (-col("sub")).as("ns"))).as("sub"))
+
+  /** Split every cell whose radius ≥ acos(t) (the cells the threshold
+    * bound can never exclude) into ⌈depth/targetDepth⌉ subcells via a
+    * deterministic per-cell Lloyd (contiguous-vec_id-block init, 2
+    * iterations), re-id, recompute radii, and repeat up to `maxRounds`
+    * or until every multi-member cell is prunable. Cell ids are
+    * arithmetic (old·65 + sub + 1), never a global window, so the
+    * re-id is shuffle-free; all per-round reads are cell-count-bounded
+    * planning reads. Refinement never changes WHICH vectors exist —
+    * only the quantizer — so any probe over the refined index is exact
+    * by the same triangle bound as the flat index. */
+  private[graft] def refineForThreshold(corpus: DataFrame, base: IvfIndex,
+      t: Double, maxRounds: Int = 3, targetDepth: Int = 16): IvfIndex = {
+    val acosT = math.acos(math.min(1.0, math.max(-1.0, t)))
+    var assigned = base.assigned.select(col("vec_id"), col("cell").cast("long").as("cell"))
+    var cmeta = base.cmeta.withColumn("cell", col("cell").cast("long"))
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      val bad = cmeta.join(sizes, "cell")
+        .filter(col("radius") >= lit(acosT) - lit(1e-6) && col("n") > 1)
+        .select(col("cell"), col("n"))
+      if (bad.isEmpty) done = true
+      else {
+        val badB = broadcast(bad.ckpt())
+        val goodMeta = cmeta.join(badB, Seq("cell"), "left_anti")
+        val goodAssigned = assigned.join(badB, Seq("cell"), "left_anti")
+        // members of bad cells, with per-cell rank (window over one
+        // cell's members — bounded by cell depth, never global) and the
+        // per-cell split factor k = ⌈n/targetDepth⌉ ∈ [2, 64]
+        val mb = corpus.join(assigned, "vec_id").join(badB, "cell")
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("cell")).orderBy(col("vec_id"))) - 1)
+          .withColumn("k", least(lit(64), greatest(lit(2),
+            ceil(col("n") / lit(targetDepth)).cast("int"))))
+          .select(col("vec_id"), col("cell"), col("emb"), col("nrm"),
+            col("rnk"), col("k"), col("n"))
+          .ckpt()
+        // contiguous-block init: subcell seed = mean of each id-block
+        val init = mb.withColumn("sub", (col("rnk") * col("k") / col("n")).cast("int"))
+        val lloyd = mb.select(col("vec_id"), col("cell"), col("emb"), col("nrm"))
+        var subc = recomputeBy(init, Seq("cell", "sub")).ckpt()
+        for (_ <- 1 to 2) {
+          val as = assignSub(lloyd, subc)
+          subc = recomputeBy(lloyd.join(as, Seq("vec_id", "cell")),
+            Seq("cell", "sub")).ckpt()
+        }
+        val finalSub = assignSub(lloyd, subc).ckpt()
+        // arithmetic re-id: good keeps cell·65, subcell gets
+        // cell·65 + sub + 1 (sub < 64 ⇒ collision-free, deterministic)
+        assigned = goodAssigned
+          .select(col("vec_id"), (col("cell") * 65L).as("cell"))
+          .unionByName(finalSub.select(col("vec_id"),
+            (col("cell") * 65L + col("sub") + 1L).as("cell")))
+          .ckpt()
+        val subRadii = lloyd.join(finalSub, Seq("vec_id", "cell"))
+          .join(broadcast(subc), Seq("cell", "sub"))
+          .withColumn("ang", acos(clamp(
+            GraftFunctions.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))))
+          .groupBy(col("cell"), col("sub")).agg(max(col("ang")).as("radius"))
+        cmeta = goodMeta
+          .select((col("cell") * 65L).as("cell"), col("cemb"), col("cnrm"),
+            col("radius"))
+          .unionByName(subc.join(subRadii, Seq("cell", "sub"))
+            .select((col("cell") * 65L + col("sub") + 1L).as("cell"),
+              col("cemb"), col("cnrm"), col("radius")))
+          .ckpt()
+        round += 1
+      }
+    }
+    IvfIndex(assigned, cmeta, nlist = cmeta.count().toInt,
+      nprobe = base.nprobe)
+  }
+
+  /** Cell-adjacency table of a (refined) index at threshold t: every
+    * (gcell, cell) pair with θ(μ_g, μ_f) ≤ r_g + acos(t) + r_f + ε — a
+    * superset of the cells any member of g can share a >t pair with
+    * (triangle inequality through the member and its neighbor). The
+    * join is ncells² over the broadcast centroid table: centroid-count-
+    * bounded, once per (corpus, t), cached with the index. */
+  private[graft] def cellAdjacency(cmeta: DataFrame, t: Double): DataFrame = {
+    val acosT = math.acos(math.min(1.0, math.max(-1.0, t)))
+    val g = cmeta.select(col("cell").as("gcell"), col("cemb").as("ge"),
+      col("cnrm").as("gn"), col("radius").as("gr"))
+    val f = cmeta.select(col("cell"), col("cemb").as("fe"),
+      col("cnrm").as("fn"), col("radius").as("fr"))
+    g.join(broadcast(f),
+        acos(clamp(GraftFunctions.dot(col("ge"), col("fe")) / (col("gn") * col("fn"))))
+          <= col("gr") + lit(acosT) + col("fr") + lit(1e-6))
+      .select(col("gcell"), col("cell"))
+  }
+
+  /** A refined index plus its adjacency and the candidate-volume
+    * estimates the router compares (doubles — n² overflows long at
+    * cluster scale). */
+  final case class RefinedIndex(idx: IvfIndex, adjacency: DataFrame,
+      probeVolume: Double, allPairsVolume: Double)
+
+  /** Memoized refined indexes per (session, dir fingerprint, threshold):
+    * the TrieMap value lets one corpus hold one refined index per
+    * threshold while the DerivationCache handles session/fingerprint
+    * eviction (tuples inside the map are Products, so ownedRddIds and
+    * unpersistAll reach the frames). */
+  private val refinedCache =
+    new graft.plans.DerivationCache[scala.collection.concurrent.TrieMap[Double, RefinedIndex]]
+
+  private[graft] def cachedRefined(s: SparkSession, d: String, t: Double): RefinedIndex = {
+    val m = refinedCache.getOrCompute(s, d)(
+      scala.collection.concurrent.TrieMap.empty[Double, RefinedIndex])
+    m.getOrElseUpdate(t, {
+      val refined = refineForThreshold(fullCorpus(s, d), cachedIndex(s, d), t)
+      val adj = cellAdjacency(refined.cmeta, t).ckpt()
+      // candidate-volume probe (the q43c/q216c Σsz² pattern): what the
+      // adjacency-routed probe would generate vs the all-pairs join —
+      // a planning read over cell-count-bounded frames.
+      val cnt = refined.assigned.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+      val vol = adj
+        .join(cnt.select(col("cell").as("gcell"), col("cnt").as("gcnt")), "gcell")
+        .join(cnt, "cell")
+        .agg(sum(col("gcnt").cast("double") * col("cnt")).as("v"))
+        .head()
+      val probeVol = if (vol.isNullAt(0)) 0.0 else vol.getDouble(0)
+      val n = refined.assigned.count().toDouble
+      RefinedIndex(refined, adj, probeVol, n * n)
+    })
+  }
+
+  /** Exact threshold pairs over a refined index: each vector probes its
+    * own cell's adjacency, tightened by the exact per-vector bound
+    * cos(max(0, θ(a, μ_f) − r_f)) ≥ t − ε, then the same shuffle-join
+    * candidate scoring as every other route. Exhaustive by the
+    * adjacency bound above, so the output EQUALS the all-pairs join
+    * (VectorSpec proves it on the coarse-quantizer geometry). */
+  private[graft] def refinedThresholdPairs(s: SparkSession, d: String,
+      t: Double): DataFrame = {
+    val r = cachedRefined(s, d, t)
+    val corpus = fullCorpus(s, d)
+    val members = corpus.join(r.idx.assigned, "vec_id")
+      .select(col("vec_id").as("b_id"), col("emb").as("eb"),
+        col("nrm").as("nb"), col("cell"))
+    val vecs = corpus.select(col("vec_id").as("a_id"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val own = r.idx.assigned.select(col("vec_id").as("a_id"),
+      col("cell").as("gcell"))
+    val cm = r.idx.cmeta.select(col("cell"), col("cemb"), col("cnrm"), col("radius"))
+    val probe = own.join(r.adjacency, "gcell")
+      .join(vecs, "a_id")
+      .join(broadcast(cm), "cell")
+      .withColumn("theta", acos(clamp(
+        GraftFunctions.dot(col("ea"), col("cemb")) / (col("na") * col("cnrm")))))
+      .filter(cos(greatest(lit(0.0), col("theta") - col("radius")))
+        >= lit(t) - lit(1e-6))
+      .select(col("a_id"), col("ea"), col("na"), col("cell"))
+    probeCosines(members, probe)
+      .filter(col("a_id") < col("b_id") && col("c") > lit(t))
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Prunability-routed threshold pairs — q50's production entry
-    * (q50c), the q43c/q216c routing pattern applied to round 9's
-    * measured geometry bound: when at least half the cells can exclude
-    * anything at threshold t (radius < acos(t)), take the IVF probe
-    * (Θ(n·cellDepth) in its designed regime); otherwise the triangle
-    * bound is dead weight and the direct all-pairs join wins. Both
-    * branches compute the identical cosine, so the route never changes
-    * the result — VectorSpec proves branch identity on both a
-    * clustered and an incoherent corpus. */
+    * (q50c). Three-way route (VERDICT r9 #1 closes the middle case):
+    *  - base prunability ≥ 0.5 → flat IVF probe (Θ(n·cellDepth));
+    *  - else refine the quantizer (recursive cell splitting) and take
+    *    the adjacency probe iff its measured candidate volume beats
+    *    the all-pairs join with ≥4× margin — the clusterable-corpus-
+    *    under-coarse-quantizer regime round 9 could only detect;
+    *  - else the corpus has no usable metric structure at t and the
+    *    direct all-pairs join is optimal-exact.
+    * Every branch computes the identical cosine, so the route never
+    * changes the result — VectorSpec proves branch identity on
+    * clustered, coarse-quantized, and incoherent corpora. */
   def adaptiveThresholdPairs(s: SparkSession, d: String,
       t: Double): (String, DataFrame) = {
     val idx = cachedIndex(s, d)
     if (thresholdPrunability(idx, t) >= 0.5) ("ivf", thresholdPairsExact(s, d, t))
-    else ("allpairs", allPairsThreshold(s, d, t))
+    else {
+      val r = cachedRefined(s, d, t)
+      if (r.probeVolume * 4 <= r.allPairsVolume)
+        ("ivf_refined", refinedThresholdPairs(s, d, t))
+      else ("allpairs", allPairsThreshold(s, d, t))
+    }
+  }
+
+  /** Incremental index maintenance (VERDICT r9 #7): append new vectors
+    * WITHOUT moving the quantizer — the IVF convention (FAISS add()):
+    * each new vector is assigned to its nearest existing centroid and
+    * the cell's angular radius is extended to cover it, so every probe
+    * bound stays a true upper bound and boundedTopK remains EXACT over
+    * the appended index (StreamingSpec proves parity vs a from-scratch
+    * rebuild). Radius growth is the re-cluster signal: appends that
+    * stretch cells erode pruning, and [[thresholdPrunability]] on the
+    * updated cmeta is the same planning read that routes q50c — a
+    * maintainer rebuilds when it degrades (Streaming.IvfMaintainer). */
+  def appendToIndex(index: IvfIndex, newCorpus: DataFrame): IvfIndex = {
+    val centroids = index.cmeta.select(col("cell"), col("cemb"), col("cnrm"))
+    val newAssigned = assign(newCorpus, centroids).ckpt()
+    val assigned = index.assigned.unionByName(newAssigned).ckpt()
+    val newRadii = newCorpus.join(newAssigned, "vec_id")
+      .join(broadcast(index.cmeta.select(col("cell"), col("cemb"), col("cnrm"))), "cell")
+      .withColumn("ang", acos(clamp(
+        GraftFunctions.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))))
+      .groupBy(col("cell")).agg(max(col("ang")).as("nradius"))
+    val cmeta = index.cmeta.join(newRadii, Seq("cell"), "left")
+      .withColumn("radius",
+        greatest(col("radius"), coalesce(col("nradius"), lit(0.0))))
+      .drop("nradius")
+      .ckpt()
+    IvfIndex(assigned, cmeta, index.nlist, index.nprobe)
   }
 
   /** Persist the corpus clustered by IVF cell: `partitionBy(cell)` is

@@ -533,6 +533,80 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("IvfMaintainer: appended index answers == from-scratch rebuild after N streamed vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.IvfAnn
+    val dir = "/root/testdata/sf0.001"
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    // maintainer seeded with the first half; the second half arrives
+    // as a 3-chunk vector stream. rebuildWhen = never, so the final
+    // index is pure append-assign — the exactness claim under test.
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = m.start(mem.toDS().toDF("vec_id", "embedding"))
+    try {
+      val arriving = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") >= cut)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      arriving.grouped(math.max(1, arriving.size / 3)).foreach { chunk =>
+        mem.addData(chunk); q.processAllAvailable()
+      }
+      assert(m.index.assigned.count() == nTotal, "appends lost vectors")
+      assert(m.rebuilds == 0)
+      // exact-parity law: top-5 through the maintained (append-only)
+      // index == top-5 through a from-scratch rebuild over the same
+      // corpus (both exact by the triangle bound ⇒ identical output)
+      val queries = full.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      val viaMaintained = IvfAnn.boundedTopK(m.corpus, queries, 5,
+        Some(m.index))._2.as[(Long, Int, Long)].collect().toSeq
+      val viaRebuild = IvfAnn.boundedTopK(full, queries, 5,
+        Some(IvfAnn.buildIndexWithRadii(full)))._2
+        .as[(Long, Int, Long)].collect().toSeq
+      assert(viaMaintained.nonEmpty && viaMaintained == viaRebuild)
+    } finally q.stop()
+  }
+
+  test("IvfMaintainer: degraded prunability triggers the re-cluster diagnostic") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.IvfAnn
+    // seed: 8 tight clusters of 8 (prunable at t=0.9); appends land FAR
+    // from every centroid, stretching radii — the diagnostic must fire.
+    val rnd = new scala.util.Random(53)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Seq.fill(8)(unit())
+    val seedVecs = for (c <- 0 until 8; i <- 0 until 8) yield {
+      val noise = Array.fill(64)(rnd.nextGaussian() * 0.02f)
+      ((c * 8 + i).toLong,
+        centers(c).zip(noise).map { case (a, b) => a + b }.toSeq)
+    }
+    val seed = seedVecs.toDF("vec_id", "embedding")
+      .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb"))))
+      .drop("embedding")
+    val m = new Streaming.IvfMaintainer(seed,
+      rebuildWhen = idx => IvfAnn.thresholdPrunability(idx, 0.9) < 0.5)
+    assert(IvfAnn.thresholdPrunability(m.index, 0.9) >= 0.5, "seed index must start prunable")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = m.start(mem.toDS().toDF("vec_id", "embedding"))
+    try {
+      // 64 uniform random arrivals — each lands in some tight cell and
+      // blows its radius to ~90°, collapsing prunability
+      mem.addData((100L until 164L).map(i => (i, unit().toSeq)))
+      q.processAllAvailable()
+      assert(m.rebuilds >= 1, "radius-growth diagnostic never fired")
+      assert(m.index.assigned.count() == 64 + 64)
+    } finally q.stop()
+  }
+
   test("streaming ANN: micro-batched query stream equals batch q67 on the same index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"

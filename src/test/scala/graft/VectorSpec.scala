@@ -270,6 +270,100 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("q50c refined route: coarse-quantizer geometry is fixed by re-quantizing, not n²") {
+    // VERDICT r9 #1's exact regime: many tight natural clusters folded
+    // into a √n quantizer (128 clusters × 16 members, but nlist(2048) =
+    // 46 cells ⇒ ~2.8 unrelated clusters per cell, radius ≈ 90°) —
+    // flat prunability ≈ 0, yet the corpus is perfectly clusterable.
+    // Round 9 could only DETECT this and fall back to all-pairs; the
+    // refinement must now split cells until they align with the
+    // natural clusters and route the adjacency probe.
+    import graft.functions.GraftFunctions
+    import graft.operators.IvfAnn
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(37)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Seq.fill(128)(unit())
+    val vecs = for (c <- 0 until 128; i <- 0 until 16) yield {
+      val noise = Array.fill(64)(rnd.nextGaussian() * 0.03)
+      ((c * 16 + i).toLong,
+        centers(c).zip(noise).map { case (a, b) => (a + b).toFloat })
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_coarse").toString
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val t = 0.9
+    // the flat index is provably degenerate here …
+    assert(IvfAnn.thresholdPrunability(IvfAnn.cachedIndex(spark, dir), t) < 0.5,
+      "fixture must start in the unprunable flat regime")
+    // … the refined one is not …
+    val refined = IvfAnn.cachedRefined(spark, dir, t)
+    assert(IvfAnn.thresholdPrunability(refined.idx, t) >= 0.5,
+      "refinement must split cells down to the natural clusters")
+    assert(refined.probeVolume * 4 <= refined.allPairsVolume,
+      s"adjacency probe volume ${refined.probeVolume} must beat all-pairs " +
+        s"${refined.allPairsVolume} with margin")
+    // … the router takes it, and the output is EXACTLY the all-pairs set.
+    val (route, picked) = IvfAnn.adaptiveThresholdPairs(spark, dir, t)
+    assert(route == "ivf_refined", s"expected ivf_refined, got $route")
+    val got = picked.as[(Long, Long)].collect().toSet
+    val want = IvfAnn.allPairsThreshold(spark, dir, t)
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture must produce threshold pairs")
+    assert(got == want,
+      s"onlyRefined=${(got -- want).take(5)} onlyAllPairs=${(want -- got).take(5)}")
+  }
+
+  test("refined route stays allpairs on an incoherent corpus (refinement can't invent structure)") {
+    import graft.functions.GraftFunctions
+    import graft.operators.IvfAnn
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(41)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_incoh").toString
+    (0 until 300).map(i => (i.toLong, unit())).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    // at t = 0.9 uniform random directions leave nothing prunable at
+    // ANY quantizer granularity the bounded refinement reaches — the
+    // volume probe must send the router to the optimal-exact all-pairs
+    val (route, picked) = IvfAnn.adaptiveThresholdPairs(spark, dir, 0.9)
+    assert(route == "allpairs", s"expected allpairs, got $route")
+    // vacuously exact is fine here (0.9 pairs are rare on random data);
+    // the branch-identity law with output runs in the q50c router test
+    assert(picked.columns.toSeq == Seq("a_id", "b_id"))
+  }
+
+  test("appendToIndex: probes over the appended index equal a from-scratch rebuild") {
+    import graft.functions.GraftFunctions
+    import graft.operators.IvfAnn
+    GraftFunctions.register(spark)
+    val base = IvfAnn.fullCorpus(spark, plantedDir)
+    val idx0 = IvfAnn.buildIndexWithRadii(base.filter(col("vec_id") < 300))
+    val delta = base.filter(col("vec_id") >= 300)
+    val appended = IvfAnn.appendToIndex(idx0, delta)
+    // appended radii still cover every member → boundedTopK stays exact:
+    // identical ranked output as an index rebuilt over the full corpus
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val viaAppend = IvfAnn.boundedTopK(base, queries, 5, Some(appended))._2
+      .collect().toSeq
+    val viaRebuild = IvfAnn.boundedTopK(base, queries, 5,
+      Some(IvfAnn.buildIndexWithRadii(base)))._2.collect().toSeq
+    assert(viaAppend == viaRebuild)
+    assert(viaAppend.nonEmpty)
+    // every appended vector is assigned (index covers the full corpus)
+    assert(appended.assigned.count() == base.count())
+  }
+
   test("approx_count_distinct within rsd of exact on events fixture") {
     val d = "/root/testdata/sf0.001"
     // q54 output is (event_type, exact_users, hll_ok): the exact count
