@@ -31,8 +31,11 @@ object Bench {
     val sc = spark.sparkContext
     def dropOrphanCheckpoints(): Unit = {
       val owned = graft.plans.DerivationCache.ownedRddIds
+      // blocking: cleanup sits OUTSIDE the timed region, so a blocking
+      // unpersist is free — async removal would bleed block-drop work
+      // into the NEXT timed rep (ADVICE r9).
       sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!owned.contains(id)) { try rdd.unpersist(blocking = false) catch { case _: Throwable => () } }
+        if (!owned.contains(id)) { try rdd.unpersist(blocking = true) catch { case _: Throwable => () } }
       }
     }
     // Per-query adaptive repeats: the first run absorbs whole-stage-
@@ -75,10 +78,25 @@ object Bench {
     val failedField =
       if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")
     val total = results.flatMap(_._2).sum
+    // Baseline-tagged queries (VERDICT r9 #3): deliberately-unrouted
+    // quadratic oracle anchors — reported so a scale consumer of this
+    // JSON can filter them; each has a routed production sibling
+    // (enforced by RegistrySpec).
+    val baselines = SparkEntry.registry.collect {
+      case q if q.scaleClass.isInstanceOf[Q.Baseline] => "\"" + q.name + "\""
+    }
+    val baselineField =
+      if (baselines.isEmpty) ""
+      else baselines.mkString(""","baseline_queries":[""", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField$baselineField,"sf":"$sfDir"}"""
+    // Durable outputs resolve against a FIXED base (ADVICE r9): the
+    // env-configured output dir when set, else the launch directory —
+    // never a bare relative path that silently follows a changed cwd.
+    val outBase = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", sys.props("user.dir")))
     // Full per-query record → file (the durable copy the judge reads).
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+    java.nio.file.Files.write(outBase.resolve("bench_out.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The driver keeps only the LAST ~2000 chars of stdout; the full
     // 200+-query line is ~9 KB, so for two rounds the captured tail was
@@ -105,7 +123,7 @@ object Bench {
     // regardless of what follows, and BENCH_HEADLINE.json +
     // bench_out.json are the file-system fallbacks. Any remaining
     // parse failure is driver-side (see NOTES.md).
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HEADLINE.json"),
+    java.nio.file.Files.write(outBase.resolve("BENCH_HEADLINE.json"),
       (compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Stop Spark BEFORE the final print so shutdown logging can't land
     // after the compact line; emit on stderr too in case the driver

@@ -25,7 +25,8 @@ object SparkEntry {
       operators.WarehouseOps.qs ++
       operators.MiningOps.qs ++
       operators.AuditOps.qs ++
-      operators.ScienceOps.qs
+      operators.ScienceOps.qs ++
+      operators.CorpusOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.plans.Ckpt.CkptOps
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 corpus-profiling batch: the token-, character- and
+  * vocabulary-level certificates a curation pipeline reads alongside
+  * the q46/q155/q245 quality family. Every query is one or two
+  * map-side-combinable aggregations over the documents (or embeddings)
+  * fixture — no pair joins except the vocabulary-overlap matrix, whose
+  * join volume is bounded by (distinct sources)² per token, never by
+  * corpus². All integer/ppm outputs (no float summation hazards).
+  */
+object CorpusOps {
+
+  /** Fixed curation stopword list — shared verbatim by the oracle SQL
+    * (identical literals, so the screen is engine-identical). */
+  private[graft] val Stopwords =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+  private def stopSqlList: String = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val qs: Seq[Q] = Seq(
+
+    // Stopword token share per source — the fastest language/quality
+    // screen there is (CCNet uses it as a fluency proxy): natural text
+    // carries a stable stopword mass; templated/spam/code-ish text
+    // does not. One map-side pass (the stopword test runs inside the
+    // tokens array via a codegen'd HOF — no explode, no join), then a
+    // source-sized aggregate.
+    Q("q273_stopword_share",
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ($stopSqlList)))) AS BIGINT) AS stop_tokens,
+        |  CAST((1000000 * sum(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ($stopSqlList)))))
+        |    // greatest(sum(len(string_split(text, ' '))), 1) AS BIGINT)
+        |    AS stop_ppm
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val toks = TextFns.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("source"), size(toks).cast("long").as("n_tok"),
+          size(filter(toks, t => t.isInCollection(Stopwords)))
+            .cast("long").as("n_stop"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_stop")).as("stop_tokens"))
+        .withColumn("stop_ppm",
+          expr("(1000000 * stop_tokens) div greatest(n_tokens, 1)"))
+        .orderBy(col("source"))
+    },
+
+    // Vocabulary-overlap matrix: type-level Jaccard between every
+    // source pair — the corpus-mixture certificate that says which
+    // sources speak the same vocabulary (near-1 rows = redundant
+    // sources; near-0 = genuinely new token mass). The self-join runs
+    // on the DISTINCT (source, token) frame keyed by token, so its
+    // volume is Σ_token (#sources carrying it)² ≤ |vocab|·sources² —
+    // bounded by the source count (≤ 20 here), never corpus². Report
+    // is (sources choose 2)-sized.
+    Q("q274_vocab_overlap",
+      """WITH v AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM v GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        CAST(count(*) AS BIGINT) AS inter
+        |      FROM v a JOIN v b ON a.token = b.token AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.inter,
+        |  CAST((1000000 * p.inter) // (ca.nv + cb.nv - p.inter) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM p JOIN c ca ON p.source_a = ca.source
+        |       JOIN c cb ON p.source_b = cb.source
+        |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      val v = Tables.documents(s, d)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+        .distinct()
+        .ckpt() // consumed by the pair join (twice) and the size counts
+      val c = v.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      // self-join spelled explicitly so both sides rename cleanly
+      val a = v.select(col("source").as("source_a"), col("token"))
+      val b = v.select(col("source").as("source_b"), col("token").as("tokenb"))
+      val inter = a.join(b,
+          col("token") === col("tokenb") && col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(c.select(col("source").as("source_a"), col("nv").as("va"))),
+          "source_a")
+        .join(broadcast(c.select(col("source").as("source_b"), col("nv").as("vb"))),
+          "source_b")
+        .select(col("source_a"), col("source_b"), col("inter"),
+          expr("(1000000 * inter) div (va + vb - inter)").as("jaccard_ppm"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // Truncation-duplicate screen: documents sharing an identical
+    // 3-token prefix — the cheap screen for head-truncated near-dups
+    // (crawl snapshots cut at different lengths share their head but
+    // fail whole-document hashing; a prefix group is the candidate
+    // set a verify stage then checks). GroupBy on the prefix string —
+    // one shuffle keyed by a bounded-length key; only groups with ≥ 2
+    // docs are reported.
+    Q("q275_prefix_dup_groups",
+      """WITH p AS (SELECT doc_id,
+        |    array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc_id
+        |FROM p GROUP BY prefix HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, prefix""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("toks"), 1, 3)).as("prefix"))
+        .groupBy(col("prefix"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("prefix"))
+    },
+
+    // Character-class composition per source — the OCR/encoding-junk
+    // screen: letters/digits/spaces per character of source text, in
+    // exact ppm. Counting is length-difference arithmetic over
+    // regexp_replace with IDENTICAL single-class patterns on both
+    // engines (no float, no tokenizer dependence); one map-side pass
+    // into a source-sized report.
+    Q("q276_char_class_profile",
+      """SELECT source, CAST(sum(len(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(len(text) - len(regexp_replace(text, '[a-z]', '', 'g')))
+        |    AS BIGINT) AS letters,
+        |  CAST(sum(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))
+        |    AS BIGINT) AS digits,
+        |  CAST(sum(len(text) - len(regexp_replace(text, ' ', '', 'g')))
+        |    AS BIGINT) AS spaces,
+        |  CAST((1000000 * sum(len(text) - len(regexp_replace(text, '[a-z]', '', 'g'))))
+        |    // greatest(sum(len(text)), 1) AS BIGINT) AS letter_ppm
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      def classCount(pat: String) =
+        (length(col("text")) - length(regexp_replace(col("text"), pat, "")))
+          .cast("long")
+      Tables.documents(s, d)
+        .select(col("source"), length(col("text")).cast("long").as("nc"),
+          classCount("[a-z]").as("lets"), classCount("[0-9]").as("digs"),
+          classCount(" ").as("sps"))
+        .groupBy(col("source"))
+        .agg(sum(col("nc")).as("n_chars"), sum(col("lets")).as("letters"),
+          sum(col("digs")).as("digits"), sum(col("sps")).as("spaces"))
+        .withColumn("letter_ppm",
+          expr("(1000000 * letters) div greatest(n_chars, 1)"))
+        .orderBy(col("source"))
+    },
+
+    // Token-length profile per source — the tokenizer-fertility shape
+    // underneath q225: how a source's token mass distributes over
+    // surface lengths (spam/URL-heavy sources skew long; CJK
+    // transliteration skews short). Explode + two shuffles into a
+    // (source × length)-sized frame with exact ppm shares.
+    Q("q277_token_len_profile",
+      """WITH t AS (SELECT source, len(unnest(string_split(text, ' '))) AS tl
+        |           FROM documents),
+        |g AS (SELECT source, CAST(tl AS BIGINT) AS token_len,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM t GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM g GROUP BY 1)
+        |SELECT g.source AS source, g.token_len, g.n,
+        |  CAST((1000000 * g.n) // s.tot AS BIGINT) AS share_ppm
+        |FROM g JOIN s ON g.source = s.source
+        |ORDER BY g.source, token_len""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), length(col("token")).cast("long").as("token_len"))
+        .agg(count(lit(1)).as("n"))
+        .ckpt() // consumed by the per-source total and the final join
+      val tot = g.groupBy(col("source")).agg(sum(col("n")).as("tot"))
+      g.join(broadcast(tot), "source")
+        .select(col("source"), col("token_len"), col("n"),
+          expr("(1000000 * n) div tot").as("share_ppm"))
+        .orderBy(col("source"), col("token_len"))
+    },
+
+    // Top-5 highest-variance embedding dimensions — the feature-triage
+    // certificate (which dimensions carry signal vs are near-constant
+    // and quantizable away). Variance ranked by the EXACT integer
+    // numerator n·Σq² − (Σq)² over the q263 milli-quantization,
+    // computed in 128-bit on both engines (DECIMAL(38,0) / HUGEINT) so
+    // big corpora fail loudly, never wrap. One map-side (dim) sum →
+    // 64-row frame → TakeOrderedAndProject top-5.
+    Q("q278_dim_variance",
+      """WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (SELECT i AS dim, CAST(floor(emb[i] * 1000) AS BIGINT) AS q3
+        |      FROM x, (SELECT unnest(range(1, 65)) AS i)),
+        |s AS (SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(q3) AS BIGINT) AS sx,
+        |        sum(CAST(q3 AS HUGEINT) * q3) AS sxx
+        |      FROM e GROUP BY 1)
+        |SELECT dim, n, sx, CAST(sxx AS BIGINT) AS sxx,
+        |  CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS var_num
+        |FROM s ORDER BY var_num DESC, dim LIMIT 5""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long"))).as(Seq("i0", "q3")))
+        .groupBy((col("i0") + 1).cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("q3")).as("sx"),
+          sum(col("q3").cast("decimal(19,0)") * col("q3")).as("sxxd"))
+        .select(col("dim"), col("n"), col("sx"),
+          col("sxxd").cast("long").as("sxx"),
+          (col("n").cast("decimal(38,0)") * col("sxxd")
+            - col("sx").cast("decimal(19,0)") * col("sx"))
+            .cast("long").as("var_num"))
+        .orderBy(col("var_num").desc, col("dim"))
+        .limit(5)
+    }
+  )
+}

@@ -392,7 +392,15 @@ object IvfAnn {
     val acosT = math.acos(math.min(1.0, math.max(-1.0, t)))
     var assigned = base.assigned.select(col("vec_id"), col("cell").cast("long").as("cell"))
     var cmeta = base.cmeta.withColumn("cell", col("cell").cast("long"))
-    var round = 0
+    // Plan-audit mode: each round references the previous round's
+    // frames several times, so WITHOUT the per-round checkpoints the
+    // lineage grows exponentially (the executedPlan the audit would
+    // build OOMed the UI listener at 3 rounds). The refinement is an
+    // INDEX BUILD — a persisted once-per-(corpus, t) artifact, the
+    // same contract as cachedIndex's k-means — so the audit skips the
+    // rounds and still walks the per-query PROBE plan over the base
+    // quantizer, which is the part that runs at scale.
+    var round = if (graft.plans.Ckpt.auditMode) maxRounds else 0
     var done = false
     while (round < maxRounds && !done) {
       val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))

@@ -286,7 +286,7 @@ object LlmOps {
     * pigeonhole, exact bit_count verify. Candidate volume is
     * Σ bucket², buckets = 256/band — the LOW-diversity branch (band
     * space saturates once distinct sigs ≫ 256·bands; the router caps
-    * it at [[SimhashRouteThreshold]]). */
+    * it via the [[simhashCandidateVolumes]] Σsz² probe). */
   private[graft] def simhashBandedPairs(sig: DataFrame, uniq: DataFrame): DataFrame = {
     val bb = uniq.select(col("simhash"),
         explode(array((0 to 3).map(lit): _*)).as("band"))
@@ -334,24 +334,55 @@ object LlmOps {
     simhashDocExpand(sig, sigPairs)
   }
 
-  /** 10·2^band_bits: past this many distinct signatures the 8-bit band
-    * space (256 buckets/band) is ≥ 10-deep on average and the banded
-    * join's Σ bucket² goes quadratic (measured: 6.0 per-unit at 100×,
-    * SCALE.md round 8). The expansion branch's 65536-bucket space
-    * stays shallow until ~10·2^16 ≈ 650k distinct signatures — and
-    * past THAT the 64-bit q216b semantic is the production near-dup
-    * signal anyway. */
-  private[graft] val SimhashRouteThreshold = 10L * 256L
+  /** Measured candidate-volume probe for the q216c router (VERDICT r9
+    * #6 — replaces the asserted 10·2⁸ distinct-signature constant with
+    * the Σsz² cost model the q43c skew probe established):
+    *  - banded branch cost ∝ its candidate join volume = Σ over the
+    *    4×256 band buckets of sz² (every same-bucket signature pair is
+    *    a candidate row);
+    *  - expansion branch cost ∝ 34 probe rows per distinct signature
+    *    (17 keys × 2 halves) plus its own collision volume Σ over the
+    *    2×65536 half buckets of sz² (exact-key hits dominate — flipped
+    *    keys are 1-bit-specific misses by construction).
+    * Two aggregations over the already-checkpointed distinct-signature
+    * frame, memoized per (session, dir fingerprint) like every other
+    * planning scalar. The old threshold falls out as the special case
+    * where buckets are uniformly ~10 deep. */
+  private val simhashVolCache =
+    new graft.plans.DerivationCache[(java.lang.Long, java.lang.Long)]
+
+  private[graft] def simhashCandidateVolumes(
+      s: SparkSession, d: String): (Long, Long) = {
+    val v = simhashVolCache.getOrCompute(s, d) {
+      val (_, uniq, n) = simhashSigs(s, d)
+      def sumSq(keyed: DataFrame): Long = {
+        val r = keyed.groupBy(col("h"), col("hv")).agg(count(lit(1)).as("sz"))
+          .agg(sum(col("sz") * col("sz"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      val bandVol = sumSq(uniq.select(
+          explode(array((0 to 3).map(lit): _*)).as("h"), col("simhash"))
+        .withColumn("hv", expr("shiftright(simhash, h * 8) % 256")))
+      val halfVol = sumSq(uniq.select(col("simhash"), posexplode(array(
+          col("simhash").bitwiseAND(lit(0xffffL)),
+          shiftright(col("simhash"), 16).bitwiseAND(lit(0xffffL))))
+        .as(Seq("h", "hv"))))
+      (Long.box(bandVol), Long.box(34L * n + halfVol))
+    }
+    (v._1.longValue(), v._2.longValue())
+  }
 
   /** q43c-style router for the 32-bit simhash neighbor semantic: both
     * branches exact under the k = 3 pigeonhole guarantee, so the route
     * never changes the result — only whether candidate generation pays
     * 256-bucket banding (cheap while the signature space is sparse) or
-    * 65536-bucket half-expansion (the scale regime). */
+    * 65536-bucket half-expansion (the scale regime). The pick is the
+    * smaller MEASURED candidate volume, not an asserted constant. */
   private[graft] def adaptiveSimhashNeighbors(
       s: SparkSession, d: String): (String, DataFrame) = {
-    val (sig, uniq, n) = simhashSigs(s, d)
-    if (n > SimhashRouteThreshold) ("expansion", simhashExpansionPairs(sig, uniq))
+    val (sig, uniq, _) = simhashSigs(s, d)
+    val (bandVol, expVol) = simhashCandidateVolumes(s, d)
+    if (bandVol > expVol) ("expansion", simhashExpansionPairs(sig, uniq))
     else ("banded", simhashBandedPairs(sig, uniq))
   }
 
@@ -639,6 +670,18 @@ object LlmOps {
     * same idea as IvfAnn.writeClustered, realized as a bucketed
     * catalog table). */
   private[graft] def bucketedShingleIndex(s: SparkSession, d: String): DataFrame = {
+    // Plan-audit mode (VERDICT r9 #8): building the index is a
+    // CONSTRUCTION-TIME WAREHOUSE MUTATION (saveAsTable + stale-
+    // generation deletion), so plan-only tooling (PlanAuditSpec,
+    // PlanDump — anything running under Ckpt.auditMode) must never
+    // trigger it. In audit mode return the logically-equivalent
+    // UNBUCKETED exploded frame instead: same columns, same rows, full
+    // pre-materialization lineage for the audit to walk — and zero
+    // writes (PlanAuditSpec asserts the warehouse is untouched).
+    if (graft.plans.Ckpt.auditMode)
+      return shingleBlocks(s, d)
+        .select(col("doc_id"), col("sz"), col("lang"), col("lb"),
+          explode(col("sg")).as("shingle"))
     val fp = graft.plans.DerivationCache.dirFingerprint(d)
     // Name = <dir-hash>_<fingerprint>: the dir part identifies every
     // generation of this corpus's index, the fingerprint part the
@@ -767,6 +810,14 @@ object LlmOps {
       .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
   }
 
+  /** CONSTRUCTION-TIME SIDE EFFECTS (ADVICE r9): routing through
+    * bucketedPairStats means EVERY pair-graph consumer (q43, the
+    * q44c family, q70, q82, q217, q221, q226, q260, q266, …) touches
+    * the warehouse on first construction per corpus snapshot —
+    * bucketedShingleIndex saveAsTables the exploded inventory and
+    * deletes stale generations. Plan-only tooling is exempt: under
+    * Ckpt.auditMode the build is replaced by the logically-equivalent
+    * unbucketed frame and nothing is written. */
   private def cachedPairStats(s: SparkSession, d: String): DataFrame =
     pairStatsCache.getOrCompute(s, d)(bucketedPairStats(s, d).ckpt())
 
@@ -1108,7 +1159,11 @@ object LlmOps {
     // thresholds the prefix prunes little and the count join (q43)
     // wins; the engine picks by threshold. Same exact semantics, own
     // oracle at its own threshold.
-    Q("q43b_jaccard_prefix", jaccardOracleSqlAt(productionThreshold10))(
+    // Baseline-tagged (VERDICT r9 #3): the all-pairs-prefix form is the
+    // oracle/law anchor for the routed q43c — scale callers invoke the
+    // sibling; the registry tag makes the quadratic shape filterable.
+    Q.baseline("q43b_jaccard_prefix", jaccardOracleSqlAt(productionThreshold10),
+      sibling = "q43c_jaccard_adaptive")(
       (s, d) => jaccardPrefixJoinAt(s, d, productionThreshold10)),
 
     // The engine-facing entry point: probe sampled shingle-frequency
@@ -1225,7 +1280,8 @@ object LlmOps {
     // 4 bands, so at least one band matches exactly → banded-join
     // recall is 1.0, NOT probabilistic (unlike MinHash banding), and
     // the bucket join + exact bit_count verify recomputes in DuckDB.
-    Q("q216_simhash_neighbors", simhashNeighborsOracleSql) { (s, d) =>
+    Q.baseline("q216_simhash_neighbors", simhashNeighborsOracleSql,
+      sibling = "q216c_simhash_neighbors_routed") { (s, d) =>
       // Banding runs over DISTINCT signatures, not docs (shared
       // memoized build): the banded join's volume then tracks
       // signature diversity, and repeated-sig doc groups expand
@@ -1620,8 +1676,8 @@ object LlmOps {
     // q50b_embedding_neardup_ivf (IvfAnn.thresholdPairsExact — the
     // threshold bound prunes cells, certified output-equal in
     // VectorSpec).
-    Q("q50_embedding_neardup",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    Q.baseline("q50_embedding_neardup", sibling = "q50c_embedding_neardup_routed",
+      sql = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.emb, b.emb) > 0.35
@@ -1649,8 +1705,8 @@ object LlmOps {
     // contract); the production route is q222b_mutual_nn_ivf
     // (IvfAnn.mutualNnExact — IVF cells + triangle bound, certified
     // output-equal in VectorSpec).
-    Q("q222_mutual_nn",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    Q.baseline("q222_mutual_nn", sibling = "q222b_mutual_nn_ivf",
+      sql = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |    CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
@@ -2333,8 +2389,11 @@ object LlmOps {
     // plan materializes the bucketed index (saveAsTable + stale-
     // generation cleanup, first construction per corpus snapshot) and
     // runs the A4-style cutoff scalar — the persisted-snapshot
-    // contract, same as Extract.keyBounds. Plan-only tooling that must
-    // not touch the warehouse should not construct q255b.
+    // contract, same as Extract.keyBounds. The same applies to EVERY
+    // pair-graph consumer via cachedPairStats (see its scaladoc).
+    // Plan-only tooling runs under Ckpt.auditMode, where
+    // bucketedShingleIndex substitutes the logically-equivalent
+    // unbucketed frame and never writes (VERDICT r9 #8).
     Q("q255b_delta_neardup_bucketed", deltaNearDupOracleSql) { (s, d) =>
       val idx = bucketedShingleIndex(s, d)
       // A4-style planning scalar: the ingest cutoff (max id decile).
@@ -2503,10 +2562,11 @@ object LlmOps {
     // counts (occurrence = a doc containing the shingle, q269's
     // frame). Low diversity = a few shingles carry the source's mass
     // (template/spam farms); high = evenly spread vocabulary. No
-    // float probabilities: the cross-multiplied form is exact while
-    // 10⁶·Σc² < 2⁶³ (Σc² ≤ T², so the envelope is T ≤ ~3·10⁶
-    // source-occurrences per partition report — beyond that, compute
-    // in DECIMAL or report per shard). Two shuffles: the
+    // float probabilities — and no silent wrap (ADVICE r9): Σc² runs
+    // in 128-bit on BOTH engines (DECIMAL(38,0) here, HUGEINT in
+    // DuckDB), so the exact envelope is T ≲ 10¹⁶ source-occurrences
+    // and anything past it fails LOUDLY (ANSI decimal overflow / a
+    // HUGEINT cast error), never diverges. Two shuffles: the
     // (source, shingle) count and the source rollup.
     Q("q272_shingle_diversity",
       """WITH sh AS (SELECT doc_id, source,
@@ -2522,7 +2582,8 @@ object LlmOps {
         |      FROM f GROUP BY 1, 2)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
         |  CAST(sum(c) AS BIGINT) AS n_occ,
-        |  CAST(1000000 - (1000000 * sum(c * c)) // (sum(c) * sum(c)) AS BIGINT)
+        |  CAST(1000000 - (1000000 * sum(CAST(c AS HUGEINT) * c))
+        |       // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT)
         |    AS simpson_ppm
         |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       val f = docsWithShingles(s, d)
@@ -2533,9 +2594,10 @@ object LlmOps {
         .agg(count(lit(1)).as("c"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_occ"),
-          sum(col("c") * col("c")).as("s2"))
+          sum(col("c").cast("decimal(19,0)") * col("c")).as("s2"))
         .select(col("source"), col("n_types"), col("n_occ"),
-          (lit(1000000L) - expr("(1000000 * s2) div (n_occ * n_occ)"))
+          (lit(1000000L) - expr(
+            "(1000000 * s2) div (CAST(n_occ AS DECIMAL(38,0)) * n_occ)"))
             .as("simpson_ppm"))
         .orderBy(col("source"))
     },
@@ -2544,26 +2606,35 @@ object LlmOps {
     // streaming scrub: email and US-phone pattern hits per source,
     // with a per-million-token density (what a compliance gate
     // thresholds on). Both engines run the IDENTICAL pattern strings;
-    // the constructs used (character classes, \d, bounded and
-    // unbounded repetition) behave the same under Java regex and RE2,
-    // and both `regexp_count` (Spark) and `len(regexp_extract_all)`
-    // (DuckDB) count non-overlapping matches left-to-right. One
-    // map-side pass, source-sized output.
+    // the constructs used (character classes, \d, alternation in a
+    // non-capturing group, bounded and unbounded repetition) behave
+    // the same under Java regex and RE2, and both `regexp_count`
+    // (Spark) and `len(regexp_extract_all)` (DuckDB) count
+    // non-overlapping matches left-to-right. The screen remains a
+    // LOWER BOUND on PII density (obfuscated/spaced-out forms don't
+    // match). One map-side pass, source-sized output.
     Q("q271_pii_density",
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
         |  CAST(sum(len(regexp_extract_all(text,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))) AS BIGINT) AS emails,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+'))) AS BIGINT) AS emails,
         |  CAST(sum(len(regexp_extract_all(text,
-        |    '\d\d\d-\d\d\d-\d\d\d\d'))) AS BIGINT) AS phones,
+        |    '(?:\(\d\d\d\) ?|\d\d\d-)\d\d\d-\d\d\d\d'))) AS BIGINT) AS phones,
         |  CAST((1000000 * (sum(len(regexp_extract_all(text,
-        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')))
-        |    + sum(len(regexp_extract_all(text, '\d\d\d-\d\d\d-\d\d\d\d')))))
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+')))
+        |    + sum(len(regexp_extract_all(text,
+        |      '(?:\(\d\d\d\) ?|\d\d\d-)\d\d\d-\d\d\d\d')))))
         |    // greatest(sum(len(string_split(text, ' '))), 1) AS BIGINT)
         |    AS pii_ppm
         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-      val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
-      val phonePat = "\\d\\d\\d-\\d\\d\\d-\\d\\d\\d\\d"
+      // Case-insensitive classes and the (ddd) ddd-dddd phone shape
+      // (ADVICE r9): uppercase emails and parenthesized area codes now
+      // count. Classes are spelled [a-zA-Z…] identically in both engine
+      // strings (never a flag — flag syntax differs across engines);
+      // the alternation group is non-capturing so DuckDB's
+      // regexp_extract_all keeps returning the FULL match (group 0).
+      val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+      val phonePat = "(?:\\(\\d\\d\\d\\) ?|\\d\\d\\d-)\\d\\d\\d-\\d\\d\\d\\d"
       Tables.documents(s, d)
         .select(col("source"),
           size(TextFns.tokens(col("text"))).cast("long").as("n_tok"),

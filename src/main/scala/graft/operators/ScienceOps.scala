@@ -717,9 +717,9 @@ object ScienceOps {
         |s AS (SELECT CAST(label AS BIGINT) AS label, dim, CAST(sum(q3) AS BIGINT) AS sx
         |      FROM e GROUP BY 1, 2),
         |p AS (SELECT a.label AS label_a, b.label AS label_b,
-        |        CAST(sum(a.sx * b.sx) AS BIGINT) AS dot,
-        |        CAST(sum(a.sx * a.sx) AS BIGINT) AS na2,
-        |        CAST(sum(b.sx * b.sx) AS BIGINT) AS nb2
+        |        CAST(sum(CAST(a.sx AS HUGEINT) * b.sx) AS BIGINT) AS dot,
+        |        CAST(sum(CAST(a.sx AS HUGEINT) * a.sx) AS BIGINT) AS na2,
+        |        CAST(sum(CAST(b.sx AS HUGEINT) * b.sx) AS BIGINT) AS nb2
         |      FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
         |      GROUP BY 1, 2)
         |SELECT label_a, label_b, dot,
@@ -736,11 +736,17 @@ object ScienceOps {
       val a = sx.select(col("label").as("label_a"), col("dim"), col("sx").as("sxa"))
       val b = sx.select(col("label").as("label_b"), col("dim").as("dimb"),
         col("sx").as("sxb"))
+      // 128-bit products/sums on BOTH engines (ADVICE r9): DECIMAL(38,0)
+      // here, HUGEINT in the oracle — past the long envelope the final
+      // BIGINT casts fail LOUDLY on both sides instead of wrapping.
       a.join(b, col("dim") === col("dimb") && col("label_a") < col("label_b"))
         .groupBy(col("label_a"), col("label_b"))
-        .agg(sum(col("sxa") * col("sxb")).as("dot"),
-          sum(col("sxa") * col("sxa")).as("na2"),
-          sum(col("sxb") * col("sxb")).as("nb2"))
+        .agg(sum(col("sxa").cast("decimal(19,0)") * col("sxb"))
+            .cast("long").as("dot"),
+          sum(col("sxa").cast("decimal(19,0)") * col("sxa"))
+            .cast("long").as("na2"),
+          sum(col("sxb").cast("decimal(19,0)") * col("sxb"))
+            .cast("long").as("nb2"))
         .select(col("label_a"), col("label_b"), col("dot"),
           when(col("na2") === 0 || col("nb2") === 0, 0L)
             .otherwise(floor(lit(10000.0) * col("dot")

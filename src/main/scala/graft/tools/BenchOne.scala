@@ -14,10 +14,11 @@ object BenchOne {
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       println(f"BENCHONE $name rep$i ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       // same per-rep hygiene as Bench: drop the rep's orphaned
-      // checkpoint caches, keep the shared derivations
+      // checkpoint caches, keep the shared derivations; blocking so
+      // removal can't bleed into the next timed rep (ADVICE r9)
       val owned = graft.plans.DerivationCache.ownedRddIds
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!owned.contains(id)) { try rdd.unpersist(blocking = false) catch { case _: Throwable => () } }
+        if (!owned.contains(id)) { try rdd.unpersist(blocking = true) catch { case _: Throwable => () } }
       }
     }
     spark.stop()

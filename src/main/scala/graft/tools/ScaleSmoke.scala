@@ -413,8 +413,172 @@ object ScaleSmoke {
         val pr = IvfAnn.thresholdPrunability(IvfAnn.cachedIndex(spark, dir), 0.9)
         println(f"IVF100X thresholdPairs(t0.9) $tag%-12s prunability $pr%5.2f")
         if (pr > 0.0) leg("thresholdPairs(t0.9)", tag, dir, thr)
-        else println(s"IVF100X thresholdPairs(t0.9) $tag SKIPPED: prunability 0 — " +
-          "the probe is provably the all-pairs join (measured once: killed at 35 min cold at 200k)")
+        else {
+          // r9 verdict #1: where round 9 SKIPPED (flat probe provably
+          // all-pairs; killed at 35 min cold at 200k), the router now
+          // REFINES the quantizer. Time the once-per-(corpus,t) refined
+          // build (split k-means + adjacency + volume probe), print the
+          // route, and measure the routed probe like any other leg.
+          val tBuild = time { IvfAnn.cachedRefined(spark, dir, 0.9); () }
+          val r = IvfAnn.cachedRefined(spark, dir, 0.9)
+          val (route, _) = IvfAnn.adaptiveThresholdPairs(spark, dir, 0.9)
+          println(f"IVF100X refined-quantizer $tag%-12s build $tBuild%8.2f s  " +
+            f"cells ${r.idx.nlist}%6d  route=$route  " +
+            f"probeVol ${r.probeVolume}%.3g vs allPairs ${r.allPairsVolume}%.3g")
+          leg("thresholdRouted(t0.9)", tag, dir,
+            d => IvfAnn.adaptiveThresholdPairs(spark, d, 0.9)._2)
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    // Streaming-at-10× mode (r9 verdict #2): sustained throughput and
+    // state-store footprint for the three stateful streaming operators
+    // that had parity laws but no scale rows. Each leg replays a
+    // deterministic corpus through a MemoryStream in fixed-size
+    // micro-batches against the RocksDB state store (the provider the
+    // TTL/TWS operators require), reporting rows/s and the final
+    // state-operator totals (numRowsTotal / memoryUsedBytes). The TTL
+    // horizon is set beyond the run, so the reported state is the
+    // WORST-CASE footprint of one TTL window's arrivals — the bound the
+    // StreamingSpec eviction law certifies; per-row cost flat across
+    // 1×→10× is the pass criterion (state lookups are per-key, never
+    // per-corpus).
+    if (sys.env.contains("SPARK_GRAFT_STREAM10X")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.StreamingQuery
+      import graft.streaming.Streaming
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      def stateTotals(q: StreamingQuery): (Long, Double) = {
+        val so = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+        (so.map(_.numRowsTotal).sum, so.map(_.memoryUsedBytes).sum / 1e6)
+      }
+      def report(op: String, tag: String, n: Long, secs: Double,
+          q: StreamingQuery): Unit = {
+        val (rows, mb) = stateTotals(q)
+        println(f"STREAM10X $op%-14s $tag%-10s $n%8d rows in $secs%7.2f s " +
+          f"(${n / secs}%9.0f rows/s)  state_rows $rows%9d  state_mb $mb%8.1f")
+      }
+
+      // nearDupStream: templated near-dup corpus (the q44 regime), 1000-
+      // doc micro-batches. State = per-band-bucket ListState members.
+      // TTL ⇒ TimeMode.ProcessingTime ⇒ the query self-triggers empty
+      // batches continuously, so processAllAvailable never settles —
+      // chunk completion is gated on a listener-accumulated input-row
+      // counter instead (recentProgress churns under the empty batches,
+      // so polling it would under-count).
+      val d10 = "/tmp/graft_dedup10x"
+      synthesizeTemplated(spark, d10, nDocs = 50000L, vocabSize = 5000)
+      val docsAll = spark.read.parquet(s"$d10/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      for ((tag, n) <- Seq(("1x(5k)", 5000), ("10x(50k)", 50000))) {
+        val mem = MemoryStream[(Long, String)]
+        val q = Streaming.nearDupStream(mem.toDS().toDF("doc_id", "text"),
+            graft.operators.LlmOps.productionThreshold10,
+            java.time.Duration.ofHours(1))
+          .writeStream.format("noop")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
+        val seen = new java.util.concurrent.atomic.AtomicLong(0)
+        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit =
+            if (e.progress.id == q.id) { seen.addAndGet(e.progress.numInputRows); () }
+        }
+        spark.streams.addListener(listener)
+        try {
+          val t0 = System.nanoTime()
+          var fed = 0L
+          docsAll.take(n).grouped(1000).foreach { c =>
+            mem.addData(c); fed += c.size
+            while (seen.get() < fed) Thread.sleep(20)
+          }
+          report("nearDupStream", tag, n.toLong, (System.nanoTime() - t0) / 1e9, q)
+        } finally { q.stop(); spark.streams.removeListener(listener) }
+      }
+
+      // upsertStream: CDC rows over a key space 10% of the row volume
+      // (every key sees ~10 versions). State = one ValueState row per
+      // live key; 50k-row micro-batches.
+      for ((tag, nRows, nKeys) <- Seq(("1x(100k)", 100000, 10000),
+          ("10x(1M)", 1000000, 100000))) {
+        val rows = (0 until nRows).map { i =>
+          Streaming.CdcRow(i % nKeys, if (i % 3 == 0) "A" else "B",
+            (i * 7 % 100000).toLong, i / nKeys)
+        }
+        val mem = MemoryStream[Streaming.CdcRow]
+        val q = Streaming.upsertStream(mem.toDS())
+          .writeStream.format("noop")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
+        try {
+          val t0 = System.nanoTime()
+          rows.grouped(50000).foreach { c => mem.addData(c); q.processAllAvailable() }
+          report("upsertStream", tag, nRows.toLong, (System.nanoTime() - t0) / 1e9, q)
+        } finally q.stop()
+      }
+
+      // annStream: query vectors against a prebuilt 20k-vector clustered
+      // IVF index (stream-static — stateless, so the row is pure probe
+      // throughput); 200-query micro-batches through the noop emit.
+      val vdir = "/tmp/graft_ivf10x"
+      synthesizeClusteredVecs(spark, vdir, nVecs = 20000L, clusterSize = 16)
+      val corpus = graft.operators.IvfAnn.fullCorpus(spark, vdir)
+      val index = graft.operators.IvfAnn.cachedIndex(spark, vdir)
+      val queriesAll = spark.read.parquet(s"$vdir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+      for ((tag, n) <- Seq(("1x(200q)", 200), ("10x(2000q)", 2000))) {
+        val mem = MemoryStream[(Long, Seq[Float])]
+        val q = Streaming.annStream(
+          mem.toDS().toDF("query_id", "embedding"), corpus, index, k = 5,
+          (df, _) => df.write.format("noop").mode("overwrite").save())
+        try {
+          val t0 = System.nanoTime()
+          queriesAll.take(n).grouped(200).foreach { c =>
+            mem.addData(c); q.processAllAvailable()
+          }
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"STREAM10X annStream      $tag%-10s $n%8d queries in $secs%7.2f s " +
+            f"(${n / secs}%9.1f queries/s)  [stream-static: no state operator]")
+        } finally q.stop()
+      }
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.stop()
+      return
+    }
+
+    // ROI/class-separation/context-fit at 100× (r9 verdict #4): the
+    // three round-9 ops whose 10× audit smokes (1.8×/1.6×/1.6×) were
+    // overhead-dominated. q267/q270 are document-token-volume-bound →
+    // templated 50k/500k legs; q268 is embedding-volume-bound → the
+    // clustered 20k/200k vector legs. Warm-both-scales, steady = min
+    // of 2 warm reps (the DEDUP100X protocol).
+    if (sys.env.contains("SPARK_GRAFT_ROI100X")) {
+      val d10 = "/tmp/graft_dedup10x"
+      val d100 = "/tmp/graft_dedup100x"
+      synthesizeTemplated(spark, d10, nDocs = 50000L, vocabSize = 5000)
+      synthesizeTemplated(spark, d100, nDocs = 500000L, vocabSize = 50000)
+      val v10 = "/tmp/graft_ivf10x"
+      val v100 = "/tmp/graft_ivf100x"
+      synthesizeClusteredVecs(spark, v10, nVecs = 20000L, clusterSize = 16)
+      synthesizeClusteredVecs(spark, v100, nVecs = 200000L, clusterSize = 16)
+      for ((name, dir10, dir100) <- Seq(
+          ("q267_dedup_token_savings", d10, d100),
+          ("q270_context_fit", d10, d100),
+          ("q268_class_separation", v10, v100))) {
+        val c10 = run(name, dir10) // warm
+        val t10 = math.min(run(name, dir10), run(name, dir10))
+        val c100 = run(name, dir100) // warm
+        val t100 = math.min(run(name, dir100), run(name, dir100))
+        println(f"ROI100X $name%-26s 10x $t10%8.2f  100x $t100%9.2f" +
+          f"  per-unit ${(t100 / t10) / 10.0}%5.2f" +
+          f"  [cold 10x $c10%8.2f 100x $c100%9.2f]")
       }
       spark.stop()
       return
@@ -675,7 +839,11 @@ object ScaleSmoke {
         "q267_dedup_token_savings", "q268_class_separation",
         "q269_boilerplate_share", "q270_context_fit",
         "q50c_embedding_neardup_routed", "q271_pii_density",
-        "q272_shingle_diversity")
+        "q272_shingle_diversity",
+        // round-10 corpus-profiling batch
+        "q273_stopword_share", "q274_vocab_overlap",
+        "q275_prefix_dup_groups", "q276_char_class_profile",
+        "q277_token_len_profile", "q278_dim_variance")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-fixture laws for the round-10 corpus-profiling batch
+  * (q273–q278): each query's semantics pinned on a hand-computable
+  * corpus, independent of the DuckDB oracle. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    rows.map { case (id, t, lang, src) => (id, t, lang, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q273: stopword share counts exactly the fixed list") {
+    val dir = writeDocs(Seq(
+      (1L, "the a quick fox", "en", "srcA"), // 4 tokens, 2 stopwords
+      (2L, "fox fox", "en", "srcB")))        // 2 tokens, 0 stopwords
+    val got = SparkEntry.queries("q273_stopword_share")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("srcA", 1L, 4L, 2L, 500000L),
+      ("srcB", 1L, 2L, 0L, 0L)))
+  }
+
+  test("q274: vocabulary Jaccard over TYPES (dup tokens collapse); zero-overlap pairs absent") {
+    val dir = writeDocs(Seq(
+      (1L, "x y y y", "en", "srcA"), // vocab {x, y}
+      (2L, "y z", "en", "srcB"),     // vocab {y, z}
+      (3L, "q", "en", "srcC")))      // vocab {q} — overlaps nothing
+    val got = SparkEntry.queries("q274_vocab_overlap")(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // J(A,B) = 1/3 → 333333 ppm; (A,C)/(B,C) share nothing → no row
+    assert(got == Seq(("srcA", "srcB", 1L, 333333L)))
+  }
+
+  test("q275: identical 3-token prefixes group; short docs excluded") {
+    val dir = writeDocs(Seq(
+      (1L, "a b c d e", "en", "s"),
+      (2L, "a b c x", "en", "s"),
+      (3L, "a b", "en", "s"),      // < 3 tokens — excluded
+      (4L, "q w e", "en", "s")))   // unique prefix — not reported
+    val got = SparkEntry.queries("q275_prefix_dup_groups")(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a b c", 2L, 1L)))
+  }
+
+  test("q276: character classes count exactly (letters/digits/spaces)") {
+    val dir = writeDocs(Seq((1L, "ab1 c", "en", "srcA")))
+    val got = SparkEntry.queries("q276_char_class_profile")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // 5 chars: 3 letters, 1 digit, 1 space → letter_ppm = 600000
+    assert(got == Seq(("srcA", 5L, 3L, 1L, 1L, 600000L)))
+  }
+
+  test("q277: token-length mass with exact ppm shares") {
+    val dir = writeDocs(Seq((1L, "aa b cc", "en", "srcA")))
+    val got = SparkEntry.queries("q277_token_len_profile")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("srcA", 1L, 1L, 333333L),
+      ("srcA", 2L, 2L, 666666L)))
+  }
+
+  test("q278: variance numerator is exact; constant dims rank zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dimvar").toString
+    // dim1 constant 0.5 (var 0), dim2 = ±1.0 (var_num = 2·2e6 − 0 =
+    // 4e6), dims 3..64 all zero — top-5 is dim2 then the dim-ordered
+    // zero-variance ties (1, 3, 4, 5).
+    val mk = (second: Float) =>
+      Array(0.5f, second) ++ Array.fill(62)(0.0f)
+    Seq((1L, mk(1.0f), 0), (2L, mk(-1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q278_dim_variance")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (2L, 2L, 0L, 2000000L, 4000000L),
+      (1L, 2L, 1000L, 500000L, 0L),
+      (3L, 2L, 0L, 0L, 0L),
+      (4L, 2L, 0L, 0L, 0L),
+      (5L, 2L, 0L, 0L, 0L)))
+  }
+}

@@ -209,8 +209,11 @@ class DedupSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(4).write.parquet(s"$dir/documents.parquet")
     val (sig, uniq, n) = LlmOps.simhashSigs(spark, dir)
-    assert(n > LlmOps.SimhashRouteThreshold,
-      s"dense fixture must exceed the ${LlmOps.SimhashRouteThreshold} route threshold, got $n")
+    // the Σsz² probe (r9 #6: measured volumes, not an asserted count
+    // constant) must see the 256-bucket band space saturated here
+    val (bandVol, expVol) = LlmOps.simhashCandidateVolumes(spark, dir)
+    assert(bandVol > expVol,
+      s"dense fixture must saturate banding: bandVol=$bandVol expVol=$expVol (n=$n)")
     val (denseRoute, densePicked) = LlmOps.adaptiveSimhashNeighbors(spark, dir)
     assert(denseRoute == "expansion")
     val exp = densePicked.as[(Long, Long, Long)].collect().toSeq

@@ -125,6 +125,37 @@ class PlanAuditSpec extends AnyFunSuite {
         offenders.mkString("\n  ")}")
   }
 
+  test("plan audit performs no warehouse mutations (bucketed-index family included)") {
+    // VERDICT r9 #8: constructing the pair-graph family used to
+    // saveAsTable the bucketed shingle inventory even under audit mode.
+    // Audit the whole family against a FRESH fixture dir (so no table
+    // generation can pre-exist) and assert the warehouse gained no
+    // graft_shidx2_* directory and the catalog no table.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_auditmut").toString
+    spark.read.parquet(s"$dir/documents.parquet").limit(50)
+      .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    def warehouseDirs(): Set[String] = {
+      val u = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+      val f = new java.io.File(if (u.getScheme == "file") u.getPath else u.toString)
+      Option(f.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    }
+    def catalogTables(): Set[String] =
+      spark.catalog.listTables().collect().map(_.name).toSet
+    val (dirsBefore, tablesBefore) = (warehouseDirs(), catalogTables())
+    graft.plans.Ckpt.auditMode = true
+    try {
+      Seq("q43_ngram_jaccard", "q43c_jaccard_adaptive", "q255b_delta_neardup_bucketed",
+        "q266_source_leakage", "q260_doc_knn", "q217_threshold_sweep")
+        .foreach { name =>
+          SparkEntry.queries(name)(spark, tmp).queryExecution.executedPlan
+        }
+    } finally graft.plans.Ckpt.auditMode = false
+    assert(warehouseDirs() == dirsBefore,
+      s"audit wrote warehouse dirs: ${warehouseDirs() -- dirsBefore}")
+    assert(catalogTables() == tablesBefore,
+      s"audit registered tables: ${catalogTables() -- tablesBefore}")
+  }
+
   test("allowlist carries no stale entries") {
     val declared = SparkEntry.registry.map(_.name).toSet
     val stale = boundedGlobal.keys.filterNot(declared.contains)
