@@ -401,15 +401,25 @@ object ScaleSmoke {
       def perUnit(name: String, t10: Double, t100: Double): Unit =
         println(f"IVF100X $name%-22s per-unit ${(t100 / t10) / 10.0}%5.2f (n^1.5 model predicts 3.2)")
       val mode = sys.env.getOrElse("SPARK_GRAFT_IVF100X", "")
-      if (mode != "thresh") {
+      if (mode == "" || mode == "mnn") {
         def mnn(d: String) = SparkEntry.queries("q222b_mutual_nn_ivf")(spark, d)
         val m10 = leg("q222b_mutual_nn_ivf", "10x(20k)", v10, mnn)
         val m100 = leg("q222b_mutual_nn_ivf", "100x(200k)", v100, mnn)
         perUnit("q222b_mutual_nn_ivf", m10, m100)
       }
       def thr(d: String) = IvfAnn.thresholdPairsExact(spark, d, 0.9)
+      // =thresh runs all four geometries in one session; the fine legs'
+      // refined-index checkpoints and 1.65M pinned output rows then
+      // pressure the aligned100x steady reps (measured: 69 s vs 15 s
+      // standalone) — =aligned isolates the flat-route legs for a clean
+      // capture, =fine the refined ones.
+      val legFilter: String => Boolean = mode match {
+        case "aligned" => _.startsWith("aligned")
+        case "fine" => _.startsWith("fine")
+        case _ => _ => true
+      }
       for ((tag, dir) <- Seq(("fine10x", v10), ("fine100x", v100),
-          ("aligned10x", a10), ("aligned100x", a100))) {
+          ("aligned10x", a10), ("aligned100x", a100)) if legFilter(tag)) {
         val pr = IvfAnn.thresholdPrunability(IvfAnn.cachedIndex(spark, dir), 0.9)
         println(f"IVF100X thresholdPairs(t0.9) $tag%-12s prunability $pr%5.2f")
         if (pr > 0.0) leg("thresholdPairs(t0.9)", tag, dir, thr)
