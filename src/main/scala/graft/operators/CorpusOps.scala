@@ -215,6 +215,127 @@ object CorpusOps {
             .cast("long").as("var_num"))
         .orderBy(col("var_num").desc, col("dim"))
         .limit(5)
+    },
+
+    // Head-duplicate source matrix — the attribution companion to
+    // q266's near-dup leakage matrix at the TRUNCATION granularity:
+    // for every unordered source pair, how many document pairs share
+    // an identical first-100-characters head (crawl snapshots cut at
+    // different lengths share their head but fail whole-document
+    // hashing — this is who republishes whose openings). The
+    // self-join runs per head-fingerprint GROUP (never corpus-wide);
+    // the report is source-pair-sized. Within-source head-dup pairs
+    // land on the diagonal.
+    Q("q279_headdup_source_matrix",
+      """WITH t AS (SELECT doc_id, source, substr(text, 1, 100) AS h FROM documents),
+        |p AS (SELECT least(a.source, b.source) AS source_a,
+        |        greatest(a.source, b.source) AS source_b
+        |      FROM t a JOIN t b ON a.h = b.h AND a.doc_id < b.doc_id)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1, 2
+        |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), substring(col("text"), 1, 100).as("h"))
+      val a = t.select(col("h"), col("doc_id").as("a_id"), col("source").as("sa"))
+      val b = t.select(col("h").as("hb"), col("doc_id").as("b_id"),
+        col("source").as("sb"))
+      a.join(b, col("h") === col("hb") && col("a_id") < col("b_id"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
+    },
+
+    // Language mix per source — the mixture certificate a multilingual
+    // pipeline reads before setting sampling weights: per (source,
+    // lang) document and token mass with exact ppm shares of the
+    // source. One map-side pass + a broadcast join of the source
+    // totals (sources ≤ 20).
+    Q("q280_language_mix",
+      """WITH t AS (SELECT source, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_tok) AS BIGINT) AS tokens
+        |      FROM t GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(tokens) AS BIGINT) AS tot FROM g GROUP BY 1)
+        |SELECT g.source AS source, g.lang, g.n_docs, g.tokens,
+        |  CAST((1000000 * g.tokens) // greatest(s.tot, 1) AS BIGINT) AS token_ppm
+        |FROM g JOIN s ON g.source = s.source
+        |ORDER BY g.source, g.lang""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+        .ckpt() // consumed by the totals and the final join
+      val tot = g.groupBy(col("source")).agg(sum(col("tokens")).as("tot"))
+      g.join(broadcast(tot), "source")
+        .select(col("source"), col("lang"), col("n_docs"), col("tokens"),
+          expr("(1000000 * tokens) div greatest(tot, 1)").as("token_ppm"))
+        .orderBy(col("source"), col("lang"))
+    },
+
+    // Embedding norm-outlier screen — the vector-hygiene gate before
+    // any cosine-based stage (a zero/denormal or exploded-norm vector
+    // poisons similarity and quantization alike): vectors whose
+    // milli-quantized squared norm deviates from the corpus LOWER
+    // MEDIAN by more than 4× the lower-median absolute deviation (the
+    // q141 convention — rank (n−1) div 2, no even-count averaging, so
+    // every statistic is an exact integer on both engines). Medians
+    // come from PrefixScan cumulative counts over the VALUE-level
+    // (nq2, cnt) aggregate — never a global row window, never a
+    // driver-side sort; the outlier filter is a broadcast
+    // two-scalar join. Output = offending vectors.
+    Q("q281_norm_outlier_screen",
+      """WITH q AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+        |      AS BIGINT) AS nq2
+        |  FROM embeddings),
+        |p AS (SELECT nq2, row_number() OVER (ORDER BY nq2) - 1 AS r0,
+        |             count(*) OVER () AS n FROM q),
+        |m AS (SELECT max(CASE WHEN r0 = (n - 1) // 2 THEN nq2 END) AS med FROM p),
+        |dp AS (SELECT abs(q.nq2 - m.med) AS dev FROM q CROSS JOIN m),
+        |dr AS (SELECT dev, row_number() OVER (ORDER BY dev) - 1 AS r0,
+        |              count(*) OVER () AS n FROM dp),
+        |md AS (SELECT max(CASE WHEN r0 = (n - 1) // 2 THEN dev END) AS mad FROM dr)
+        |SELECT q.vec_id, q.nq2, m.med AS median_nq2, md.mad AS mad_nq2
+        |FROM q CROSS JOIN m CROSS JOIN md
+        |WHERE abs(q.nq2 - m.med) > 4 * md.mad
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      // Value-level lower median via PrefixScan (the q141 machinery,
+      // ungrouped): the value whose cumulative-count range covers
+      // 0-based rank (n−1) div 2.
+      def lowerMedian(byVal: DataFrame, out: String): DataFrame = {
+        val bk = byVal.withColumn("bkt", (col("v") / 1000000000L).cast("long"))
+        val cum = graft.plans.PrefixScan.cumsum(bk, part = Seq(),
+          bucket = "bkt", order = Seq("v"), value = "cnt", out = "cum")
+        val n = byVal.agg(sum(col("cnt")).as("n"))
+        cum.crossJoin(broadcast(n))
+          .filter(col("cum") - col("cnt") <= expr("(n - 1) div 2")
+            && expr("(n - 1) div 2") < col("cum"))
+          .agg(max(col("v")).as(out))
+      }
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          aggregate(transform(col("embedding"),
+            x => floor(x.cast("double") * 1000).cast("long")),
+            lit(0L), (acc, v) => acc + v * v).as("nq2"))
+        .ckpt() // consumed by both median passes and the final filter
+      val byVal = q.groupBy(col("nq2").as("v")).agg(count(lit(1)).as("cnt")).ckpt()
+      val med = lowerMedian(byVal, "med")
+      val devVal = byVal.crossJoin(broadcast(med))
+        .select(abs(col("v") - col("med")).as("v"), col("cnt"))
+        .groupBy("v").agg(sum(col("cnt")).as("cnt"))
+      val mad = lowerMedian(devVal, "mad")
+      q.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+        .filter(abs(col("nq2") - col("med")) > lit(4L) * col("mad"))
+        .select(col("vec_id"), col("nq2"), col("med").as("median_nq2"),
+          col("mad").as("mad_nq2"))
+        .orderBy(col("vec_id"))
     }
   )
 }

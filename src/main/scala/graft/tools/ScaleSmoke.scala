@@ -853,7 +853,9 @@ object ScaleSmoke {
         // round-10 corpus-profiling batch
         "q273_stopword_share", "q274_vocab_overlap",
         "q275_prefix_dup_groups", "q276_char_class_profile",
-        "q277_token_len_profile", "q278_dim_variance")
+        "q277_token_len_profile", "q278_dim_variance",
+        "q279_headdup_source_matrix", "q280_language_mix",
+        "q281_norm_outlier_screen")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

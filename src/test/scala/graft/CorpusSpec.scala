@@ -68,6 +68,44 @@ class CorpusSpec extends AnyFunSuite {
       ("srcA", 2L, 2L, 666666L)))
   }
 
+  test("q279: head-dup pairs attribute to source pairs; tails beyond 100 chars ignored") {
+    val head = Seq.fill(20)("abcd").mkString(" ") // 99 chars + the 100th is ' '
+    val dir = writeDocs(Seq(
+      (1L, head + " tail-one", "en", "srcA"),
+      (2L, head + " tail-two", "en", "srcB"),
+      (3L, head + " tail-three", "en", "srcA"),
+      (4L, "y", "en", "srcC")))
+    val got = SparkEntry.queries("q279_headdup_source_matrix")(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    // head group {1,2,3}: pairs (1,2)=A,B (1,3)=A,A (2,3)=A,B
+    assert(got == Seq(("srcA", "srcB", 2L), ("srcA", "srcA", 1L)))
+  }
+
+  test("q280: per-source language mix with exact token ppm") {
+    val dir = writeDocs(Seq(
+      (1L, "a b", "en", "srcS"), (2L, "c", "de", "srcS")))
+    val got = SparkEntry.queries("q280_language_mix")(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("srcS", "de", 1L, 1L, 333333L),
+      ("srcS", "en", 1L, 2L, 666666L)))
+  }
+
+  test("q281: lower-median MAD flags the planted exploded-norm vector") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_normout").toString
+    // ten 1-dim vectors at 0.5 (nq2 = 250 000) + one at 5.0 (nq2 =
+    // 25 000 000). Lower median = 250 000; devs are ten 0s and one big
+    // → lower-median MAD = 0; the strict > 4·mad filter flags exactly
+    // the exploded vector (and exercises the degenerate-MAD branch).
+    val rows = (0L until 10L).map(i => (i, Array(0.5f), 0)) :+
+      ((10L, Array(5.0f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q281_norm_outlier_screen")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 25000000L, 250000L, 0L)))
+  }
+
   test("q278: variance numerator is exact; constant dims rank zero") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dimvar").toString
     // dim1 constant 0.5 (var 0), dim2 = ±1.0 (var_num = 2·2e6 − 0 =

@@ -49,6 +49,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q205_concurrency_peak" -> "PrefixScan offsets: one row per calendar day",
     "q214_seasonal_index" -> "PrefixScan offsets: one row per calendar month",
     "q218_vocab_growth" -> "PrefixScan offsets: one row per doc-id decile bucket",
+    "q281_norm_outlier_screen" -> "PrefixScan offsets: one row per distinct-norm bucket (two lower-median passes)",
     // newly visible since the audit walks PRE-checkpoint plans (Ckpt
     // audit mode): the same bounded offsets class, previously hidden
     // behind eager localCheckpoints.
