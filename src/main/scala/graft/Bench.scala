@@ -95,6 +95,9 @@ object Bench {
     // never a bare relative path that silently follows a changed cwd.
     val outBase = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", sys.props("user.dir")))
+    // A not-yet-created SPARK_GRAFT_OUT_DIR must not discard the run's
+    // results at write time after every query has already been timed.
+    java.nio.file.Files.createDirectories(outBase)
     // Full per-query record → file (the durable copy the judge reads).
     java.nio.file.Files.write(outBase.resolve("bench_out.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -423,8 +423,13 @@ object IvfAnn {
           .select(col("vec_id"), col("cell"), col("emb"), col("nrm"),
             col("rnk"), col("k"), col("n"))
           .ckpt()
-        // contiguous-block init: subcell seed = mean of each id-block
-        val init = mb.withColumn("sub", (col("rnk") * col("k") / col("n")).cast("int"))
+        // contiguous-block init: subcell seed = mean of each id-block.
+        // rnk·k is computed in LONG: an int product overflows (ANSI
+        // ARITHMETIC_OVERFLOW) once a degenerate cell holds > 2³¹/64
+        // ≈ 33.5M members — exactly the unprunable-cell regime this
+        // split exists for.
+        val init = mb.withColumn("sub",
+          (col("rnk").cast("long") * col("k") / col("n")).cast("int"))
         val lloyd = mb.select(col("vec_id"), col("cell"), col("emb"), col("nrm"))
         var subc = recomputeBy(init, Seq("cell", "sub")).ckpt()
         for (_ <- 1 to 2) {
@@ -581,7 +586,13 @@ object IvfAnn {
   def appendToIndex(index: IvfIndex, newCorpus: DataFrame): IvfIndex = {
     val centroids = index.cmeta.select(col("cell"), col("cemb"), col("cnrm"))
     val newAssigned = assign(newCorpus, centroids).ckpt()
-    val assigned = index.assigned.unionByName(newAssigned).ckpt()
+    // Per-append work stays O(delta): only the delta assignment is
+    // checkpointed; the full membership is a LAZY union over already-
+    // checkpointed leaves (re-materializing it here would make every
+    // append linear in TOTAL index size). Callers that append in a
+    // loop bound the union-chain depth by periodically compacting
+    // (Streaming.IvfMaintainer re-checkpoints every 32 batches).
+    val assigned = index.assigned.unionByName(newAssigned)
     val newRadii = newCorpus.join(newAssigned, "vec_id")
       .join(broadcast(index.cmeta.select(col("cell"), col("cemb"), col("cnrm"))), "cell")
       .withColumn("ang", acos(clamp(

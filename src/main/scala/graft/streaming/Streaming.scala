@@ -461,13 +461,23 @@ object Streaming {
     * diagnostic — typically a [[graft.operators.IvfAnn
     * .thresholdPrunability]] floor or a radius-growth budget, the same
     * planning reads that route q50c — decides whether to re-cluster
-    * from the accumulated corpus. The accumulated corpus frame is
-    * checkpointed per batch (on a cluster: the appended rows land in
-    * the writeClustered layout's cell partitions). StreamingSpec
-    * proves parity vs a from-scratch rebuild after N appended
-    * vectors. */
+    * from the accumulated corpus. Per-batch work is O(batch), not
+    * O(corpus): only the arriving delta is checkpointed and the
+    * accumulated corpus/membership are lazy unions of checkpointed
+    * per-batch frames, re-compacted (full checkpoint) every
+    * `compactEvery` batches to bound lineage depth (on a cluster: the
+    * appended rows land in the writeClustered layout's cell
+    * partitions). Delivery contract: foreachBatch is at-least-once, so
+    * a re-delivered batchId is skipped (the idempotence guard); the
+    * index itself is SESSION-LIVED in-memory state — a
+    * checkpoint-location restart replays only post-commit batches, so
+    * a restarted maintainer must be re-seeded with the durably
+    * persisted accumulated corpus (writeClustered), not the original
+    * seed. StreamingSpec proves parity vs a from-scratch rebuild after
+    * N appended vectors and that a re-delivered batch is a no-op. */
   final class IvfMaintainer(initialCorpus: DataFrame,
-      rebuildWhen: graft.operators.IvfAnn.IvfIndex => Boolean) {
+      rebuildWhen: graft.operators.IvfAnn.IvfIndex => Boolean,
+      compactEvery: Int = 32) {
     import graft.operators.IvfAnn
     import graft.plans.Ckpt.CkptOps
     // canonical index-corpus projection: the seed may carry extra
@@ -477,34 +487,58 @@ object Streaming {
     private val indexRef = new java.util.concurrent.atomic.AtomicReference(
       IvfAnn.buildIndexWithRadii(corpusRef.get))
     @volatile private var rebuildCount = 0
+    @volatile private var lastBatch = -1L
+    private var sinceCompact = 0
     def corpus: DataFrame = corpusRef.get
     def index: IvfAnn.IvfIndex = indexRef.get
     def rebuilds: Int = rebuildCount
 
-    /** newVectors: streaming (vec_id, embedding array<float>) frame. */
-    def start(newVectors: DataFrame) = {
+    /** One micro-batch of arriving vectors. foreachBatch is
+      * at-least-once: a failure after this handler but before the
+      * commit re-delivers the SAME batchId, and re-appending it would
+      * duplicate vec_ids in corpus and index — so an already-applied
+      * batchId is a no-op (batchIds are monotonic per query run). */
+    private[graft] def applyBatch(batch: DataFrame, batchId: Long): Unit = {
       import graft.functions.GraftFunctions
-      newVectors.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val prepped = batch
-            .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
-            .withColumn("nrm", sqrt(GraftFunctions.dot(col("emb"), col("emb"))))
-            .drop("embedding")
-            .ckpt()
-          if (!prepped.isEmpty) {
-            val grown = corpusRef.get.unionByName(prepped).ckpt()
-            corpusRef.set(grown)
-            val appended = IvfAnn.appendToIndex(indexRef.get, prepped)
-            indexRef.set(
-              if (rebuildWhen(appended)) {
-                rebuildCount += 1
-                IvfAnn.buildIndexWithRadii(grown)
-              } else appended)
-          }
+      if (batchId > lastBatch) {
+        val prepped = batch
+          .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+          .withColumn("nrm", sqrt(GraftFunctions.dot(col("emb"), col("emb"))))
+          .drop("embedding")
+          .ckpt()
+        if (!prepped.isEmpty) {
+          // O(batch) per batch: the delta is checkpointed above; the
+          // accumulated corpus is a lazy union over checkpointed
+          // leaves, fully re-checkpointed only every compactEvery
+          // batches (bounds union-chain depth AND avoids pinning a
+          // fresh full-corpus block set per micro-batch).
+          sinceCompact += 1
+          val doCompact = sinceCompact >= compactEvery
+          val grown0 = corpusRef.get.unionByName(prepped)
+          val grown = if (doCompact) grown0.ckpt() else grown0
+          corpusRef.set(grown)
+          val appended0 = IvfAnn.appendToIndex(indexRef.get, prepped)
+          val appended =
+            if (doCompact)
+              appended0.copy(assigned = appended0.assigned.ckpt())
+            else appended0
+          if (doCompact) sinceCompact = 0
+          indexRef.set(
+            if (rebuildWhen(appended)) {
+              rebuildCount += 1
+              IvfAnn.buildIndexWithRadii(grown)
+            } else appended)
         }
+        lastBatch = batchId
+      }
+    }
+
+    /** newVectors: streaming (vec_id, embedding array<float>) frame. */
+    def start(newVectors: DataFrame) =
+      newVectors.writeStream
+        .foreachBatch((batch: DataFrame, batchId: Long) => applyBatch(batch, batchId))
         .outputMode(OutputMode.Update)
         .start()
-    }
   }
 
   /** Parquet sink with checkpointing (exactly-once file sink). */

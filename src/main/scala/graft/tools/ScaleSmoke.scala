@@ -507,7 +507,16 @@ object ScaleSmoke {
           var fed = 0L
           docsAll.take(n).grouped(1000).foreach { c =>
             mem.addData(c); fed += c.size
-            while (seen.get() < fed) Thread.sleep(20)
+            // Bounded wait that surfaces a dead query: with no deadline
+            // a processor failure (no further progress events) would
+            // spin this loop forever instead of raising the exception.
+            val deadline = System.nanoTime() + 120L * 1000000000L
+            while (seen.get() < fed) {
+              q.exception.foreach(throw _)
+              if (System.nanoTime() > deadline)
+                sys.error(s"STREAM10X nearDup stalled: ${seen.get()}/$fed rows after 120 s")
+              Thread.sleep(20)
+            }
           }
           report("nearDupStream", tag, n.toLong, (System.nanoTime() - t0) / 1e9, q)
         } finally { q.stop(); spark.streams.removeListener(listener) }

@@ -157,6 +157,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"audit registered tables: ${catalogTables() -- tablesBefore}")
   }
 
+  test("refined threshold probe plan is funnel-free (the ivf_refined branch, audited directly)") {
+    // The registry-wide audit above can never walk the ivf_refined
+    // branch: under audit mode the refinement BUILD is short-circuited
+    // (the per-round checkpoints it needs are disabled, and without
+    // them the lineage grows exponentially), so the base adjacency
+    // gives probeVolume ≈ n² and the router falls to flat/allpairs.
+    // Audit the branch's PROBE plan directly instead — its join
+    // structure (own ⋈ adjacency ⋈ vecs ⋈ broadcast(cmeta) →
+    // candidate scoring) is identical whichever quantizer granularity
+    // the build produced, so funnel-freeness of this plan is
+    // funnel-freeness of the production refined probe.
+    graft.plans.Ckpt.auditMode = true
+    try {
+      val nodes = offendingNodes(
+        graft.operators.IvfAnn.refinedThresholdPairs(spark, dir, 0.35)
+          .queryExecution.executedPlan)
+      assert(nodes.isEmpty,
+        s"refined probe plans single-partition funnels: ${nodes.distinct.mkString(", ")}")
+    } finally graft.plans.Ckpt.auditMode = false
+  }
+
   test("allowlist carries no stale entries") {
     val declared = SparkEntry.registry.map(_.name).toSet
     val stale = boundedGlobal.keys.filterNot(declared.contains)

@@ -671,6 +671,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IvfMaintainer: a re-delivered batchId is a no-op (at-least-once idempotence)") {
+    import graft.operators.IvfAnn
+    val dir = "/root/testdata/sf0.001"
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false)
+    val arriving = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") >= cut)
+      .select(col("vec_id"), col("embedding"))
+    // foreachBatch re-invokes the handler with the SAME batchId after a
+    // pre-commit failure; the guard must make the second apply a no-op,
+    // or corpus/index would carry duplicate vec_ids.
+    m.applyBatch(arriving, 0L)
+    val afterFirst = (m.corpus.count(), m.index.assigned.count())
+    assert(afterFirst == ((nTotal, nTotal)), "first apply incomplete")
+    m.applyBatch(arriving, 0L) // re-delivery
+    assert((m.corpus.count(), m.index.assigned.count()) == afterFirst,
+      "re-delivered batch mutated maintainer state")
+    // a LOWER batchId (stale replay) is equally a no-op
+    m.applyBatch(arriving.limit(3), -1L)
+    assert((m.corpus.count(), m.index.assigned.count()) == afterFirst)
+    // distinctness law: no vec_id appears twice after the re-delivery
+    assert(m.index.assigned.select("vec_id").distinct().count() == nTotal)
+  }
+
   test("streaming ANN: micro-batched query stream equals batch q67 on the same index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
