@@ -26,7 +26,8 @@ object SparkEntry {
       operators.MiningOps.qs ++
       operators.AuditOps.qs ++
       operators.ScienceOps.qs ++
-      operators.CorpusOps.qs
+      operators.CorpusOps.qs ++
+      operators.PipelineOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -249,7 +249,12 @@ object IvfAnn {
         graft.functions.GraftFunctions.dot(col("ea"), col("eb")),
         col("na"), col("nb")))
 
-  def mutualNnExact(s: SparkSession, d: String): DataFrame = {
+  /** Every vector's EXACT nearest neighbor (a_id, nb) through the IVF
+    * index — the phase-1/phase-2 bounded search shared by mutualNnExact
+    * and the kNN label-purity certificate (q283). Ties break to the
+    * lowest neighbor id (max(struct(c, −b_id))), matching the all-pairs
+    * oracles' ORDER BY c DESC, b_id. */
+  def nearestNeighbors(s: SparkSession, d: String): DataFrame = {
     val (members, scored, vecs, nprobe) = memberAndScores(s, d)
     def cosines(probe: DataFrame): DataFrame =
       probeCosines(members, probe.join(vecs, "a_id"))
@@ -266,10 +271,14 @@ object IvfAnn {
     val probe2 = scored.join(lbound, Seq("a_id"), "left")
       .filter(col("lb").isNull || col("ub") >= col("lb") - lit(1e-6))
       .select(col("a_id"), col("cell"))
-    val nn = cosines(probe2).groupBy(col("a_id"))
+    cosines(probe2).groupBy(col("a_id"))
       .agg(max(struct(col("c"), (-col("b_id")).as("negb"))).as("m"))
       .select(col("a_id"), (-col("m.negb")).cast("long").as("nb"))
-      .ckpt() // both sides of the reciprocity join
+      .ckpt() // consumed twice by mutualNnExact's reciprocity join
+  }
+
+  def mutualNnExact(s: SparkSession, d: String): DataFrame = {
+    val nn = nearestNeighbors(s, d)
     nn.join(nn.select(col("a_id").as("ya"), col("nb").as("ynb")),
         col("nb") === col("ya") && col("ynb") === col("a_id")
           && col("a_id") < col("nb"))

@@ -572,6 +572,51 @@ object ScaleSmoke {
       return
     }
 
+    // Maintainer append cost (r10: appendToIndex is O(delta), not
+    // O(corpus)): seed a 20k-vector clustered index, apply 40
+    // 1000-vector batches through IvfMaintainer.applyBatch
+    // (compactEvery=16 so two compactions land inside the run), and
+    // report each batch's wall time plus first-half/second-half
+    // summaries of the NON-compact batches. Flat halves while the
+    // corpus doubles 20k→60k is the O(delta) evidence; the compact
+    // rows price the periodic full re-checkpoint (the bounded
+    // union-chain-depth cost).
+    if (sys.env.contains("SPARK_GRAFT_MAINT10X")) {
+      import graft.operators.IvfAnn
+      import graft.streaming.Streaming
+      val vdir = "/tmp/graft_maint10x"
+      synthesizeClusteredVecs(spark, vdir, nVecs = 60000L, clusterSize = 16)
+      val all = spark.read.parquet(s"$vdir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val m = new Streaming.IvfMaintainer(
+        IvfAnn.fullCorpus(spark, vdir).filter(col("vec_id") < 20000L),
+        rebuildWhen = _ => false, compactEvery = 16)
+      val compacts = Seq.newBuilder[Int]
+      val normals = Seq.newBuilder[(Int, Double)]
+      for (b <- 0 until 40) {
+        val lo = 20000L + 1000L * b
+        val batch = all.filter(col("vec_id") >= lo && col("vec_id") < lo + 1000L)
+        val t0 = System.nanoTime()
+        m.applyBatch(batch, b.toLong)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val isCompact = (b + 1) % 16 == 0
+        if (isCompact) compacts += b else normals += ((b, secs))
+        println(f"MAINT10X batch $b%3d ${if (isCompact) "compact" else "append "}%s $secs%7.2f s")
+      }
+      val ns = normals.result()
+      def half(xs: Seq[(Int, Double)]): String = {
+        val t = xs.map(_._2).sorted
+        f"min ${t.head}%5.2f median ${t(t.size / 2)}%5.2f max ${t.last}%5.2f"
+      }
+      val (h1, h2) = ns.partition(_._1 < 20)
+      println(s"MAINT10X append-cost first-half(20k->40k corpus): ${half(h1)}")
+      println(s"MAINT10X append-cost second-half(40k->60k corpus): ${half(h2)}")
+      val total = m.index.assigned.count()
+      println(s"MAINT10X final index members: $total (expect 60000)")
+      spark.stop()
+      return
+    }
+
     // ROI/class-separation/context-fit at 100× (r9 verdict #4): the
     // three round-9 ops whose 10× audit smokes (1.8×/1.6×/1.6×) were
     // overhead-dominated. q267/q270 are document-token-volume-bound →
@@ -864,7 +909,10 @@ object ScaleSmoke {
         "q275_prefix_dup_groups", "q276_char_class_profile",
         "q277_token_len_profile", "q278_dim_variance",
         "q279_headdup_source_matrix", "q280_language_mix",
-        "q281_norm_outlier_screen")
+        "q281_norm_outlier_screen",
+        // round-10 pipeline-planning batch
+        "q282_embedding_decon", "q283_knn_label_purity",
+        "q284_lsh_bucket_balance", "q285_shard_planner")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

@@ -50,6 +50,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q214_seasonal_index" -> "PrefixScan offsets: one row per calendar month",
     "q218_vocab_growth" -> "PrefixScan offsets: one row per doc-id decile bucket",
     "q281_norm_outlier_screen" -> "PrefixScan offsets: one row per distinct-norm bucket (two lower-median passes)",
+    "q285_shard_planner" -> "PrefixScan offsets: one row per 1000-doc-id range bucket",
     // newly visible since the audit walks PRE-checkpoint plans (Ckpt
     // audit mode): the same bounded offsets class, previously hidden
     // behind eager localCheckpoints.
