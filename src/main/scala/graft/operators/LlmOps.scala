@@ -2803,6 +2803,60 @@ object LlmOps {
         .select(col("query_id"), col("overlap10"),
           expr("(overlap10 * 10000) div (20 - overlap10)").as("set_jaccard_bp"))
         .orderBy("query_id")
+    },
+
+    // Lexical-vs-semantic agreement — the "can SemDeDup replace
+    // MinHash here" certificate: for every lexical near-dup pair
+    // (J ≥ 0.3, the memoized pair graph) whose BOTH ends carry an
+    // embedding, does the embedding side agree (cosine above the
+    // q50-family 0.35 high-similarity threshold)? Reported as a
+    // (2000-bp Jaccard band × semantic-hit) contingency table: strong
+    // diagonal mass = the embedding space sees what the shingles see
+    // (semantic dedup is safe); a heavy J-high/cos-low cell = lexical
+    // dups the embedding model misses (keep MinHash). Work is
+    // pair-graph-bounded: the pair build is the shared memoized index
+    // (amortized across the whole q43 family), the embedding joins and
+    // the rollup are pair-sized.
+    Q("q286_lexical_semantic_agreement",
+      """WITH sh AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS lb,
+        |    list_distinct(list_transform(
+        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sg
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(floor(10000.0 * len(list_intersect(a.sg, b.sg))
+        |         / len(list_distinct(list_concat(a.sg, b.sg)))) AS BIGINT)
+        |      AS jaccard_bp
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |  WHERE len(a.sg) > 0 AND len(b.sg) > 0
+        |    AND len(list_intersect(a.sg, b.sg)) * 10
+        |        >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT p.jaccard_bp,
+        |    list_cosine_similarity(ea.emb, eb.emb) AS cos
+        |  FROM p JOIN e ea ON p.a_id = ea.vec_id
+        |         JOIN e eb ON p.b_id = eb.vec_id)
+        |SELECT CAST(jaccard_bp // 2000 AS BIGINT) AS jaccard_band,
+        |  CAST(CASE WHEN cos > 0.35 THEN 1 ELSE 0 END AS BIGINT) AS semantic_hit,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM c GROUP BY 1, 2
+        |ORDER BY jaccard_band, semantic_hit""".stripMargin) { (s, d) =>
+      val e = embWithNorm(s, d)
+      jaccardCountJoin(s, d)
+        .join(e.select(col("vec_id").as("a_id"), col("emb").as("ea"),
+          col("nrm").as("na")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("emb").as("eb"),
+          col("nrm").as("nb")), "b_id")
+        .withColumn("cos", VectorFns.cosineWithNorms(
+          fastDot(col("ea"), col("eb")), col("na"), col("nb")))
+        .groupBy(expr("jaccard_bp div 2000").as("jaccard_band"),
+          when(col("cos") > 0.35, 1L).otherwise(0L).as("semantic_hit"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("jaccard_band"), col("semantic_hit"))
     }
   )
 }

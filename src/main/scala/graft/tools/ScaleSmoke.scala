@@ -635,7 +635,12 @@ object ScaleSmoke {
       for ((name, dir10, dir100) <- Seq(
           ("q267_dedup_token_savings", d10, d100),
           ("q270_context_fit", d10, d100),
-          ("q268_class_separation", v10, v100))) {
+          ("q268_class_separation", v10, v100),
+          // r10: label purity shares q222b's NN machinery — certify it
+          // on the clustered corpus (the regime where 1-NN means
+          // anything; the near-orthogonal audit leg measured 1.14
+          // per-unit at 5× as the worst case)
+          ("q283_knn_label_purity", v10, v100))) {
         val c10 = run(name, dir10) // warm
         val t10 = math.min(run(name, dir10), run(name, dir10))
         val c100 = run(name, dir100) // warm
@@ -912,7 +917,8 @@ object ScaleSmoke {
         "q281_norm_outlier_screen",
         // round-10 pipeline-planning batch
         "q282_embedding_decon", "q283_knn_label_purity",
-        "q284_lsh_bucket_balance", "q285_shard_planner")
+        "q284_lsh_bucket_balance", "q285_shard_planner",
+        "q286_lexical_semantic_agreement")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

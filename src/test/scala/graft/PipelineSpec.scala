@@ -103,6 +103,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q286: exact-dup pairs land in the top Jaccard band, split by embedding agreement") {
+    // Docs 1↔2 and 3↔4 are exact text dups (J = 1 → band 5); 1/2's
+    // embeddings are parallel (cos 1 → semantic hit), 3/4's orthogonal
+    // (cos 0 → miss). Doc 5 pairs with nothing.
+    val dir = java.nio.file.Files.createTempDirectory("graft_agree").toString
+    Seq((1L, "a b c d", "en", "s", 7L), (2L, "a b c d", "en", "s", 7L),
+      (3L, "p q r t", "en", "s", 7L), (4L, "p q r t", "en", "s", 7L),
+      (5L, "z z z z", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    Seq((1L, Array(1.0f, 0.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0), (4L, Array(0.0f, 0.0f, 1.0f), 0),
+      (5L, Array(1.0f, 1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q286_lexical_semantic_agreement")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 0L, 1L), (5L, 1L, 1L)))
+  }
+
   test("q285: docs pack greedily at the 2000-token boundary, never split") {
     // Token counts 1500/1000/600/2500 → exclusive prefix sums
     // 0/1500/2500/3100 → shards 0/0/1/1.
