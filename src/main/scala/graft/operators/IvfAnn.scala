@@ -607,11 +607,24 @@ object IvfAnn {
       .withColumn("ang", acos(clamp(
         GraftFunctions.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))))
       .groupBy(col("cell")).agg(max(col("ang")).as("nradius"))
-    val cmeta = index.cmeta.join(newRadii, Seq("cell"), "left")
+    val merged = index.cmeta.join(newRadii, Seq("cell"), "left")
       .withColumn("radius",
         greatest(col("radius"), coalesce(col("nradius"), lit(0.0))))
       .drop("nradius")
       .ckpt()
+    // STATS RESET (the MAINT10X lesson): localCheckpoint PRESERVES the
+    // optimized plan's Catalyst statistics, and this plan references
+    // the previous cmeta TWICE (the broadcast radius probe above and
+    // the merge join) — join size estimates are the PRODUCT of the
+    // children's, so the inherited sizeInBytes SQUARES on every
+    // append. The BigInt's bit length then doubles per batch and by
+    // ~15 appends the driver spends its time in Karatsuba
+    // multiplication inside SizeInBytesOnlyStatsPlanVisitor (measured:
+    // 0.8 s → 70 s/append, SCALE.md round 10). Re-wrapping the
+    // checkpointed RDD resets the stats to a constant default; the
+    // frame is the nlist-row planning table every probe broadcasts
+    // explicitly, so the estimate is never load-bearing.
+    val cmeta = merged.sparkSession.createDataFrame(merged.rdd, merged.schema)
     IvfIndex(assigned, cmeta, index.nlist, index.nprobe)
   }
 
