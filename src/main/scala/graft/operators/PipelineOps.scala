@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Ckpt.CkptOps
 import graft.plans.PrefixScan
 import graft.{Q, Tables}
 import graft.functions.{GraftFunctions, TextFns, VectorFns}
@@ -215,6 +216,241 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy(col("shard_id"))
+    },
+
+    // Pipeline yield funnel — "where do my documents die": per-source
+    // survivor counts (docs + tokens) through the ORDERED gate cascade
+    // a curation pipeline actually runs — stage 0 ingested, 1 after
+    // the length gate, 2 after the repetition gate, 3 after the
+    // average-word-length gate (all three are q90's gates with q90's
+    // thresholds, so the funnel's stage-3 frontier IS the quality
+    // gate's keep set), 4 after exact dedup (globally-first doc per
+    // identical text among stage-3 survivors — the q41 keeper rule).
+    // The cascade order is the cheap-to-expensive production order:
+    // each gate only pays for the previous gate's survivors. Plan: one
+    // token-explode pass (the shared unigram sub-pipeline), a
+    // content-hash groupBy for the keeper (never text×text), then a
+    // ≤5-row explode per doc → a (sources × 5)-row report. Linear in
+    // corpus token volume; no windows, no pair frames.
+    Q("q287_yield_funnel",
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents),
+        |uc AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w),
+        |u AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw,
+        |    CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS mx
+        |  FROM uc GROUP BY doc_id),
+        |s AS (SELECT d.doc_id, d.source, d.text, u.nw,
+        |    floor(10000.0 * (u.nw - u.nd) / u.nw) AS dup_bp,
+        |    floor(10000.0 * u.mx / u.nw) AS top_bp,
+        |    floor(100.0 * (length(d.text) - u.nw + 1) / u.nw) AS awl_x100
+        |  FROM documents d JOIN u USING (doc_id)),
+        |g AS (SELECT doc_id, source, text, nw,
+        |    (nw >= 20 AND nw <= 10000) AS g1,
+        |    (dup_bp <= ${TrainingOps.dupWordBpMax}
+        |     AND top_bp <= ${TrainingOps.topUnigramBpMax}) AS g2,
+        |    (awl_x100 >= 300 AND awl_x100 <= 1000) AS g3
+        |  FROM s),
+        |k AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY text) = doc_id AS keeper
+        |  FROM g WHERE g1 AND g2 AND g3),
+        |r AS (SELECT g.source, g.nw,
+        |    CASE WHEN NOT g.g1 THEN 0 WHEN NOT g.g2 THEN 1
+        |         WHEN NOT g.g3 THEN 2 WHEN k.keeper THEN 4 ELSE 3 END
+        |      AS reached
+        |  FROM g LEFT JOIN k USING (doc_id)),
+        |f AS (SELECT source, nw, unnest(range(0, reached + 1)) AS stage
+        |  FROM r)
+        |SELECT source, CAST(stage AS BIGINT) AS stage,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS tokens
+        |FROM f GROUP BY 1, 2 ORDER BY source, stage""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val u = TrainingOps.unigramStats(docs)
+      val sig = docs
+        .select(col("doc_id"), col("source"), col("text"),
+          length(col("text")).as("len"))
+        .join(u, "doc_id")
+        .withColumn("dup_bp",
+          floor(lit(10000.0) * (col("nw") - col("nd")) / col("nw")))
+        .withColumn("top_bp", floor(lit(10000.0) * col("mx") / col("nw")))
+        .withColumn("awl_x100",
+          floor(lit(100.0) * (col("len") - col("nw") + 1) / col("nw")))
+        .withColumn("g1", col("nw") >= 20 && col("nw") <= 10000)
+        .withColumn("g2", col("dup_bp") <= TrainingOps.dupWordBpMax
+          && col("top_bp") <= TrainingOps.topUnigramBpMax)
+        .withColumn("g3", col("awl_x100") >= 300 && col("awl_x100") <= 1000)
+        .ckpt() // feeds the keeper pass AND the funnel explode
+      // exact-dedup keeper among stage-3 survivors: the q41 shape —
+      // content-hash groupBy + min(doc_id), joined back by id (the
+      // oracle partitions by raw text; identical absent sha2 collisions)
+      val keep = sig.filter(col("g1") && col("g2") && col("g3"))
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(true).as("keeper"))
+      val reached = when(!col("g1"), 0).when(!col("g2"), 1)
+        .when(!col("g3"), 2).when(col("keeper") === true, 4).otherwise(3)
+      sig.join(keep, Seq("doc_id"), "left")
+        .select(col("source"), col("nw"),
+          explode(sequence(lit(0), reached)).as("stage"))
+        .groupBy(col("source"), col("stage").cast("long").as("stage"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens"))
+        .select(col("source"), col("stage"), col("n_docs"), col("tokens"))
+        .orderBy(col("source"), col("stage"))
+    },
+
+    // Per-source Spearman rank correlation between document length
+    // (n_chars) and lexical diversity (distinct-token share, bp) — the
+    // "are my long documents the degenerate ones" screen that decides
+    // whether a length gate doubles as a quality gate on this source.
+    // Exact by construction: ranks are row_number over the TOTAL order
+    // (value, doc_id) — the deterministic tie-break both engines
+    // compute identically — and Σd² accumulates in 128-bit
+    // (DECIMAL(38,0) / HUGEINT, the q272 overflow discipline: exact to
+    // ~10¹² docs per source, far past any corpus). Only the final bp
+    // converts to double, where both engines round the same exact
+    // integers to the same nearest doubles. Plan: ranks come from
+    // PrefixScan cumulative counts over (source, value) groups plus a
+    // row_number INSIDE each tie group — never a whole-source window
+    // (a source is terabytes at 100 TB; a tie group is one value).
+    Q("q288_length_diversity_rankcorr",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents),
+        |uc AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w),
+        |u AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw,
+        |    CAST(count(*) AS BIGINT) AS nd FROM uc GROUP BY doc_id),
+        |s AS (SELECT d.doc_id, d.source, d.n_chars AS x,
+        |    CAST(floor(10000.0 * u.nd / u.nw) AS BIGINT) AS y
+        |  FROM documents d JOIN u USING (doc_id)),
+        |r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS rx,
+        |    row_number() OVER (PARTITION BY source ORDER BY y, doc_id) AS ry
+        |  FROM s),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    sum(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS sum_d2
+        |  FROM r GROUP BY source),
+        |f AS (SELECT source, n_docs,
+        |    CAST(n_docs AS HUGEINT) * n_docs * n_docs - n_docs AS den,
+        |    CAST(n_docs AS HUGEINT) * n_docs * n_docs - n_docs
+        |      - 6 * sum_d2 AS num
+        |  FROM a)
+        |SELECT source, n_docs,
+        |  CAST(CASE WHEN n_docs < 2 THEN NULL
+        |    ELSE floor((10000.0 * CAST(num AS DOUBLE)) / CAST(den AS DOUBLE))
+        |    END AS BIGINT) AS spearman_bp
+        |FROM f ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val u = TrainingOps.unigramStats(docs)
+      val sig = docs.select(col("doc_id"), col("source"), col("n_chars").as("x"))
+        .join(u.select(col("doc_id"), col("nw"), col("nd")), "doc_id")
+        .withColumn("y",
+          floor(lit(10000.0) * col("nd") / col("nw")).cast("long"))
+        .select(col("doc_id"), col("source"), col("x"), col("y"))
+        .ckpt() // feeds both rank passes
+      // scalable row_number over (source ORDER BY v, doc_id): PrefixScan
+      // cumulative counts give each (source, v) group's rank offset;
+      // row_number inside the tie group (window keyed by source AND v —
+      // value-group-bounded, never whole-source) breaks ties by doc_id.
+      def ranked(df: DataFrame, v: String, out: String): DataFrame = {
+        val byV = df.groupBy(col("source"), col(v))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("bkt", expr(s"$v div 256"))
+        val below = PrefixScan.cumsum(byV, part = Seq("source"),
+          bucket = "bkt", order = Seq(v), value = "cnt", out = "cum")
+          .withColumn("below", col("cum") - col("cnt"))
+          .select(col("source"), col(v), col("below"))
+        val tieW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col(v)).orderBy(col("doc_id"))
+        df.join(below, Seq("source", v))
+          .withColumn(out, col("below") + row_number().over(tieW))
+          .drop("below")
+      }
+      ranked(ranked(sig, "x", "rx"), "y", "ry")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("rx") - col("ry")).cast("decimal(19,0)")
+            * (col("rx") - col("ry"))).as("sum_d2"))
+        .withColumn("den",
+          expr("CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs - n_docs"))
+        .withColumn("num", expr(
+          "CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs - n_docs"
+            + " - 6 * sum_d2"))
+        .select(col("source"), col("n_docs"),
+          when(col("n_docs") < 2, lit(null))
+            .otherwise(floor((lit(10000.0) * col("num").cast("double"))
+              / col("den").cast("double")))
+            .cast("long").as("spearman_bp"))
+        .orderBy(col("source"))
+    },
+
+    // Sqrt-temperature mixture planner — the data-constrained sampling
+    // table: source weights ∝ √tokens (temperature α = ½ flattens the
+    // head the way multilingual/multi-source training mixes do), a
+    // half-corpus token budget allocated by largest remainder over
+    // those weights, and each source's repetition factor
+    // (epochs_x100 = how many times its data repeats under its
+    // allocation — the multi-epoch planning number). Distinct from
+    // q186 (count-PROPORTIONAL largest remainder: same seats rule,
+    // untempered weights, no budget/epoch semantics). Exact integers
+    // throughout: isqrt uses a two-sided correction after the double
+    // sqrt so an ULP error in either engine's sqrt cannot change the
+    // weight, and base/remainder use the identity B·w div W =
+    // (B div W)·w + ((B mod W)·w) div W so every intermediate stays
+    // ≤ W·max(w) ≈ 10¹³ at 100 TB — long-safe, no 128-bit needed.
+    // Plan: one token-count aggregate over the corpus, then
+    // sources-sized frames end-to-end (the row_number window sorts
+    // ≤ dozens of rows — allowlisted like q186's).
+    Q("q289_temperature_mixture",
+      """WITH t AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT source, tok,
+        |    CAST(floor(sqrt(CAST(tok AS DOUBLE))) AS BIGINT) AS s0 FROM t),
+        |w AS (SELECT source, tok,
+        |    CASE WHEN (s0 + 1) * (s0 + 1) <= tok THEN s0 + 1
+        |         WHEN s0 * s0 > tok THEN s0 - 1 ELSE s0 END AS wt
+        |  FROM s),
+        |g AS (SELECT CAST(sum(tok) AS BIGINT) // 2 AS b,
+        |    CAST(sum(wt) AS BIGINT) AS ww FROM w),
+        |q AS (SELECT source, tok, wt, g.b AS b,
+        |    (g.b // g.ww) * wt + ((g.b % g.ww) * wt) // g.ww AS base,
+        |    ((g.b % g.ww) * wt) % g.ww AS rem
+        |  FROM w CROSS JOIN g),
+        |e AS (SELECT CAST(max(b) - sum(base) AS BIGINT) AS extra FROM q),
+        |r AS (SELECT source, tok, wt, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q)
+        |SELECT source, tok, CAST(wt AS BIGINT) AS weight,
+        |  CAST(base + CASE WHEN rk <= e.extra THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc,
+        |  CAST((100 * (base + CASE WHEN rk <= e.extra THEN 1 ELSE 0 END))
+        |    // tok AS BIGINT) AS epochs_x100
+        |FROM r CROSS JOIN e ORDER BY source""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("source"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("tok"))
+        .ckpt() // one corpus pass feeds weights, totals, and the report
+      val s0 = floor(sqrt(col("tok").cast("double"))).cast("long")
+      val w = t.withColumn("s0", s0)
+        .withColumn("wt",
+          when((col("s0") + 1) * (col("s0") + 1) <= col("tok"), col("s0") + 1)
+            .when(col("s0") * col("s0") > col("tok"), col("s0") - 1)
+            .otherwise(col("s0")))
+      val g = w.agg(expr("sum(tok) div 2").as("b"), sum(col("wt")).as("ww"))
+      val q = w.crossJoin(broadcast(g))
+        .withColumn("base",
+          expr("(b div ww) * wt + ((b % ww) * wt) div ww"))
+        .withColumn("rem", expr("((b % ww) * wt) % ww"))
+      val e = q.agg((max(col("b")) - sum(col("base"))).as("extra"))
+      // sources-sized seat sweep (≤ dozens of rows — the q186 shape)
+      val rkW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("source"))
+      q.withColumn("rk", row_number().over(rkW))
+        .crossJoin(broadcast(e))
+        .withColumn("alloc",
+          col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+        .select(col("source"), col("tok"), col("wt").as("weight"),
+          col("alloc"), expr("(100 * alloc) div tok").as("epochs_x100"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -918,7 +918,10 @@ object ScaleSmoke {
         // round-10 pipeline-planning batch
         "q282_embedding_decon", "q283_knn_label_purity",
         "q284_lsh_bucket_balance", "q285_shard_planner",
-        "q286_lexical_semantic_agreement")
+        "q286_lexical_semantic_agreement",
+        // round-10 mixture/funnel batch
+        "q287_yield_funnel", "q288_length_diversity_rankcorr",
+        "q289_temperature_mixture")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

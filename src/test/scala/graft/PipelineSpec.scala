@@ -138,4 +138,72 @@ class PipelineSpec extends AnyFunSuite {
       (0L, 2L, 2500L, 1L, 2L),
       (1L, 2L, 3100L, 3L, 4L)))
   }
+
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    rows.map { case (id, t, lang, src) => (id, t, lang, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q287: each doc stops at exactly its first failing gate; the dup stops at the keeper") {
+    // 25 distinct 4-char words: nw=25 (g1 ok), dup_bp=0/top 400 (g2 ok),
+    // awl_x100 = 100*(124-25+1)/25 = 400 (g3 ok).
+    val clean = (1 to 25).map(i => f"w$i%03d").mkString(" ")
+    // 30 copies of one word: g1 ok, dup_bp = 9666 > 7000 → dies at g2.
+    val repet = Seq.fill(30)("dup").mkString(" ")
+    // 25 distinct 20-char words: awl_x100 = 100*(524-25+1)/25 = 2000 → g3.
+    val longw = (1 to 25).map(i => "x" * 17 + f"$i%03d").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, clean, "en", "s"),   // keeper → reached 4
+      (2L, clean, "en", "s"),   // exact dup of 1 → reached 3
+      (3L, "a b c d e", "en", "s"), // nw=5 < 20 → reached 0
+      (4L, repet, "en", "s"),   // reached 1
+      (5L, longw, "en", "s"))) // reached 2
+    val got = SparkEntry.queries("q287_yield_funnel")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // survivors per stage: 5 / 4 (doc3 out) / 3 (doc4 out) / 2 (doc5
+    // out) / 1 (doc2 deduped); tokens follow the same cuts.
+    assert(got == Seq(
+      ("s", 0L, 5L, 110L),
+      ("s", 1L, 4L, 105L),
+      ("s", 2L, 3L, 75L),
+      ("s", 3L, 2L, 50L),
+      ("s", 4L, 1L, 25L)))
+  }
+
+  test("q288: concordant source gives +10000 bp, discordant -10000, ties break by doc_id") {
+    val dir = writeDocs(Seq(
+      // source a: length and diversity rise together → ρ = +1
+      (1L, "x x", "en", "a"),       // x=3,  y=5000
+      (2L, "x y z z", "en", "a"),   // x=7,  y=7500
+      (3L, "a b c d e", "en", "a"), // x=9,  y=10000
+      // source b: length rises, diversity falls → ρ = −1
+      (4L, "p q", "en", "b"),       // x=3,  y=10000
+      (5L, "p p q q", "en", "b"),   // x=7,  y=5000
+      (6L, "p p p p q", "en", "b"), // x=9,  y=4000
+      // source c: identical docs — both rank orders tie-break by
+      // doc_id the same way → d=0 → ρ = +1
+      (7L, "t u", "en", "c"),
+      (8L, "t u", "en", "c")))
+    val got = SparkEntry.queries("q288_length_diversity_rankcorr")(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L, 10000L), ("b", 3L, -10000L),
+      ("c", 2L, 10000L)))
+  }
+
+  test("q289: isqrt weights at an exact square, seats by largest remainder, epochs follow") {
+    // tok 16/4 → weights 4/2 (isqrt(16)=4 exercises the boundary
+    // correction), W=6, budget B = 20//2 = 10. Bases 6/3 (the split
+    // identity), remainders 4/2 → the 1 leftover seat goes to s1.
+    val dir = writeDocs(Seq(
+      (1L, Seq.fill(16)("w").mkString(" "), "en", "s1"),
+      (2L, Seq.fill(4)("v").mkString(" "), "en", "s2")))
+    val got = SparkEntry.queries("q289_temperature_mixture")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 16L, 4L, 7L, 43L), // epochs = 700 div 16 = 43
+      ("s2", 4L, 2L, 3L, 75L))) // epochs = 300 div 4  = 75
+  }
 }

@@ -64,6 +64,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q180_region_share" -> "share-of-parent over the region×nation rollup frame (≤ 30 rows)",
     "q183_cumulative_reach" -> "cumulative sum over one first-seen count per calendar day",
     "q186_mixture_alloc" -> "largest-remainder sweep over one row per source (≤ 20)",
+    "q289_temperature_mixture" -> "largest-remainder seat sweep over one row per source (≤ 20)",
     "q187_growth_accounting" -> "lag over one row per calendar week",
     "q200_rolling_median" -> "7-day rolling frame over one row per calendar day (zero-filled)",
     "q242_cusum_changepoint" -> "PrefixScan offsets + day-index window over one row per calendar day",
