@@ -336,6 +336,51 @@ object CorpusOps {
         .select(col("vec_id"), col("nq2"), col("med").as("median_nq2"),
           col("mad").as("mad_nq2"))
         .orderBy(col("vec_id"))
+    },
+
+    // Kneser–Ney continuation counts — the smoothing statistic a
+    // bigram LM (q253's fluency scorer) actually needs: a word's
+    // continuation probability is driven by how many DISTINCT left
+    // contexts it follows (N1+(·w)), not its raw frequency — the
+    // classic "Francisco" pathology: huge n_occ, one context. Top-20
+    // words by continuation count, with the exact-ppm continuation
+    // probability (n_contexts / distinct bigram types). Plan: one
+    // bigram explode (corpus-token-volume bound) → distinct bigram
+    // types (observed-bigram-bounded, ≪ vocab²) → vocab-sized
+    // aggregates → TakeOrderedAndProject for the 20-row report.
+    Q("q291_kn_continuation",
+      """WITH bt AS (SELECT unnest(list_transform(
+        |    range(1, CASE WHEN len(w) >= 2 THEN len(w) ELSE 1 END),
+        |    i -> w[i] || ' ' || w[i+1])) AS b
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+        |bd AS (SELECT DISTINCT b FROM bt),
+        |sp AS (SELECT string_split(b, ' ')[2] AS word FROM bd),
+        |cont AS (SELECT word, CAST(count(*) AS BIGINT) AS n_contexts
+        |  FROM sp GROUP BY word),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM bd),
+        |occ AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w)
+        |SELECT c.word, o.n_occ, c.n_contexts,
+        |  CAST((1000000 * c.n_contexts) // tot.nbt AS BIGINT) AS pcont_ppm
+        |FROM cont c JOIN occ o USING (word) CROSS JOIN tot
+        |ORDER BY c.n_contexts DESC, c.word LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bd = docs
+        .select(explode(TextFns.shingles(TextFns.tokens(col("text")), 2)).as("b"))
+        .distinct()
+        .ckpt() // feeds the continuation aggregate AND the type total
+      val cont = bd
+        .select(split(col("b"), " ").getItem(1).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n_contexts"))
+      val tot = bd.agg(count(lit(1)).as("nbt"))
+      val occ = docs.select(explode(TextFns.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+      cont.join(occ, "word").crossJoin(broadcast(tot))
+        .select(col("word"), col("n_occ"), col("n_contexts"),
+          expr("(1000000 * n_contexts) div nbt").as("pcont_ppm"))
+        .orderBy(col("n_contexts").desc, col("word"))
+        .limit(20)
     }
   )
 }

@@ -2857,6 +2857,111 @@ object LlmOps {
           when(col("cos") > 0.35, 1L).otherwise(0L).as("semantic_hit"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("jaccard_band"), col("semantic_hit"))
+    },
+
+    // Head-bounded edit-distance verify over the near-dup pair graph —
+    // the ORDER-SENSITIVE complement to set-based Jaccard: shingle
+    // overlap is blind to token order and to dense small edits, so a
+    // (Jaccard band × edit band) contingency shows whether lexical
+    // near-dups are true copy-edits (low edit distance) or
+    // bag-of-words coincidences (high). Cost discipline: Levenshtein is O(len²) per
+    // pair, so both engines compare only the first 256 chars (the
+    // truncation-dup head convention, q275) — a hard 256² cap per pair
+    // — and the pair set is the memoized t=0.3 graph, never all-pairs.
+    Q("q290_head_edit_verify",
+      """WITH sh AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS lb,
+        |    list_distinct(list_transform(
+        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sg
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(floor(10000.0 * len(list_intersect(a.sg, b.sg))
+        |         / len(list_distinct(list_concat(a.sg, b.sg)))) AS BIGINT)
+        |      AS jaccard_bp
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |  WHERE len(a.sg) > 0 AND len(b.sg) > 0
+        |    AND len(list_intersect(a.sg, b.sg)) * 10
+        |        >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))),
+        |h AS (SELECT doc_id, substr(text, 1, 256) AS head FROM documents),
+        |c AS (SELECT p.jaccard_bp, levenshtein(ha.head, hb.head) AS ed
+        |  FROM p JOIN h ha ON p.a_id = ha.doc_id
+        |         JOIN h hb ON p.b_id = hb.doc_id)
+        |SELECT CAST(jaccard_bp // 2000 AS BIGINT) AS jaccard_band,
+        |  CAST(ed // 32 AS BIGINT) AS edit_band,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM c GROUP BY 1, 2
+        |ORDER BY jaccard_band, edit_band""".stripMargin) { (s, d) =>
+      val h = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 256).as("head"))
+      jaccardCountJoin(s, d)
+        .join(h.select(col("doc_id").as("a_id"), col("head").as("ha")), "a_id")
+        .join(h.select(col("doc_id").as("b_id"), col("head").as("hb")), "b_id")
+        .withColumn("ed", levenshtein(col("ha"), col("hb")))
+        .groupBy(expr("jaccard_bp div 2000").as("jaccard_band"),
+          expr("CAST(ed div 32 AS BIGINT)").as("edit_band"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("jaccard_band"), col("edit_band"))
+    },
+
+    // Leakage-safe k-fold split — folds are assigned to NEAR-DUP
+    // CLUSTERS, not documents, so two near-duplicates can never
+    // straddle a train/validation boundary (the cross-validation
+    // contamination q73/q282 screen for, prevented by construction).
+    // Cluster = connected component of the memoized t=0.3 pair graph
+    // (q70's collapse; singletons are their own cluster); fold =
+    // cluster_id mod 5 — deterministic, engine-independent, and stable
+    // under corpus growth everywhere except the clusters that actually
+    // change. Report is folds-sized: docs, clusters, tokens per fold.
+    Q("q292_fold_split", {
+      val pairSql = ccPairSql
+      s"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS lb,
+        |    list_distinct(list_transform(
+        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sg
+        |  FROM documents
+        |), pairs AS (
+        |  $pairSql
+        |), edges AS (
+        |  SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), cl AS (
+        |  SELECT a AS doc_id, min(b) AS cluster_id
+        |  FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges) t
+        |  GROUP BY a
+        |), f AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+        |    coalesce(cl.cluster_id, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cl USING (doc_id))
+        |SELECT CAST(cluster % 5 AS BIGINT) AS fold,
+        |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens
+        |FROM f GROUP BY 1 ORDER BY fold""".stripMargin
+    }) { (s, d) =>
+      val pairs = jaccardCountJoin(s, d).select(col("a_id"), col("b_id"))
+      val comp = graft.plans.ConnectedComponents.components(pairs)
+        .select(col("node").as("doc_id"), col("label"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+        .groupBy(expr("cluster % 5").as("fold"))
+        .agg(countDistinct(col("cluster")).as("n_clusters"),
+          count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+        .orderBy(col("fold"))
     }
   )
 }

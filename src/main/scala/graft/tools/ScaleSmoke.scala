@@ -921,7 +921,10 @@ object ScaleSmoke {
         "q286_lexical_semantic_agreement",
         // round-10 mixture/funnel batch
         "q287_yield_funnel", "q288_length_diversity_rankcorr",
-        "q289_temperature_mixture")
+        "q289_temperature_mixture",
+        // round-10 leakage/LM batch
+        "q290_head_edit_verify", "q291_kn_continuation",
+        "q292_fold_split")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

@@ -125,4 +125,22 @@ class CorpusSpec extends AnyFunSuite {
       (4L, 2L, 0L, 0L, 0L),
       (5L, 2L, 0L, 0L, 0L)))
   }
+
+  test("q291: continuation counts follow distinct contexts, not frequency (the Francisco law)") {
+    // 'francisco' occurs 3 times but always after 'san' → 1 context;
+    // 'the' occurs 3 times after 3 DIFFERENT words → 3 contexts.
+    // Distinct bigram types: {san francisco, francisco san} ∪
+    // {a the, the b, b the, the c, c the} → 7.
+    val dir = writeDocs(Seq(
+      (1L, "san francisco san francisco san francisco", "en", "s"),
+      (2L, "a the b the c the", "en", "s")))
+    val got = SparkEntry.queries("q291_kn_continuation")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("the", 3L, 3L, 428571L),
+      ("b", 1L, 1L, 142857L),
+      ("c", 1L, 1L, 142857L),
+      ("francisco", 3L, 1L, 142857L),
+      ("san", 3L, 1L, 142857L)))
+  }
 }

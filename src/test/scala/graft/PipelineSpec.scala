@@ -193,6 +193,44 @@ class PipelineSpec extends AnyFunSuite {
       ("c", 2L, 10000L)))
   }
 
+  test("q290: exact copies land at (band 5, ed 0); a rewritten head keeps J high but pays edits") {
+    // Pair 1 (lang en): exact duplicates → jaccard band 5, edit 0.
+    // Pair 2 (lang de): 13 uniform head words rewritten u→v over an
+    // 18-word shared tail → 16 shared / 22 union shingles (bp 7272,
+    // band 3); heads differ in exactly the 52 u-positions (spaces and
+    // tail align, char sets disjoint) → ed = 52 → band 1.
+    val dup = "s01 s02 s03 s04"
+    val tail = (1 to 18).map(i => f"t$i%03d").mkString(" ")
+    val x = Seq.fill(13)("uuuu").mkString(" ") + " " + tail
+    val y = Seq.fill(13)("vvvv").mkString(" ") + " " + tail
+    val dir = writeDocs(Seq(
+      (1L, dup, "en", "s"), (2L, dup, "en", "s"),
+      (3L, x, "de", "s"), (4L, y, "de", "s")))
+    val got = SparkEntry.queries("q290_head_edit_verify")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 1L, 1L), (5L, 0L, 1L)))
+  }
+
+  test("q292: near-dup pairs share a fold; singletons fold by own id; empty folds absent") {
+    // Docs 1 and 5 are exact dups → one cluster labeled 1 → fold 1
+    // (with singleton 6); singletons 2/3/4 land on their own folds;
+    // fold 0 has no cluster → no row.
+    val dir = writeDocs(Seq(
+      (1L, "dup dup dup", "en", "s"),
+      (2L, "a1 a2 a3", "en", "s"),
+      (3L, "b1 b2 b3", "en", "s"),
+      (4L, "c1 c2 c3", "en", "s"),
+      (5L, "dup dup dup", "en", "s"),
+      (6L, "d1 d2 d3", "en", "s")))
+    val got = SparkEntry.queries("q292_fold_split")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 3L, 9L), // cluster 1 (docs 1+5) and singleton 6
+      (2L, 1L, 1L, 3L),
+      (3L, 1L, 1L, 3L),
+      (4L, 1L, 1L, 3L)))
+  }
+
   test("q289: isqrt weights at an exact square, seats by largest remainder, epochs follow") {
     // tok 16/4 → weights 4/2 (isqrt(16)=4 exercises the boundary
     // correction), W=6, budget B = 20//2 = 10. Bases 6/3 (the split
