@@ -451,6 +451,70 @@ object PipelineOps {
         .select(col("source"), col("tok"), col("wt").as("weight"),
           col("alloc"), expr("(100 * alloc) div tok").as("epochs_x100"))
         .orderBy(col("source"))
+    },
+
+    // Hard-negative mining for contrastive training: for each eval
+    // query (the q282 held-out slice, vec_id ≡ 0 mod 29), retrieve its
+    // exact top-10 corpus neighbors by cosine, then keep ranks 2–10
+    // and flag the ones with ZERO 3-shingle overlap against the query
+    // document — semantically close but lexically disjoint, the
+    // negatives a bi-encoder actually learns from (lexically
+    // overlapping near-ranks are likely unlabeled positives). Plan:
+    // the retrieval is IvfAnn.boundedTopK over the eval-excluded
+    // corpus (queries broadcast — eval sets are small by nature; the
+    // triangle-bound probe makes the top-10 EXACT, never all-pairs);
+    // the lexical check is (|eval| × 9) pair-sized shingle joins.
+    // Only inter = 0 is reported, so shingle multiplicity can't matter.
+    Q("q293_hard_negatives",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |    FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, emb AS qe FROM e
+        |       WHERE vec_id % 29 = 0),
+        |cs AS (SELECT vec_id AS cand_id, emb AS ce FROM e
+        |       WHERE vec_id % 29 <> 0),
+        |rk AS (SELECT eval_id, cand_id,
+        |    row_number() OVER (PARTITION BY eval_id
+        |      ORDER BY list_cosine_similarity(qe, ce) DESC, cand_id) AS rnk
+        |  FROM ev CROSS JOIN cs),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sg
+        |  FROM documents),
+        |p AS (SELECT t.eval_id, t.cand_id, t.rnk,
+        |    len(list_intersect(se.sg, sc.sg)) AS inter
+        |  FROM rk t JOIN sh se ON t.eval_id = se.doc_id
+        |            JOIN sh sc ON t.cand_id = sc.doc_id
+        |  WHERE t.rnk BETWEEN 2 AND 10)
+        |SELECT eval_id, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN inter = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hard,
+        |  CAST(min(CASE WHEN inter = 0 THEN rnk END) AS BIGINT)
+        |    AS best_hard_rank
+        |FROM p GROUP BY eval_id ORDER BY eval_id""".stripMargin) { (s, d) =>
+      val full = IvfAnn.fullCorpus(s, d)
+      val ev = full.filter(pmod(col("vec_id"), lit(29L)) === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+          col("nrm").as("qn"))
+      val cs = full.filter(pmod(col("vec_id"), lit(29L)) =!= 0)
+      val ranked = IvfAnn.boundedTopK(cs, ev, k = 10)._2
+        .filter(col("rank") >= 2)
+      val sg = Tables.documents(s, d).select(col("doc_id"),
+        array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("sg"))
+      ranked
+        .join(sg.select(col("doc_id").as("query_id"), col("sg").as("sge")),
+          "query_id")
+        .join(sg.select(col("doc_id").as("neighbor_id"), col("sg").as("sgc")),
+          "neighbor_id")
+        .withColumn("inter", size(array_intersect(col("sge"), col("sgc"))))
+        .groupBy(col("query_id").as("eval_id"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("inter") === 0, 1L).otherwise(0L)).as("n_hard"),
+          min(when(col("inter") === 0, col("rank"))).cast("long")
+            .as("best_hard_rank"))
+        .orderBy(col("eval_id"))
     }
   )
 }

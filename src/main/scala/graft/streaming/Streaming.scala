@@ -541,6 +541,64 @@ object Streaming {
         .start()
   }
 
+  /** Streaming yield funnel — q287's gate cascade over a document
+    * stream. Per-doc gate signals (the q90 thresholds) are ROW-LOCAL
+    * higher-order functions (no explode/groupBy inside the stream —
+    * the batch form's token-explode shuffle becomes a per-row map),
+    * and the exact-dedup stage is arbitrary state keyed by content
+    * hash: the first batch to deliver a hash elects its MINIMUM doc_id
+    * the keeper — equal to the batch q41/q287 keeper under id-ordered
+    * replay — and every later copy is a non-keeper. Emits one row per
+    * document (source, nw, reached 0..4); the (source × stage) rollup
+    * is a downstream batch aggregate over the sink (kept out of the
+    * stream so the operator's state is EXACTLY the survivor hash set —
+    * one boolean per distinct surviving text). StreamingSpec proves
+    * parity vs batch q287 and that a late-arriving duplicate stays a
+    * non-keeper across batches. */
+  final case class FunnelDoc(source: String, nw: Long, reached: Int)
+  def yieldFunnelStream(docs: DataFrame): Dataset[FunnelDoc] = {
+    import docs.sparkSession.implicits._
+    val w = split(col("text"), " ")
+    val gated = docs
+      .withColumn("nw", size(w).cast("long"))
+      .withColumn("nd", size(array_distinct(w)).cast("long"))
+      .withColumn("mx", array_max(transform(array_distinct(w),
+        x => size(filter(w, y => y === x)))).cast("long"))
+      .withColumn("len", length(col("text")).cast("long"))
+      .withColumn("dup_bp",
+        floor(lit(10000.0) * (col("nw") - col("nd")) / col("nw")))
+      .withColumn("top_bp", floor(lit(10000.0) * col("mx") / col("nw")))
+      .withColumn("awl_x100",
+        floor(lit(100.0) * (col("len") - col("nw") + 1) / col("nw")))
+      .withColumn("pre",
+        when(!(col("nw") >= 20 && col("nw") <= 10000), 0)
+          .when(!(col("dup_bp") <= graft.operators.TrainingOps.dupWordBpMax
+            && col("top_bp") <= graft.operators.TrainingOps.topUnigramBpMax), 1)
+          .when(!(col("awl_x100") >= 300 && col("awl_x100") <= 1000), 2)
+          .otherwise(3))
+      .select(sha2(col("text"), 256).as("h"), col("doc_id"),
+        col("source"), col("nw"), col("pre"))
+      .as[(String, Long, String, Long, Int)]
+    gated
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, FunnelDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long, String, Long, Int)],
+            state: GroupState[Boolean]) =>
+          val rs = rows.toSeq
+          val survivors = rs.filter(_._5 == 3)
+          // first delivery of this hash: the batch's min doc_id keeps
+          val keeperId =
+            if (survivors.nonEmpty && !state.exists) Some(survivors.map(_._2).min)
+            else None
+          if (survivors.nonEmpty && !state.exists) state.update(true)
+          rs.iterator.map { case (_, id, src, nw, pre) =>
+            FunnelDoc(src, nw,
+              if (pre == 3 && keeperId.contains(id)) 4 else pre)
+          }
+      }
+  }
+
   /** Parquet sink with checkpointing (exactly-once file sink). */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()) =

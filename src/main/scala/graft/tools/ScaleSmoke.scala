@@ -522,6 +522,28 @@ object ScaleSmoke {
         } finally { q.stop(); spark.streams.removeListener(listener) }
       }
 
+      // yieldFunnelStream: the q287 gate cascade as row-local HOFs plus
+      // the stateful exact-dedup keeper election; state = one boolean
+      // per distinct SURVIVING text (the smallest state of the family).
+      // No TTL ⇒ no self-triggering ⇒ processAllAvailable settles.
+      val docsSrc = spark.read.parquet(s"$d10/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+        .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+      for ((tag, n) <- Seq(("1x(5k)", 5000), ("10x(50k)", 50000))) {
+        val mem = MemoryStream[(Long, String, String)]
+        val q = Streaming.yieldFunnelStream(
+            mem.toDS().toDF("doc_id", "text", "source"))
+          .writeStream.format("noop")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+        try {
+          val t0 = System.nanoTime()
+          docsSrc.take(n).grouped(1000).foreach { c =>
+            mem.addData(c); q.processAllAvailable()
+          }
+          report("funnelStream", tag, n.toLong, (System.nanoTime() - t0) / 1e9, q)
+        } finally q.stop()
+      }
+
       // upsertStream: CDC rows over a key space 10% of the row volume
       // (every key sees ~10 versions). State = one ValueState row per
       // live key; 50k-row micro-batches.
@@ -924,7 +946,7 @@ object ScaleSmoke {
         "q289_temperature_mixture",
         // round-10 leakage/LM batch
         "q290_head_edit_verify", "q291_kn_continuation",
-        "q292_fold_split")
+        "q292_fold_split", "q293_hard_negatives")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

@@ -729,4 +729,43 @@ class StreamingSpec extends AnyFunSuite {
           s"only-batch=${(expect -- got.asScala.toSet).take(5)}")
     } finally q.stop()
   }
+
+  test("streaming yield funnel: id-ordered replay == batch q287; late duplicate stays non-keeper") {
+    // The q287 planted fixture plus doc 9, a THIRD copy of the clean
+    // text arriving two batches after the keeper was elected.
+    val clean = (1 to 25).map(i => f"w$i%03d").mkString(" ")
+    val repet = Seq.fill(30)("dup").mkString(" ")
+    val longw = (1 to 25).map(i => "x" * 17 + f"$i%03d").mkString(" ")
+    val rows = Seq(
+      (1L, clean, "s"), (2L, clean, "s"), (3L, "a b c d e", "s"),
+      (4L, repet, "s"), (5L, longw, "s"), (9L, clean, "s"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfunnel").toString
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val want = SparkEntry.queries("q287_yield_funnel")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streaming.yieldFunnelStream(
+        mem.toDS().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // id-ordered replay in three micro-batches (doc 9 arrives last)
+      Seq(rows.take(3), rows.slice(3, 5), rows.drop(5)).foreach { chunk =>
+        mem.addData(chunk); q.processAllAvailable()
+      }
+      val perDoc = spark.table("funnel_out")
+        .as[(String, Long, Int)].collect().toSeq
+      assert(perDoc.count(_._3 == 4) == 1,
+        s"exactly one keeper expected across batches: $perDoc")
+      val gotAgg = perDoc
+        .flatMap(r => (0 to r._3).map(st => (r._1, st.toLong, r._2)))
+        .groupBy(t => (t._1, t._2))
+        .map { case ((src, st), xs) => (src, st, xs.size.toLong, xs.map(_._3).sum) }
+        .toSeq.sortBy(t => (t._1, t._2))
+      assert(gotAgg == want, s"stream funnel != batch q287:\n  got  $gotAgg\n  want ${want.toSeq}")
+    } finally q.stop()
+  }
 }
