@@ -2962,6 +2962,79 @@ object LlmOps {
         .agg(countDistinct(col("cluster")).as("n_clusters"),
           count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
         .orderBy(col("fold"))
+    },
+
+    // Dedup survivorship-bias audit — does the default keep-lowest-id
+    // dedup policy (q41/q70) systematically discard BETTER documents
+    // than it keeps? Scoped to dup-cluster MEMBERS (singletons are not
+    // a dedup decision): a (kept × quality-pass) contingency with doc
+    // and token mass per cell, where quality-pass is exactly q90's
+    // gate conjunction. A heavy kept=false/quality=true cell argues
+    // for q221's quality-keeper policy over id-order. Work: the
+    // memoized pair graph + O(log n) components (both amortized), one
+    // token-explode quality pass, a 4-row report.
+    Q("q296_dedup_survivorship", {
+      val pairSql = ccPairSql
+      s"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS lb,
+        |    list_distinct(list_transform(
+        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sg
+        |  FROM documents
+        |), pairs AS (
+        |  $pairSql
+        |), edges AS (
+        |  SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), cl AS (
+        |  SELECT a AS doc_id, min(b) AS cluster_id
+        |  FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges) t
+        |  GROUP BY a
+        |), t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), uc AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w),
+        |u AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw,
+        |    CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS mx
+        |  FROM uc GROUP BY doc_id),
+        |g AS (SELECT d.doc_id, u.nw,
+        |    (u.nw >= 20 AND u.nw <= 10000
+        |     AND floor(10000.0 * (u.nw - u.nd) / u.nw) <= ${TrainingOps.dupWordBpMax}
+        |     AND floor(10000.0 * u.mx / u.nw) <= ${TrainingOps.topUnigramBpMax}
+        |     AND floor(100.0 * (length(d.text) - u.nw + 1) / u.nw)
+        |         BETWEEN 300 AND 1000) AS qpass
+        |  FROM documents d JOIN u USING (doc_id))
+        |SELECT (cl.cluster_id = cl.doc_id) AS kept, g.qpass AS quality_pass,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(g.nw) AS BIGINT) AS tokens
+        |FROM cl JOIN g USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY kept, quality_pass""".stripMargin
+    }) { (s, d) =>
+      val pairs = jaccardCountJoin(s, d).select(col("a_id"), col("b_id"))
+      val comp = graft.plans.ConnectedComponents.components(pairs)
+        .select(col("node").as("doc_id"), col("label"))
+      val docs = Tables.documents(s, d)
+      val u = TrainingOps.unigramStats(docs)
+      val g = docs.select(col("doc_id"), length(col("text")).as("len"))
+        .join(u, "doc_id")
+        .withColumn("qpass",
+          col("nw") >= 20 && col("nw") <= 10000
+            && floor(lit(10000.0) * (col("nw") - col("nd")) / col("nw"))
+               <= TrainingOps.dupWordBpMax
+            && floor(lit(10000.0) * col("mx") / col("nw"))
+               <= TrainingOps.topUnigramBpMax
+            && floor(lit(100.0) * (col("len") - col("nw") + 1) / col("nw"))
+               .between(300, 1000))
+      comp.join(g, "doc_id")
+        .groupBy((col("label") === col("doc_id")).as("kept"),
+          col("qpass").as("quality_pass"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens"))
+        .orderBy(col("kept"), col("quality_pass"))
     }
   )
 }

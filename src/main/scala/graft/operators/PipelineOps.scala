@@ -515,6 +515,66 @@ object PipelineOps {
           min(when(col("inter") === 0, col("rank"))).cast("long")
             .as("best_hard_rank"))
         .orderBy(col("eval_id"))
+    },
+
+    // Sign-LSH calibration certificate — the MEASURED collision curve
+    // behind the q51/q84 bucket machinery: for every high-similarity
+    // pair (the q50-family threshold set, cos > 0.35), how often do
+    // the two vectors share a bucket in ≥1 of the 4 tables, per
+    // 0.05-wide cosine band? Theory says per-bit P(agree) = 1 − θ/π,
+    // so the per-band collision ppm should rise steeply toward cos = 1
+    // — a flat or inverted curve means the hyperplanes are mis-seeded
+    // for this corpus and the LSH candidate stage is silently losing
+    // recall. Work is pair-bounded (the routed threshold set — never
+    // all-pairs) plus one map-side bucket pass per vector.
+    Q("q295_lsh_calibration",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |    FROM embeddings),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    list_cosine_similarity(a.emb, b.emb) AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) > 0.35),
+        |planes(t, bit, pl) AS (VALUES
+        |      PLANE_VALUES),
+        |buckets AS (
+        |    SELECT e.vec_id, p.t,
+        |      SUM(CASE WHEN list_dot_product(e.emb, p.pl) > 0
+        |               THEN 1 << p.bit ELSE 0 END) AS bucket
+        |    FROM e CROSS JOIN planes p
+        |    GROUP BY e.vec_id, p.t),
+        |coll AS (SELECT pr.a_id, pr.b_id, pr.c,
+        |    CAST(sum(CASE WHEN ba.bucket = bb.bucket THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_tables
+        |  FROM p pr JOIN buckets ba ON pr.a_id = ba.vec_id
+        |            JOIN buckets bb ON pr.b_id = bb.vec_id AND ba.t = bb.t
+        |  GROUP BY pr.a_id, pr.b_id, pr.c)
+        |SELECT CAST(floor(c * 20) AS BIGINT) AS cos_band,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN n_tables >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_collide,
+        |  CAST((1000000 * sum(CASE WHEN n_tables >= 1 THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS collide_ppm
+        |FROM coll GROUP BY 1
+        |ORDER BY cos_band""".stripMargin
+        .replace("PLANE_VALUES", planeValuesSql)) { (s, d) =>
+      val e = embWithNorm(s, d)
+        .withColumn("bk", LlmOps.lshBuckets(col("emb")))
+      IvfAnn.adaptiveThresholdPairs(s, d, 0.35)._2
+        .join(e.select(col("vec_id").as("a_id"), col("emb").as("ea"),
+          col("nrm").as("na"), col("bk").as("ba")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("emb").as("eb"),
+          col("nrm").as("nb"), col("bk").as("bb")), "b_id")
+        .withColumn("c", VectorFns.cosineWithNorms(
+          fastDot(col("ea"), col("eb")), col("na"), col("nb")))
+        .withColumn("n_tables", aggregate(
+          zip_with(col("ba"), col("bb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (a, v) => a + v))
+        .groupBy(floor(col("c") * 20).cast("long").as("cos_band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("n_tables") >= 1, 1L).otherwise(0L)).as("n_collide"))
+        .withColumn("collide_ppm", expr("(1000000 * n_collide) div n_pairs"))
+        .orderBy(col("cos_band"))
     }
   )
 }

@@ -732,6 +732,67 @@ object TrainingOps {
           (col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
             .as("alloc"))
         .orderBy("source")
+    },
+
+    // Decontamination n-gram-size sensitivity sweep — the "which n do
+    // I trust" certificate behind q73's fixed n = 5: shorter grams
+    // over-flag (common phrases collide), longer grams under-flag
+    // (one-token paraphrase defeats the match), and the right n is
+    // corpus-dependent. One row per n ∈ {3, 5, 8}: train docs flagged,
+    // exact-ppm contamination rate, total shared grams. Plan: three
+    // independent broadcast-eval passes of the q73 shape (eval gram
+    // sets are small by nature) — the corpus is scanned per leg but
+    // never shuffled on text; the report is 3 rows.
+    Q("q294_decon_n_sweep", {
+      def gramsSql(n: Int): String = {
+        val cat = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+        s"""list_distinct(list_transform(
+           |      range(1, CASE WHEN len(w) >= $n THEN len(w) - ${n - 2} ELSE 1 END),
+           |      i -> $cat))""".stripMargin
+      }
+      def legSql(n: Int): String =
+        s"""SELECT CAST($n AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_train,
+           |  CAST(sum(CASE WHEN h.shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_contaminated,
+           |  CAST((1000000 * sum(CASE WHEN h.shared > 0 THEN 1 ELSE 0 END))
+           |    // count(*) AS BIGINT) AS contaminated_ppm,
+           |  CAST(sum(h.shared) AS BIGINT) AS total_shared
+           |FROM (
+           |  WITH g AS (
+           |    SELECT doc_id, ${gramsSql(n)} AS gs
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |  ), eval_g AS (
+           |    SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 97 = 0
+           |  ), train AS (
+           |    SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 <> 0
+           |  ), hits AS (
+           |    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS shared
+           |    FROM train t JOIN eval_g e USING (gram) GROUP BY t.doc_id
+           |  )
+           |  SELECT g.doc_id, COALESCE(hits.shared, 0) AS shared
+           |  FROM g LEFT JOIN hits USING (doc_id) WHERE g.doc_id % 97 <> 0
+           |) h""".stripMargin
+      Seq(3, 5, 8).map(legSql).mkString("", "\nUNION ALL\n", "\nORDER BY n")
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Seq(3, 5, 8).map { n =>
+        val grams = docs.select(col("doc_id"),
+          array_distinct(TextFns.shingles(TextFns.tokens(col("text")), n)).as("gs"))
+        val evalG = grams.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("gs")).as("gram")).distinct()
+        grams.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode_outer(col("gs")).as("gram"))
+          .join(broadcast(evalG.withColumn("hit", lit(1))), Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(count(when(col("hit") === 1, 1)).as("shared"))
+          .agg(count(lit(1)).as("n_train"),
+            sum(when(col("shared") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+            sum(col("shared")).as("total_shared"))
+          .select(lit(n.toLong).as("n"), col("n_train"),
+            col("n_contaminated"),
+            expr("(1000000 * n_contaminated) div n_train").as("contaminated_ppm"),
+            col("total_shared"))
+      }.reduce(_ unionByName _).orderBy(col("n"))
     }
   )
 }

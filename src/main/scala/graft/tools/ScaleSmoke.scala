@@ -946,7 +946,10 @@ object ScaleSmoke {
         "q289_temperature_mixture",
         // round-10 leakage/LM batch
         "q290_head_edit_verify", "q291_kn_continuation",
-        "q292_fold_split", "q293_hard_negatives")
+        "q292_fold_split", "q293_hard_negatives",
+        // round-10 calibration/audit batch
+        "q294_decon_n_sweep", "q295_lsh_calibration",
+        "q296_dedup_survivorship")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

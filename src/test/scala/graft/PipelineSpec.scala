@@ -231,6 +231,39 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 1L, 1L, 3L)))
   }
 
+  test("q295: identical vectors collide in every table at cos band 20") {
+    // Three copies of one vector → 3 pairs at cos exactly 1.0
+    // (band 20), each sharing all 4 buckets; the orthogonal vector
+    // joins no pair (cos 0 < 0.35).
+    val v = Array(1.0f, 0.0f, 0.0f)
+    val dir = writeEmb(Seq(
+      (1L, v, 0), (2L, v, 0), (3L, v, 0),
+      (4L, Array(0.0f, 1.0f, 0.0f), 0)))
+    val got = SparkEntry.queries("q295_lsh_calibration")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((20L, 3L, 3L, 1000000L)))
+  }
+
+  test("q296: contingency separates keeper choice from quality, singletons excluded") {
+    // Cluster A: three copies of a CLEAN text (min id 1 kept);
+    // cluster B: two copies of a repetitive text failing q90's gate
+    // (min id 4 kept); doc 6 is a clean singleton — not a dedup
+    // decision, so it must not appear.
+    val clean = (1 to 25).map(i => f"w$i%03d").mkString(" ")
+    val repet = Seq.fill(30)("dup").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, clean, "en", "s"), (2L, clean, "en", "s"), (3L, clean, "en", "s"),
+      (4L, repet, "en", "s"), (5L, repet, "en", "s"),
+      (6L, "z01 z02 z03 z04 z05", "en", "s")))
+    val got = SparkEntry.queries("q296_dedup_survivorship")(spark, dir)
+      .as[(Boolean, Boolean, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (false, false, 1L, 30L), // doc 5: removed, low quality
+      (false, true, 2L, 50L),  // docs 2+3: removed, GOOD docs
+      (true, false, 1L, 30L),  // doc 4 kept despite failing the gate
+      (true, true, 1L, 25L)))  // doc 1
+  }
+
   test("q289: isqrt weights at an exact square, seats by largest remainder, epochs follow") {
     // tok 16/4 → weights 4/2 (isqrt(16)=4 exercises the boundary
     // correction), W=6, budget B = 20//2 = 10. Bases 6/3 (the split

@@ -375,4 +375,25 @@ class TrainingSpec extends AnyFunSuite {
       ("srcC", 2L, 199L, 199L)))
     assert(got.map(_._4).sum == 997L)
   }
+
+  test("q294: shorter n over-flags, longer n under-flags (planted gram ladder)") {
+    // Eval doc 0: 8 words. Train: doc 1 shares exactly one 3-gram
+    // (no 5-gram), doc 2 is a full copy (shares 3-, 5- and the single
+    // 8-gram), doc 3 shares nothing.
+    val rows = Seq(
+      (0L, "e1 e2 e3 e4 e5 e6 e7 e8", "en", "s"),
+      (1L, "e1 e2 e3 x1 y1 z1 a1 b1", "en", "s"),
+      (2L, "e1 e2 e3 e4 e5 e6 e7 e8", "en", "s"),
+      (3L, "q1 r1 s1 t1 u1 v1 w1 x2", "en", "s")
+    ).map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_nsweep").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q294_decon_n_sweep")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (3L, 3L, 2L, 666666L, 7L), // doc1 (1 shared 3-gram) + doc2 (all 6)
+      (5L, 3L, 1L, 333333L, 4L), // only the full copy survives n=5
+      (8L, 3L, 1L, 333333L, 1L)))
+  }
 }
