@@ -872,5 +872,68 @@ object ScienceOps {
         .select(col("tenure_hy"), col("n_at_risk"), col("n_churned"), col("n_censored"),
           expr("(n_churned * 10000) div n_at_risk").as("hazard_bp"))
         .orderBy("tenure_hy")
+    },
+
+    // Newman modularity of q246's LPA communities — the community
+    // QUALITY certificate that closes the community-detection loop:
+    // LPA says where the communities are, modularity says whether the
+    // partition beats chance. Q = Σ_c [e_c/m − (d_c/2m)²], computed as
+    // the exact integer Σ_c (2m·2e_c − d_c²) / (2m)² — numerator and
+    // denominator accumulate in 128-bit (DECIMAL(38,0) / HUGEINT, the
+    // q272 discipline; exact to ~10¹⁸ edge-endpoints), only the final
+    // ppm converts to double where both engines round the same exact
+    // integers identically (floor is negative-safe: Q ∈ [−½, 1]).
+    // Plan: the cached symmetric edge table + two LPA rounds (the q246
+    // machinery, amortized), one degree aggregate, one intra-edge
+    // label join — communities-sized frames after that, a 1-row report.
+    Q("q297_modularity",
+      """WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |c1 AS (SELECT e.dst AS id, e.src AS lbl, count(*) AS c FROM e GROUP BY 1, 2),
+        |l1 AS (SELECT id, (list(lbl ORDER BY c DESC, lbl))[1] AS lbl FROM c1 GROUP BY id),
+        |c2 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+        |       FROM e JOIN l1 l ON e.src = l.id GROUP BY 1, 2),
+        |l2 AS (SELECT id, (list(lbl ORDER BY c DESC, lbl))[1] AS lbl FROM c2 GROUP BY id),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |intra AS (SELECT la.lbl, CAST(count(*) AS BIGINT) AS ec2
+        |  FROM e JOIN l2 la ON e.src = la.id JOIN l2 lb ON e.dst = lb.id
+        |  WHERE la.lbl = lb.lbl GROUP BY 1),
+        |dcs AS (SELECT l2.lbl, CAST(sum(deg.deg) AS HUGEINT) AS dc
+        |  FROM l2 JOIN deg USING (id) GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS HUGEINT) AS m2 FROM e),
+        |per AS (SELECT d.lbl, d.dc, COALESCE(i.ec2, 0) AS ec2, tot.m2
+        |  FROM dcs d LEFT JOIN intra i USING (lbl) CROSS JOIN tot),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+        |    sum(m2 * ec2 - dc * dc) AS num, max(m2) AS m2
+        |  FROM per)
+        |SELECT n_communities,
+        |  CAST(m2 // 2 AS BIGINT) AS m_edges,
+        |  CAST(floor((1000000.0 * CAST(num AS DOUBLE))
+        |    / CAST(m2 * m2 AS DOUBLE)) AS BIGINT) AS modularity_ppm
+        |FROM agg""".stripMargin) { (s, d) =>
+      val e = GraphOps.symEdges(s, d)
+      val l0 = e.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      val lbl = lpaRound(e, lpaRound(e, l0)).ckpt() // degree + intra joins
+      val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val intra = e
+        .join(lbl.select(col("id").as("src"), col("lbl").as("ls")), "src")
+        .join(lbl.select(col("id").as("dst"), col("lbl").as("ld")), "dst")
+        .filter(col("ls") === col("ld"))
+        .groupBy(col("ls").as("lbl")).agg(count(lit(1)).as("ec2"))
+      val dcs = lbl.join(deg, "id").groupBy(col("lbl"))
+        .agg(sum(col("deg")).cast("decimal(38,0)").as("dc"))
+      val tot = e.agg(count(lit(1)).cast("decimal(38,0)").as("m2"))
+      dcs.join(intra, Seq("lbl"), "left")
+        .withColumn("ec2", coalesce(col("ec2"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_communities"),
+          sum(expr("m2 * ec2 - dc * dc")).as("num"), max(col("m2")).as("m2"))
+        .select(col("n_communities"),
+          expr("CAST(m2 AS BIGINT) div 2").as("m_edges"),
+          floor((lit(1000000.0) * col("num").cast("double"))
+            / expr("CAST(m2 * m2 AS DOUBLE)")).cast("long")
+            .as("modularity_ppm"))
     })
 }

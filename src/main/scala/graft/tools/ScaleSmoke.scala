@@ -949,7 +949,7 @@ object ScaleSmoke {
         "q292_fold_split", "q293_hard_negatives",
         // round-10 calibration/audit batch
         "q294_decon_n_sweep", "q295_lsh_calibration",
-        "q296_dedup_survivorship")
+        "q296_dedup_survivorship", "q297_modularity")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

@@ -733,4 +733,29 @@ class ScienceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     assert(got == Set((0L, 1L, 10000L), (0L, 2L, 0L), (1L, 2L, 0L)), s"got $got")
   }
+
+  test("q297: modularity matches a driver-side BigInt recomputation") {
+    val res = SparkEntry.queries("q297_modularity")(spark, d)
+      .as[(Long, Long, Long)].head()
+    val sym = operators.GraphOps.symEdges(spark, d)
+      .select(col("src"), col("dst")).as[(Long, Long)].collect().toSeq
+    val edges = sym.toDF("src", "dst")
+    val l0 = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    val lbl = operators.ScienceOps.lpaRound(edges,
+      operators.ScienceOps.lpaRound(edges, l0)).as[(Long, Long)].collect().toMap
+    val m2 = sym.size.toLong
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    // num = Σ_c (2m·2e_c − d_c²); Σ_c 2m·2e_c telescopes to
+    // 2m · (total intra symmetric rows)
+    val intraTot = sym.count { case (a, b) => lbl(a) == lbl(b) }.toLong
+    val sumDc2 = lbl.toSeq.groupBy(_._2).values
+      .map(xs => { val dc = BigInt(xs.map(x => deg(x._1)).sum); dc * dc })
+      .sum
+    val num = BigInt(m2) * intraTot - sumDc2
+    val den = BigInt(m2) * m2
+    val ppm = math.floor(1000000.0 * num.toDouble / den.toDouble).toLong
+    val nComm = lbl.values.toSet.size.toLong
+    assert(res == ((nComm, m2 / 2, ppm)), s"got $res")
+  }
 }
