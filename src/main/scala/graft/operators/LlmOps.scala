@@ -3035,6 +3035,79 @@ object LlmOps {
           col("qpass").as("quality_pass"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens"))
         .orderBy(col("kept"), col("quality_pass"))
+    },
+
+    // Fold × source balance audit — the release check on q292's
+    // leakage-safe folds: cluster-mod-5 assignment is deterministic
+    // but nothing FORCES it source-balanced, and an unbalanced fold
+    // silently skews validation mixtures. Per source: total docs and
+    // the worst per-fold deviation from the ideal 1/5 share, in exact
+    // ppm — computed against the full 5-fold universe (a source with
+    // an EMPTY fold must score that fold's full 200 000 ppm deficit,
+    // so the fold frame is sources × 5 by construction, not observed
+    // rows). All frames after the cluster pass are (sources × 5).
+    Q("q299_fold_source_balance", {
+      val pairSql = ccPairSql
+      s"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS lb,
+        |    list_distinct(list_transform(
+        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS sg
+        |  FROM documents
+        |), pairs AS (
+        |  $pairSql
+        |), edges AS (
+        |  SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), cl AS (
+        |  SELECT a AS doc_id, min(b) AS cluster_id
+        |  FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges) t
+        |  GROUP BY a
+        |), f AS (
+        |  SELECT d.source, coalesce(cl.cluster_id, d.doc_id) % 5 AS fold
+        |  FROM documents d LEFT JOIN cl USING (doc_id)
+        |), u AS (
+        |  SELECT s.source, r.range AS fold
+        |  FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN range(5) r
+        |), c AS (
+        |  SELECT u.source, u.fold, CAST(count(f.fold) AS BIGINT) AS n
+        |  FROM u LEFT JOIN f ON u.source = f.source AND u.fold = f.fold
+        |  GROUP BY 1, 2
+        |), t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.source, t.tot AS n_docs,
+        |  CAST(max((1000000 * abs(5 * c.n - t.tot)) // (5 * t.tot)) AS BIGINT)
+        |    AS max_dev_ppm
+        |FROM c JOIN t USING (source)
+        |GROUP BY 1, 2 ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      val pairs = jaccardCountJoin(s, d).select(col("a_id"), col("b_id"))
+      val comp = graft.plans.ConnectedComponents.components(pairs)
+        .select(col("node").as("doc_id"), col("label"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val f = docs.join(comp, Seq("doc_id"), "left")
+        .select(col("source"),
+          expr("coalesce(label, doc_id) % 5").as("fold"))
+      val u = docs.select(col("source")).distinct()
+        .crossJoin(s.range(5).select(col("id").as("fold")))
+      // observed counts, then the (sources × 5) universe left-joins
+      // them so an EMPTY fold scores its full deficit instead of
+      // silently vanishing from the report
+      val cobs = f.groupBy(col("source"), col("fold"))
+        .agg(count(lit(1)).as("n0"))
+      val c = u.join(cobs, Seq("source", "fold"), "left")
+        .withColumn("n", coalesce(col("n0"), lit(0L))).drop("n0")
+      val t = c.groupBy(col("source")).agg(sum(col("n")).as("tot"))
+      c.join(t, "source")
+        .groupBy(col("source"), col("tot").as("n_docs"))
+        .agg(max(expr("(1000000 * abs(5 * n - tot)) div (5 * tot)"))
+          .as("max_dev_ppm"))
+        .orderBy(col("source"))
     }
   )
 }

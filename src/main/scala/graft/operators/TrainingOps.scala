@@ -793,6 +793,54 @@ object TrainingOps {
             expr("(1000000 * n_contaminated) div n_train").as("contaminated_ppm"),
             col("total_shared"))
       }.reduce(_ unionByName _).orderBy(col("n"))
+    },
+
+    // Contamination EXTENT — q73 flags docs sharing ANY eval 5-gram;
+    // this measures HOW MUCH: per contaminated doc, the count of
+    // shared 5-gram positions and the longest CONSECUTIVE run of them
+    // (gaps-and-islands on gram positions). A long run is wholesale
+    // copying (drop the doc); scattered singletons are phrase-level
+    // coincidence (keep it) — the distinction the published decon
+    // appendices draw. Plan: one positional gram explode, a broadcast
+    // eval-set join (eval is small by nature), then a per-doc window
+    // BOUNDED BY THE DOC'S OWN shared-position count — never
+    // corpus-wide; the report is contamination-sized.
+    Q("q298_contamination_extent",
+      """WITH g AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pg AS (SELECT doc_id, i AS pos,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |      || ' ' || w[i+4] AS gram
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(1, CASE WHEN len(w) >= 5
+        |                              THEN len(w) - 3 ELSE 1 END)) AS i
+        |        FROM g)),
+        |eval_g AS (SELECT DISTINCT gram FROM pg WHERE doc_id % 97 = 0),
+        |sh AS (SELECT p.doc_id, p.pos FROM pg p JOIN eval_g e USING (gram)
+        |       WHERE p.doc_id % 97 <> 0),
+        |r AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM sh),
+        |runs AS (SELECT doc_id, isl, count(*) AS run FROM r GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_shared_positions,
+        |  CAST(max(run) AS BIGINT) AS longest_run
+        |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pg = Tables.documents(s, d).select(col("doc_id"),
+        posexplode(TextFns.shingles(TextFns.tokens(col("text")), 5))
+          .as(Seq("pos", "gram")))
+      val evalG = pg.filter(col("doc_id") % 97 === 0)
+        .select(col("gram")).distinct()
+      val sh = pg.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalG), "gram")
+        .select(col("doc_id"), col("pos"))
+      // islands: consecutive shared positions share (pos − rank); the
+      // window is per-doc and bounded by that doc's shared positions
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      sh.withColumn("isl", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("isl")).agg(count(lit(1)).as("run"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("run")).as("n_shared_positions"),
+          max(col("run")).as("longest_run"))
+        .orderBy(col("doc_id"))
     }
   )
 }

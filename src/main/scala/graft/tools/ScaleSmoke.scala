@@ -662,7 +662,12 @@ object ScaleSmoke {
           // on the clustered corpus (the regime where 1-NN means
           // anything; the near-orthogonal audit leg measured 1.14
           // per-unit at 5× as the worst case)
-          ("q283_knn_label_purity", v10, v100))) {
+          ("q283_knn_label_purity", v10, v100),
+          // r10 second batch: the token-volume ops whose 10× audit
+          // smokes (1.6/1.8/1.5) were overhead-dominated
+          ("q287_yield_funnel", d10, d100),
+          ("q288_length_diversity_rankcorr", d10, d100),
+          ("q291_kn_continuation", d10, d100))) {
         val c10 = run(name, dir10) // warm
         val t10 = math.min(run(name, dir10), run(name, dir10))
         val c100 = run(name, dir100) // warm
@@ -949,7 +954,8 @@ object ScaleSmoke {
         "q292_fold_split", "q293_hard_negatives",
         // round-10 calibration/audit batch
         "q294_decon_n_sweep", "q295_lsh_calibration",
-        "q296_dedup_survivorship", "q297_modularity")
+        "q296_dedup_survivorship", "q297_modularity",
+        "q298_contamination_extent", "q299_fold_source_balance")
       // Optional comma-separated filter so a new batch can be measured
       // without re-timing the whole audit family.
       val only = sys.env.get("SPARK_GRAFT_AUDIT_OPS")

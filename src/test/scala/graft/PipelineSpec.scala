@@ -264,6 +264,22 @@ class PipelineSpec extends AnyFunSuite {
       (true, true, 1L, 25L)))  // doc 1
   }
 
+  test("q299: a balanced source scores 0; an empty fold scores its deficit; max wins") {
+    // Source a: singleton docs 10-14 land one per fold → every
+    // deviation 0. Source b: docs 5 and 6 → folds 0/1 hold one each
+    // (|5·1−2|/(5·2) = 300000 ppm), folds 2-4 are EMPTY (200000 ppm
+    // deficit each) — the max must be 300000, and the empty folds must
+    // participate (a report built only from observed rows would say 0).
+    val dir = writeDocs(Seq(
+      (10L, "a1 a2 a3", "en", "a"), (11L, "b1 b2 b3", "en", "a"),
+      (12L, "c1 c2 c3", "en", "a"), (13L, "d1 d2 d3", "en", "a"),
+      (14L, "e1 e2 e3", "en", "a"),
+      (5L, "f1 f2 f3", "en", "b"), (6L, "g1 g2 g3", "en", "b")))
+    val got = SparkEntry.queries("q299_fold_source_balance")(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 5L, 0L), ("b", 2L, 300000L)))
+  }
+
   test("q289: isqrt weights at an exact square, seats by largest remainder, epochs follow") {
     // tok 16/4 → weights 4/2 (isqrt(16)=4 exercises the boundary
     // correction), W=6, budget B = 20//2 = 10. Bases 6/3 (the split

@@ -396,4 +396,21 @@ class TrainingSpec extends AnyFunSuite {
       (5L, 3L, 1L, 333333L, 4L), // only the full copy survives n=5
       (8L, 3L, 1L, 333333L, 1L)))
   }
+
+  test("q298: a copied span yields a run, an isolated shared gram a singleton island") {
+    // Train doc 1 embeds a 7-word copied span (→ 3 consecutive shared
+    // 5-grams) and, later, eval's 5-word tail (→ 1 isolated shared
+    // gram). Doc 2 shares nothing and must be absent.
+    val rows = Seq(
+      (0L, "e1 e2 e3 e4 e5 e6 e7 f1 f2 f3 f4 f5", "en", "s"),
+      (1L, "x1 x2 e1 e2 e3 e4 e5 e6 e7 y1 y2 y3 f1 f2 f3 f4 f5", "en", "s"),
+      (2L, "q1 q2 q3 q4 q5 q6 q7", "en", "s")
+    ).map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_extent").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q298_contamination_extent")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 3L)))
+  }
 }
