@@ -16,14 +16,41 @@ import org.apache.spark.sql.DataFrame
   */
 object Ckpt {
 
-  /** JVM-global audit switch. THREADING CONTRACT: flipped only by
-    * PlanAuditSpec, whose suites run forked-sequential (build.sbt does
-    * not enable testForkedParallel) — so no concurrent
-    * DerivationCache.getOrCompute can observe the flag mid-flip and
-    * memoize an uncheckpointed frame. If test parallelism is ever
-    * enabled in one JVM, make this a per-call parameter or share a
-    * lock with DerivationCache before trusting the caches. */
-  @volatile var auditMode: Boolean = false
+  @volatile private var audit: Boolean = false
+  private val flips = new java.util.concurrent.atomic.AtomicLong(0)
+  private val holder = new java.util.concurrent.atomic.AtomicReference[Thread](null)
+
+  /** True while some thread holds the [[withAudit]] scope. Read-only:
+    * the flag can only change through `withAudit`, which enforces a
+    * single holder, and every memoization site guards with
+    * [[auditEpoch]] — so even if suites ever run parallel in one JVM,
+    * a build racing an audit flip can return an uncheckpointed frame
+    * to ITS caller but can never poison a shared cache. */
+  def auditMode: Boolean = audit
+
+  /** Monotonic flip counter. Memoization sites capture it BEFORE a
+    * build and refuse to cache if it moved — a flip mid-build means
+    * `ckpt()` may have no-opped inside the build, so the frame is
+    * correct to return but not safe to share. */
+  def auditEpoch: Long = flips.get
+
+  /** Run `f` with checkpoints disabled (plan-audit mode). Single
+    * holder enforced: a second concurrent audit throws instead of
+    * silently overlapping scopes. */
+  def withAudit[T](f: => T): T = {
+    val me = Thread.currentThread()
+    if (!holder.compareAndSet(null, me))
+      throw new IllegalStateException(
+        s"Ckpt audit scope already held by thread ${holder.get()}")
+    flips.incrementAndGet()
+    audit = true
+    try f
+    finally {
+      audit = false
+      flips.incrementAndGet()
+      holder.set(null)
+    }
+  }
 
   implicit final class CkptOps(private val df: DataFrame) extends AnyVal {
     def ckpt(): DataFrame = if (auditMode) df else df.localCheckpoint()

@@ -42,6 +42,7 @@ final class DerivationCache[V] {
     // Plan-audit mode: compute WITHOUT caching — `f` builds an
     // uncheckpointed frame there (Ckpt no-ops), and storing it would
     // poison the shared-session cache for every later consumer.
+    val epoch0 = Ckpt.auditEpoch
     if (Ckpt.auditMode) return f
     cache.keySet().removeIf(k => k._1.sparkContext.isStopped)
     val fp = DerivationCache.dirFingerprint(dir)
@@ -53,7 +54,14 @@ final class DerivationCache[V] {
         it.remove()
       }
     }
-    cache.computeIfAbsent((s, dir, fp), _ => f)
+    val key = (s, dir, fp)
+    val v = cache.computeIfAbsent(key, _ => f)
+    // An audit scope opened (or closed) while the build ran: ckpt()
+    // may have no-opped inside `f`, so the frame is fine to RETURN but
+    // not to SHARE — evict conservatively (a clean frame just gets
+    // rebuilt by the next caller).
+    if (Ckpt.auditEpoch != epoch0) cache.remove(key, v)
+    v
   }
 }
 

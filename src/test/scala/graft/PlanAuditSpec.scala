@@ -109,12 +109,11 @@ class PlanAuditSpec extends AnyFunSuite {
     * audit mode) so the audit walks the FULL pre-checkpoint plan — an
     * eager localCheckpoint would otherwise execute its upstream stages
     * at construction and hide any funnel above it from the audit. */
-  private def auditedNodes(name: String): Seq[String] = {
-    graft.plans.Ckpt.auditMode = true
-    try offendingNodes(
-      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
-    finally graft.plans.Ckpt.auditMode = false
-  }
+  private def auditedNodes(name: String): Seq[String] =
+    graft.plans.Ckpt.withAudit {
+      offendingNodes(
+        SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+    }
 
   test("every declared query's plan is free of unallowlisted single-partition funnels") {
     val offenders = SparkEntry.registry.flatMap { q =>
@@ -145,14 +144,13 @@ class PlanAuditSpec extends AnyFunSuite {
     def catalogTables(): Set[String] =
       spark.catalog.listTables().collect().map(_.name).toSet
     val (dirsBefore, tablesBefore) = (warehouseDirs(), catalogTables())
-    graft.plans.Ckpt.auditMode = true
-    try {
+    graft.plans.Ckpt.withAudit {
       Seq("q43_ngram_jaccard", "q43c_jaccard_adaptive", "q255b_delta_neardup_bucketed",
         "q266_source_leakage", "q260_doc_knn", "q217_threshold_sweep")
         .foreach { name =>
           SparkEntry.queries(name)(spark, tmp).queryExecution.executedPlan
         }
-    } finally graft.plans.Ckpt.auditMode = false
+    }
     assert(warehouseDirs() == dirsBefore,
       s"audit wrote warehouse dirs: ${warehouseDirs() -- dirsBefore}")
     assert(catalogTables() == tablesBefore,
@@ -170,14 +168,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // candidate scoring) is identical whichever quantizer granularity
     // the build produced, so funnel-freeness of this plan is
     // funnel-freeness of the production refined probe.
-    graft.plans.Ckpt.auditMode = true
-    try {
+    graft.plans.Ckpt.withAudit {
       val nodes = offendingNodes(
         graft.operators.IvfAnn.refinedThresholdPairs(spark, dir, 0.35)
           .queryExecution.executedPlan)
       assert(nodes.isEmpty,
         s"refined probe plans single-partition funnels: ${nodes.distinct.mkString(", ")}")
-    } finally graft.plans.Ckpt.auditMode = false
+    }
   }
 
   test("allowlist carries no stale entries") {
