@@ -45,6 +45,37 @@ object PipelineOps {
       }
     }.mkString(",\n      ")
 
+  /** q289's allocation core over a (source, tok) token-count frame:
+    * ULP-corrected integer isqrt weights, half-corpus budget, largest
+    * remainder via the long-safe split-division identity, per-source
+    * epoch factors. Shared by the batch query and the streaming
+    * [[graft.streaming.Streaming.MixturePlanner]] (one definition so
+    * the live plan can't drift from the certified batch one). */
+  private[graft] def temperatureAllocation(t: DataFrame): DataFrame = {
+    val s0 = floor(sqrt(col("tok").cast("double"))).cast("long")
+    val w = t.withColumn("s0", s0)
+      .withColumn("wt",
+        when((col("s0") + 1) * (col("s0") + 1) <= col("tok"), col("s0") + 1)
+          .when(col("s0") * col("s0") > col("tok"), col("s0") - 1)
+          .otherwise(col("s0")))
+    val g = w.agg(expr("sum(tok) div 2").as("b"), sum(col("wt")).as("ww"))
+    val q = w.crossJoin(broadcast(g))
+      .withColumn("base",
+        expr("(b div ww) * wt + ((b % ww) * wt) div ww"))
+      .withColumn("rem", expr("((b % ww) * wt) % ww"))
+    val e = q.agg((max(col("b")) - sum(col("base"))).as("extra"))
+    // sources-sized seat sweep (≤ dozens of rows — the q186 shape)
+    val rkW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    q.withColumn("rk", row_number().over(rkW))
+      .crossJoin(broadcast(e))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+      .select(col("source"), col("tok"), col("wt").as("weight"),
+        col("alloc"), expr("(100 * alloc) div tok").as("epochs_x100"))
+      .orderBy(col("source"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Embedding-level eval decontamination — the vector-space
@@ -429,28 +460,7 @@ object PipelineOps {
           size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
         .groupBy(col("source")).agg(sum(col("n_tok")).as("tok"))
         .ckpt() // one corpus pass feeds weights, totals, and the report
-      val s0 = floor(sqrt(col("tok").cast("double"))).cast("long")
-      val w = t.withColumn("s0", s0)
-        .withColumn("wt",
-          when((col("s0") + 1) * (col("s0") + 1) <= col("tok"), col("s0") + 1)
-            .when(col("s0") * col("s0") > col("tok"), col("s0") - 1)
-            .otherwise(col("s0")))
-      val g = w.agg(expr("sum(tok) div 2").as("b"), sum(col("wt")).as("ww"))
-      val q = w.crossJoin(broadcast(g))
-        .withColumn("base",
-          expr("(b div ww) * wt + ((b % ww) * wt) div ww"))
-        .withColumn("rem", expr("((b % ww) * wt) % ww"))
-      val e = q.agg((max(col("b")) - sum(col("base"))).as("extra"))
-      // sources-sized seat sweep (≤ dozens of rows — the q186 shape)
-      val rkW = org.apache.spark.sql.expressions.Window
-        .orderBy(col("rem").desc, col("source"))
-      q.withColumn("rk", row_number().over(rkW))
-        .crossJoin(broadcast(e))
-        .withColumn("alloc",
-          col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
-        .select(col("source"), col("tok"), col("wt").as("weight"),
-          col("alloc"), expr("(100 * alloc) div tok").as("epochs_x100"))
-        .orderBy(col("source"))
+      temperatureAllocation(t)
     },
 
     // Hard-negative mining for contrastive training: for each eval

@@ -599,6 +599,60 @@ object Streaming {
       }
   }
 
+  /** Live sqrt-temperature mixture planner — the streaming form of
+    * q289: as documents arrive, maintain per-source token counts and
+    * re-derive the allocation table on demand. The maintained state is
+    * a SOURCES-SIZED frame (merged per batch: one aggregate over the
+    * arriving delta + a full-outer sum against the running counts —
+    * O(batch + sources) per micro-batch, checkpointed each merge
+    * because it is tiny), and [[plan]] runs the IDENTICAL allocation
+    * code as the batch query
+    * ([[graft.operators.PipelineOps.temperatureAllocation]]), so
+    * replaying a corpus and asking for the plan equals running q289 on
+    * it (the StreamingSpec parity law). Same delivery contract as
+    * IvfMaintainer: foreachBatch is at-least-once, so a re-delivered
+    * batchId is a no-op. */
+  final class MixturePlanner(spark: SparkSession) {
+    import graft.plans.Ckpt.CkptOps
+    private val countsRef =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame](
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("source", StringType),
+            StructField("tok", LongType)))))
+    @volatile private var lastBatch = -1L
+
+    /** Accumulated (source, tok) counts. */
+    def counts: DataFrame = countsRef.get
+
+    /** The current allocation table (the q289 output shape). */
+    def plan: DataFrame =
+      graft.operators.PipelineOps.temperatureAllocation(countsRef.get)
+
+    private[graft] def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+      if (batchId > lastBatch) {
+        val delta = batch.select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .groupBy(col("source")).agg(sum(col("n_tok")).as("d"))
+        if (!delta.isEmpty) {
+          val merged = countsRef.get.join(delta, Seq("source"), "full_outer")
+            .select(col("source"),
+              (coalesce(col("tok"), lit(0L)) + coalesce(col("d"), lit(0L)))
+                .as("tok"))
+            .ckpt()
+          countsRef.set(merged)
+        }
+        lastBatch = batchId
+      }
+    }
+
+    /** docs: streaming (doc_id, text, source) frame. */
+    def start(docs: DataFrame) =
+      docs.writeStream
+        .foreachBatch((batch: DataFrame, batchId: Long) => applyBatch(batch, batchId))
+        .outputMode(OutputMode.Update)
+        .start()
+  }
+
   /** Parquet sink with checkpointing (exactly-once file sink). */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()) =

@@ -730,6 +730,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("MixturePlanner: replayed corpus plan == batch q289; re-delivered batch is a no-op") {
+    val dir = "/root/testdata/sf0.001"
+    val want = SparkEntry.queries("q289_temperature_mixture")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(want.nonEmpty, "batch q289 produced no rows — vacuous")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val m = new Streaming.MixturePlanner(spark)
+    val q = m.start(mem.toDS().toDF("doc_id", "text", "source"))
+    try {
+      docs.grouped(250).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val got = m.plan.as[(String, Long, Long, Long, Long)].collect().toSeq
+      assert(got == want, s"live plan != batch q289:\n  got  $got\n  want $want")
+      // at-least-once: a re-delivered batchId must not double-count
+      m.applyBatch(docs.take(10).toDF("doc_id", "text", "source"), 0L)
+      val got2 = m.plan.as[(String, Long, Long, Long, Long)].collect().toSeq
+      assert(got2 == want, "re-delivered batch changed the plan")
+    } finally q.stop()
+  }
+
   test("streaming yield funnel: id-ordered replay == batch q287; late duplicate stays non-keeper") {
     // The q287 planted fixture plus doc 9, a THIRD copy of the clean
     // text arriving two batches after the keeper was elected.
