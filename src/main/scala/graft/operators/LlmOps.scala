@@ -593,6 +593,37 @@ object LlmOps {
       |    AND len(list_intersect(a.sg, b.sg)) * 10
       |        >= 3 * len(list_distinct(list_concat(a.sg, b.sg)))""".stripMargin
 
+  /** Shared connected-component oracle scaffold (shingles → pairs →
+    * symmetric edges → transitive closure → min-label clusters), used
+    * by every cluster-consuming oracle (q292/q296/q299). Consumers
+    * splice it via `.replace("CC_CLUSTER_CTES", ccClusterSql)` AFTER
+    * their own stripMargin — interpolating it into a margin template
+    * would let the outer stripMargin eat the leading `|` of the `||`
+    * concatenations below (the round-9 NOTES pitfall). */
+  private val ccClusterSql: String =
+    s"""sh AS (
+       |  SELECT doc_id, lang, n_chars // 100 AS lb,
+       |    list_distinct(list_transform(
+       |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
+       |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
+       |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+       |           || ' ' || string_split(text,' ')[i+2])) AS sg
+       |  FROM documents
+       |), pairs AS (
+       |  $ccPairSql
+       |), edges AS (
+       |  SELECT a_id AS a, b_id AS b FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), cl AS (
+       |  SELECT a AS doc_id, min(b) AS cluster_id
+       |  FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges) t
+       |  GROUP BY a
+       |)""".stripMargin
+
   /** Distinct shingle sets per doc with blocking keys and set size. */
   private[graft] def shingleBlocks(s: SparkSession, d: String): DataFrame =
     docsWithShingles(s, d)
@@ -2917,29 +2948,7 @@ object LlmOps {
     // under corpus growth everywhere except the clusters that actually
     // change. Report is folds-sized: docs, clusters, tokens per fold.
     Q("q292_fold_split", {
-      val pairSql = ccPairSql
-      s"""WITH RECURSIVE sh AS (
-        |  SELECT doc_id, lang, n_chars // 100 AS lb,
-        |    list_distinct(list_transform(
-        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
-        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-        |           || ' ' || string_split(text,' ')[i+2])) AS sg
-        |  FROM documents
-        |), pairs AS (
-        |  $pairSql
-        |), edges AS (
-        |  SELECT a_id AS a, b_id AS b FROM pairs
-        |  UNION SELECT b_id, a_id FROM pairs
-        |), reach(a, b) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        |), cl AS (
-        |  SELECT a AS doc_id, min(b) AS cluster_id
-        |  FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges) t
-        |  GROUP BY a
-        |), f AS (
+      s"""WITH RECURSIVE CC_CLUSTER_CTES, f AS (
         |  SELECT d.doc_id,
         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
         |    coalesce(cl.cluster_id, d.doc_id) AS cluster
@@ -2949,6 +2958,7 @@ object LlmOps {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS tokens
         |FROM f GROUP BY 1 ORDER BY fold""".stripMargin
+        .replace("CC_CLUSTER_CTES", ccClusterSql)
     }) { (s, d) =>
       val pairs = jaccardCountJoin(s, d).select(col("a_id"), col("b_id"))
       val comp = graft.plans.ConnectedComponents.components(pairs)
@@ -2974,29 +2984,7 @@ object LlmOps {
     // memoized pair graph + O(log n) components (both amortized), one
     // token-explode quality pass, a 4-row report.
     Q("q296_dedup_survivorship", {
-      val pairSql = ccPairSql
-      s"""WITH RECURSIVE sh AS (
-        |  SELECT doc_id, lang, n_chars // 100 AS lb,
-        |    list_distinct(list_transform(
-        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
-        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-        |           || ' ' || string_split(text,' ')[i+2])) AS sg
-        |  FROM documents
-        |), pairs AS (
-        |  $pairSql
-        |), edges AS (
-        |  SELECT a_id AS a, b_id AS b FROM pairs
-        |  UNION SELECT b_id, a_id FROM pairs
-        |), reach(a, b) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        |), cl AS (
-        |  SELECT a AS doc_id, min(b) AS cluster_id
-        |  FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges) t
-        |  GROUP BY a
-        |), t AS (
+      s"""WITH RECURSIVE CC_CLUSTER_CTES, t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
         |), uc AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w),
         |u AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw,
@@ -3014,6 +3002,7 @@ object LlmOps {
         |  CAST(sum(g.nw) AS BIGINT) AS tokens
         |FROM cl JOIN g USING (doc_id)
         |GROUP BY 1, 2 ORDER BY kept, quality_pass""".stripMargin
+        .replace("CC_CLUSTER_CTES", ccClusterSql)
     }) { (s, d) =>
       val pairs = jaccardCountJoin(s, d).select(col("a_id"), col("b_id"))
       val comp = graft.plans.ConnectedComponents.components(pairs)
@@ -3047,29 +3036,7 @@ object LlmOps {
     // so the fold frame is sources × 5 by construction, not observed
     // rows). All frames after the cluster pass are (sources × 5).
     Q("q299_fold_source_balance", {
-      val pairSql = ccPairSql
-      s"""WITH RECURSIVE sh AS (
-        |  SELECT doc_id, lang, n_chars // 100 AS lb,
-        |    list_distinct(list_transform(
-        |      range(1, CASE WHEN len(string_split(text,' ')) >= 3
-        |                    THEN len(string_split(text,' ')) - 1 ELSE 1 END),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-        |           || ' ' || string_split(text,' ')[i+2])) AS sg
-        |  FROM documents
-        |), pairs AS (
-        |  $pairSql
-        |), edges AS (
-        |  SELECT a_id AS a, b_id AS b FROM pairs
-        |  UNION SELECT b_id, a_id FROM pairs
-        |), reach(a, b) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        |), cl AS (
-        |  SELECT a AS doc_id, min(b) AS cluster_id
-        |  FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges) t
-        |  GROUP BY a
-        |), f AS (
+      s"""WITH RECURSIVE CC_CLUSTER_CTES, f AS (
         |  SELECT d.source, coalesce(cl.cluster_id, d.doc_id) % 5 AS fold
         |  FROM documents d LEFT JOIN cl USING (doc_id)
         |), u AS (
@@ -3085,6 +3052,7 @@ object LlmOps {
         |    AS max_dev_ppm
         |FROM c JOIN t USING (source)
         |GROUP BY 1, 2 ORDER BY source""".stripMargin
+        .replace("CC_CLUSTER_CTES", ccClusterSql)
     }) { (s, d) =>
       val pairs = jaccardCountJoin(s, d).select(col("a_id"), col("b_id"))
       val comp = graft.plans.ConnectedComponents.components(pairs)

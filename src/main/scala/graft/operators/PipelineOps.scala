@@ -378,9 +378,14 @@ object PipelineOps {
         .select(col("doc_id"), col("source"), col("x"), col("y"))
         .ckpt() // feeds both rank passes
       // scalable row_number over (source ORDER BY v, doc_id): PrefixScan
-      // cumulative counts give each (source, v) group's rank offset;
-      // row_number inside the tie group (window keyed by source AND v —
-      // value-group-bounded, never whole-source) breaks ties by doc_id.
+      // cumulative counts give each (source, v) group's rank offset,
+      // and the rank INSIDE a tie group is itself two-level — a second
+      // PrefixScan over 4096-wide doc_id range buckets plus a window
+      // keyed by (source, v, id-bucket), so every window partition is
+      // ≤ 4096 rows BY CONSTRUCTION even when one value dominates a
+      // source (y is a 0..10000 bp scale: a short-doc source can put
+      // most docs at y = 10000, so "a tie group is small" would be a
+      // false assumption at corpus scale).
       def ranked(df: DataFrame, v: String, out: String): DataFrame = {
         val byV = df.groupBy(col("source"), col(v))
           .agg(count(lit(1)).as("cnt"))
@@ -389,11 +394,20 @@ object PipelineOps {
           bucket = "bkt", order = Seq(v), value = "cnt", out = "cum")
           .withColumn("below", col("cum") - col("cnt"))
           .select(col("source"), col(v), col("below"))
+        val withB2 = df.withColumn("bkt2", expr("doc_id div 4096"))
+        val byId = withB2.groupBy(col("source"), col(v), col("bkt2"))
+          .agg(count(lit(1)).as("cnt2"))
+        val below2 = PrefixScan.cumsum(byId, part = Seq("source", v),
+          bucket = "bkt2", order = Seq("bkt2"), value = "cnt2", out = "cum2")
+          .withColumn("below2", col("cum2") - col("cnt2"))
+          .select(col("source"), col(v), col("bkt2"), col("below2"))
         val tieW = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source"), col(v)).orderBy(col("doc_id"))
-        df.join(below, Seq("source", v))
-          .withColumn(out, col("below") + row_number().over(tieW))
-          .drop("below")
+          .partitionBy(col("source"), col(v), col("bkt2")).orderBy(col("doc_id"))
+        withB2.join(below, Seq("source", v))
+          .join(below2, Seq("source", v, "bkt2"))
+          .withColumn(out,
+            col("below") + col("below2") + row_number().over(tieW))
+          .drop("below", "below2", "bkt2")
       }
       ranked(ranked(sig, "x", "rx"), "y", "ry")
         .groupBy(col("source"))

@@ -90,25 +90,32 @@ object TrainingOps {
   private[graft] def withPiiText(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), piiText(col("text"), col("doc_id")).as("pt"))
 
-  /** Distinct word-5-grams per doc. */
-  private[graft] def docGrams(docs: DataFrame): DataFrame =
+  /** Distinct word-n-grams per doc (n = 5 is q73's production width;
+    * q294 sweeps other widths through the same definition). */
+  private[graft] def docGrams(docs: DataFrame, n: Int = 5): DataFrame =
     docs.select(col("doc_id"),
-      array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 5)).as("gs"))
+      array_distinct(TextFns.shingles(TextFns.tokens(col("text")), n)).as("gs"))
 
-  /** Shared decontamination core: per-doc count of grams hitting the
-    * (small, broadcast) eval-gram set. explode_outer keeps docs with no
-    * grams at shared = 0, so no second pass over the doc list is
-    * needed — and the pipeline is a plain stream-static broadcast join +
-    * aggregation, so it runs unchanged over a streaming `docs` source
-    * (parity-tested in TrainingSpec). */
-  private[graft] def contaminationCounts(docs: DataFrame, evalGrams: DataFrame): DataFrame =
-    docGrams(docs)
+  /** Shared decontamination core over a (doc_id, gs) grams frame:
+    * per-doc count of grams hitting the (small, broadcast) eval-gram
+    * set — ONE definition feeding q73, the streaming decontamination,
+    * and q294's width sweep, so the hit rule can't drift between them.
+    * explode_outer keeps docs with no grams at shared = 0, so no
+    * second pass over the doc list is needed — and the pipeline is a
+    * plain stream-static broadcast join + aggregation, so it runs
+    * unchanged over a streaming `docs` source (parity-tested in
+    * TrainingSpec). */
+  private[graft] def sharedGramCounts(grams: DataFrame, evalGrams: DataFrame): DataFrame =
+    grams
       .select(col("doc_id"), explode_outer(col("gs")).as("gram"))
       .join(broadcast(evalGrams.select(col("gram"), lit(1).as("hit"))), Seq("gram"), "left")
       .groupBy("doc_id")
-      .agg(count(when(col("hit") === 1, 1)).as("shared_5grams"))
-      .select(col("doc_id"), col("shared_5grams"),
-        (col("shared_5grams") > 0).as("contaminated"))
+      .agg(count(when(col("hit") === 1, 1)).as("shared"))
+
+  private[graft] def contaminationCounts(docs: DataFrame, evalGrams: DataFrame): DataFrame =
+    sharedGramCounts(docGrams(docs), evalGrams)
+      .select(col("doc_id"), col("shared").as("shared_5grams"),
+        (col("shared") > 0).as("contaminated"))
 
   val qs: Seq[Q] = Seq(
 
@@ -776,15 +783,10 @@ object TrainingOps {
     }) { (s, d) =>
       val docs = Tables.documents(s, d)
       Seq(3, 5, 8).map { n =>
-        val grams = docs.select(col("doc_id"),
-          array_distinct(TextFns.shingles(TextFns.tokens(col("text")), n)).as("gs"))
+        val grams = docGrams(docs, n)
         val evalG = grams.filter(col("doc_id") % 97 === 0)
           .select(explode(col("gs")).as("gram")).distinct()
-        grams.filter(col("doc_id") % 97 =!= 0)
-          .select(col("doc_id"), explode_outer(col("gs")).as("gram"))
-          .join(broadcast(evalG.withColumn("hit", lit(1))), Seq("gram"), "left")
-          .groupBy("doc_id")
-          .agg(count(when(col("hit") === 1, 1)).as("shared"))
+        sharedGramCounts(grams.filter(col("doc_id") % 97 =!= 0), evalG)
           .agg(count(lit(1)).as("n_train"),
             sum(when(col("shared") > 0, 1L).otherwise(0L)).as("n_contaminated"),
             sum(col("shared")).as("total_shared"))

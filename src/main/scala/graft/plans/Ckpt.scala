@@ -25,7 +25,11 @@ object Ckpt {
     * single holder, and every memoization site guards with
     * [[auditEpoch]] — so even if suites ever run parallel in one JVM,
     * a build racing an audit flip can return an uncheckpointed frame
-    * to ITS caller but can never poison a shared cache. */
+    * to ITS caller but can never LASTINGLY poison a shared cache (a
+    * frame built across a flip is evicted by its builder; a third
+    * thread can still cache-hit it in the instants before that
+    * eviction runs — transient, self-healing, and impossible under the
+    * current forked-sequential suites). */
   def auditMode: Boolean = audit
 
   /** Monotonic flip counter. Memoization sites capture it BEFORE a
@@ -42,8 +46,17 @@ object Ckpt {
     if (!holder.compareAndSet(null, me))
       throw new IllegalStateException(
         s"Ckpt audit scope already held by thread ${holder.get()}")
-    flips.incrementAndGet()
+    // ORDER MATTERS on both edges: the flag changes BEFORE the epoch
+    // bumps. A builder samples (epoch, flag) at entry and re-reads the
+    // epoch after computing — if it saw the epoch pre-bump it must
+    // also have seen the flag mid-transition value that makes its own
+    // behavior safe (entry: flag already true → builder returns
+    // uncached; exit: flag already false → ckpt() worked normally).
+    // Bumping first would let a builder capture the post-bump epoch
+    // while the flag still reads stale, caching an uncheckpointed
+    // frame that the unchanged epoch can never evict.
     audit = true
+    flips.incrementAndGet()
     try f
     finally {
       audit = false

@@ -59,7 +59,11 @@ final class DerivationCache[V] {
     // An audit scope opened (or closed) while the build ran: ckpt()
     // may have no-opped inside `f`, so the frame is fine to RETURN but
     // not to SHARE — evict conservatively (a clean frame just gets
-    // rebuilt by the next caller).
+    // rebuilt by the next caller). A concurrent reader can still hit
+    // the entry in the instants before this remove runs — a transient,
+    // self-healing hazard (that caller re-executes the derivation
+    // lazily instead of reading a checkpoint), accepted because audits
+    // and builds never overlap under the forked-sequential suites.
     if (Ckpt.auditEpoch != epoch0) cache.remove(key, v)
     v
   }

@@ -634,12 +634,18 @@ object Streaming {
             size(split(col("text"), " ")).cast("long").as("n_tok"))
           .groupBy(col("source")).agg(sum(col("n_tok")).as("d"))
         if (!delta.isEmpty) {
-          val merged = countsRef.get.join(delta, Seq("source"), "full_outer")
+          val m = countsRef.get.join(delta, Seq("source"), "full_outer")
             .select(col("source"),
               (coalesce(col("tok"), lit(0L)) + coalesce(col("d"), lit(0L)))
                 .as("tok"))
             .ckpt()
-          countsRef.set(merged)
+          // STATS RESET (the appendToIndex/MAINT10X lesson):
+          // localCheckpoint preserves Catalyst statistics and this plan
+          // joins the previous counts frame, so the inherited
+          // sizeInBytes would compound per micro-batch on a long-lived
+          // stream; re-wrapping the checkpointed RDD resets it — the
+          // frame is sources-sized and never needs an estimate.
+          countsRef.set(m.sparkSession.createDataFrame(m.rdd, m.schema))
         }
         lastBatch = batchId
       }
