@@ -76,6 +76,61 @@ object PipelineOps {
       .orderBy(col("source"))
   }
 
+  /** Scalable row_number over (source ORDER BY v, doc_id) for a
+    * (doc_id, source, v, …) frame: PrefixScan cumulative counts give
+    * each (source, v) group's rank offset; the rank INSIDE a tie group
+    * is adaptively routed on the MEASURED max tie-group size (the q43c
+    * skew-probe pattern — `byV` is already the planning table, the
+    * read is one sources×values-sized aggregate):
+    *  - max tie ≤ `tieBound`: one window keyed by (source, v) —
+    *    partitions bounded by the probe's own measurement;
+    *  - else: a second PrefixScan level over 4096-wide doc_id range
+    *    buckets + a window keyed by (source, v, bucket) — every
+    *    partition ≤ 4096 rows BY CONSTRUCTION, because a tie group can
+    *    be whole-source-sized (y is a 0..10000 bp scale: a short-doc
+    *    source can put most docs at y = 10000) and that window is a
+    *    straggler/OOM at 100 TB. Both branches compute the identical
+    *    total order (PipelineSpec pins branch equality). */
+  private[graft] def rankBy(df: DataFrame, v: String, out: String,
+      tieBound: Long = 1L << 16): DataFrame = {
+    val byV = df.groupBy(col("source"), col(v))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bkt", expr(s"$v div 256"))
+      .ckpt() // feeds the offset cumsum AND the one-row skew probe
+    val below = PrefixScan.cumsum(byV, part = Seq("source"),
+      bucket = "bkt", order = Seq(v), value = "cnt", out = "cum")
+      .withColumn("below", col("cum") - col("cnt"))
+      .select(col("source"), col(v), col("below"))
+    // Plan-only tooling (PlanAuditSpec/PlanDump under Ckpt.auditMode)
+    // must not execute the skew probe; audit the BOUNDED branch — it
+    // is the scale-safe plan whose funnel-freeness matters.
+    val maxTie =
+      if (graft.plans.Ckpt.auditMode) Long.MaxValue
+      else byV.agg(max(col("cnt"))).head().getLong(0)
+    if (maxTie <= tieBound) {
+      val tieW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col(v)).orderBy(col("doc_id"))
+      df.join(below, Seq("source", v))
+        .withColumn(out, col("below") + row_number().over(tieW))
+        .drop("below")
+    } else {
+      val withB2 = df.withColumn("bkt2", expr("doc_id div 4096"))
+      val byId = withB2.groupBy(col("source"), col(v), col("bkt2"))
+        .agg(count(lit(1)).as("cnt2"))
+      val below2 = PrefixScan.cumsum(byId, part = Seq("source", v),
+        bucket = "bkt2", order = Seq("bkt2"), value = "cnt2", out = "cum2")
+        .withColumn("below2", col("cum2") - col("cnt2"))
+        .select(col("source"), col(v), col("bkt2"), col("below2"))
+      val tieW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col(v), col("bkt2")).orderBy(col("doc_id"))
+      withB2.join(below, Seq("source", v))
+        .join(below2, Seq("source", v, "bkt2"))
+        .withColumn(out,
+          col("below") + col("below2") + row_number().over(tieW))
+        .drop("below", "below2", "bkt2")
+    }
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Embedding-level eval decontamination — the vector-space
@@ -377,39 +432,7 @@ object PipelineOps {
           floor(lit(10000.0) * col("nd") / col("nw")).cast("long"))
         .select(col("doc_id"), col("source"), col("x"), col("y"))
         .ckpt() // feeds both rank passes
-      // scalable row_number over (source ORDER BY v, doc_id): PrefixScan
-      // cumulative counts give each (source, v) group's rank offset,
-      // and the rank INSIDE a tie group is itself two-level — a second
-      // PrefixScan over 4096-wide doc_id range buckets plus a window
-      // keyed by (source, v, id-bucket), so every window partition is
-      // ≤ 4096 rows BY CONSTRUCTION even when one value dominates a
-      // source (y is a 0..10000 bp scale: a short-doc source can put
-      // most docs at y = 10000, so "a tie group is small" would be a
-      // false assumption at corpus scale).
-      def ranked(df: DataFrame, v: String, out: String): DataFrame = {
-        val byV = df.groupBy(col("source"), col(v))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("bkt", expr(s"$v div 256"))
-        val below = PrefixScan.cumsum(byV, part = Seq("source"),
-          bucket = "bkt", order = Seq(v), value = "cnt", out = "cum")
-          .withColumn("below", col("cum") - col("cnt"))
-          .select(col("source"), col(v), col("below"))
-        val withB2 = df.withColumn("bkt2", expr("doc_id div 4096"))
-        val byId = withB2.groupBy(col("source"), col(v), col("bkt2"))
-          .agg(count(lit(1)).as("cnt2"))
-        val below2 = PrefixScan.cumsum(byId, part = Seq("source", v),
-          bucket = "bkt2", order = Seq("bkt2"), value = "cnt2", out = "cum2")
-          .withColumn("below2", col("cum2") - col("cnt2"))
-          .select(col("source"), col(v), col("bkt2"), col("below2"))
-        val tieW = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source"), col(v), col("bkt2")).orderBy(col("doc_id"))
-        withB2.join(below, Seq("source", v))
-          .join(below2, Seq("source", v, "bkt2"))
-          .withColumn(out,
-            col("below") + col("below2") + row_number().over(tieW))
-          .drop("below", "below2", "bkt2")
-      }
-      ranked(ranked(sig, "x", "rx"), "y", "ry")
+      rankBy(rankBy(sig, "x", "rx"), "y", "ry")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum((col("rx") - col("ry")).cast("decimal(19,0)")

@@ -280,6 +280,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq(("a", 5L, 0L), ("b", 2L, 300000L)))
   }
 
+  test("rankBy: bounded tie route == windowed route == naive total-order row_number") {
+    // 40 docs in one source, all at the SAME value v (one whole-source
+    // tie group), doc ids spread across several 4096-wide buckets so
+    // the bounded branch exercises its second PrefixScan level.
+    val rows = (0 until 40).map(i => (i * 3000L, "s", 7L))
+    val df = rows.toDF("doc_id", "source", "v")
+    val naive = rows.sortBy(r => (r._3, r._1)).zipWithIndex
+      .map { case ((id, _, _), i) => (id, (i + 1).toLong) }.toMap
+    for (bound <- Seq(1L, 1L << 16)) { // forces bounded / windowed branch
+      val got = operators.PipelineOps.rankBy(df, "v", "rk", tieBound = bound)
+        .select(col("doc_id"), col("rk")).as[(Long, Long)].collect().toMap
+      assert(got == naive, s"tieBound=$bound diverged from the naive rank")
+    }
+  }
+
   test("q289: isqrt weights at an exact square, seats by largest remainder, epochs follow") {
     // tok 16/4 → weights 4/2 (isqrt(16)=4 exercises the boundary
     // correction), W=6, budget B = 20//2 = 10. Bases 6/3 (the split
