@@ -579,8 +579,13 @@ class StreamingSpec extends AnyFunSuite {
       }
       try {
         wave(0L)
+        // the sentinel confirms the SINK; the state-operator metrics
+        // ride the progress report, which can lag the commit by an
+        // (empty, self-triggered) batch — wait for them too, don't
+        // sample lastProgress once (raced 0 in a full-suite run)
+        assert(eventually(60000) { stateRows() > 0 },
+          "state operator rows never surfaced in progress metrics")
         val afterOne = stateRows()
-        assert(afterOne > 0, "state operator reported no rows — metric broken")
         for (w <- 1 to 2) {
           Thread.sleep(ttl.toMillis + 1500) // let the horizon pass
           wave(w * 1000L)
