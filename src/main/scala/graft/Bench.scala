@@ -82,14 +82,21 @@ object Bench {
     // quadratic oracle anchors — reported so a scale consumer of this
     // JSON can filter them; each has a routed production sibling
     // (enforced by RegistrySpec).
-    val baselines = SparkEntry.registry.collect {
-      case q if q.scaleClass.isInstanceOf[Q.Baseline] => "\"" + q.name + "\""
-    }
+    val baselineNames = SparkEntry.registry.collect {
+      case q if q.scaleClass.isInstanceOf[Q.Baseline] => q.name
+    }.toSet
+    val baselines = baselineNames.toSeq.sorted.map("\"" + _ + "\"")
     val baselineField =
       if (baselines.isEmpty) ""
       else baselines.mkString(""","baseline_queries":[""", ",", "]")
+    // Production headline (VERDICT r10 #6): total minus the
+    // Baseline-tagged quadratic oracle anchors, so round-over-round
+    // comparisons stop paying the fixtures' deliberate quadratics.
+    val totalProduction = total - results.collect {
+      case (k, Some(v)) if baselineNames.contains(k) => v
+    }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField$baselineField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_production":${fmt(totalProduction)},"queries":$qs$failedField$baselineField,"sf":"$sfDir"}"""
     // Durable outputs resolve against a FIXED base (ADVICE r9): the
     // env-configured output dir when set, else the launch directory —
     // never a bare relative path that silently follows a changed cwd.
@@ -117,7 +124,7 @@ object Bench {
     val headline =
       slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_ok":${results.count(_._2.isDefined)},"queries":{$headline},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_production":${fmt(totalProduction)},"n_queries":${results.size},"n_ok":${results.count(_._2.isDefined)},"queries":{$headline},"sf":"$sfDir"}"""
     // Durable + greppable copies of the compact headline (VERDICT r8
     // #5 — five rounds of "parsed": null). The driver's tail capture
     // keeps ~2000 chars of stdout and sbt appends an epilogue after

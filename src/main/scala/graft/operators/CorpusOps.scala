@@ -222,10 +222,15 @@ object CorpusOps {
     // for every unordered source pair, how many document pairs share
     // an identical first-100-characters head (crawl snapshots cut at
     // different lengths share their head but fail whole-document
-    // hashing — this is who republishes whose openings). The
-    // self-join runs per head-fingerprint GROUP (never corpus-wide);
-    // the report is source-pair-sized. Within-source head-dup pairs
-    // land on the diagonal.
+    // hashing — this is who republishes whose openings). No doc-level
+    // self-join at all (ADVICE r10: a common boilerplate head made the
+    // per-group candidate volume quadratic): the pair COUNT per source
+    // pair is combinatorial over the (head, source) count frame —
+    // cross-source pairs in a head group are c_a·c_b, same-source
+    // pairs are C(c,2) — so the join is (head × sources)², bounded by
+    // the source count per head, never by group depth. One templated
+    // head shared by a million docs costs one aggregate row per
+    // source, not 10¹² candidates.
     Q("q279_headdup_source_matrix",
       """WITH t AS (SELECT doc_id, source, substr(text, 1, 100) AS h FROM documents),
         |p AS (SELECT least(a.source, b.source) AS source_a,
@@ -234,16 +239,23 @@ object CorpusOps {
         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM p GROUP BY 1, 2
         |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin) { (s, d) =>
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), substring(col("text"), 1, 100).as("h"))
-      val a = t.select(col("h"), col("doc_id").as("a_id"), col("source").as("sa"))
-      val b = t.select(col("h").as("hb"), col("doc_id").as("b_id"),
-        col("source").as("sb"))
-      a.join(b, col("h") === col("hb") && col("a_id") < col("b_id"))
-        .select(least(col("sa"), col("sb")).as("source_a"),
-          greatest(col("sa"), col("sb")).as("source_b"))
+      // (head, source) counts: the only corpus-sized pass.
+      val g = Tables.documents(s, d)
+        .select(substring(col("text"), 1, 100).as("h"), col("source"))
+        .groupBy(col("h"), col("source")).agg(count(lit(1)).as("c"))
+      val a = g.select(col("h"), col("source").as("source_a"), col("c").as("ca"))
+      val b = g.select(col("h").as("hb"), col("source").as("source_b"),
+        col("c").as("cb"))
+      val cross = a.join(b,
+          col("h") === col("hb") && col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          (col("ca") * col("cb")).as("np"))
+      val within = g.filter(col("c") > 1)
+        .select(col("source").as("source_a"), col("source").as("source_b"),
+          (col("c") * (col("c") - 1) / 2).cast("long").as("np"))
+      cross.unionByName(within)
         .groupBy(col("source_a"), col("source_b"))
-        .agg(count(lit(1)).as("n_pairs"))
+        .agg(sum(col("np")).as("n_pairs"))
         .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
     },
 

@@ -294,7 +294,11 @@ object PipelineOps {
       val t = Tables.documents(s, d)
         .select(col("doc_id"),
           size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
-        .withColumn("bkt", (col("doc_id") / lit(1000L)).cast("long"))
+        // integer `div`, not float `/`-then-cast (ADVICE r10): both are
+        // monotone in doc_id so the PrefixScan bucket stays valid, but
+        // float division loses exactness past 2^53 — div is the repo's
+        // integer-arithmetic discipline.
+        .withColumn("bkt", expr("doc_id div 1000"))
       val cum = PrefixScan.cumsum(t, part = Seq(), bucket = "bkt",
         order = Seq("doc_id"), value = "n_tok", out = "cum")
       cum.withColumn("shard_id", expr("(cum - n_tok) div 2000"))

@@ -559,11 +559,29 @@ object Streaming {
   def yieldFunnelStream(docs: DataFrame): Dataset[FunnelDoc] = {
     import docs.sparkSession.implicits._
     val w = split(col("text"), " ")
+    // Max-unigram count in a SINGLE sorted pass (ADVICE r10: the
+    // transform(distinct, count-each) form is O(distinct·total) per row
+    // and ran before the length gate, so one pathological long document
+    // could stall a micro-batch): sort the tokens, fold a (prev, run,
+    // best) accumulator — O(n log n) bounded by doc length — and only
+    // for docs the cheap length gate admits (gate order is
+    // cheap-to-expensive; rejected docs short-circuit to mx = 0, which
+    // the stage-0 branch below never reads).
+    val runMax = aggregate(array_sort(w),
+      struct(lit(null).cast("string").as("p"), lit(0L).as("r"), lit(0L).as("b")),
+      (acc, x) => {
+        val run = when(x === acc.getField("p"), acc.getField("r") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("p"), run.as("r"),
+          greatest(acc.getField("b"), run).as("b"))
+      },
+      acc => acc.getField("b"))
     val gated = docs
       .withColumn("nw", size(w).cast("long"))
       .withColumn("nd", size(array_distinct(w)).cast("long"))
-      .withColumn("mx", array_max(transform(array_distinct(w),
-        x => size(filter(w, y => y === x)))).cast("long"))
+      .withColumn("mx",
+        when(col("nw") >= 20 && col("nw") <= 10000, runMax)
+          .otherwise(lit(0L)).cast("long"))
       .withColumn("len", length(col("text")).cast("long"))
       .withColumn("dup_bp",
         floor(lit(10000.0) * (col("nw") - col("nd")) / col("nw")))
