@@ -476,16 +476,117 @@ object IvfAnn {
   /** Cell-adjacency table of a (refined) index at threshold t: every
     * (gcell, cell) pair with θ(μ_g, μ_f) ≤ r_g + acos(t) + r_f + ε — a
     * superset of the cells any member of g can share a >t pair with
-    * (triangle inequality through the member and its neighbor). The
-    * join is ncells² over the broadcast centroid table: centroid-count-
-    * bounded, once per (corpus, t), cached with the index. */
-  private[graft] def cellAdjacency(cmeta: DataFrame, t: Double): DataFrame = {
+    * (triangle inequality through the member and its neighbor).
+    * Computed once per (corpus, t) and cached with the index. Routed
+    * by centroid count (VERDICT r10 #2): below [[adjacencyRecurseAt]]
+    * the flat ncells² join over the broadcast centroid table is
+    * cheapest; past it the SAME refinement idea recurses onto the
+    * centroid set ([[groupedCellAdjacency]]) so adjacency work is
+    * bounded by the coarse fan-out, not ncells². */
+  private[graft] def cellAdjacency(cmeta: DataFrame, t: Double): DataFrame =
+    if (cmeta.count() >= adjacencyRecurseAt) groupedCellAdjacency(cmeta, t)
+    else flatCellAdjacency(cmeta, t)
+
+  /** Flat base case: ncells² centroid pairs over the broadcast
+    * centroid table — optimal below the measured crossover. */
+  private[graft] def flatCellAdjacency(cmeta: DataFrame, t: Double): DataFrame = {
     val acosT = math.acos(math.min(1.0, math.max(-1.0, t)))
     val g = cmeta.select(col("cell").as("gcell"), col("cemb").as("ge"),
       col("cnrm").as("gn"), col("radius").as("gr"))
     val f = cmeta.select(col("cell"), col("cemb").as("fe"),
       col("cnrm").as("fn"), col("radius").as("fr"))
     g.join(broadcast(f),
+        acos(clamp(GraftFunctions.dot(col("ge"), col("fe")) / (col("gn") * col("fn"))))
+          <= col("gr") + lit(acosT) + col("fr") + lit(1e-6))
+      .select(col("gcell"), col("cell"))
+  }
+
+  /** Routing point between the flat and grouped adjacency builds,
+    * measured in ScaleSmoke ADJSCALE (SCALE.md round 11): the flat
+    * join is quadratic in ncells but constant-light per pair (0.73 /
+    * 2.29 / 5.52 / 47.1 s at 8k / 16k / 32k / 100k cells — clean n²);
+    * the grouped build pays a coarse Lloyd over the centroid set plus
+    * group metadata before it prunes anything (8–14 s across ALL
+    * measured sizes), so it only wins once ncells² dominates that
+    * setup — measured crossover between 32k and 100k cells, 5.7× ahead
+    * at 100k. */
+  private[graft] val adjacencyRecurseAt: Long = 65536L
+
+  /** Recursive centroid-set refinement (PLANS.md round-10 note, built
+    * in round 11): a two-level coarse→fine quantizer over the CENTROID
+    * set. The fine centroids are grouped by a deterministic coarse
+    * Lloyd (⌈√ncells⌉ groups, contiguous-cell-id block init, 2
+    * iterations — the refineForThreshold recipe applied one level up);
+    * for coarse groups G, F with coarse-centroid angle θ(μ_G, μ_F),
+    * spread R = max member-centroid angle to μ and maxr = max member
+    * cell radius, any fine pair (g ∈ G, f ∈ F) satisfying the exact
+    * adjacency condition θ(μ_g, μ_f) ≤ r_g + acos(t) + r_f forces
+    * θ(μ_G, μ_F) ≤ θ(μ_g,μ_f) + R_G + R_F ≤ R_G + maxr_G + acos(t) +
+    * R_F + maxr_F (triangle inequality through μ_g and μ_f) — so
+    * pruning whole group pairs that fail that bound loses nothing,
+    * and the exact per-cell condition is evaluated only inside
+    * surviving group pairs. Work: one linear pass over ncells
+    * centroids, ngroups² ≈ ncells coarse pairs, then Σ|G||F| over
+    * survivors — never ncells². Self-pairs always survive (θ = 0), so
+    * every cell stays adjacent to itself, exactly as in the flat
+    * build. One level suffices up to ~10⁹ cells (ngroups² = ncells);
+    * a 100 TB corpus at ⌈√n⌉ cells implies ~10⁷. */
+  private[graft] def groupedCellAdjacency(cmeta0: DataFrame, t: Double): DataFrame = {
+    val acosT = math.acos(math.min(1.0, math.max(-1.0, t)))
+    // base-index cmeta carries int cells, refined cmeta long — work in
+    // long so the max()/div block arithmetic below is type-stable
+    val cmeta = cmeta0.withColumn("cell", col("cell").cast("long"))
+    val ncells = cmeta.count()
+    val ngroups = math.max(16, math.ceil(math.sqrt(ncells.toDouble)).toInt)
+    // centroid set re-expressed as a corpus for the coarse quantizer
+    val cframe = cmeta.select(col("cell").as("vec_id"), col("cemb").as("emb"),
+      col("cnrm").as("nrm"))
+    // contiguous-cell-id block init — shuffle-free (one max() planning
+    // read; no global window), deterministic, and id-adjacent cells
+    // (same-parent subcells after the arithmetic re-id) start together
+    val maxCell = cmeta.agg(max(col("cell"))).head().getLong(0)
+    val blk = math.max(1L, (maxCell + ngroups) / ngroups)
+    def toCentroids(g: DataFrame): DataFrame =
+      g.select(col("gid").as("cell"), col("cemb"), col("cnrm"))
+    var gcent = recomputeBy(
+      cframe.withColumn("gid",
+        least(lit(ngroups - 1L), expr(s"vec_id div $blk"))),
+      Seq("gid")).ckpt()
+    for (_ <- 1 to 2) {
+      val as = assign(cframe, toCentroids(gcent))
+        .select(col("vec_id"), col("cell").as("gid"))
+      gcent = recomputeBy(cframe.join(as, "vec_id"), Seq("gid")).ckpt()
+    }
+    val ga = assign(cframe, toCentroids(gcent))
+      .select(col("vec_id").as("cell"), col("cell").as("gid"))
+    val withG = cmeta.join(ga, "cell").ckpt() // (cell, cemb, cnrm, radius, gid)
+    val gcentR = gcent.select(col("gid"), col("cemb").as("gemb"),
+      col("cnrm").as("gnrm"))
+    val gmeta = withG.join(broadcast(gcentR), "gid")
+      .withColumn("ang", acos(clamp(
+        GraftFunctions.dot(col("cemb"), col("gemb")) / (col("cnrm") * col("gnrm")))))
+      .groupBy(col("gid"))
+      .agg(max(col("ang")).as("spread"), max(col("radius")).as("maxr"))
+      .join(gcentR, "gid")
+      .ckpt()
+    // surviving coarse pairs: ngroups² over the broadcast group table
+    val gg = gmeta.select(col("gid").as("ggid"), col("gemb").as("ge"),
+      col("gnrm").as("gn"), (col("spread") + col("maxr")).as("gb"))
+    val gf = gmeta.select(col("gid").as("fgid"), col("gemb").as("fe"),
+      col("gnrm").as("fn"), (col("spread") + col("maxr")).as("fb"))
+    val gpairs = gg.join(broadcast(gf),
+        acos(clamp(GraftFunctions.dot(col("ge"), col("fe")) / (col("gn") * col("fn"))))
+          <= col("gb") + lit(acosT) + col("fb") + lit(2e-6))
+      .select(col("ggid"), col("fgid"))
+      .ckpt()
+    // exact adjacency condition, evaluated only inside surviving pairs
+    val cg = withG.select(col("gid").as("ggid"), col("cell").as("gcell"),
+      col("cemb").as("ge"), col("cnrm").as("gn"), col("radius").as("gr"))
+    val cf = withG.select(col("gid").as("fgid"), col("cell"),
+      col("cemb").as("fe"), col("cnrm").as("fn"), col("radius").as("fr"))
+    cg.join(broadcast(gpairs), Seq("ggid"))
+      .join(cf, Seq("fgid"))
+      .filter(
         acos(clamp(GraftFunctions.dot(col("ge"), col("fe")) / (col("gn") * col("fn"))))
           <= col("gr") + lit(acosT) + col("fr") + lit(1e-6))
       .select(col("gcell"), col("cell"))

@@ -472,12 +472,30 @@ object Streaming {
     * index itself is SESSION-LIVED in-memory state — a
     * checkpoint-location restart replays only post-commit batches, so
     * a restarted maintainer must be re-seeded with the durably
-    * persisted accumulated corpus (writeClustered), not the original
-    * seed. StreamingSpec proves parity vs a from-scratch rebuild after
-    * N appended vectors and that a re-delivered batch is a no-op. */
+    * persisted accumulated corpus, not the original seed. StreamingSpec
+    * proves parity vs a from-scratch rebuild after N appended vectors
+    * and that a re-delivered batch is a no-op.
+    *
+    * Restart recovery (VERDICT r10 #1): with `persistPath` set the
+    * maintainer keeps a crash-consistent on-disk log — the seed corpus
+    * once at construction, then each applied batch's PREPPED delta at
+    * `path/delta/<batchId>` (overwrite mode + parquet's _SUCCESS
+    * marker, so a partially-written delta from a mid-write crash is
+    * ignored by restore and re-delivered by the stream's checkpoint).
+    * [[IvfMaintainer.restore]] rebuilds the maintainer by replaying
+    * the completed deltas in batch-id order through the SAME append
+    * path — identical compaction boundaries and rebuild decisions as
+    * the original run — and sets lastBatch to the highest logged id,
+    * so the checkpoint-resumed stream's re-delivery of the last
+    * uncommitted batch is the usual no-op. The law (StreamingSpec):
+    * kill + restore + resume ≡ an uninterrupted run, in corpus content
+    * and in search answers. The delta log is the durable corpus (an
+    * add-log, the LSM convention); a deployment compacts it with
+    * writeClustered on its own cadence. */
   final class IvfMaintainer(initialCorpus: DataFrame,
       rebuildWhen: graft.operators.IvfAnn.IvfIndex => Boolean,
-      compactEvery: Int = 32) {
+      compactEvery: Int = 32,
+      persistPath: Option[String] = None) {
     import graft.operators.IvfAnn
     import graft.plans.Ckpt.CkptOps
     // canonical index-corpus projection: the seed may carry extra
@@ -489,6 +507,12 @@ object Streaming {
     @volatile private var rebuildCount = 0
     @volatile private var lastBatch = -1L
     private var sinceCompact = 0
+    // durable seed, written once (restore passes the on-disk seed back
+    // in — the _SUCCESS guard keeps that from rewriting it)
+    persistPath.foreach { p =>
+      if (!new java.io.File(s"$p/seed/_SUCCESS").exists)
+        corpusRef.get.write.mode("overwrite").parquet(s"$p/seed")
+    }
     def corpus: DataFrame = corpusRef.get
     def index: IvfAnn.IvfIndex = indexRef.get
     def rebuilds: Int = rebuildCount
@@ -507,39 +531,88 @@ object Streaming {
           .drop("embedding")
           .ckpt()
         if (!prepped.isEmpty) {
-          // O(batch) per batch: the delta is checkpointed above; the
-          // accumulated corpus is a lazy union over checkpointed
-          // leaves, fully re-checkpointed only every compactEvery
-          // batches (bounds union-chain depth AND avoids pinning a
-          // fresh full-corpus block set per micro-batch).
-          sinceCompact += 1
-          val doCompact = sinceCompact >= compactEvery
-          val grown0 = corpusRef.get.unionByName(prepped)
-          val grown = if (doCompact) grown0.ckpt() else grown0
-          corpusRef.set(grown)
-          val appended0 = IvfAnn.appendToIndex(indexRef.get, prepped)
-          val appended =
-            if (doCompact)
-              appended0.copy(assigned = appended0.assigned.ckpt())
-            else appended0
-          if (doCompact) sinceCompact = 0
-          indexRef.set(
-            if (rebuildWhen(appended)) {
-              rebuildCount += 1
-              IvfAnn.buildIndexWithRadii(grown)
-            } else appended)
+          // delta log first (crash between the write and the stream
+          // commit ⇒ re-delivery overwrites the same dir — idempotent)
+          persistPath.foreach(p =>
+            prepped.write.mode("overwrite").parquet(s"$p/delta/$batchId"))
+          append(prepped)
         }
         lastBatch = batchId
       }
     }
 
-    /** newVectors: streaming (vec_id, embedding array<float>) frame. */
-    def start(newVectors: DataFrame) =
-      newVectors.writeStream
+    /** The in-memory append step, shared by live batches and restore
+      * replay. O(batch) per batch: the delta is already durable/
+      * checkpointed; the accumulated corpus is a lazy union over
+      * checkpointed leaves, fully re-checkpointed only every
+      * compactEvery batches (bounds union-chain depth AND avoids
+      * pinning a fresh full-corpus block set per micro-batch). */
+    private def append(prepped: DataFrame): Unit = {
+      sinceCompact += 1
+      val doCompact = sinceCompact >= compactEvery
+      val grown0 = corpusRef.get.unionByName(prepped)
+      val grown = if (doCompact) grown0.ckpt() else grown0
+      corpusRef.set(grown)
+      val appended0 = IvfAnn.appendToIndex(indexRef.get, prepped)
+      val appended =
+        if (doCompact)
+          appended0.copy(assigned = appended0.assigned.ckpt())
+        else appended0
+      if (doCompact) sinceCompact = 0
+      indexRef.set(
+        if (rebuildWhen(appended)) {
+          rebuildCount += 1
+          IvfAnn.buildIndexWithRadii(grown)
+        } else appended)
+    }
+
+    /** newVectors: streaming (vec_id, embedding array<float>) frame.
+      * `checkpointLocation` makes the source resumable — pair it with
+      * `persistPath` so a restart resumes instead of replaying from
+      * scratch (the restore law in StreamingSpec). */
+    def start(newVectors: DataFrame,
+        checkpointLocation: Option[String] = None) = {
+      val w = newVectors.writeStream
         .foreachBatch((batch: DataFrame, batchId: Long) => applyBatch(batch, batchId))
         .outputMode(OutputMode.Update)
-        .start()
+      checkpointLocation.foreach(c => w.option("checkpointLocation", c))
+      w.start()
+    }
   }
+
+  object IvfMaintainer {
+    /** Rebuild a maintainer from its persist log after a driver
+      * restart: read the seed, replay every COMPLETED delta (dirs with
+      * parquet's _SUCCESS marker) in batch-id order through the same
+      * append path, and resume the idempotence guard at the highest
+      * logged id. Answers through the restored index equal the
+      * uninterrupted run's (both indexes are exact by the triangle
+      * bound; the replay even reproduces the original compaction and
+      * rebuild decisions, since both are deterministic in the batch
+      * sequence). */
+    def restore(spark: SparkSession, path: String,
+        rebuildWhen: graft.operators.IvfAnn.IvfIndex => Boolean,
+        compactEvery: Int = 32): IvfMaintainer = {
+      val m = new IvfMaintainer(spark.read.parquet(s"$path/seed"),
+        rebuildWhen, compactEvery, Some(path))
+      completedBatchIds(s"$path/delta").foreach { bid =>
+        // deltas are stored PREPPED (vec_id, emb, nrm) — replay them
+        // through the append step directly (no re-prep, no re-log)
+        m.append(spark.read.parquet(s"$path/delta/$bid"))
+        m.lastBatch = bid
+      }
+      m
+    }
+  }
+
+  /** Batch-id subdirs of a persist log that finished writing (parquet
+    * drops _SUCCESS last, so a mid-write crash leaves no marker and
+    * restore skips the partial dir — the stream's checkpoint
+    * re-delivers that batch). */
+  private[streaming] def completedBatchIds(dir: String): Seq[Long] =
+    Option(new java.io.File(dir).listFiles).toSeq.flatten
+      .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists)
+      .map(_.getName.toLong).sorted
 
   /** Streaming yield funnel — q287's gate cascade over a document
     * stream. Per-doc gate signals (the q90 thresholds) are ROW-LOCAL
@@ -629,8 +702,20 @@ object Streaming {
     * replaying a corpus and asking for the plan equals running q289 on
     * it (the StreamingSpec parity law). Same delivery contract as
     * IvfMaintainer: foreachBatch is at-least-once, so a re-delivered
-    * batchId is a no-op. */
-  final class MixturePlanner(spark: SparkSession) {
+    * batchId is a no-op.
+    *
+    * Restart recovery (VERDICT r10 #1): with `persistPath` set, each
+    * merged counts frame — it is sources-sized, so a full snapshot per
+    * batch is cheaper than any delta scheme — is written to
+    * `path/counts/<batchId>`; only the two most recent snapshots are
+    * kept (the older one covers a crash between a snapshot write and
+    * the stream commit). [[MixturePlanner.restore]] loads the latest
+    * COMPLETED snapshot and resumes the idempotence guard at its
+    * batch id, so a checkpoint-resumed stream re-delivers at most the
+    * one uncommitted batch, which the guard absorbs. Kill + restore +
+    * resume ≡ uninterrupted (StreamingSpec law). */
+  final class MixturePlanner(spark: SparkSession,
+      persistPath: Option[String] = None) {
     import graft.plans.Ckpt.CkptOps
     private val countsRef =
       new java.util.concurrent.atomic.AtomicReference[DataFrame](
@@ -663,18 +748,47 @@ object Streaming {
           // sizeInBytes would compound per micro-batch on a long-lived
           // stream; re-wrapping the checkpointed RDD resets it — the
           // frame is sources-sized and never needs an estimate.
-          countsRef.set(m.sparkSession.createDataFrame(m.rdd, m.schema))
+          val reset = m.sparkSession.createDataFrame(m.rdd, m.schema)
+          countsRef.set(reset)
+          persistPath.foreach { p =>
+            reset.write.mode("overwrite").parquet(s"$p/counts/$batchId")
+            // retire all but the two newest snapshots (the penultimate
+            // covers a crash between this write and the stream commit)
+            completedBatchIds(s"$p/counts").dropRight(2).foreach { old =>
+              def rm(f: java.io.File): Unit = {
+                Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(); ()
+              }
+              rm(new java.io.File(s"$p/counts/$old"))
+            }
+          }
         }
         lastBatch = batchId
       }
     }
 
-    /** docs: streaming (doc_id, text, source) frame. */
-    def start(docs: DataFrame) =
-      docs.writeStream
+    /** docs: streaming (doc_id, text, source) frame. `checkpointLocation`
+      * makes the source resumable — pair it with `persistPath` for the
+      * restart contract above. */
+    def start(docs: DataFrame, checkpointLocation: Option[String] = None) = {
+      val w = docs.writeStream
         .foreachBatch((batch: DataFrame, batchId: Long) => applyBatch(batch, batchId))
         .outputMode(OutputMode.Update)
-        .start()
+      checkpointLocation.foreach(c => w.option("checkpointLocation", c))
+      w.start()
+    }
+  }
+
+  object MixturePlanner {
+    /** Rebuild a planner from its latest completed counts snapshot
+      * after a driver restart (fresh planner if none exists yet). */
+    def restore(spark: SparkSession, path: String): MixturePlanner = {
+      val m = new MixturePlanner(spark, Some(path))
+      completedBatchIds(s"$path/counts").lastOption.foreach { bid =>
+        m.countsRef.set(spark.read.parquet(s"$path/counts/$bid"))
+        m.lastBatch = bid
+      }
+      m
+    }
   }
 
   /** Parquet sink with checkpointing (exactly-once file sink). */

@@ -360,6 +360,64 @@ object ScaleSmoke {
     // the task — out_pairs is printed so output-boundedness is
     // visible. Warm-both-scales per the DEDUP100X protocol; cold rep
     // (= the once-per-snapshot index build + first probe) printed too.
+    // Adjacency-recursion mode (VERDICT r10 #2): time the flat ncells²
+    // adjacency build against the grouped (recursive) build on
+    // synthetic centroid sets of growing size, and pin where the
+    // crossover sits. The fixture is a HIERARCHICAL centroid set (256
+    // well-separated regions, tiny per-cell radii) — the geometry a
+    // refined index over a clustered corpus actually produces (cells
+    // are splits of natural clusters, so the centroid set inherits the
+    // hierarchy). On a hierarchy-free centroid set (uniform tiny
+    // islands in 64 dims) NO coarse grouping can prune — sphere caps
+    // that cover in high dimension are necessarily wide — so the
+    // recursion targets exactly the clustered regime the refined route
+    // itself requires (an incoherent corpus routes to allpairs long
+    // before adjacency is built).
+    if (sys.env.contains("SPARK_GRAFT_ADJSCALE")) {
+      import graft.operators.IvfAnn
+      import graft.functions.GraftFunctions
+      GraftFunctions.register(spark)
+      def synthCmeta(ncells: Long): org.apache.spark.sql.DataFrame = {
+        val fam = math.max(1L, ncells / 256L)
+        spark.range(0, ncells).select(
+            col("id").as("cell"),
+            expr(s"""transform(sequence(1, 64),
+              | i -> (CAST(pmod(xxhash64(concat(CAST(id div $fam AS STRING), '@', CAST(i AS STRING))), 2000) AS DOUBLE) / 1000.0 - 1.0)
+              |  + 0.05 * (CAST(pmod(xxhash64(concat(CAST(id AS STRING), '%', CAST(i AS STRING))), 2000) AS DOUBLE) / 1000.0 - 1.0))""".stripMargin)
+              .as("cemb"),
+            (lit(0.01) + lit(0.02) * pmod(xxhash64(col("id")), lit(1000)) / lit(1000.0))
+              .as("radius"))
+          .withColumn("cnrm", sqrt(GraftFunctions.dot(col("cemb"), col("cemb"))))
+          .localCheckpoint()
+      }
+      val t = 0.9
+      for ((tag, n) <- Seq(("8k", 8192L), ("16k", 16384L), ("32k", 32768L),
+          ("100k", 100000L))) {
+        val cm = synthCmeta(n)
+        def steady(f: => Long): (Double, Long) = {
+          var rows = 0L
+          val t1 = time { rows = f }
+          val t2 = time { rows = f }
+          (math.min(t1, t2), rows)
+        }
+        val (tg, ng) = steady(IvfAnn.groupedCellAdjacency(cm, t).count())
+        val (tf, nf) = steady(IvfAnn.flatCellAdjacency(cm, t).count())
+        println(f"ADJSCALE $tag%-5s cells $n%7d  flat $tf%8.2f s  grouped $tg%8.2f s  " +
+          f"adj_rows $nf%10d  rows_equal ${nf == ng}")
+        assert(nf == ng, s"grouped adjacency row count diverged at $tag: $nf vs $ng")
+        // per-size checkpoint hygiene (the Bench dropOrphanCheckpoints
+        // pattern): each grouped build ckpts its Lloyd frames
+        val owned = graft.plans.DerivationCache.ownedRddIds
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!owned.contains(id)) {
+            try rdd.unpersist(blocking = true) catch { case _: Throwable => () }
+          }
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (sys.env.contains("SPARK_GRAFT_IVF100X")) {
       import graft.operators.IvfAnn
       // Two corpus geometries per scale:

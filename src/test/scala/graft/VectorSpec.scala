@@ -318,6 +318,94 @@ class VectorSpec extends AnyFunSuite {
       s"onlyRefined=${(got -- want).take(5)} onlyAllPairs=${(want -- got).take(5)}")
   }
 
+  test("grouped (recursive) cell adjacency == flat adjacency, clustered AND incoherent geometry") {
+    // VERDICT r10 #2: past adjacencyRecurseAt cells the adjacency
+    // build recurses the refinement onto the centroid set. The law:
+    // the grouped build returns the IDENTICAL (gcell, cell) set as the
+    // flat ncells² join — on a refined clustered index (where coarse
+    // pruning is real) and on an incoherent base index (where nothing
+    // is prunable and grouped must not over-prune). refinedThresholdPairs
+    // consumes the adjacency only as this set, so set equality extends
+    // the existing ≡-all-pairs laws to the recursive path verbatim.
+    import graft.functions.GraftFunctions
+    import graft.operators.IvfAnn
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(59)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Seq.fill(96)(unit())
+    val vecs = for (c <- 0 until 96; i <- 0 until 12) yield {
+      val noise = Array.fill(64)(rnd.nextGaussian() * 0.03)
+      ((c * 12 + i).toLong,
+        centers(c).zip(noise).map { case (a, b) => (a + b).toFloat })
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_gadj").toString
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val t = 0.9
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("gcell").cast("long"), col("cell").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val cmeta = IvfAnn.cachedRefined(spark, dir, t).idx.cmeta
+    val flat = pairs(IvfAnn.flatCellAdjacency(cmeta, t))
+    val grouped = pairs(IvfAnn.groupedCellAdjacency(cmeta, t))
+    assert(flat.nonEmpty && flat.size < {
+      val n = cmeta.count(); (n * n).toInt
+    }, "fixture must have non-trivial adjacency (some pairs pruned)")
+    assert(grouped == flat,
+      s"onlyGrouped=${(grouped -- flat).take(5)} onlyFlat=${(flat -- grouped).take(5)}")
+    // self-adjacency: every cell probes itself on the recursive path too
+    val cells = cmeta.select(col("cell").cast("long")).as[Long].collect()
+    assert(cells.forall(c => grouped.contains((c, c))))
+    // incoherent geometry (base quantizer over random vectors): the
+    // coarse bound prunes nothing — grouped must still equal flat
+    val bmeta = IvfAnn.cachedIndex(spark, plantedDir).cmeta
+    assert(pairs(IvfAnn.groupedCellAdjacency(bmeta, 0.35))
+      == pairs(IvfAnn.flatCellAdjacency(bmeta, 0.35)))
+  }
+
+  test("grouped adjacency with ACTIVE coarse pruning == flat (hierarchical centroid set)") {
+    // The geometry where the coarse bound actually fires (equality in
+    // the previous test must not be vacuous): 24 well-separated regions
+    // × ~43 tiny-radius cells each, ngroups = ⌈√1024⌉ = 32 ≥ regions,
+    // so the coarse Lloyd recovers the regions, group spreads stay
+    // ≈ the within-region offset, and at t = 0.9 (acosT ≈ 0.45) every
+    // cross-region group pair fails the survival bound — most of the
+    // ngroups² grid is pruned, and the law asserts nothing REAL was
+    // pruned with it. Built as a synthetic cmeta directly (the
+    // adjacency consumes only (cell, cemb, cnrm, radius)).
+    import graft.functions.GraftFunctions
+    import graft.operators.IvfAnn
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(61)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val regions = Seq.fill(24)(unit())
+    val rows = (0 until 1024).map { c =>
+      val reg = regions(c % 24)
+      val noise = Array.fill(64)(rnd.nextGaussian() * 0.02)
+      val emb = reg.zip(noise).map { case (a, b) => a + b }
+      val nrm = math.sqrt(emb.map(x => x * x).sum)
+      (c.toLong, emb.toSeq, nrm, 0.01 + 0.02 * rnd.nextDouble())
+    }
+    val cmeta = rows.toDF("cell", "cemb", "cnrm", "radius")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("gcell").cast("long"), col("cell").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val flat = pairs(IvfAnn.flatCellAdjacency(cmeta, 0.9))
+    // sparse adjacency = the pruning-active regime (within-region only:
+    // ≈ 1024²/24 ≪ 1024²); a wrong coarse bound would drop real pairs
+    assert(flat.size.toLong < 1024L * 1024L / 8,
+      s"fixture adjacency must be sparse, got ${flat.size}")
+    assert(pairs(IvfAnn.groupedCellAdjacency(cmeta, 0.9)) == flat)
+  }
+
   test("refined route stays allpairs on an incoherent corpus (refinement can't invent structure)") {
     import graft.functions.GraftFunctions
     import graft.operators.IvfAnn
