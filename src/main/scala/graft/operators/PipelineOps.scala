@@ -31,6 +31,23 @@ object PipelineOps {
 
   private def fastDot(a: Column, b: Column): Column = GraftFunctions.dot(a, b)
 
+  /** q283's rollup over a materialized 1-NN frame — factored out so
+    * the amortization smoke (SCALE.md round 11, VERDICT r10 #5) can
+    * time the labels-×-corpus-linear rollup separately from the shared
+    * NN pass it rides. */
+  private[graft] def labelPurityRollup(s: SparkSession, d: String,
+      nn: DataFrame): DataFrame = {
+    val lbl = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("lbl"))
+    nn.join(lbl.select(col("vec_id").as("a_id"), col("lbl").as("la")), "a_id")
+      .join(lbl.select(col("vec_id").as("nb"), col("lbl").as("lb")), "nb")
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_same"))
+      .withColumn("purity_ppm", expr("(1000000 * n_same) div n_vecs"))
+      .orderBy(col("label"))
+  }
+
   /** Inlined hyperplane VALUES rows for the DuckDB oracle — the q51
     * convention (LlmOps.annLshOracleSql): deterministic seeded
     * constants emitted as 17-significant-digit double literals (exact
@@ -204,16 +221,7 @@ object PipelineOps {
         |  CAST((1000000 * sum(CASE WHEN la = lb THEN 1 ELSE 0 END))
         |    // count(*) AS BIGINT) AS purity_ppm
         |FROM n GROUP BY la ORDER BY label""".stripMargin) { (s, d) =>
-      val nn = IvfAnn.nearestNeighbors(s, d)
-      val lbl = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label").cast("long").as("lbl"))
-      nn.join(lbl.select(col("vec_id").as("a_id"), col("lbl").as("la")), "a_id")
-        .join(lbl.select(col("vec_id").as("nb"), col("lbl").as("lb")), "nb")
-        .groupBy(col("la").as("label"))
-        .agg(count(lit(1)).as("n_vecs"),
-          sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_same"))
-        .withColumn("purity_ppm", expr("(1000000 * n_same) div n_vecs"))
-        .orderBy(col("label"))
+      labelPurityRollup(s, d, IvfAnn.nearestNeighbors(s, d))
     },
 
     // Sign-LSH bucket balance — the index-health audit for the q51/q84

@@ -360,6 +360,34 @@ object ScaleSmoke {
     // the task — out_pairs is printed so output-boundedness is
     // visible. Warm-both-scales per the DEDUP100X protocol; cold rep
     // (= the once-per-snapshot index build + first probe) printed too.
+    // q283 amortization split (VERDICT r10 #5): SCALE.md round 10
+    // argued the purity certificate's super-linear component is the
+    // shared NN machinery a pipeline has already paid — assert it by
+    // timing the three layers separately at 100× clustered: (a) the
+    // once-per-snapshot cachedIndex build the whole ANN family
+    // amortizes, (b) the 1-NN probe pass (shared verbatim with q222b's
+    // mutual-NN — nearestNeighbors is the same code path), (c) the
+    // MARGINAL q283 rollup over a materialized NN frame, which must be
+    // labels-×-corpus-linear (sub-second class, nothing pair-shaped).
+    if (sys.env.contains("SPARK_GRAFT_Q283AMORT")) {
+      import graft.operators.{IvfAnn, PipelineOps}
+      val v100 = "/tmp/graft_ivf100x"
+      synthesizeClusteredVecs(spark, v100, nVecs = 200000L, clusterSize = 16)
+      val tIdx = time { IvfAnn.cachedIndex(spark, v100); () }
+      var nn: org.apache.spark.sql.DataFrame = null
+      val tNnCold = time { nn = IvfAnn.nearestNeighbors(spark, v100) }
+      // nearestNeighbors returns an eagerly-checkpointed frame, so the
+      // construction above IS the probe pass; a second pass re-runs it
+      val tNn = time { IvfAnn.nearestNeighbors(spark, v100); () }
+      def roll(): Unit = noop(PipelineOps.labelPurityRollup(spark, v100, nn))
+      roll() // warm
+      val tRoll = math.min(time(roll()), time(roll()))
+      println(f"Q283AMORT 100x(200k clustered)  index_build $tIdx%8.2f s  " +
+        f"nn_pass $tNn%8.2f s (cold $tNnCold%8.2f)  rollup_marginal $tRoll%8.2f s")
+      spark.stop()
+      return
+    }
+
     // Adjacency-recursion mode (VERDICT r10 #2): time the flat ncells²
     // adjacency build against the grouped (recursive) build on
     // synthetic centroid sets of growing size, and pin where the
