@@ -968,6 +968,83 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionizeTws: registered event-time timers survive a checkpoint kill/resume") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDB {
+      val mem = MemoryStream[Streaming.UserEvent]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_twstimer_ckpt").toString
+      val sink = new java.util.concurrent.ConcurrentLinkedQueue[Streaming.SessionAgg]()
+      def ue(user: Long, epochS: Long) =
+        Streaming.UserEvent(user, new java.sql.Timestamp(epochS * 1000))
+      def startQ() = Streaming.sessionizeTws(mem.toDS(), gapSeconds = 300)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[Streaming.SessionAgg], _: Long) =>
+          b.collect().foreach(sink.add))
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      // user 1's open session + its lastMs+gap timer are state at kill
+      // time; only a recovered timer/session can close it post-resume
+      val q1 = startQ()
+      try {
+        mem.addData(Seq(ue(1, 1000), ue(1, 1060), ue(1, 1120)))
+        q1.processAllAvailable()
+        assert(sink.isEmpty, "session must still be open at kill time")
+      } finally q1.stop()
+      val q2 = startQ()
+      try {
+        // advance the watermark far past 1120 + 300 with another user,
+        // then one more batch so recovered timers fire
+        mem.addData(Seq(ue(2, 5000))); q2.processAllAvailable()
+        mem.addData(Seq(ue(2, 9000))); q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        val u1 = sink.asScala.filter(_.user_id == 1L).toSet
+        assert(u1 == Set(Streaming.SessionAgg(1L, 1000L, 3L)),
+          s"recovered timer must close the pre-kill session exactly: $u1")
+      } finally q2.stop()
+    }
+  }
+
+  test("recentIdsTtl: TTL ListState entries survive a kill/resume within their window") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDB {
+      def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
+        val deadline = System.currentTimeMillis() + timeoutMs
+        while (System.currentTimeMillis() < deadline) {
+          if (cond) return true
+          Thread.sleep(500)
+        }
+        cond
+      }
+      val mem = MemoryStream[(Long, Long)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl_ckpt").toString
+      val sink = new java.util.concurrent.ConcurrentLinkedQueue[Streaming.UserRecent]()
+      val ttl = java.time.Duration.ofMinutes(5) // restart happens inside the window
+      def startQ() = Streaming.recentIdsTtl(mem.toDS(), ttl)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[Streaming.UserRecent], _: Long) =>
+          b.collect().foreach(sink.add))
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update).start()
+      val q1 = startQ()
+      try {
+        mem.addData(Seq((1L, 100L), (1L, 101L)))
+        assert(eventually(60000) {
+          import scala.jdk.CollectionConverters._
+          sink.asScala.exists(r => r.user_id == 1L && r.ids.sorted == Seq(100L, 101L))
+        }, "pre-kill buffer never observed")
+      } finally q1.stop()
+      val q2 = startQ()
+      try {
+        mem.addData(Seq((1L, 200L)))
+        assert(eventually(60000) {
+          import scala.jdk.CollectionConverters._
+          sink.asScala.exists(r =>
+            r.user_id == 1L && r.ids.sorted == Seq(100L, 101L, 200L))
+        }, "TTL entries (and their expiration metadata) did not survive the restart")
+      } finally q2.stop()
+    }
+  }
+
   test("IvfMaintainer: kill + restore from persist log + checkpoint resume ≡ uninterrupted") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.IvfAnn
