@@ -388,6 +388,118 @@ object ScaleSmoke {
       return
     }
 
+    // Restart-at-10× mode (rides VERDICT r10 #1/#7): the StreamingSpec
+    // kill/resume laws run at fixture scale; this leg measures the
+    // SAME contract at the STREAM10X corpus size — nearDupStream over
+    // 50k templated docs, killed at the halfway batch and resumed from
+    // the same checkpoint. Reported: time-to-first-committed-batch
+    // after the restart (the RocksDB store reload + replay cost),
+    // per-segment throughput, and the final state-row total, which
+    // must EQUAL an uninterrupted control run's (the footprint law at
+    // scale).
+    if (sys.env.contains("SPARK_GRAFT_RESTART10X")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.StreamingQuery
+      import graft.streaming.Streaming
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val d10 = "/tmp/graft_dedup10x"
+      synthesizeTemplated(spark, d10, nDocs = 50000L, vocabSize = 5000)
+      val docsAll = spark.read.parquet(s"$d10/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      def stateRows(q: StreamingQuery): Long =
+        Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+          .map(_.numRowsTotal).sum
+      def startQ(mem: MemoryStream[(Long, String)], ckpt: String): StreamingQuery =
+        Streaming.nearDupStream(mem.toDS().toDF("doc_id", "text"),
+            graft.operators.LlmOps.productionThreshold10,
+            java.time.Duration.ofHours(1))
+          .writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[Streaming.NearDupPair],
+              _: Long) => b.write.format("noop").mode("overwrite").save())
+          .option("checkpointLocation", ckpt)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
+      def withCounter[A](q: StreamingQuery)(f: java.util.concurrent.atomic.AtomicLong => A): A = {
+        val seen = new java.util.concurrent.atomic.AtomicLong(0)
+        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit =
+            if (e.progress.id == q.id) { seen.addAndGet(e.progress.numInputRows); () }
+        }
+        spark.streams.addListener(listener)
+        try f(seen) finally spark.streams.removeListener(listener)
+      }
+      def feed(mem: MemoryStream[(Long, String)], q: StreamingQuery,
+          seen: java.util.concurrent.atomic.AtomicLong,
+          docs: Seq[(Long, String)]): Double = {
+        val t0 = System.nanoTime()
+        var fed = 0L
+        docs.grouped(1000).foreach { c =>
+          mem.addData(c); fed += c.size
+          val deadline = System.nanoTime() + 120L * 1000000000L
+          while (seen.get() < fed) {
+            q.exception.foreach(throw _)
+            if (System.nanoTime() > deadline)
+              sys.error(s"RESTART10X stalled: ${seen.get()}/$fed rows after 120 s")
+            Thread.sleep(20)
+          }
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      def settleRows(q: StreamingQuery, want: Long): Long = {
+        // progress metrics can lag a self-triggered batch
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (stateRows(q) != want && System.nanoTime() < deadline) Thread.sleep(250)
+        stateRows(q)
+      }
+      val half = docsAll.size / 2
+
+      // uninterrupted control
+      val memC = MemoryStream[(Long, String)]
+      val qC = startQ(memC,
+        java.nio.file.Files.createTempDirectory("graft_rst_ckc").toString)
+      var controlRows = 0L
+      var tControl = 0.0
+      try {
+        tControl = withCounter(qC)(seen => feed(memC, qC, seen, docsAll))
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (stateRows(qC) == 0 && System.nanoTime() < deadline) Thread.sleep(250)
+        controlRows = stateRows(qC)
+      } finally qC.stop()
+      println(f"RESTART10X control      50k docs in $tControl%7.2f s  state_rows $controlRows%9d")
+
+      // kill at half, resume from the same checkpoint
+      val mem = MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_rst_ckpt").toString
+      val q1 = startQ(mem, ckpt)
+      val tSeg1 = try withCounter(q1)(seen => feed(mem, q1, seen, docsAll.take(half)))
+        finally q1.stop()
+      val tR0 = System.nanoTime()
+      val q2 = startQ(mem, ckpt)
+      try {
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (q2.lastProgress == null && System.nanoTime() < deadline) {
+          q2.exception.foreach(throw _); Thread.sleep(20)
+        }
+        val tRecover = (System.nanoTime() - tR0) / 1e9
+        val tSeg2 = withCounter(q2)(seen => feed(mem, q2, seen, docsAll.drop(half)))
+        val finalRows = settleRows(q2, controlRows)
+        println(f"RESTART10X kill@25k     seg1 $tSeg1%7.2f s  recover $tRecover%6.2f s  " +
+          f"seg2 $tSeg2%7.2f s  state_rows $finalRows%9d  " +
+          f"rows_equal ${finalRows == controlRows}")
+        assert(finalRows == controlRows,
+          s"restarted state rows $finalRows != uninterrupted $controlRows")
+      } finally q2.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.stop()
+      return
+    }
+
     // Adjacency-recursion mode (VERDICT r10 #2): time the flat ncells²
     // adjacency build against the grouped (recursive) build on
     // synthetic centroid sets of growing size, and pin where the
