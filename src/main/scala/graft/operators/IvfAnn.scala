@@ -254,7 +254,20 @@ object IvfAnn {
     * and the kNN label-purity certificate (q283). Ties break to the
     * lowest neighbor id (max(struct(c, −b_id))), matching the all-pairs
     * oracles' ORDER BY c DESC, b_id. */
-  def nearestNeighbors(s: SparkSession, d: String): DataFrame = {
+  /** Memoized per (session, dir fingerprint) like cachedPairStats:
+    * q222b's mutual-NN, q283's label purity, and q293's hard negatives
+    * all ride the same 1-NN frame — at 100× the probe pass is 91 s
+    * (SCALE.md Q283AMORT) while each consumer's marginal work is
+    * sub-second, so recomputing it per consumer was the family's one
+    * unshared derivation. Deterministic build ⇒ bit-identical reuse. */
+  private val nnCache = new graft.plans.DerivationCache[DataFrame]
+
+  def nearestNeighbors(s: SparkSession, d: String): DataFrame =
+    nnCache.getOrCompute(s, d)(computeNearestNeighbors(s, d))
+
+  /** Uncached form for measurement tools (Q283AMORT times the probe
+    * pass itself; through the cache a second call is a no-op). */
+  private[graft] def computeNearestNeighbors(s: SparkSession, d: String): DataFrame = {
     val (members, scored, vecs, nprobe) = memberAndScores(s, d)
     def cosines(probe: DataFrame): DataFrame =
       probeCosines(members, probe.join(vecs, "a_id"))

@@ -375,10 +375,12 @@ object ScaleSmoke {
       synthesizeClusteredVecs(spark, v100, nVecs = 200000L, clusterSize = 16)
       val tIdx = time { IvfAnn.cachedIndex(spark, v100); () }
       var nn: org.apache.spark.sql.DataFrame = null
-      val tNnCold = time { nn = IvfAnn.nearestNeighbors(spark, v100) }
-      // nearestNeighbors returns an eagerly-checkpointed frame, so the
-      // construction above IS the probe pass; a second pass re-runs it
-      val tNn = time { IvfAnn.nearestNeighbors(spark, v100); () }
+      val tNnCold = time { nn = IvfAnn.computeNearestNeighbors(spark, v100) }
+      // computeNearestNeighbors returns an eagerly-checkpointed frame,
+      // so the construction above IS the probe pass; a second pass
+      // re-runs it (the UNCACHED form — production consumers share one
+      // pass through the nearestNeighbors memo)
+      val tNn = time { IvfAnn.computeNearestNeighbors(spark, v100); () }
       def roll(): Unit = noop(PipelineOps.labelPurityRollup(spark, v100, nn))
       roll() // warm
       val tRoll = math.min(time(roll()), time(roll()))
