@@ -29,15 +29,8 @@ object Bench {
     // is truncated — and later queries reuse them). Cleanup runs
     // outside the timed region.
     val sc = spark.sparkContext
-    def dropOrphanCheckpoints(): Unit = {
-      val owned = graft.plans.DerivationCache.ownedRddIds
-      // blocking: cleanup sits OUTSIDE the timed region, so a blocking
-      // unpersist is free — async removal would bleed block-drop work
-      // into the NEXT timed rep (ADVICE r9).
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!owned.contains(id)) { try rdd.unpersist(blocking = true) catch { case _: Throwable => () } }
-      }
-    }
+    def dropOrphanCheckpoints(): Unit =
+      graft.plans.DerivationCache.dropOrphans(sc)
     // Per-query adaptive repeats: the first run absorbs whole-stage-
     // codegen compilation (3s+ even for trivial queries — NOTES.md
     // documents ±25% run-to-run noise from this plus container jitter).

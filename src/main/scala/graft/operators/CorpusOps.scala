@@ -239,9 +239,12 @@ object CorpusOps {
         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM p GROUP BY 1, 2
         |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin) { (s, d) =>
-      // (head, source) counts: the only corpus-sized pass.
+      // (head, source) counts: the only corpus-sized pass. NULL heads
+      // are dropped to match the join semantics of the oracle (NULL
+      // never equi-joins, so NULL-text docs contribute zero pairs).
       val g = Tables.documents(s, d)
         .select(substring(col("text"), 1, 100).as("h"), col("source"))
+        .filter(col("h").isNotNull)
         .groupBy(col("h"), col("source")).agg(count(lit(1)).as("c"))
       val a = g.select(col("h"), col("source").as("source_a"), col("c").as("ca"))
       val b = g.select(col("h").as("hb"), col("source").as("source_b"),
@@ -252,7 +255,10 @@ object CorpusOps {
           (col("ca") * col("cb")).as("np"))
       val within = g.filter(col("c") > 1)
         .select(col("source").as("source_a"), col("source").as("source_b"),
-          (col("c") * (col("c") - 1) / 2).cast("long").as("np"))
+          // integer div (c·(c−1) is even, so this is exact; `/` on
+          // longs is DOUBLE division and rounds past 2^53 — the
+          // q285 discipline)
+          expr("c * (c - 1) div 2").as("np"))
       cross.unionByName(within)
         .groupBy(col("source_a"), col("source_b"))
         .agg(sum(col("np")).as("n_pairs"))

@@ -255,8 +255,9 @@ object IvfAnn {
     * lowest neighbor id (max(struct(c, −b_id))), matching the all-pairs
     * oracles' ORDER BY c DESC, b_id. */
   /** Memoized per (session, dir fingerprint) like cachedPairStats:
-    * q222b's mutual-NN, q283's label purity, and q293's hard negatives
-    * all ride the same 1-NN frame — at 100× the probe pass is 91 s
+    * q222b's mutual-NN and q283's label purity ride the same 1-NN
+    * frame (q293/q250 share only the cachedIndex underneath — their
+    * searches are k>1 boundedTopK) — at 100× the probe pass is 91 s
     * (SCALE.md Q283AMORT) while each consumer's marginal work is
     * sub-second, so recomputing it per consumer was the family's one
     * unshared derivation. Deterministic build ⇒ bit-identical reuse. */

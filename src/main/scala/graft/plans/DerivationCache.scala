@@ -91,6 +91,23 @@ object DerivationCache {
     b.result()
   }
 
+  /** Measurement-harness hygiene, shared by Bench/BenchOne/ScaleSmoke/
+    * RouteProbe (one definition — the protocol changed twice already):
+    * unpersist every persistent RDD EXCEPT the cache-owned shared
+    * derivations, whose localCheckpoint blocks are unrecoverable
+    * (lineage truncated) and reused across queries. `blocking = true`
+    * because callers run this OUTSIDE their timed region — async
+    * removal would bleed block-drop work into the next timed rep
+    * (ADVICE r9). */
+  def dropOrphans(sc: org.apache.spark.SparkContext): Unit = {
+    val owned = ownedRddIds
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!owned.contains(id)) {
+        try rdd.unpersist(blocking = true) catch { case _: Throwable => () }
+      }
+    }
+  }
+
   private def collectRddIds(
       v: Any, b: scala.collection.mutable.Builder[Int, Set[Int]]): Unit =
     v match {

@@ -506,6 +506,7 @@ object Streaming {
       IvfAnn.buildIndexWithRadii(corpusRef.get))
     @volatile private var rebuildCount = 0
     @volatile private var lastBatch = -1L
+    @volatile private var firstAfterRestore = false
     private var sinceCompact = 0
     // durable seed, written once (restore passes the on-disk seed back
     // in — the _SUCCESS guard keeps that from rewriting it)
@@ -524,6 +525,7 @@ object Streaming {
       * batchId is a no-op (batchIds are monotonic per query run). */
     private[graft] def applyBatch(batch: DataFrame, batchId: Long): Unit = {
       import graft.functions.GraftFunctions
+      checkResumePairing(batchId)
       if (batchId > lastBatch) {
         val prepped = batch
           .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
@@ -540,6 +542,26 @@ object Streaming {
         lastBatch = batchId
       }
     }
+
+    /** Resume-pairing guard (review finding, round 11): a restored
+      * maintainer resumed WITHOUT its original checkpointLocation gets
+      * batch ids numbered from 0 again, and the idempotence guard
+      * would then silently DROP the first lastBatch+1 batches of
+      * brand-new data. From a correctly-paired checkpoint, the first
+      * post-restore delivery is always ≥ lastBatch (foreachBatch
+      * commits per batch, so at most the single uncommitted batch —
+      * id == lastBatch — re-delivers); a regression below that on the
+      * FIRST post-restore batch is therefore always the mispairing
+      * bug, and it throws instead of absorbing. Later lower ids stay
+      * no-ops (the documented stale-replay contract). */
+    private def checkResumePairing(batchId: Long): Unit =
+      if (firstAfterRestore) {
+        require(batchId >= lastBatch,
+          s"batch id regression after restore ($batchId < $lastBatch): the " +
+            "stream was resumed without its original checkpointLocation — " +
+            "new data would be silently dropped by the idempotence guard")
+        firstAfterRestore = false
+      }
 
     /** The in-memory append step, shared by live batches and restore
       * replay. O(batch) per batch: the delta is already durable/
@@ -593,6 +615,15 @@ object Streaming {
     def restore(spark: SparkSession, path: String,
         rebuildWhen: graft.operators.IvfAnn.IvfIndex => Boolean,
         compactEvery: Int = 32): IvfMaintainer = {
+      // the seed needs the same completion gate as the deltas: a crash
+      // mid seed-write leaves part files without _SUCCESS, and reading
+      // them here would silently rebuild from a TRUNCATED corpus (and
+      // the constructor would then re-commit the truncation as the
+      // canonical seed) — fail fast instead; a log without a complete
+      // seed never held a complete maintainer.
+      require(new java.io.File(s"$path/seed/_SUCCESS").exists,
+        s"IvfMaintainer.restore: $path/seed has no _SUCCESS marker " +
+          "(incomplete seed write) — nothing durable to restore from")
       val m = new IvfMaintainer(spark.read.parquet(s"$path/seed"),
         rebuildWhen, compactEvery, Some(path))
       completedBatchIds(s"$path/delta").foreach { bid =>
@@ -601,6 +632,7 @@ object Streaming {
         m.append(spark.read.parquet(s"$path/delta/$bid"))
         m.lastBatch = bid
       }
+      m.firstAfterRestore = true
       m
     }
   }
@@ -723,6 +755,7 @@ object Streaming {
           StructType(Seq(StructField("source", StringType),
             StructField("tok", LongType)))))
     @volatile private var lastBatch = -1L
+    @volatile private var firstAfterRestore = false
 
     /** Accumulated (source, tok) counts. */
     def counts: DataFrame = countsRef.get
@@ -732,6 +765,16 @@ object Streaming {
       graft.operators.PipelineOps.temperatureAllocation(countsRef.get)
 
     private[graft] def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+      // same resume-pairing guard as IvfMaintainer: a first-post-restore
+      // batch id below the snapshot's id means the stream was resumed
+      // without its original checkpointLocation, and the idempotence
+      // guard would silently drop new data — throw instead.
+      if (firstAfterRestore) {
+        require(batchId >= lastBatch,
+          s"batch id regression after restore ($batchId < $lastBatch): the " +
+            "stream was resumed without its original checkpointLocation")
+        firstAfterRestore = false
+      }
       if (batchId > lastBatch) {
         val delta = batch.select(col("source"),
             size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -786,6 +829,7 @@ object Streaming {
       completedBatchIds(s"$path/counts").lastOption.foreach { bid =>
         m.countsRef.set(spark.read.parquet(s"$path/counts/$bid"))
         m.lastBatch = bid
+        m.firstAfterRestore = true
       }
       m
     }

@@ -14,12 +14,8 @@ object BenchOne {
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       println(f"BENCHONE $name rep$i ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       // same per-rep hygiene as Bench: drop the rep's orphaned
-      // checkpoint caches, keep the shared derivations; blocking so
-      // removal can't bleed into the next timed rep (ADVICE r9)
-      val owned = graft.plans.DerivationCache.ownedRddIds
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!owned.contains(id)) { try rdd.unpersist(blocking = true) catch { case _: Throwable => () } }
-      }
+      // checkpoint caches, keep the shared derivations
+      graft.plans.DerivationCache.dropOrphans(spark.sparkContext)
     }
     spark.stop()
   }

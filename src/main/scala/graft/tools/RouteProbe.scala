@@ -14,20 +14,12 @@ object RouteProbe {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 3
     val spark = GraftSession.create()
-    def drop(): Unit = {
-      val owned = graft.plans.DerivationCache.ownedRddIds
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!owned.contains(id)) {
-          try rdd.unpersist(blocking = true) catch { case _: Throwable => () }
-        }
-      }
-    }
     def t(label: String, f: => org.apache.spark.sql.DataFrame): Unit =
       for (i <- 1 to reps) {
         val t0 = System.nanoTime()
         f.write.format("noop").mode("overwrite").save()
         println(f"ROUTEPROBE $label%-12s rep$i ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-        drop()
+        graft.plans.DerivationCache.dropOrphans(spark.sparkContext)
       }
     println(f"ROUTEPROBE skewStat ${LlmOps.shingleSkewStat(spark, dir)}%.2f")
     t("q89_count", LlmOps.containmentCountJoin(spark, dir))

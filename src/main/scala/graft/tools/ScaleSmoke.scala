@@ -547,14 +547,9 @@ object ScaleSmoke {
         println(f"ADJSCALE $tag%-5s cells $n%7d  flat $tf%8.2f s  grouped $tg%8.2f s  " +
           f"adj_rows $nf%10d  rows_equal ${nf == ng}")
         assert(nf == ng, s"grouped adjacency row count diverged at $tag: $nf vs $ng")
-        // per-size checkpoint hygiene (the Bench dropOrphanCheckpoints
-        // pattern): each grouped build ckpts its Lloyd frames
-        val owned = graft.plans.DerivationCache.ownedRddIds
-        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!owned.contains(id)) {
-            try rdd.unpersist(blocking = true) catch { case _: Throwable => () }
-          }
-        }
+        // per-size checkpoint hygiene: each grouped build ckpts its
+        // Lloyd frames
+        graft.plans.DerivationCache.dropOrphans(spark.sparkContext)
       }
       spark.stop()
       return

@@ -27,6 +27,20 @@ class StreamingSpec extends AnyFunSuite {
       .as[Ev].collect().toSeq.sortBy(_.event_id)
   }
 
+  /** Deadline poll for sinks/metrics that settle asynchronously (TTL
+    * operators self-trigger batches, progress metrics lag a commit —
+    * never sample once; the 500 ms interval is load-bearing for
+    * flake-resistance, see the memory notes). One definition: six
+    * tests share it. */
+  private def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (cond) return true
+      Thread.sleep(500)
+    }
+    cond
+  }
+
   test("tumbling agg: stream replay == batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
@@ -234,14 +248,6 @@ class StreamingSpec extends AnyFunSuite {
     // ProcessingTime-mode TWS always reports "run another batch" (TTL
     // eviction needs the clock), so processAllAvailable() never settles
     // for this operator — poll the sink with a deadline instead.
-    def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
-      val deadline = System.currentTimeMillis() + timeoutMs
-      while (System.currentTimeMillis() < deadline) {
-        if (cond) return true
-        Thread.sleep(500)
-      }
-      cond
-    }
     val q = Streaming.recentIdsTtl(mem.toDS(), ttl)
       .writeStream.format("memory").queryName("ttl_out")
       .outputMode(OutputMode.Update).start()
@@ -408,14 +414,6 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, Long, Long)].collect().toSet
       assert(expect.nonEmpty, "planted corpus produced no batch pairs — vacuous")
 
-      def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
-        val deadline = System.currentTimeMillis() + timeoutMs
-        while (System.currentTimeMillis() < deadline) {
-          if (cond) return true
-          Thread.sleep(500)
-        }
-        cond
-      }
       val mem = MemoryStream[(Long, String)]
       val q = Streaming.nearDupStream(mem.toDS().toDF("doc_id", "text"),
           t10 = 8, ttl = java.time.Duration.ofDays(1))
@@ -445,14 +443,6 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
-        val deadline = System.currentTimeMillis() + timeoutMs
-        while (System.currentTimeMillis() < deadline) {
-          if (cond) return true
-          Thread.sleep(500)
-        }
-        cond
-      }
       val text = (0 until 30).map(i => s"tok$i").mkString(" ")
       val ttl = java.time.Duration.ofSeconds(2)
       val mem = MemoryStream[(Long, String)]
@@ -544,14 +534,6 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
-        val deadline = System.currentTimeMillis() + timeoutMs
-        while (System.currentTimeMillis() < deadline) {
-          if (cond) return true
-          Thread.sleep(500)
-        }
-        cond
-      }
       val ttl = java.time.Duration.ofSeconds(2)
       val mem = MemoryStream[(Long, String)]
       // TTL runs in TimeMode.ProcessingTime, where the query self-
@@ -864,14 +846,6 @@ class StreamingSpec extends AnyFunSuite {
   test("nearDupStream: kill/resume == batch q44; state footprint matches uninterrupted run") {
     implicit val sqlCtx = spark.sqlContext
     withRocksDB {
-      def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
-        val deadline = System.currentTimeMillis() + timeoutMs
-        while (System.currentTimeMillis() < deadline) {
-          if (cond) return true
-          Thread.sleep(500)
-        }
-        cond
-      }
       // the q44-parity planted corpus: 10 families × 3 near-dup docs +
       // 10 solo docs; the restart cut splits EVERY family across the
       // kill (member 0 pre-kill; members 1,2 post-resume), so every
@@ -1007,14 +981,6 @@ class StreamingSpec extends AnyFunSuite {
   test("recentIdsTtl: TTL ListState entries survive a kill/resume within their window") {
     implicit val sqlCtx = spark.sqlContext
     withRocksDB {
-      def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
-        val deadline = System.currentTimeMillis() + timeoutMs
-        while (System.currentTimeMillis() < deadline) {
-          if (cond) return true
-          Thread.sleep(500)
-        }
-        cond
-      }
       val mem = MemoryStream[(Long, Long)]
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl_ckpt").toString
       val sink = new java.util.concurrent.ConcurrentLinkedQueue[Streaming.UserRecent]()
@@ -1098,7 +1064,11 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
     val ppath = java.nio.file.Files.createTempDirectory("graft_mix_log").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_mix_ckpt").toString
-    val chunks = docs.grouped(250).toSeq
+    // ≥4 chunks regardless of fixture size: the resumed query must
+    // process real post-restore batches (they consume the resume-
+    // pairing guard; the stale-replay no-op below is only the contract
+    // AFTER a legitimate first batch)
+    val chunks = docs.grouped(math.max(1, docs.size / 4)).toSeq
     val mem = MemoryStream[(Long, String, String)]
     val m1 = new Streaming.MixturePlanner(spark, Some(ppath))
     val q1 = m1.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckpt))
@@ -1118,6 +1088,15 @@ class StreamingSpec extends AnyFunSuite {
       assert(m2.plan.as[(String, Long, Long, Long, Long)].collect().toSeq == want,
         "re-delivered pre-restore batch changed the restored plan")
     } finally q2.stop()
+    // resume-pairing guard (round-11 review finding): a FRESHLY
+    // restored planner whose first delivery regresses below the
+    // snapshot id was resumed without its checkpoint — it must throw,
+    // not silently drop the data through the idempotence guard
+    val m3 = Streaming.MixturePlanner.restore(spark, ppath)
+    val ex = intercept[IllegalArgumentException] {
+      m3.applyBatch(chunks.head.toDF("doc_id", "text", "source"), 0L)
+    }
+    assert(ex.getMessage.contains("checkpointLocation"))
   }
 
   test("streaming yield funnel: id-ordered replay == batch q287; late duplicate stays non-keeper") {
