@@ -517,13 +517,14 @@ object IvfAnn {
 
   /** Routing point between the flat and grouped adjacency builds,
     * measured in ScaleSmoke ADJSCALE (SCALE.md round 11): the flat
-    * join is quadratic in ncells but constant-light per pair (0.73 /
-    * 2.29 / 5.52 / 47.1 s at 8k / 16k / 32k / 100k cells — clean n²);
+    * join is quadratic in ncells but constant-light per pair (0.51 /
+    * 1.58 / 5.28 / 39.2 s at 8k / 16k / 32k / 100k cells — clean n²);
     * the grouped build pays a coarse Lloyd over the centroid set plus
-    * group metadata before it prunes anything (8–14 s across ALL
-    * measured sizes), so it only wins once ncells² dominates that
-    * setup — measured crossover between 32k and 100k cells, 5.7× ahead
-    * at 100k. */
+    * group metadata before it prunes anything (3–11.5 s), so it only
+    * wins once ncells² dominates that setup — measured crossover
+    * between 32k and 100k cells, 5.6× ahead at 100k (and its pruning
+    * strengthens with ncells once ngroups = ⌈√ncells⌉ exceeds the
+    * centroid set's natural region count — see SCALE.md). */
   private[graft] val adjacencyRecurseAt: Long = 65536L
 
   /** Recursive centroid-set refinement (PLANS.md round-10 note, built

@@ -533,6 +533,15 @@ object ScaleSmoke {
           .localCheckpoint()
       }
       val t = 0.9
+      // unmeasured warmup: the grouped build's Lloyd/aggregate codegen
+      // paths otherwise land entirely on the first measured size (the
+      // first ADJSCALE capture's 8k grouped number carried ~3 s of JIT)
+      locally {
+        val w = synthCmeta(2048L)
+        IvfAnn.groupedCellAdjacency(w, t).count()
+        IvfAnn.flatCellAdjacency(w, t).count()
+        graft.plans.DerivationCache.dropOrphans(spark.sparkContext)
+      }
       for ((tag, n) <- Seq(("8k", 8192L), ("16k", 16384L), ("32k", 32768L),
           ("100k", 100000L))) {
         val cm = synthCmeta(n)
