@@ -482,12 +482,12 @@ object Streaming {
     * `path/delta/<batchId>` (overwrite mode + parquet's _SUCCESS
     * marker, so a partially-written delta from a mid-write crash is
     * ignored by restore and re-delivered by the stream's checkpoint).
-    * [[IvfMaintainer.restore]] rebuilds the maintainer by replaying
-    * the completed deltas in batch-id order through the SAME append
-    * path — identical compaction boundaries and rebuild decisions as
-    * the original run — and sets lastBatch to the highest logged id,
-    * so the checkpoint-resumed stream's re-delivery of the last
-    * uncommitted batch is the usual no-op. The law (StreamingSpec):
+    * [[IvfMaintainer.restore]] rebuilds the maintainer by applying
+    * the completed deltas as ONE bulk append (order-insensitive under
+    * a fixed quantizer — see the companion scaladoc; restore stays one
+    * job, never O(batches) planning rounds) and sets lastBatch to the
+    * highest logged id, so the checkpoint-resumed stream's re-delivery
+    * of the last uncommitted batch is the usual no-op. The law (StreamingSpec):
     * kill + restore + resume ≡ an uninterrupted run, in corpus content
     * and in search answers. The delta log is the durable corpus (an
     * add-log, the LSM convention); a deployment compacts it with
@@ -604,14 +604,22 @@ object Streaming {
 
   object IvfMaintainer {
     /** Rebuild a maintainer from its persist log after a driver
-      * restart: read the seed, replay every COMPLETED delta (dirs with
-      * parquet's _SUCCESS marker) in batch-id order through the same
-      * append path, and resume the idempotence guard at the highest
-      * logged id. Answers through the restored index equal the
-      * uninterrupted run's (both indexes are exact by the triangle
-      * bound; the replay even reproduces the original compaction and
-      * rebuild decisions, since both are deterministic in the batch
-      * sequence). */
+      * restart: read the seed, apply every COMPLETED delta (dirs with
+      * parquet's _SUCCESS marker) as ONE bulk append, and resume the
+      * idempotence guard at the highest logged id. Bulk ≡ sequential
+      * here because appendToIndex is order-insensitive under a fixed
+      * quantizer — per-vector assignment depends only on the centroids,
+      * and the per-cell radius is a max, so the composition of
+      * per-batch maxes equals the max over the union — which keeps
+      * restore at ONE job instead of O(batches) planning rounds (a
+      * year of micro-batches must not make restart cost a replay of
+      * the stream). If rebuildWhen fired mid-run originally, the
+      * restored quantizer can differ from the uninterrupted run's —
+      * both are EXACT (the triangle bound holds for any quantizer
+      * whose radii cover its members), and the law asserts answer
+      * parity, which is the contract. rebuildWhen is evaluated once on
+      * the bulk-appended index, so a restore into a degraded geometry
+      * still triggers the re-cluster. */
     def restore(spark: SparkSession, path: String,
         rebuildWhen: graft.operators.IvfAnn.IvfIndex => Boolean,
         compactEvery: Int = 32): IvfMaintainer = {
@@ -626,11 +634,13 @@ object Streaming {
           "(incomplete seed write) — nothing durable to restore from")
       val m = new IvfMaintainer(spark.read.parquet(s"$path/seed"),
         rebuildWhen, compactEvery, Some(path))
-      completedBatchIds(s"$path/delta").foreach { bid =>
-        // deltas are stored PREPPED (vec_id, emb, nrm) — replay them
-        // through the append step directly (no re-prep, no re-log)
-        m.append(spark.read.parquet(s"$path/delta/$bid"))
-        m.lastBatch = bid
+      val bids = completedBatchIds(s"$path/delta")
+      if (bids.nonEmpty) {
+        // deltas are stored PREPPED (vec_id, emb, nrm) — feed the
+        // union through the append step directly (no re-prep, no
+        // re-log; parquet leaves, so no checkpoint needed either)
+        m.append(spark.read.parquet(bids.map(b => s"$path/delta/$b"): _*))
+        m.lastBatch = bids.max
       }
       m.firstAfterRestore = true
       m
