@@ -65,6 +65,42 @@ object Bench {
     // Locale.ROOT keeps the JSON line parseable under comma-decimal locales.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Steady-state re-measurement for the 10 slowest queries (VERDICT
+    // r11 #6): the in-bench numbers above include warm-sharing — an
+    // earlier query's cached derivation (pair graph, IVF index, NN
+    // frame) can make a later query look cheaper than it runs in
+    // isolation, and the last three rounds each burned an adjudication
+    // cycle separating that artifact from real regressions. For each of
+    // the 10 slowest, evict ALL shared derivations, run once to rebuild
+    // them (the BenchOne fresh-session rep-1), then report the min of
+    // two warm reps — the machine-recorded equivalent of the isolated
+    // BenchOne steady state. Runs post-sweep so it can't perturb the
+    // in-bench numbers; disable with SPARK_GRAFT_NO_STEADY=1 for a
+    // quick sweep.
+    val steady: Seq[(String, Double)] =
+      if (sys.env.contains("SPARK_GRAFT_NO_STEADY")) Seq.empty
+      else results.collect { case (k, Some(v)) => (k, v) }
+        .sortBy(-_._2).take(10).map(_._1)
+        .flatMap { name =>
+          val fn = SparkEntry.queries(name)
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val t = (System.nanoTime() - t0) / 1e9
+            dropOrphanCheckpoints()
+            t
+          }
+          try {
+            graft.plans.DerivationCache.evictAll()
+            dropOrphanCheckpoints()
+            once() // rebuilds the evicted derivations + codegen
+            Some(name -> math.min(once(), once()))
+          } catch { case _: Throwable => None }
+        }
+    val steadyField =
+      if (steady.isEmpty) ""
+      else steady.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString(""","steady":{""", ",", "}")
     val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
@@ -89,7 +125,7 @@ object Bench {
       case (k, Some(v)) if baselineNames.contains(k) => v
     }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_production":${fmt(totalProduction)},"queries":$qs$failedField$baselineField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_production":${fmt(totalProduction)},"queries":$qs$failedField$baselineField$steadyField,"sf":"$sfDir"}"""
     // Durable outputs resolve against a FIXED base (ADVICE r9): the
     // env-configured output dir when set, else the launch directory —
     // never a bare relative path that silently follows a changed cwd.

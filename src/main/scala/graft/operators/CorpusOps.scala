@@ -232,7 +232,8 @@ object CorpusOps {
     // head shared by a million docs costs one aggregate row per
     // source, not 10¹² candidates.
     Q("q279_headdup_source_matrix",
-      """WITH t AS (SELECT doc_id, source, substr(text, 1, 100) AS h FROM documents),
+      """WITH t AS (SELECT doc_id, source, substr(text, 1, 100) AS h
+        |           FROM documents WHERE source IS NOT NULL),
         |p AS (SELECT least(a.source, b.source) AS source_a,
         |        greatest(a.source, b.source) AS source_b
         |      FROM t a JOIN t b ON a.h = b.h AND a.doc_id < b.doc_id)
@@ -242,9 +243,17 @@ object CorpusOps {
       // (head, source) counts: the only corpus-sized pass. NULL heads
       // are dropped to match the join semantics of the oracle (NULL
       // never equi-joins, so NULL-text docs contribute zero pairs).
+      // NULL SOURCES are excluded EXPLICITLY in both forms (ADVICE
+      // r11): the r11 combinatorial rewrite's source_a < source_b pair
+      // condition evaluates to NULL on a NULL source and drops the
+      // pair, while the oracle's old least/greatest form (NULL-skipping
+      // in DuckDB) kept it under (s, s) — a latent divergence if
+      // documents.source is ever NULL. A NULL source has no attribution
+      // meaning in this matrix, so both forms now pin the same
+      // semantics: such docs contribute zero pairs.
       val g = Tables.documents(s, d)
         .select(substring(col("text"), 1, 100).as("h"), col("source"))
-        .filter(col("h").isNotNull)
+        .filter(col("h").isNotNull && col("source").isNotNull)
         .groupBy(col("h"), col("source")).agg(count(lit(1)).as("c"))
       val a = g.select(col("h"), col("source").as("source_a"), col("c").as("ca"))
       val b = g.select(col("h").as("hb"), col("source").as("source_b"),

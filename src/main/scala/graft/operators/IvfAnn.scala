@@ -594,18 +594,67 @@ object IvfAnn {
           <= col("gb") + lit(acosT) + col("fb") + lit(2e-6))
       .select(col("ggid"), col("fgid"))
       .ckpt()
-    // exact adjacency condition, evaluated only inside surviving pairs
-    val cg = withG.select(col("gid").as("ggid"), col("cell").as("gcell"),
-      col("cemb").as("ge"), col("cnrm").as("gn"), col("radius").as("gr"))
-    val cf = withG.select(col("gid").as("fgid"), col("cell"),
-      col("cemb").as("fe"), col("cnrm").as("fn"), col("radius").as("fr"))
-    cg.join(broadcast(gpairs), Seq("ggid"))
-      .join(cf, Seq("fgid"))
-      .filter(
-        acos(clamp(GraftFunctions.dot(col("ge"), col("fe")) / (col("gn") * col("fn"))))
-          <= col("gr") + lit(acosT) + col("fr") + lit(1e-6))
-      .select(col("gcell"), col("cell"))
+    // Measured survival gate (ADVICE r11): on a LOW-prunability
+    // centroid set the coarse bound rejects almost nothing — the
+    // surviving pairs approach ngroups² and the "pruned" fine join
+    // degenerates to ncells² PLUS the coarse Lloyd it just paid, with
+    // an ngroups²-row broadcast on top. The Lloyd setup is sunk by this
+    // point, so the route compares only the remaining work: continuing
+    // costs ≈ survival·ncells² fine-condition evaluations; the flat
+    // build costs ncells² with a lighter join (one broadcast, no
+    // three-way). Past half survival the grouped path can no longer
+    // repay its join overhead — route the REMAINDER to flat (the
+    // planning read is one count over the checkpointed pair frame, the
+    // q216c/q50c discipline: route on a measurement, not a hope).
+    val npairs = gpairs.count()
+    val ng = gmeta.count()
+    if (survivalRoutesToFlat(npairs, ng)) flatCellAdjacency(cmeta0, t)
+    else {
+      // exact adjacency condition, evaluated only inside surviving
+      // pairs. The survivor frame is broadcast only while it fits the
+      // driver/executor comfortably; a still-prunable-but-large set
+      // (say 10⁸ groups at low survival) shuffle-joins instead — same
+      // result, no single-node memory cliff.
+      val gp =
+        if (npairs <= adjacencyBroadcastMaxPairs) broadcast(gpairs) else gpairs
+      val cg = withG.select(col("gid").as("ggid"), col("cell").as("gcell"),
+        col("cemb").as("ge"), col("cnrm").as("gn"), col("radius").as("gr"))
+      val cf = withG.select(col("gid").as("fgid"), col("cell"),
+        col("cemb").as("fe"), col("cnrm").as("fn"), col("radius").as("fr"))
+      cg.join(gp, Seq("ggid"))
+        .join(cf, Seq("fgid"))
+        .filter(
+          acos(clamp(GraftFunctions.dot(col("ge"), col("fe")) / (col("gn") * col("fn"))))
+            <= col("gr") + lit(acosT) + col("fr") + lit(1e-6))
+        .select(col("gcell"), col("cell"))
+    }
   }
+
+  /** Route decision for [[groupedCellAdjacency]]'s fine phase: true
+    * when the measured coarse-pair survival exceeds
+    * [[adjacencySurvivalGate]] of the ng² possible pairs — the regime
+    * where finishing the grouped build is strictly worse than the flat
+    * join it was meant to replace. Pure so the law can pin the
+    * boundary without building 65k-cell fixtures. */
+  private[graft] def survivalRoutesToFlat(npairs: Long, ngroups: Long): Boolean =
+    npairs.toDouble > adjacencySurvivalGate * ngroups.toDouble * ngroups.toDouble
+
+  /** Survival fraction above which the grouped build hands the fine
+    * phase to [[flatCellAdjacency]]: at ≥½ survival the grouped fine
+    * join does ≥½ of flat's pair evaluations through a heavier
+    * three-way join, so it can no longer repay its join overhead —
+    * ADJSCALE already measured the no-pruning regime (grouped 2.2×
+    * worse than flat at 32k cells when ngroups sat below the centroid
+    * set's natural region count, i.e. survival ≈ 1). The crossover
+    * between the regimes is shallow (either route is within the
+    * sunk-setup noise near it), so any gate in [0.3, 0.7] lands the
+    * same plans; ½ is the principled midpoint. */
+  private[graft] val adjacencySurvivalGate: Double = 0.5
+
+  /** Ceiling on broadcasting the surviving coarse-pair frame (two
+    * longs per row ⇒ ~64 MB at this bound — comfortably under typical
+    * executor broadcast budgets); larger survivor sets shuffle-join. */
+  private[graft] val adjacencyBroadcastMaxPairs: Long = 4L * 1024 * 1024
 
   /** A refined index plus its adjacency and the candidate-volume
     * estimates the router compares (doubles — n² overflows long at

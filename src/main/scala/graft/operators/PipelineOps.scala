@@ -62,6 +62,84 @@ object PipelineOps {
       }
     }.mkString(",\n      ")
 
+  /** q285's planner core over a (doc_id, n_tok) frame: closed-form
+    * shard assignment from an exclusive PrefixScan prefix sum (integer
+    * `div` throughout — the ADVICE r10 discipline; float division
+    * loses exactness past 2^53). One definition so the declared query
+    * and the composed curation run ([[curationRun]]) can't drift. */
+  private[graft] def shardPlan(t0: DataFrame): DataFrame = {
+    // integer `div`, not float `/`-then-cast: both are monotone in
+    // doc_id so the PrefixScan bucket stays valid, but only div is
+    // exact at any scale.
+    val t = t0.withColumn("bkt", expr("doc_id div 1000"))
+    val cum = PrefixScan.cumsum(t, part = Seq(), bucket = "bkt",
+      order = Seq("doc_id"), value = "n_tok", out = "cum")
+    cum.withColumn("shard_id", expr("(cum - n_tok) div 2000"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard_id"))
+  }
+
+  /** The composed production curation run (VERDICT r11 #3): the chain
+    * a real training-data job executes — exact dedup → near-dup keeper
+    * selection (pair graph + CC) → benchmark decontamination → quality
+    * gates → sqrt-temperature mixture plan → shard layout — as ONE
+    * Spark application over one shared warm derivation set. Every
+    * stage IS the declared production query (resolved through the
+    * registry, so the composed semantics cannot drift from the
+    * oracle-certified ones); the funnel is their per-doc signals
+    * intersected in the production order:
+    *
+    *  - S1 exact keepers: q42's min-doc_id-per-content-hash rule;
+    *  - S2 near-dup keepers: drop every clustered doc (q70's CC over
+    *    the shared pair graph) that is not its cluster's quality-elected
+    *    keeper (q221's policy);
+    *  - S3 decontamination: drop the held-out eval slice itself
+    *    (doc_id ≡ 0 mod 97 — never trained on) and every training doc
+    *    sharing a 5-gram with it (q73);
+    *  - S4 quality: keep q90's composite-gate keeps;
+    *  - plan: q289's temperature allocation + q285's shard layout over
+    *    the S4 survivor corpus (both planner cores are the shared
+    *    definitions, so the plans equal the declared queries run on a
+    *    survivors-only corpus).
+    *
+    * Returns the per-stage survivor frames (lazily — the caller
+    * decides what to materialize) plus the two plan tables. PIPE10X
+    * (ScaleSmoke) measures the composed wall against the sum of the
+    * stages' isolated steady states and asserts parity against
+    * independently-run cold stages; PipelineSpec pins the same parity
+    * on the sf0.001 fixture. */
+  final case class CurationRun(stages: Seq[(String, DataFrame)],
+      survivors: DataFrame, mixture: DataFrame, shards: DataFrame)
+
+  private[graft] def curationRun(s: SparkSession, d: String): CurationRun = {
+    val q = graft.SparkEntry.queries
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+    val s1 = q("q42_dedup_exact_survivors")(s, d).select("doc_id")
+    // clustered docs that lost their family's quality election
+    val nonKeepers = q("q70_dedup_clusters")(s, d).select(col("doc_id"))
+      .join(q("q221_dedup_best_keeper")(s, d)
+        .select(col("keeper_id").as("doc_id")), Seq("doc_id"), "left_anti")
+    val s2 = s1.join(nonKeepers, Seq("doc_id"), "left_anti")
+    val s3 = s2
+      .join(q("q73_decontaminate")(s, d).filter(col("contaminated"))
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % 97 =!= 0)
+    val s4 = s3.join(q("q90_quality_gate")(s, d).filter(col("keep"))
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+    val surv = s4.join(docs, "doc_id")
+    CurationRun(
+      Seq("ingested" -> docs.select("doc_id"), "exact_dedup" -> s1,
+        "near_dup" -> s2, "decontaminated" -> s3, "quality" -> s4),
+      surv,
+      temperatureAllocation(
+        surv.groupBy(col("source")).agg(sum(col("n_tok")).as("tok"))),
+      shardPlan(surv.select("doc_id", "n_tok")))
+  }
+
   /** q289's allocation core over a (source, tok) token-count frame:
     * ULP-corrected integer isqrt weights, half-corpus budget, largest
     * remainder via the long-safe split-division identity, per-source
@@ -299,21 +377,9 @@ object PipelineOps {
         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
         |  CAST(max(doc_id) AS BIGINT) AS last_doc
         |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, d) =>
-      val t = Tables.documents(s, d)
+      shardPlan(Tables.documents(s, d)
         .select(col("doc_id"),
-          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
-        // integer `div`, not float `/`-then-cast (ADVICE r10): both are
-        // monotone in doc_id so the PrefixScan bucket stays valid, but
-        // float division loses exactness past 2^53 — div is the repo's
-        // integer-arithmetic discipline.
-        .withColumn("bkt", expr("doc_id div 1000"))
-      val cum = PrefixScan.cumsum(t, part = Seq(), bucket = "bkt",
-        order = Seq("doc_id"), value = "n_tok", out = "cum")
-      cum.withColumn("shard_id", expr("(cum - n_tok) div 2000"))
-        .groupBy(col("shard_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .orderBy(col("shard_id"))
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok")))
     },
 
     // Pipeline yield funnel — "where do my documents die": per-source

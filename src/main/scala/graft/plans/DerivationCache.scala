@@ -38,6 +38,8 @@ final class DerivationCache[V] {
     cache.values().iterator().asScala
   }
 
+  private[plans] def clearAll(): Unit = cache.clear()
+
   def getOrCompute(s: SparkSession, dir: String)(f: => V): V = {
     // Plan-audit mode: compute WITHOUT caching — `f` builds an
     // uncheckpointed frame there (Ckpt no-ops), and storing it would
@@ -107,6 +109,20 @@ object DerivationCache {
       }
     }
   }
+
+  /** Full eviction (the steady-state bench protocol, VERDICT r11 #6):
+    * drop every cached derivation and release its storage so the next
+    * consumer rebuilds from scratch — reproducing the fresh-session
+    * (BenchOne) cost model inside a long-lived bench process. The
+    * in-bench numbers include warm-sharing from earlier queries in the
+    * sweep; evicting before a query's steady reps removes exactly that
+    * sharing, which is what made the last three rounds' in-bench-vs-
+    * isolated adjudications necessary. */
+  def evictAll(): Unit =
+    instances.forEach { c =>
+      c.liveValues.foreach(unpersistAll)
+      c.clearAll()
+    }
 
   private def collectRddIds(
       v: Any, b: scala.collection.mutable.Builder[Int, Set[Int]]): Unit =

@@ -495,9 +495,11 @@ object Streaming {
   final class IvfMaintainer(initialCorpus: DataFrame,
       rebuildWhen: graft.operators.IvfAnn.IvfIndex => Boolean,
       compactEvery: Int = 32,
-      persistPath: Option[String] = None) {
+      persistPath: Option[String] = None,
+      fromRestore: Boolean = false) {
     import graft.operators.IvfAnn
     import graft.plans.Ckpt.CkptOps
+    private val spark = initialCorpus.sparkSession
     // canonical index-corpus projection: the seed may carry extra
     // fixture columns (label, …) the arriving batches don't have
     private val corpusRef = new java.util.concurrent.atomic.AtomicReference(
@@ -508,11 +510,23 @@ object Streaming {
     @volatile private var lastBatch = -1L
     @volatile private var firstAfterRestore = false
     private var sinceCompact = 0
-    // durable seed, written once (restore passes the on-disk seed back
-    // in — the _SUCCESS guard keeps that from rewriting it)
+    // Durable seed, written once. A FRESH maintainer must never adopt a
+    // pre-existing log (ADVICE r11): the old _SUCCESS-guard skip meant a
+    // fresh run pointed at a reused path silently took the stale seed,
+    // and its deltas overwrote only COLLIDING batch ids — a later
+    // restore() then returned a chimera of two runs' corpora. Fresh
+    // construction now requires the path hold no completed seed; only
+    // [[IvfMaintainer.restore]] (which passes the on-disk seed back in)
+    // may construct over an existing log.
     persistPath.foreach { p =>
-      if (!new java.io.File(s"$p/seed/_SUCCESS").exists)
+      if (!fromRestore) {
+        require(!markerExists(spark, s"$p/seed"),
+          s"IvfMaintainer: persistPath $p already holds a completed " +
+            "maintainer log — use IvfMaintainer.restore to resume it, or " +
+            "point the fresh maintainer at an empty path (adopting the " +
+            "stale seed would merge two runs' corpora)")
         corpusRef.get.write.mode("overwrite").parquet(s"$p/seed")
+      }
     }
     def corpus: DataFrame = corpusRef.get
     def index: IvfAnn.IvfIndex = indexRef.get
@@ -594,6 +608,8 @@ object Streaming {
       * scratch (the restore law in StreamingSpec). */
     def start(newVectors: DataFrame,
         checkpointLocation: Option[String] = None) = {
+      persistPath.foreach(p =>
+        checkOrRecordPairing(spark, p, checkpointLocation, lastBatch >= 0))
       val w = newVectors.writeStream
         .foreachBatch((batch: DataFrame, batchId: Long) => applyBatch(batch, batchId))
         .outputMode(OutputMode.Update)
@@ -629,12 +645,12 @@ object Streaming {
       // the constructor would then re-commit the truncation as the
       // canonical seed) — fail fast instead; a log without a complete
       // seed never held a complete maintainer.
-      require(new java.io.File(s"$path/seed/_SUCCESS").exists,
+      require(markerExists(spark, s"$path/seed"),
         s"IvfMaintainer.restore: $path/seed has no _SUCCESS marker " +
           "(incomplete seed write) — nothing durable to restore from")
       val m = new IvfMaintainer(spark.read.parquet(s"$path/seed"),
-        rebuildWhen, compactEvery, Some(path))
-      val bids = completedBatchIds(s"$path/delta")
+        rebuildWhen, compactEvery, Some(path), fromRestore = true)
+      val bids = completedBatchIds(spark, s"$path/delta")
       if (bids.nonEmpty) {
         // deltas are stored PREPPED (vec_id, emb, nrm) — feed the
         // union through the append step directly (no re-prep, no
@@ -647,14 +663,86 @@ object Streaming {
     }
   }
 
+  /** Persist-log filesystem access (VERDICT r11 #1): every log walk
+    * resolves the Hadoop [[org.apache.hadoop.fs.FileSystem]] for the
+    * path from the active session's hadoopConfiguration, so the same
+    * code serves file://, hdfs:// and s3a:// logs alike — the old
+    * `java.io.File` walks only ever saw a local filesystem and returned
+    * null `listFiles` on the object stores a cluster deployment
+    * actually checkpoints to. Semantics (parquet's _SUCCESS completion
+    * gate, numeric batch-id leaves) are unchanged; the laws in
+    * StreamingSpec run on file:// through this same API. */
+  private def hfs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** True iff `dir/_SUCCESS` exists (the parquet completion marker). */
+  private[streaming] def markerExists(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = hfs(spark, s"$dir/_SUCCESS")
+    fs.exists(p)
+  }
+
   /** Batch-id subdirs of a persist log that finished writing (parquet
     * drops _SUCCESS last, so a mid-write crash leaves no marker and
     * restore skips the partial dir — the stream's checkpoint
-    * re-delivers that batch). */
-  private[streaming] def completedBatchIds(dir: String): Seq[Long] =
-    Option(new java.io.File(dir).listFiles).toSeq.flatten
-      .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists)
-      .map(_.getName.toLong).sorted
+    * re-delivers that batch). Only all-digit names are batch ids: a
+    * stray foreign dir (ADVICE r11) is ignored rather than crashing
+    * restore with a NumberFormatException. */
+  private[streaming] def completedBatchIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, p) = hfs(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("[0-9]+")
+        && fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.toLong).sorted
+  }
+
+  /** Checkpoint-pairing record (ADVICE r11): the batch-id resume guard
+    * alone cannot catch a mispaired resume when the log holds exactly
+    * one batch — a fresh checkpoint renumbers from 0, `0 >= lastBatch
+    * == 0` passes, and the idempotence guard silently drops the new
+    * data. So the pairing is pinned structurally at start() time,
+    * before any batch flows: the first start() against a persist log
+    * records its checkpointLocation at `<log>/pairing.txt`, and every
+    * later start() over that log — same process or post-restore — must
+    * present the SAME location. A mismatch, or no checkpoint at all
+    * over a log that already holds state, throws instead of dropping.
+    * (Unpaired operation — no persistPath, or no checkpoint before any
+    * state exists — stays legal: nothing durable can be lost yet.) */
+  private[streaming] def checkOrRecordPairing(spark: SparkSession,
+      logPath: String, checkpointLocation: Option[String],
+      hasLoggedState: Boolean): Unit = {
+    val (fs, p) = hfs(spark, s"$logPath/pairing.txt")
+    val recorded: Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0L, buf) finally in.close()
+        Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim)
+      }
+    (checkpointLocation, recorded) match {
+      case (Some(c), Some(r)) =>
+        require(c == r,
+          s"persist log $logPath is paired with checkpointLocation $r " +
+            s"but the stream was started with $c — a fresh checkpoint " +
+            "renumbers batch ids from 0 and the idempotence guard would " +
+            "silently drop new data; resume with the original checkpoint " +
+            "or start a new log")
+      case (None, Some(r)) =>
+        require(!hasLoggedState,
+          s"persist log $logPath holds state paired with " +
+            s"checkpointLocation $r but the stream was started without " +
+            "one — batch ids would renumber from 0 and new data would be " +
+            "silently dropped")
+      case (Some(c), None) =>
+        val out = fs.create(p, true)
+        try out.write((c + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      case (None, None) => ()
+    }
+  }
 
   /** Streaming yield funnel — q287's gate cascade over a document
     * stream. Per-doc gate signals (the q90 thresholds) are ROW-LOCAL
@@ -757,8 +845,22 @@ object Streaming {
     * one uncommitted batch, which the guard absorbs. Kill + restore +
     * resume ≡ uninterrupted (StreamingSpec law). */
   final class MixturePlanner(spark: SparkSession,
-      persistPath: Option[String] = None) {
+      persistPath: Option[String] = None,
+      fromRestore: Boolean = false) {
     import graft.plans.Ckpt.CkptOps
+    // same fresh-construction guard as IvfMaintainer (ADVICE r11): a
+    // fresh planner on a reused path would leave the old run's
+    // higher-id snapshots in place — retention keeps the two NEWEST
+    // ids, so the stale ones would win and restore() would resurrect
+    // the old run's counts. Only restore() may construct over a log
+    // that already holds snapshots.
+    persistPath.foreach { p =>
+      if (!fromRestore)
+        require(completedBatchIds(spark, s"$p/counts").isEmpty,
+          s"MixturePlanner: persistPath $p already holds counts " +
+            "snapshots — use MixturePlanner.restore to resume it, or " +
+            "point the fresh planner at an empty path")
+    }
     private val countsRef =
       new java.util.concurrent.atomic.AtomicReference[DataFrame](
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -805,14 +907,19 @@ object Streaming {
           countsRef.set(reset)
           persistPath.foreach { p =>
             reset.write.mode("overwrite").parquet(s"$p/counts/$batchId")
-            // retire all but the two newest snapshots (the penultimate
-            // covers a crash between this write and the stream commit)
-            completedBatchIds(s"$p/counts").dropRight(2).foreach { old =>
-              def rm(f: java.io.File): Unit = {
-                Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(); ()
-              }
-              rm(new java.io.File(s"$p/counts/$old"))
-            }
+            // retire all but the two newest COMPLETED snapshots (the
+            // penultimate covers a crash between this write and the
+            // stream commit). Unmarked batch-id dirs — crash debris
+            // from a write that never reached _SUCCESS — are retired on
+            // the same pass (ADVICE r11: the old completed-only walk
+            // left them to accumulate forever); non-numeric names are
+            // foreign and left alone.
+            val keep = completedBatchIds(spark, s"$p/counts").takeRight(2).toSet
+            val (fs, cdir) = hfs(spark, s"$p/counts")
+            fs.listStatus(cdir).toSeq
+              .filter(st => st.isDirectory && st.getPath.getName.matches("[0-9]+")
+                && !keep.contains(st.getPath.getName.toLong))
+              .foreach(st => fs.delete(st.getPath, true))
           }
         }
         lastBatch = batchId
@@ -823,6 +930,8 @@ object Streaming {
       * makes the source resumable — pair it with `persistPath` for the
       * restart contract above. */
     def start(docs: DataFrame, checkpointLocation: Option[String] = None) = {
+      persistPath.foreach(p =>
+        checkOrRecordPairing(spark, p, checkpointLocation, lastBatch >= 0))
       val w = docs.writeStream
         .foreachBatch((batch: DataFrame, batchId: Long) => applyBatch(batch, batchId))
         .outputMode(OutputMode.Update)
@@ -835,8 +944,8 @@ object Streaming {
     /** Rebuild a planner from its latest completed counts snapshot
       * after a driver restart (fresh planner if none exists yet). */
     def restore(spark: SparkSession, path: String): MixturePlanner = {
-      val m = new MixturePlanner(spark, Some(path))
-      completedBatchIds(s"$path/counts").lastOption.foreach { bid =>
+      val m = new MixturePlanner(spark, Some(path), fromRestore = true)
+      completedBatchIds(spark, s"$path/counts").lastOption.foreach { bid =>
         m.countsRef.set(spark.read.parquet(s"$path/counts/$bid"))
         m.lastBatch = bid
         m.firstAfterRestore = true

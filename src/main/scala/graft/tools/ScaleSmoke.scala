@@ -843,6 +843,129 @@ object ScaleSmoke {
       return
     }
 
+    // IvfMaintainer restore at scale (VERDICT r11 #4): the r11 restore
+    // law runs on a toy log; this leg builds delta logs at the MAINT10X
+    // corpus size (20k seed + 40k appended) and times restore().
+    // restore() is claimed ONE bulk append, never O(batches) — so the
+    // same 40k delta vectors are logged twice, as 50×800 and as
+    // 10×4000: the two restore walls must be comparable (data-bound,
+    // not batch-count-bound), and each restored index must answer
+    // searches exactly like a from-scratch rebuild over the full 60k.
+    if (sys.env.contains("SPARK_GRAFT_RESTORE10X")) {
+      import graft.operators.IvfAnn
+      import graft.streaming.Streaming
+      val vdir = "/tmp/graft_restore10x"
+      synthesizeClusteredVecs(spark, vdir, nVecs = 60000L, clusterSize = 16)
+      val all = spark.read.parquet(s"$vdir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val full = IvfAnn.fullCorpus(spark, vdir)
+      val queries = full.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+          col("nrm").as("qn"))
+      def answers(corpus: org.apache.spark.sql.DataFrame,
+          idx: IvfAnn.IvfIndex): Seq[String] =
+        IvfAnn.boundedTopK(corpus, queries, 5, Some(idx))._2
+          .collect().toSeq.map(_.toString)
+      val want = answers(full, IvfAnn.buildIndexWithRadii(full))
+      for ((nb, bsz) <- Seq((50, 800L), (10, 4000L))) {
+        val ppath = s"/tmp/graft_restore10x_log_$nb"
+        val fs = new org.apache.hadoop.fs.Path(ppath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(ppath), true)
+        val m = new Streaming.IvfMaintainer(
+          full.filter(col("vec_id") < 20000L),
+          rebuildWhen = _ => false, compactEvery = 16,
+          persistPath = Some(ppath))
+        val tFeed = time {
+          for (b <- 0 until nb) {
+            val lo = 20000L + bsz * b
+            m.applyBatch(
+              all.filter(col("vec_id") >= lo && col("vec_id") < lo + bsz),
+              b.toLong)
+          }
+        }
+        var m2: Streaming.IvfMaintainer = null
+        val tRestore = time {
+          m2 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+          // force the restored index end-to-end (the count is the
+          // bulk-append's materializing action)
+          require(m2.index.assigned.count() == 60000L,
+            "restored index lost or duplicated members")
+        }
+        require(answers(m2.corpus, m2.index) == want,
+          s"RESTORE10X: restored index answers != from-scratch rebuild ($nb-batch log)")
+        println(f"RESTORE10X log $nb%3d batches × $bsz%5d vectors:" +
+          f" feed $tFeed%7.2f s  restore $tRestore%7.2f s  (search parity OK)")
+      }
+      spark.stop()
+      return
+    }
+
+    // Composed end-to-end curation pipeline at 10× (VERDICT r11 #3):
+    // the production chain — exact dedup → near-dup keeper (pair graph
+    // + CC) → decontamination → quality gates → mixture plan → shard
+    // layout — as ONE application over one warm derivation set
+    // (PipelineOps.curationRun), measured against the sum of the same
+    // stages' ISOLATED steady states (each stage evicts every shared
+    // derivation first — the fresh-session cost model, so the sum is
+    // what six separate driver jobs would pay). Parity: the composed
+    // mixture/shard tables must equal the DECLARED q289/q285 run over
+    // the materialized survivor corpus — same semantics through a
+    // different code path (parquet round-trip vs in-memory chain).
+    if (sys.env.contains("SPARK_GRAFT_PIPE10X")) {
+      import graft.operators.PipelineOps
+      val d10 = "/tmp/graft_pipe10x"
+      synthesizeTemplated(spark, d10, nDocs = 50000L, vocabSize = 5000)
+      val stages = Seq("q42_dedup_exact_survivors", "q70_dedup_clusters",
+        "q221_dedup_best_keeper", "q73_decontaminate", "q90_quality_gate",
+        "q289_temperature_mixture", "q285_shard_planner")
+      def coldSteady(name: String): Double = {
+        graft.plans.DerivationCache.evictAll()
+        graft.plans.DerivationCache.dropOrphans(spark.sparkContext)
+        run(name, d10) // rep 1 rebuilds the evicted derivations
+        val t = math.min(run(name, d10), run(name, d10))
+        graft.plans.DerivationCache.dropOrphans(spark.sparkContext)
+        t
+      }
+      var sumIso = 0.0
+      for (name <- stages) {
+        val t = coldSteady(name)
+        sumIso += t
+        println(f"PIPE10X isolated $name%-28s steady $t%7.2f s")
+      }
+      // composed: ONE cold application, materializing what a real run
+      // ships — the funnel attrition counts and both plan tables
+      graft.plans.DerivationCache.evictAll()
+      graft.plans.DerivationCache.dropOrphans(spark.sparkContext)
+      val t0c = System.nanoTime()
+      val r = PipelineOps.curationRun(spark, d10)
+      val funnel = r.stages.map { case (nm, df) => (nm, df.count()) }
+      noop(r.mixture)
+      noop(r.shards)
+      val composed = (System.nanoTime() - t0c) / 1e9
+      funnel.foreach { case (nm, n) =>
+        println(f"PIPE10X funnel $nm%-16s $n%8d docs")
+      }
+      println(f"PIPE10X composed $composed%7.2f s vs sum-of-isolated" +
+        f" $sumIso%7.2f s (${sumIso / composed}%4.2f× amortization)")
+      // parity through the parquet round-trip
+      val sdir = "/tmp/graft_pipe10x_surv"
+      graft.Tables.documents(spark, d10)
+        .join(r.survivors.select("doc_id"), "doc_id")
+        .write.mode("overwrite").parquet(s"$sdir/documents.parquet")
+      val mixWant = graft.SparkEntry.queries("q289_temperature_mixture")(
+        spark, sdir).collect().toSeq.map(_.toString)
+      require(r.mixture.collect().toSeq.map(_.toString) == mixWant,
+        "PIPE10X: composed mixture plan != declared q289 over the survivor corpus")
+      val shWant = graft.SparkEntry.queries("q285_shard_planner")(
+        spark, sdir).collect().toSeq.map(_.toString)
+      require(r.shards.collect().toSeq.map(_.toString) == shWant,
+        "PIPE10X: composed shard plan != declared q285 over the survivor corpus")
+      println("PIPE10X parity: mixture + shard tables == declared queries over the survivor corpus")
+      spark.stop()
+      return
+    }
+
     // ROI/class-separation/context-fit at 100× (r9 verdict #4): the
     // three round-9 ops whose 10× audit smokes (1.8×/1.6×/1.6×) were
     // overhead-dominated. q267/q270 are document-token-volume-bound →

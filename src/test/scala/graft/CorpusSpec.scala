@@ -74,7 +74,13 @@ class CorpusSpec extends AnyFunSuite {
       (1L, head + " tail-one", "en", "srcA"),
       (2L, head + " tail-two", "en", "srcB"),
       (3L, head + " tail-three", "en", "srcA"),
-      (4L, "y", "en", "srcC")))
+      (4L, "y", "en", "srcC"),
+      // ADVICE r11: a NULL-source doc sharing the head contributes ZERO
+      // pairs — the pinned semantics (both the Spark form and the
+      // oracle SQL now exclude NULL sources explicitly; before the pin
+      // the oracle's least/greatest skipped the NULL and counted the
+      // pair under (s, s) while the Spark form dropped it)
+      (5L, head + " tail-four", "en", null)))
     val got = SparkEntry.queries("q279_headdup_source_matrix")(spark, dir)
       .as[(String, String, Long)].collect().toSeq
     // head group {1,2,3}: pairs (1,2)=A,B (1,3)=A,A (2,3)=A,B

@@ -308,4 +308,45 @@ class PipelineSpec extends AnyFunSuite {
       ("s1", 16L, 4L, 7L, 43L), // epochs = 700 div 16 = 43
       ("s2", 4L, 2L, 3L, 75L))) // epochs = 300 div 4  = 75
   }
+
+  test("curationRun: composed funnel == independent stage intersection; plans == declared queries on the survivor corpus") {
+    // VERDICT r11 #3: the composed production chain must be exactly
+    // the intersection of its stages' per-doc signals (each re-derived
+    // here through an INDEPENDENT registry invocation), and its two
+    // plan tables must equal the declared q289/q285 run over the
+    // materialized survivor corpus — same semantics through the
+    // parquet round-trip instead of the in-memory chain. PIPE10X
+    // (ScaleSmoke) asserts the same parity at 10× while measuring the
+    // composed wall vs the sum of isolated stage steady states.
+    val dir = "/root/testdata/sf0.001"
+    val r = operators.PipelineOps.curationRun(spark, dir)
+    val q = SparkEntry.queries
+    val s1 = q("q42_dedup_exact_survivors")(spark, dir).select("doc_id")
+    val nk = q("q70_dedup_clusters")(spark, dir).select(col("doc_id"))
+      .join(q("q221_dedup_best_keeper")(spark, dir)
+        .select(col("keeper_id").as("doc_id")), Seq("doc_id"), "left_anti")
+    val manual = s1.join(nk, Seq("doc_id"), "left_anti")
+      .join(q("q73_decontaminate")(spark, dir).filter(col("contaminated"))
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(q("q90_quality_gate")(spark, dir).filter(col("keep"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    val want = manual.as[Long].collect().toSet
+    val got = r.survivors.select("doc_id").as[Long].collect().toSet
+    assert(got == want,
+      s"onlyComposed=${(got -- want).take(5)} onlyManual=${(want -- got).take(5)}")
+    // the funnel must actually fire (non-vacuous) and attrit monotonically
+    val counts = r.stages.map { case (_, df) => df.count() }
+    assert(counts.head > counts.last && counts.last == got.size.toLong)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"funnel stage counts must be non-increasing: $counts")
+    // plan parity over the materialized survivor corpus
+    val sdir = java.nio.file.Files.createTempDirectory("graft_cur").toString
+    Tables.documents(spark, dir).join(r.survivors.select("doc_id"), "doc_id")
+      .write.parquet(s"$sdir/documents.parquet")
+    assert(r.mixture.collect().toSeq.map(_.toString)
+      == q("q289_temperature_mixture")(spark, sdir).collect().toSeq.map(_.toString))
+    assert(r.shards.collect().toSeq.map(_.toString)
+      == q("q285_shard_planner")(spark, sdir).collect().toSeq.map(_.toString))
+  }
 }

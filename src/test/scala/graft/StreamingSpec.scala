@@ -1099,6 +1099,90 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("checkpointLocation"))
   }
 
+  test("IvfMaintainer guards: fresh construction refuses a used log; foreign dirs don't break restore") {
+    import graft.operators.IvfAnn
+    val dir = "/root/testdata/sf0.001"
+    val seed = IvfAnn.fullCorpus(spark, dir).filter(col("vec_id") < 64)
+    val ppath = java.nio.file.Files.createTempDirectory("graft_guard_ivfm").toString
+    val m1 = new Streaming.IvfMaintainer(seed, _ => false, persistPath = Some(ppath))
+    // ADVICE r11 (medium): a FRESH maintainer pointed at a path that
+    // already holds a completed log must throw, not silently adopt the
+    // stale seed and produce a two-run chimera on the next restore.
+    val ex1 = intercept[IllegalArgumentException] {
+      new Streaming.IvfMaintainer(seed, _ => false, persistPath = Some(ppath))
+    }
+    assert(ex1.getMessage.contains("restore"))
+    // one real delta, then a FOREIGN dir planted in the delta log — the
+    // old getName.toLong walk threw NumberFormatException on it; the
+    // numeric-name filter must skip it (and its _SUCCESS) entirely.
+    val batch = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") >= 64 && col("vec_id") < 96)
+      .select(col("vec_id"), col("embedding"))
+    m1.applyBatch(batch, 0L)
+    val fs = new org.apache.hadoop.fs.Path(ppath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$ppath/delta/stray/_SUCCESS"), true).close()
+    val m2 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m2.corpus.count() == 64 + 32,
+      "restore over a log with a foreign dir lost the real delta")
+  }
+
+  test("MixturePlanner guards: used-log refusal, checkpoint pairing at start(), crash-debris retention") {
+    implicit val sqlCtx = spark.sqlContext
+    val ppath = java.nio.file.Files.createTempDirectory("graft_guard_mix").toString
+    val ckptA = java.nio.file.Files.createTempDirectory("graft_guard_ckA").toString
+    val ckptB = java.nio.file.Files.createTempDirectory("graft_guard_ckB").toString
+    // crash debris: a numeric snapshot dir with no _SUCCESS (a write
+    // that died mid-flight before any snapshot completed). It must not
+    // block fresh construction (nothing completed) and must be retired
+    // by the retention pass once real snapshots exist (ADVICE r11: the
+    // completed-only walk left unmarked dirs to accumulate forever).
+    val fs = new org.apache.hadoop.fs.Path(ppath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ppath/counts/7"))
+    // a non-numeric foreign dir is NOT ours to delete — must survive
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ppath/counts/keepme"))
+    val mem = MemoryStream[(Long, String, String)]
+    val m1 = new Streaming.MixturePlanner(spark, Some(ppath))
+    val q1 = m1.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckptA))
+    try {
+      // three singleton batches: retention keeps the two newest
+      // completed snapshots and must retire both batch 0's and the
+      // planted unmarked dir 7
+      Seq(1L, 2L, 3L).foreach { i =>
+        mem.addData(Seq((i, "a b c", "s"))); q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/counts/7")),
+      "unmarked crash-debris snapshot dir survived retention")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/counts/keepme")),
+      "retention deleted a foreign non-numeric dir")
+    // fresh construction over a log with completed snapshots → throw
+    val exF = intercept[IllegalArgumentException] {
+      new Streaming.MixturePlanner(spark, Some(ppath))
+    }
+    assert(exF.getMessage.contains("restore"))
+    // ADVICE r11 (low): the batch-id guard can't catch a mispaired
+    // resume when only one batch was ever logged — the structural
+    // pairing record catches it at start(), before any data flows.
+    val m2 = Streaming.MixturePlanner.restore(spark, ppath)
+    val exB = intercept[IllegalArgumentException] {
+      m2.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckptB))
+    }
+    assert(exB.getMessage.contains("paired"))
+    val exNone = intercept[IllegalArgumentException] {
+      m2.start(mem.toDS().toDF("doc_id", "text", "source"), None)
+    }
+    assert(exNone.getMessage.contains("without"))
+    // the correctly-paired resume still starts and absorbs new data
+    val q2 = m2.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckptA))
+    try {
+      mem.addData(Seq((4L, "d e", "s"))); q2.processAllAvailable()
+      assert(m2.counts.agg(sum(col("tok"))).head().getLong(0) == 11L,
+        "paired resume lost or duplicated token counts")
+    } finally q2.stop()
+  }
+
   test("streaming yield funnel: id-ordered replay == batch q287; late duplicate stays non-keeper") {
     // The q287 planted fixture plus doc 9, a THIRD copy of the clean
     // text arriving two batches after the keeper was elected.

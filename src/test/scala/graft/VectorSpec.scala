@@ -406,6 +406,29 @@ class VectorSpec extends AnyFunSuite {
     assert(pairs(IvfAnn.groupedCellAdjacency(cmeta, 0.9)) == flat)
   }
 
+  test("grouped adjacency survival gate: no-pruning regimes hand the fine phase to flat (ADVICE r11)") {
+    // The route decision is a pure predicate over the two planning
+    // counts the grouped build reads anyway (surviving coarse pairs,
+    // nonempty groups); the boundary is pinned here and the behavioral
+    // consequence is pinned by the two set-identity laws above — the
+    // incoherent fixture (survival ≈ 1) now takes the flat fallback and
+    // the hierarchical fixture (sparse survival) the grouped fine join,
+    // and both still equal flat exactly.
+    import graft.operators.IvfAnn
+    val ng = 1000L
+    val all = ng * ng
+    assert(!IvfAnn.survivalRoutesToFlat(all / 2, ng),
+      "exactly half survival must stay on the grouped path (<= gate)")
+    assert(IvfAnn.survivalRoutesToFlat(all / 2 + 1, ng),
+      "past half survival must route to flat")
+    assert(!IvfAnn.survivalRoutesToFlat(3 * ng, ng),
+      "sparse survival (O(ng) pairs) must stay grouped")
+    // overflow hygiene: the comparison is double-typed, so a cluster-
+    // scale group grid (ng² past Long range would overflow an integer
+    // form) still routes correctly
+    assert(!IvfAnn.survivalRoutesToFlat(4L * 1000 * 1000 * 1000, 4L * 1000 * 1000 * 1000))
+  }
+
   test("refined route stays allpairs on an incoherent corpus (refinement can't invent structure)") {
     import graft.functions.GraftFunctions
     import graft.operators.IvfAnn
