@@ -729,24 +729,24 @@ object LlmOps {
     // fingerprints onto one table name, halving collision resistance.
     val name = s"graft_shidx2_${dirTag}_${java.lang.Long.toUnsignedString(fp, 16)}"
     if (!s.catalog.tableExists(name)) {
-      val warehouse = new java.net.URI(
-        s.conf.get("spark.sql.warehouse.dir")) match {
-        case u if u.getScheme == "file" => new java.io.File(u.getPath)
-        case u => new java.io.File(u.toString.stripPrefix("file:"))
-      }
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
+      // warehouse walk via the Hadoop FileSystem API (the round-12
+      // persist-log convention): resolved from the session's hadoopConf
+      // so a distributed warehouse (hdfs://, s3a://) is managed the
+      // same as the local spark-warehouse dir.
+      val warehouse = new org.apache.hadoop.fs.Path(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
+      val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
       // drop every stale generation of THIS corpus's index (other
       // fingerprints), in the catalog and on disk
-      Option(warehouse.listFiles()).foreach(_.foreach { f =>
-        if (f.getName.startsWith(s"graft_shidx2_${dirTag}_") && f.getName != name) {
-          s.sql(s"DROP TABLE IF EXISTS ${f.getName}")
-          rm(f)
+      if (fs.exists(warehouse)) fs.listStatus(warehouse).foreach { st =>
+        val fn = st.getPath.getName
+        if (fn.startsWith(s"graft_shidx2_${dirTag}_") && fn != name) {
+          s.sql(s"DROP TABLE IF EXISTS $fn")
+          fs.delete(st.getPath, true)
         }
-      })
-      val loc = new java.io.File(warehouse, name)
-      if (loc.exists()) rm(loc) // orphaned location from a dead catalog
+      }
+      val loc = new org.apache.hadoop.fs.Path(warehouse, name)
+      if (fs.exists(loc)) fs.delete(loc, true) // orphaned location from a dead catalog
       // v2: bucketed by ALL pair-join keys — with the default
       // requireAllClusterKeysForCoPartition a shingle-only bucketing is
       // rejected and the planner silently falls back to a full shuffle

@@ -118,19 +118,24 @@ object PipelineOps {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
-    val s1 = q("q42_dedup_exact_survivors")(s, d).select("doc_id")
+    // each stage frontier is checkpointed: a real pipeline materializes
+    // its stage outputs, and here the funnel counts plus the two plan
+    // tables would otherwise re-execute the overlapping upstream DAG
+    // (pair graph joins, gate signals) once per action
+    val s1 = q("q42_dedup_exact_survivors")(s, d).select("doc_id").ckpt()
     // clustered docs that lost their family's quality election
     val nonKeepers = q("q70_dedup_clusters")(s, d).select(col("doc_id"))
       .join(q("q221_dedup_best_keeper")(s, d)
         .select(col("keeper_id").as("doc_id")), Seq("doc_id"), "left_anti")
-    val s2 = s1.join(nonKeepers, Seq("doc_id"), "left_anti")
+    val s2 = s1.join(nonKeepers, Seq("doc_id"), "left_anti").ckpt()
     val s3 = s2
       .join(q("q73_decontaminate")(s, d).filter(col("contaminated"))
         .select("doc_id"), Seq("doc_id"), "left_anti")
       .filter(col("doc_id") % 97 =!= 0)
+      .ckpt()
     val s4 = s3.join(q("q90_quality_gate")(s, d).filter(col("keep"))
-      .select("doc_id"), Seq("doc_id"), "left_semi")
-    val surv = s4.join(docs, "doc_id")
+      .select("doc_id"), Seq("doc_id"), "left_semi").ckpt()
+    val surv = s4.join(docs, "doc_id").ckpt()
     CurationRun(
       Seq("ingested" -> docs.select("doc_id"), "exact_dedup" -> s1,
         "near_dup" -> s2, "decontaminated" -> s3, "quality" -> s4),

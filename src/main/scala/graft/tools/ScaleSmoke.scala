@@ -919,19 +919,26 @@ object ScaleSmoke {
       val stages = Seq("q42_dedup_exact_survivors", "q70_dedup_clusters",
         "q221_dedup_best_keeper", "q73_decontaminate", "q90_quality_gate",
         "q289_temperature_mixture", "q285_shard_planner")
-      def coldSteady(name: String): Double = {
+      // isolated cost of each stage, two numbers: COLD (rep 1 after
+      // full derivation eviction — what this stage costs as its own
+      // driver job, shared builds included; the sum is what six
+      // separate jobs pay) and warm STEADY (min of 2 further reps —
+      // the lower bound where every derivation is already built).
+      def coldAndSteady(name: String): (Double, Double) = {
         graft.plans.DerivationCache.evictAll()
         graft.plans.DerivationCache.dropOrphans(spark.sparkContext)
-        run(name, d10) // rep 1 rebuilds the evicted derivations
+        val cold = run(name, d10) // rebuilds the evicted derivations
         val t = math.min(run(name, d10), run(name, d10))
         graft.plans.DerivationCache.dropOrphans(spark.sparkContext)
-        t
+        (cold, t)
       }
-      var sumIso = 0.0
+      var sumCold = 0.0
+      var sumSteady = 0.0
       for (name <- stages) {
-        val t = coldSteady(name)
-        sumIso += t
-        println(f"PIPE10X isolated $name%-28s steady $t%7.2f s")
+        val (c, t) = coldAndSteady(name)
+        sumCold += c
+        sumSteady += t
+        println(f"PIPE10X isolated $name%-28s cold $c%7.2f s  steady $t%7.2f s")
       }
       // composed: ONE cold application, materializing what a real run
       // ships — the funnel attrition counts and both plan tables
@@ -946,8 +953,9 @@ object ScaleSmoke {
       funnel.foreach { case (nm, n) =>
         println(f"PIPE10X funnel $nm%-16s $n%8d docs")
       }
-      println(f"PIPE10X composed $composed%7.2f s vs sum-of-isolated" +
-        f" $sumIso%7.2f s (${sumIso / composed}%4.2f× amortization)")
+      println(f"PIPE10X composed $composed%7.2f s vs sum-of-isolated-cold" +
+        f" $sumCold%7.2f s (${sumCold / composed}%4.2f× amortization;" +
+        f" warm-steady floor $sumSteady%6.2f s)")
       // parity through the parquet round-trip
       val sdir = "/tmp/graft_pipe10x_surv"
       graft.Tables.documents(spark, d10)
