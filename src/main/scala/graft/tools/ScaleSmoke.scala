@@ -515,6 +515,53 @@ object ScaleSmoke {
     // recursion targets exactly the clustered regime the refined route
     // itself requires (an incoherent corpus routes to allpairs long
     // before adjacency is built).
+    // Survival-gate overhead on a NO-PRUNING geometry (round 12, the
+    // ADVICE r11 counterpart to ADJSCALE): incoherent random centroids
+    // with wide radii — the coarse bound rejects (almost) nothing, the
+    // gate measures survival ≈ 1 and hands the fine phase to flat. The
+    // leg prices exactly what a caller pays for the wrong-geometry
+    // attempt: gated-grouped wall − flat wall = the sunk coarse setup
+    // (O(ncells) Lloyd + ngroups² pairs), vs the 2.2× blow-up the
+    // UNGATED grouped build measured at 32k in the r11 ADJSCALE table.
+    // Row equality is asserted (the identity law at smoke scale).
+    if (sys.env.contains("SPARK_GRAFT_ADJGATE")) {
+      import graft.operators.IvfAnn
+      import graft.functions.GraftFunctions
+      GraftFunctions.register(spark)
+      def synthIncoherent(ncells: Long): org.apache.spark.sql.DataFrame =
+        spark.range(0, ncells).select(
+            col("id").as("cell"),
+            expr("""transform(sequence(1, 64),
+              | i -> CAST(pmod(xxhash64(concat(CAST(id AS STRING), '#', CAST(i AS STRING))), 2000) AS DOUBLE) / 1000.0 - 1.0)""".stripMargin)
+              .as("cemb"),
+            lit(1.0).as("radius"))
+          .withColumn("cnrm", sqrt(GraftFunctions.dot(col("cemb"), col("cemb"))))
+          .localCheckpoint()
+      locally { // unmeasured JIT warmup (the ADJSCALE lesson)
+        val w = synthIncoherent(2048L)
+        IvfAnn.groupedCellAdjacency(w, 0.9).count()
+        IvfAnn.flatCellAdjacency(w, 0.9).count()
+        graft.plans.DerivationCache.dropOrphans(spark.sparkContext)
+      }
+      for ((tag, n) <- Seq(("8k", 8192L), ("16k", 16384L))) {
+        val cm = synthIncoherent(n)
+        def steady(f: => Long): (Double, Long) = {
+          var rows = 0L
+          val t1 = time { rows = f }
+          val t2 = time { rows = f }
+          (math.min(t1, t2), rows)
+        }
+        val (tf, nf) = steady(IvfAnn.flatCellAdjacency(cm, 0.9).count())
+        val (tg, ng) = steady(IvfAnn.groupedCellAdjacency(cm, 0.9).count())
+        println(f"ADJGATE $tag%-5s cells $n%7d  flat $tf%8.2f s  gated-grouped $tg%8.2f s  " +
+          f"setup-overhead ${tg - tf}%6.2f s  adj_rows $nf%12d  rows_equal ${nf == ng}")
+        assert(nf == ng, s"gated grouped adjacency diverged at $tag: $nf vs $ng")
+        graft.plans.DerivationCache.dropOrphans(spark.sparkContext)
+      }
+      spark.stop()
+      return
+    }
+
     if (sys.env.contains("SPARK_GRAFT_ADJSCALE")) {
       import graft.operators.IvfAnn
       import graft.functions.GraftFunctions
