@@ -502,18 +502,35 @@ object IvfAnn {
     else flatCellAdjacency(cmeta, t)
 
   /** Flat base case: ncells² centroid pairs over the broadcast
-    * centroid table — optimal below the measured crossover. */
+    * centroid table — optimal below the measured crossover. Broadcast
+    * only while the centroid table is broadcast-sized (review finding,
+    * round 12): below [[adjacencyRecurseAt]] it always is, but the
+    * survival gate can also route a huge low-prunability centroid set
+    * here, and ncells × 64-double rows past ~10⁶ cells is a
+    * multi-GB broadcast — those fall back to a shuffle theta-join
+    * (same ncells² condition evaluations, no single-node memory
+    * cliff). */
   private[graft] def flatCellAdjacency(cmeta: DataFrame, t: Double): DataFrame = {
     val acosT = math.acos(math.min(1.0, math.max(-1.0, t)))
     val g = cmeta.select(col("cell").as("gcell"), col("cemb").as("ge"),
       col("cnrm").as("gn"), col("radius").as("gr"))
     val f = cmeta.select(col("cell"), col("cemb").as("fe"),
       col("cnrm").as("fn"), col("radius").as("fr"))
-    g.join(broadcast(f),
+    val fSide =
+      if (cmeta.count() <= adjacencyFlatBroadcastMaxCells) broadcast(f) else f
+    g.join(fSide,
         acos(clamp(GraftFunctions.dot(col("ge"), col("fe")) / (col("gn") * col("fn"))))
           <= col("gr") + lit(acosT) + col("fr") + lit(1e-6))
       .select(col("gcell"), col("cell"))
   }
+
+  /** Ceiling on broadcasting the centroid table in the flat adjacency
+    * join: 2¹⁷ cells × ~600 B/row (64-double embedding + metadata)
+    * ≈ 75 MB — comfortably broadcastable, and 2× above the recursion
+    * crossover so every pre-round-12 flat invocation behaves
+    * identically. The planning read is one count over a
+    * cell-count-bounded (usually checkpointed) frame. */
+  private[graft] val adjacencyFlatBroadcastMaxCells: Long = 131072L
 
   /** Routing point between the flat and grouped adjacency builds,
     * measured in ScaleSmoke ADJSCALE (SCALE.md round 11): the flat

@@ -500,6 +500,25 @@ object Streaming {
     import graft.operators.IvfAnn
     import graft.plans.Ckpt.CkptOps
     private val spark = initialCorpus.sparkSession
+    // Fresh-construction guard FIRST — before the eager seed checkpoint
+    // and index build below, so a rejected construction fails in
+    // milliseconds instead of after minutes of cluster work (review
+    // finding, round 12). A FRESH maintainer must never adopt a
+    // pre-existing log (ADVICE r11): the old _SUCCESS-guard skip meant a
+    // fresh run pointed at a reused path silently took the stale seed,
+    // and its deltas overwrote only COLLIDING batch ids — a later
+    // restore() then returned a chimera of two runs' corpora. Fresh
+    // construction now requires the path hold no completed seed; only
+    // [[IvfMaintainer.restore]] (which passes the on-disk seed back in)
+    // may construct over an existing log.
+    persistPath.foreach { p =>
+      if (!fromRestore)
+        require(!markerExists(spark, s"$p/seed"),
+          s"IvfMaintainer: persistPath $p already holds a completed " +
+            "maintainer log — use IvfMaintainer.restore to resume it, or " +
+            "point the fresh maintainer at an empty path (adopting the " +
+            "stale seed would merge two runs' corpora)")
+    }
     // canonical index-corpus projection: the seed may carry extra
     // fixture columns (label, …) the arriving batches don't have
     private val corpusRef = new java.util.concurrent.atomic.AtomicReference(
@@ -510,23 +529,11 @@ object Streaming {
     @volatile private var lastBatch = -1L
     @volatile private var firstAfterRestore = false
     private var sinceCompact = 0
-    // Durable seed, written once. A FRESH maintainer must never adopt a
-    // pre-existing log (ADVICE r11): the old _SUCCESS-guard skip meant a
-    // fresh run pointed at a reused path silently took the stale seed,
-    // and its deltas overwrote only COLLIDING batch ids — a later
-    // restore() then returned a chimera of two runs' corpora. Fresh
-    // construction now requires the path hold no completed seed; only
-    // [[IvfMaintainer.restore]] (which passes the on-disk seed back in)
-    // may construct over an existing log.
+    // durable seed, written once (restore skips it — the on-disk seed
+    // it was constructed from IS the record)
     persistPath.foreach { p =>
-      if (!fromRestore) {
-        require(!markerExists(spark, s"$p/seed"),
-          s"IvfMaintainer: persistPath $p already holds a completed " +
-            "maintainer log — use IvfMaintainer.restore to resume it, or " +
-            "point the fresh maintainer at an empty path (adopting the " +
-            "stale seed would merge two runs' corpora)")
+      if (!fromRestore)
         corpusRef.get.write.mode("overwrite").parquet(s"$p/seed")
-      }
     }
     def corpus: DataFrame = corpusRef.get
     def index: IvfAnn.IvfIndex = indexRef.get
@@ -737,10 +744,30 @@ object Streaming {
             "one — batch ids would renumber from 0 and new data would be " +
             "silently dropped")
       case (Some(c), None) =>
-        val out = fs.create(p, true)
+        // an UNPAIRED log that already holds state (fed by applyBatch
+        // directly, or its pairing record lost) cannot prove this
+        // checkpoint's batch numbering continues the log's — a fresh
+        // checkpoint's batch 0 would be silently dropped (review
+        // finding, round 12: this arm used to record-and-pass)
+        require(!hasLoggedState,
+          s"persist log $logPath already holds state but no pairing " +
+            "record — its batch numbering cannot be verified against " +
+            s"checkpoint $c; continue it with applyBatch, or start a new log")
+        // atomic record via temp + rename (the _SUCCESS convention):
+        // a crash mid-write must not leave a truncated pairing.txt
+        // that bricks every future correctly-paired start
+        val tmp = new org.apache.hadoop.fs.Path(s"$logPath/pairing.txt.tmp")
+        val out = fs.create(tmp, true)
         try out.write((c + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-      case (None, None) => ()
+        fs.rename(tmp, p)
+        ()
+      case (None, None) =>
+        require(!hasLoggedState,
+          s"persist log $logPath already holds state — starting an " +
+            "unpaired stream over it would renumber batch ids from 0 " +
+            "and silently drop new data; continue it with applyBatch, " +
+            "or start a new log")
     }
   }
 
@@ -913,12 +940,19 @@ object Streaming {
             // from a write that never reached _SUCCESS — are retired on
             // the same pass (ADVICE r11: the old completed-only walk
             // left them to accumulate forever); non-numeric names are
-            // foreign and left alone.
-            val keep = completedBatchIds(spark, s"$p/counts").takeRight(2).toSet
+            // foreign and left alone. ONE directory listing drives both
+            // the keep-set and the deletion pass (review finding, round
+            // 12: a second listStatus + per-dir exists() per micro-batch
+            // is real latency on the object stores this port targets).
             val (fs, cdir) = hfs(spark, s"$p/counts")
-            fs.listStatus(cdir).toSeq
-              .filter(st => st.isDirectory && st.getPath.getName.matches("[0-9]+")
-                && !keep.contains(st.getPath.getName.toLong))
+            val numeric = fs.listStatus(cdir).toSeq
+              .filter(st => st.isDirectory && st.getPath.getName.matches("[0-9]+"))
+            val keep = numeric
+              .filter(st => fs.exists(
+                new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+              .map(_.getPath.getName.toLong).sorted.takeRight(2).toSet
+            numeric
+              .filter(st => !keep.contains(st.getPath.getName.toLong))
               .foreach(st => fs.delete(st.getPath, true))
           }
         }

@@ -1183,6 +1183,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("checkpoint pairing: an UNPAIRED log that already holds state refuses any start (review r12)") {
+    // A log fed through applyBatch directly never records a pairing, so
+    // no later stream's batch numbering can be verified against it — a
+    // fresh checkpoint's batch 0 would be silently dropped by the
+    // idempotence guard. The round-12 review found the (Some, None) and
+    // (None, None) pairing arms passed this case; both must throw.
+    implicit val sqlCtx = spark.sqlContext
+    val ppath = java.nio.file.Files.createTempDirectory("graft_unpaired").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_unpaired_ck").toString
+    val m = new Streaming.MixturePlanner(spark, Some(ppath))
+    m.applyBatch(Seq((1L, "a b", "s")).toDF("doc_id", "text", "source"), 0L)
+    val m2 = Streaming.MixturePlanner.restore(spark, ppath)
+    val mem = MemoryStream[(Long, String, String)]
+    val exCk = intercept[IllegalArgumentException] {
+      m2.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckpt))
+    }
+    assert(exCk.getMessage.contains("no pairing"))
+    val exNone = intercept[IllegalArgumentException] {
+      m2.start(mem.toDS().toDF("doc_id", "text", "source"), None)
+    }
+    assert(exNone.getMessage.contains("holds state"))
+    // the same live instance ALSO refuses (state without pairing is the
+    // condition, restored or not)
+    intercept[IllegalArgumentException] {
+      m.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckpt))
+    }
+    ()
+  }
+
   test("streaming yield funnel: id-ordered replay == batch q287; late duplicate stays non-keeper") {
     // The q287 planted fixture plus doc 9, a THIRD copy of the clean
     // text arriving two batches after the keeper was elected.
