@@ -961,8 +961,14 @@ object ScaleSmoke {
     // different code path (parquet round-trip vs in-memory chain).
     if (sys.env.contains("SPARK_GRAFT_PIPE10X")) {
       import graft.operators.PipelineOps
-      val d10 = "/tmp/graft_pipe10x"
-      synthesizeTemplated(spark, d10, nDocs = 50000L, vocabSize = 5000)
+      // SPARK_GRAFT_PIPE10X=100x runs the same protocol on the ROI100X
+      // 500k-doc corpus (vocab scales with it — the Heaps convention)
+      val at100 = sys.env.get("SPARK_GRAFT_PIPE10X").contains("100x")
+      val tag = if (at100) "PIPE100X" else "PIPE10X"
+      val d10 = if (at100) "/tmp/graft_pipe100x" else "/tmp/graft_pipe10x"
+      synthesizeTemplated(spark, d10,
+        nDocs = if (at100) 500000L else 50000L,
+        vocabSize = if (at100) 50000 else 5000)
       val stages = Seq("q42_dedup_exact_survivors", "q70_dedup_clusters",
         "q221_dedup_best_keeper", "q73_decontaminate", "q90_quality_gate",
         "q289_temperature_mixture", "q285_shard_planner")
@@ -985,7 +991,7 @@ object ScaleSmoke {
         val (c, t) = coldAndSteady(name)
         sumCold += c
         sumSteady += t
-        println(f"PIPE10X isolated $name%-28s cold $c%7.2f s  steady $t%7.2f s")
+        println(f"$tag isolated $name%-28s cold $c%7.2f s  steady $t%7.2f s")
       }
       // composed: ONE cold application, materializing what a real run
       // ships — the funnel attrition counts and both plan tables
@@ -998,13 +1004,13 @@ object ScaleSmoke {
       noop(r.shards)
       val composed = (System.nanoTime() - t0c) / 1e9
       funnel.foreach { case (nm, n) =>
-        println(f"PIPE10X funnel $nm%-16s $n%8d docs")
+        println(f"$tag funnel $nm%-16s $n%8d docs")
       }
-      println(f"PIPE10X composed $composed%7.2f s vs sum-of-isolated-cold" +
+      println(f"$tag composed $composed%7.2f s vs sum-of-isolated-cold" +
         f" $sumCold%7.2f s (${sumCold / composed}%4.2f× amortization;" +
         f" warm-steady floor $sumSteady%6.2f s)")
       // parity through the parquet round-trip
-      val sdir = "/tmp/graft_pipe10x_surv"
+      val sdir = s"${d10}_surv"
       graft.Tables.documents(spark, d10)
         .join(r.survivors.select("doc_id"), "doc_id")
         .write.mode("overwrite").parquet(s"$sdir/documents.parquet")
@@ -1016,7 +1022,7 @@ object ScaleSmoke {
         spark, sdir).collect().toSeq.map(_.toString)
       require(r.shards.collect().toSeq.map(_.toString) == shWant,
         "PIPE10X: composed shard plan != declared q285 over the survivor corpus")
-      println("PIPE10X parity: mixture + shard tables == declared queries over the survivor corpus")
+      println(s"$tag parity: mixture + shard tables == declared queries over the survivor corpus")
       spark.stop()
       return
     }

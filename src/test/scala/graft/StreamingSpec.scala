@@ -658,6 +658,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IvfMaintainer: restore re-evaluates rebuildWhen on the bulk-appended index") {
+    // The restore scaladoc claims rebuildWhen is evaluated once on the
+    // bulk-appended index, so a restore into a degraded geometry still
+    // triggers the re-cluster — pinned here: same fixture as the
+    // degraded-prunability law, but the radius-blowing arrivals land in
+    // the PERSIST LOG (rebuildWhen = never on the live run) and the
+    // rebuild must fire during restore() itself.
+    import graft.operators.IvfAnn
+    val rnd = new scala.util.Random(67)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Seq.fill(8)(unit())
+    val seedVecs = for (c <- 0 until 8; i <- 0 until 8) yield {
+      val noise = Array.fill(64)(rnd.nextGaussian() * 0.02f)
+      ((c * 8 + i).toLong,
+        centers(c).zip(noise).map { case (a, b) => a + b }.toSeq)
+    }
+    val seed = seedVecs.toDF("vec_id", "embedding")
+      .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb"))))
+      .drop("embedding")
+    val ppath = java.nio.file.Files.createTempDirectory("graft_rbw_log").toString
+    val m1 = new Streaming.IvfMaintainer(seed, rebuildWhen = _ => false,
+      persistPath = Some(ppath))
+    m1.applyBatch((100L until 164L).map(i => (i, unit().toSeq))
+      .toDF("vec_id", "embedding"), 0L)
+    assert(m1.rebuilds == 0, "live run must not rebuild (rebuildWhen = never)")
+    val m2 = Streaming.IvfMaintainer.restore(spark, ppath,
+      rebuildWhen = idx => IvfAnn.thresholdPrunability(idx, 0.9) < 0.5)
+    assert(m2.rebuilds == 1,
+      "restore into a degraded geometry must trigger the re-cluster")
+    assert(m2.index.assigned.count() == 64 + 64)
+  }
+
   test("IvfMaintainer: a re-delivered batchId is a no-op (at-least-once idempotence)") {
     import graft.operators.IvfAnn
     val dir = "/root/testdata/sf0.001"
