@@ -609,6 +609,38 @@ object Streaming {
         } else appended)
     }
 
+    /** Collapse the persist log into a corpus snapshot (the LSM
+      * compaction the class scaladoc promises the deployment runs on
+      * its own cadence — this IS that operation): write the CURRENT
+      * accumulated corpus to `path/compact/<lastBatch>` (parquet,
+      * _SUCCESS-gated), then delete the delta dirs it covers and any
+      * older compaction generation. Restore afterwards reads ONE
+      * snapshot plus only the deltas that arrived after it. Every
+      * crash window is safe by construction, with no renames:
+      * a snapshot without _SUCCESS is ignored by restore (deltas
+      * intact); a completed snapshot with its covered deltas not yet
+      * deleted restores correctly because restore only applies deltas
+      * with id > the snapshot's (the stale ones are skipped by id, and
+      * the next compact retires them); a partially-deleted older
+      * generation is covered by the newest completed one. Call between
+      * batches (foreachBatch serializes with applyBatch); no-op before
+      * the first applied batch or without a persistPath. */
+    def compactLog(): Unit = persistPath.foreach { p =>
+      if (lastBatch >= 0) {
+        corpusRef.get.write.mode("overwrite").parquet(s"$p/compact/$lastBatch")
+        val (fs, ddir) = hfs(spark, s"$p/delta")
+        if (fs.exists(ddir)) fs.listStatus(ddir).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.matches("[0-9]+")
+            && st.getPath.getName.toLong <= lastBatch)
+          .foreach(st => fs.delete(st.getPath, true))
+        val (cfs, cdir) = hfs(spark, s"$p/compact")
+        cfs.listStatus(cdir).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.matches("[0-9]+")
+            && st.getPath.getName.toLong < lastBatch)
+          .foreach(st => cfs.delete(st.getPath, true))
+      }
+    }
+
     /** newVectors: streaming (vec_id, embedding array<float>) frame.
       * `checkpointLocation` makes the source resumable — pair it with
       * `persistPath` so a restart resumes instead of replaying from
@@ -646,26 +678,39 @@ object Streaming {
     def restore(spark: SparkSession, path: String,
         rebuildWhen: graft.operators.IvfAnn.IvfIndex => Boolean,
         compactEvery: Int = 32): IvfMaintainer = {
-      // the seed needs the same completion gate as the deltas: a crash
-      // mid seed-write leaves part files without _SUCCESS, and reading
-      // them here would silently rebuild from a TRUNCATED corpus (and
-      // the constructor would then re-commit the truncation as the
-      // canonical seed) — fail fast instead; a log without a complete
-      // seed never held a complete maintainer.
-      require(markerExists(spark, s"$path/seed"),
-        s"IvfMaintainer.restore: $path/seed has no _SUCCESS marker " +
-          "(incomplete seed write) — nothing durable to restore from")
-      val m = new IvfMaintainer(spark.read.parquet(s"$path/seed"),
+      // a compacted log restores from its newest COMPLETED snapshot
+      // (which already contains every delta it covered) plus only the
+      // deltas that arrived after it; an uncompacted log from the
+      // original seed plus the whole delta log. Stale deltas a crashed
+      // compaction didn't get to delete are skipped by the id > base
+      // filter — correctness never depends on the deletion pass.
+      val base = completedBatchIds(spark, s"$path/compact").lastOption
+      val (seedFrame, baseBatch) = base match {
+        case Some(b) => (spark.read.parquet(s"$path/compact/$b"), b)
+        case None =>
+          // the seed needs the same completion gate as the deltas: a
+          // crash mid seed-write leaves part files without _SUCCESS,
+          // and reading them here would silently rebuild from a
+          // TRUNCATED corpus (and the constructor would then re-commit
+          // the truncation as the canonical seed) — fail fast instead;
+          // a log without a complete seed never held a complete
+          // maintainer.
+          require(markerExists(spark, s"$path/seed"),
+            s"IvfMaintainer.restore: $path/seed has no _SUCCESS marker " +
+              "(incomplete seed write) — nothing durable to restore from")
+          (spark.read.parquet(s"$path/seed"), -1L)
+      }
+      val m = new IvfMaintainer(seedFrame,
         rebuildWhen, compactEvery, Some(path), fromRestore = true)
-      val bids = completedBatchIds(spark, s"$path/delta")
+      val bids = completedBatchIds(spark, s"$path/delta").filter(_ > baseBatch)
       if (bids.nonEmpty) {
         // deltas are stored PREPPED (vec_id, emb, nrm) — feed the
         // union through the append step directly (no re-prep, no
         // re-log; parquet leaves, so no checkpoint needed either)
         m.append(spark.read.parquet(bids.map(b => s"$path/delta/$b"): _*))
-        m.lastBatch = bids.max
       }
-      m.firstAfterRestore = true
+      m.lastBatch = math.max(baseBatch, if (bids.isEmpty) -1L else bids.max)
+      m.firstAfterRestore = m.lastBatch >= 0
       m
     }
   }

@@ -943,6 +943,21 @@ object ScaleSmoke {
           s"RESTORE10X: restored index answers != from-scratch rebuild ($nb-batch log)")
         println(f"RESTORE10X log $nb%3d batches × $bsz%5d vectors:" +
           f" feed $tFeed%7.2f s  restore $tRestore%7.2f s  (search parity OK)")
+        // compacted-log restore (round 12): collapse the delta log into
+        // one snapshot and re-time — the deployment-cadence operation
+        // the maintainer scaladoc promises
+        val tCompact = time(m.compactLog())
+        var m3: Streaming.IvfMaintainer = null
+        val tRestoreC = time {
+          m3 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+          require(m3.index.assigned.count() == 60000L,
+            "compacted-log restore lost or duplicated members")
+        }
+        require(answers(m3.corpus, m3.index) == want,
+          s"RESTORE10X: compacted-log restore answers != rebuild ($nb-batch log)")
+        println(f"RESTORE10X log $nb%3d batches × $bsz%5d vectors:" +
+          f" compactLog $tCompact%7.2f s  restore-after-compact $tRestoreC%7.2f s" +
+          "  (search parity OK)")
       }
       spark.stop()
       return

@@ -695,6 +695,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(m2.index.assigned.count() == 64 + 64)
   }
 
+  test("IvfMaintainer: compactLog collapses the covered deltas; restore from snapshot + later deltas ≡ uninterrupted") {
+    import graft.operators.IvfAnn
+    val dir = "/root/testdata/sf0.001"
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = math.max(1L, (nTotal - cut) / 3)
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def chunk(i: Long) = raw.filter(col("vec_id") >= cut + i * k &&
+      (if (i == 2) lit(true) else col("vec_id") < cut + (i + 1) * k))
+    val ppath = java.nio.file.Files.createTempDirectory("graft_cmp_log").toString
+    val m1 = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    m1.applyBatch(chunk(0), 0L)
+    m1.applyBatch(chunk(1), 1L)
+    m1.compactLog()
+    val fs = new org.apache.hadoop.fs.Path(ppath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/compact/1/_SUCCESS")),
+      "compaction snapshot missing or incomplete")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/delta/0"))
+      && !fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/delta/1")),
+      "compaction left the deltas it covers")
+    // a post-compaction delta lands in the (now mostly empty) delta log
+    m1.applyBatch(chunk(2), 2L)
+    val m2 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m2.corpus.count() == nTotal,
+      "restore from snapshot + later deltas lost vectors")
+    // search parity vs from-scratch rebuild (the kill/resume law's bar)
+    val queries = full.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val viaRestored = IvfAnn.boundedTopK(m2.corpus, queries, 5,
+      Some(m2.index))._2.as[(Long, Int, Long)].collect().toSeq
+    val viaRebuild = IvfAnn.boundedTopK(full, queries, 5,
+      Some(IvfAnn.buildIndexWithRadii(full)))._2
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(viaRestored.nonEmpty && viaRestored == viaRebuild)
+    // the idempotence guard resumed at the post-compaction head: a
+    // mispaired batch 0 on the first post-restore delivery still throws
+    val ex = intercept[IllegalArgumentException] {
+      m2.applyBatch(chunk(0), 0L)
+    }
+    assert(ex.getMessage.contains("checkpointLocation"))
+  }
+
   test("IvfMaintainer: a re-delivered batchId is a no-op (at-least-once idempotence)") {
     import graft.operators.IvfAnn
     val dir = "/root/testdata/sf0.001"
