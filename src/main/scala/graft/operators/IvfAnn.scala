@@ -497,9 +497,11 @@ object IvfAnn {
     * cheapest; past it the SAME refinement idea recurses onto the
     * centroid set ([[groupedCellAdjacency]]) so adjacency work is
     * bounded by the coarse fan-out, not ncells². */
-  private[graft] def cellAdjacency(cmeta: DataFrame, t: Double): DataFrame =
-    if (cmeta.count() >= adjacencyRecurseAt) groupedCellAdjacency(cmeta, t)
-    else flatCellAdjacency(cmeta, t)
+  private[graft] def cellAdjacency(cmeta: DataFrame, t: Double): DataFrame = {
+    val n = cmeta.count()
+    if (n >= adjacencyRecurseAt) groupedCellAdjacency(cmeta, t)
+    else flatCellAdjacency(cmeta, t, n)
+  }
 
   /** Flat base case: ncells² centroid pairs over the broadcast
     * centroid table — optimal below the measured crossover. Broadcast
@@ -510,14 +512,19 @@ object IvfAnn {
     * multi-GB broadcast — those fall back to a shuffle theta-join
     * (same ncells² condition evaluations, no single-node memory
     * cliff). */
-  private[graft] def flatCellAdjacency(cmeta: DataFrame, t: Double): DataFrame = {
+  private[graft] def flatCellAdjacency(cmeta: DataFrame, t: Double,
+      knownCells: Long = -1L): DataFrame = {
     val acosT = math.acos(math.min(1.0, math.max(-1.0, t)))
     val g = cmeta.select(col("cell").as("gcell"), col("cemb").as("ge"),
       col("cnrm").as("gn"), col("radius").as("gr"))
     val f = cmeta.select(col("cell"), col("cemb").as("fe"),
       col("cnrm").as("fn"), col("radius").as("fr"))
+    // callers that already counted cmeta pass the count (review
+    // finding r12: cellAdjacency and the survival-gate fallback both
+    // hold it — recounting added a redundant job per adjacency build)
+    val ncells = if (knownCells >= 0) knownCells else cmeta.count()
     val fSide =
-      if (cmeta.count() <= adjacencyFlatBroadcastMaxCells) broadcast(f) else f
+      if (ncells <= adjacencyFlatBroadcastMaxCells) broadcast(f) else f
     g.join(fSide,
         acos(clamp(GraftFunctions.dot(col("ge"), col("fe")) / (col("gn") * col("fn"))))
           <= col("gr") + lit(acosT) + col("fr") + lit(1e-6))
@@ -625,7 +632,7 @@ object IvfAnn {
     // q216c/q50c discipline: route on a measurement, not a hope).
     val npairs = gpairs.count()
     val ng = gmeta.count()
-    if (survivalRoutesToFlat(npairs, ng)) flatCellAdjacency(cmeta0, t)
+    if (survivalRoutesToFlat(npairs, ng)) flatCellAdjacency(cmeta0, t, ncells)
     else {
       // exact adjacency condition, evaluated only inside surviving
       // pairs. The survivor frame is broadcast only while it fits the

@@ -544,7 +544,7 @@ object Streaming {
       * commit re-delivers the SAME batchId, and re-appending it would
       * duplicate vec_ids in corpus and index — so an already-applied
       * batchId is a no-op (batchIds are monotonic per query run). */
-    private[graft] def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+    private[graft] def applyBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       import graft.functions.GraftFunctions
       checkResumePairing(batchId)
       if (batchId > lastBatch) {
@@ -622,24 +622,56 @@ object Streaming {
       * deleted restores correctly because restore only applies deltas
       * with id > the snapshot's (the stale ones are skipped by id, and
       * the next compact retires them); a partially-deleted older
-      * generation is covered by the newest completed one. Call between
-      * batches (foreachBatch serializes with applyBatch); no-op before
-      * the first applied batch or without a persistPath. */
-    def compactLog(): Unit = persistPath.foreach { p =>
-      if (lastBatch >= 0) {
-        corpusRef.get.write.mode("overwrite").parquet(s"$p/compact/$lastBatch")
-        val (fs, ddir) = hfs(spark, s"$p/delta")
-        if (fs.exists(ddir)) fs.listStatus(ddir).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.matches("[0-9]+")
-            && st.getPath.getName.toLong <= lastBatch)
-          .foreach(st => fs.delete(st.getPath, true))
-        val (cfs, cdir) = hfs(spark, s"$p/compact")
-        cfs.listStatus(cdir).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.matches("[0-9]+")
-            && st.getPath.getName.toLong < lastBatch)
-          .foreach(st => cfs.delete(st.getPath, true))
+      * generation is covered by the newest completed one. Safe from
+      * ANY thread: compactLog and applyBatch share the maintainer's
+      * monitor, so a maintenance-cadence compaction snapshots one
+      * consistent (corpus, lastBatch) pair or waits — never an
+      * interleaved mixture. Re-invoking at the same lastBatch is a
+      * no-op on the snapshot itself: a completed generation is never
+      * rewritten in place (overwrite deletes-then-writes, and a crash
+      * mid-rewrite of the ONLY snapshot — its covered deltas already
+      * gone — would silently roll the log back to the seed). No-op
+      * entirely before the first applied batch or without a
+      * persistPath. */
+    def compactLog(): Unit = synchronized { persistPath.foreach { p =>
+      // lastBatch is read ONCE (review finding: it is volatile and the
+      // method is synchronized with applyBatch, so a maintenance-thread
+      // compaction can never snapshot one batch set and delete another)
+      val lb = lastBatch
+      if (lb >= 0) {
+        // never rewrite a completed snapshot in place (review finding:
+        // overwrite deletes-then-writes, so a crash mid-rewrite of the
+        // ONLY snapshot — whose covered deltas are already gone — would
+        // silently roll the log back to the original seed)
+        if (!markerExists(spark, s"$p/compact/$lb"))
+          corpusRef.get.write.mode("overwrite").parquet(s"$p/compact/$lb")
+        // The completed snapshot becomes the corpus's durable leaf
+        // BEFORE any deletion: a RESTORED maintainer's corpus (and the
+        // index frames built from it) can still reference the delta
+        // parquet files as un-checkpointed lineage leaves, and deleting
+        // those under a live plan breaks every later action with
+        // FileNotFoundException (review finding). Re-pointing also
+        // resets the union-chain depth, like the in-memory compaction.
+        corpusRef.set(spark.read.parquet(s"$p/compact/$lb"))
+        sinceCompact = 0
+        // the index's member frame gets the same treatment — its
+        // lineage may reach the delta files through a non-checkpointed
+        // bulk append; localCheckpoint truncates it at current state
+        val idx = indexRef.get
+        indexRef.set(idx.copy(assigned = idx.assigned.ckpt()))
+        // deletion passes LAST, and both are idempotent + straggler-
+        // safe: restore skips stale dirs by id, so a crash anywhere in
+        // here costs only disk space until the next compaction
+        locally {
+          val (fs, ds) = numericDirs(spark, s"$p/delta")
+          ds.filter(_._2 <= lb).foreach(d => fs.delete(d._1.getPath, true))
+        }
+        locally {
+          val (fs, ds) = numericDirs(spark, s"$p/compact")
+          ds.filter(_._2 < lb).foreach(d => fs.delete(d._1.getPath, true))
+        }
       }
-    }
+    } }
 
     /** newVectors: streaming (vec_id, embedding array<float>) frame.
       * `checkpointLocation` makes the source resumable — pair it with
@@ -735,19 +767,34 @@ object Streaming {
     fs.exists(p)
   }
 
+  /** All-digit-named subdirs of a persist-log dir with their numeric
+    * ids, plus the resolved FileSystem — the ONE shared walk behind
+    * [[completedBatchIds]], the snapshot retention and the compaction
+    * deletion passes (review finding r12: the pattern had grown four
+    * inline copies). Foreign (non-numeric) names are skipped, never
+    * touched: a stray dir must neither crash a walk with a
+    * NumberFormatException (ADVICE r11) nor be deleted. */
+  private[streaming] def numericDirs(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem,
+         Seq[(org.apache.hadoop.fs.FileStatus, Long)]) = {
+    val (fs, p) = hfs(spark, dir)
+    val ds =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.matches("[0-9]+"))
+        .map(st => (st, st.getPath.getName.toLong))
+    (fs, ds)
+  }
+
   /** Batch-id subdirs of a persist log that finished writing (parquet
     * drops _SUCCESS last, so a mid-write crash leaves no marker and
     * restore skips the partial dir — the stream's checkpoint
-    * re-delivers that batch). Only all-digit names are batch ids: a
-    * stray foreign dir (ADVICE r11) is ignored rather than crashing
-    * restore with a NumberFormatException. */
+    * re-delivers that batch). */
   private[streaming] def completedBatchIds(spark: SparkSession, dir: String): Seq[Long] = {
-    val (fs, p) = hfs(spark, dir)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.matches("[0-9]+")
-        && fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.toLong).sorted
+    val (fs, ds) = numericDirs(spark, dir)
+    ds.filter(d => fs.exists(
+        new org.apache.hadoop.fs.Path(d._1.getPath, "_SUCCESS")))
+      .map(_._2).sorted
   }
 
   /** Checkpoint-pairing record (ADVICE r11): the batch-id resume guard
@@ -805,8 +852,11 @@ object Streaming {
         val out = fs.create(tmp, true)
         try out.write((c + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        fs.rename(tmp, p)
-        ()
+        // rename signals failure by RETURNING false (review finding) —
+        // a silently-unrecorded pairing would let the log accumulate
+        // state that no later start can ever verify against
+        require(fs.rename(tmp, p),
+          s"failed to record checkpoint pairing at $logPath/pairing.txt")
       case (None, None) =>
         require(!hasLoggedState,
           s"persist log $logPath already holds state — starting an " +
@@ -989,16 +1039,14 @@ object Streaming {
             // the keep-set and the deletion pass (review finding, round
             // 12: a second listStatus + per-dir exists() per micro-batch
             // is real latency on the object stores this port targets).
-            val (fs, cdir) = hfs(spark, s"$p/counts")
-            val numeric = fs.listStatus(cdir).toSeq
-              .filter(st => st.isDirectory && st.getPath.getName.matches("[0-9]+"))
+            val (fs, numeric) = numericDirs(spark, s"$p/counts")
             val keep = numeric
-              .filter(st => fs.exists(
-                new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-              .map(_.getPath.getName.toLong).sorted.takeRight(2).toSet
+              .filter(d => fs.exists(
+                new org.apache.hadoop.fs.Path(d._1.getPath, "_SUCCESS")))
+              .map(_._2).sorted.takeRight(2).toSet
             numeric
-              .filter(st => !keep.contains(st.getPath.getName.toLong))
-              .foreach(st => fs.delete(st.getPath, true))
+              .filter(d => !keep.contains(d._2))
+              .foreach(d => fs.delete(d._1.getPath, true))
           }
         }
         lastBatch = batchId

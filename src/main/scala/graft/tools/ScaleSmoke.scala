@@ -1032,11 +1032,11 @@ object ScaleSmoke {
       val mixWant = graft.SparkEntry.queries("q289_temperature_mixture")(
         spark, sdir).collect().toSeq.map(_.toString)
       require(r.mixture.collect().toSeq.map(_.toString) == mixWant,
-        "PIPE10X: composed mixture plan != declared q289 over the survivor corpus")
+        s"$tag: composed mixture plan != declared q289 over the survivor corpus")
       val shWant = graft.SparkEntry.queries("q285_shard_planner")(
         spark, sdir).collect().toSeq.map(_.toString)
       require(r.shards.collect().toSeq.map(_.toString) == shWant,
-        "PIPE10X: composed shard plan != declared q285 over the survivor corpus")
+        s"$tag: composed shard plan != declared q285 over the survivor corpus")
       println(s"$tag parity: mixture + shard tables == declared queries over the survivor corpus")
       spark.stop()
       return

@@ -739,6 +739,27 @@ class StreamingSpec extends AnyFunSuite {
       m2.applyBatch(chunk(0), 0L)
     }
     assert(ex.getMessage.contains("checkpointLocation"))
+    // compacting a RESTORED maintainer (review r12): its corpus still
+    // references the delta parquet files as un-checkpointed lineage
+    // leaves, so compactLog must re-root the live frames on the new
+    // snapshot BEFORE deleting those files — the actions below threw
+    // FileNotFoundException before the fix
+    m2.compactLog()
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/delta/2"))
+      && fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/compact/2/_SUCCESS"))
+      && !fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/compact/1")),
+      "second compaction did not advance the generation")
+    assert(m2.corpus.count() == nTotal,
+      "post-compaction corpus lost its lineage to the deleted deltas")
+    assert(IvfAnn.boundedTopK(m2.corpus, queries, 5, Some(m2.index))._2
+      .as[(Long, Int, Long)].collect().toSeq == viaRebuild,
+      "post-compaction search through the live index diverged")
+    // re-compaction at the same head is a no-op that must NOT touch
+    // the completed snapshot (the crash-window guard)
+    m2.compactLog()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/compact/2/_SUCCESS")))
+    val m3 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m3.corpus.count() == nTotal)
   }
 
   test("IvfMaintainer: a re-delivered batchId is a no-op (at-least-once idempotence)") {
