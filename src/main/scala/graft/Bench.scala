@@ -77,13 +77,13 @@ object Bench {
     val baselineNames = SparkEntry.registry.collect {
       case q if q.scaleClass.isInstanceOf[Q.Baseline] => q.name
     }.toSet
-    // Steady-state re-measurement for the 10 slowest PRODUCTION
+    // Steady-state re-measurement for the slowest PRODUCTION
     // queries (VERDICT r11 #6): the in-bench numbers above include
     // warm-sharing — an earlier query's cached derivation (pair graph,
     // IVF index, NN frame) can make a later query look cheaper than it
     // runs in isolation, and the last three rounds each burned an
     // adjudication cycle separating that artifact from real
-    // regressions. For each of the 10 slowest, evict ALL shared
+    // regressions. For each candidate, evict ALL shared
     // derivations, run once to rebuild them (the BenchOne
     // fresh-session rep-1), then report the min of two warm reps — the
     // machine-recorded equivalent of the isolated BenchOne steady
@@ -93,12 +93,19 @@ object Bench {
     // reps and displace a production query from steady coverage). Runs
     // post-sweep so it can't perturb the in-bench numbers; disable
     // with SPARK_GRAFT_NO_STEADY=1 for a quick sweep.
+    // The candidate pool is the top-15 IN-BENCH, not top-10 (ADVICE
+    // r12): the in-bench ranking is the very number the block exists
+    // to distrust — a query whose in-bench time was DEFLATED by
+    // warm-sharing (the distortion being corrected) would otherwise be
+    // excluded precisely because it was flattered. A 1.5× pool catches
+    // those near-miss entrants; all measured steadies are reported, so
+    // the consumer re-ranks by steady, not by the in-bench order.
     val steady: Seq[(String, Double)] =
       if (sys.env.contains("SPARK_GRAFT_NO_STEADY")) Seq.empty
       else results.collect {
           case (k, Some(v)) if !baselineNames.contains(k) => (k, v)
         }
-        .sortBy(-_._2).take(10).map(_._1)
+        .sortBy(-_._2).take(15).map(_._1)
         .flatMap { name =>
           try {
             graft.plans.DerivationCache.evictAll()

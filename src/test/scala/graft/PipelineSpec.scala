@@ -335,6 +335,27 @@ class PipelineSpec extends AnyFunSuite {
     val got = r.survivors.select("doc_id").as[Long].collect().toSet
     assert(got == want,
       s"onlyComposed=${(got -- want).take(5)} onlyManual=${(want -- got).take(5)}")
+    // ADVICE r12: the `manual` re-derivation above mirrors the
+    // production composition (same joins, same filters), so a
+    // funnel-composition bug both share would pass it. Pin the
+    // decontamination boundary against INDEPENDENTLY-STATED
+    // expectations instead: the stage-3 frontier must hold no doc in
+    // the held-out eval slice (doc_id ≡ 0 mod 97 — asserted directly
+    // here, not via the production filter expression) and no doc a
+    // direct q73 run marks contaminated — and both drop classes must be
+    // non-empty in the fixture, or the pins are vacuous.
+    val s3ids = r.stages.toMap.apply("decontaminated")
+      .as[Long].collect().toSet
+    val evalSlice = Tables.documents(spark, dir).select("doc_id")
+      .as[Long].collect().filter(_ % 97 == 0).toSet
+    val contaminatedIds = q("q73_decontaminate")(spark, dir)
+      .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
+    assert(evalSlice.nonEmpty && contaminatedIds.nonEmpty,
+      "fixture lost its eval slice or its planted contamination — pins vacuous")
+    assert(s3ids.nonEmpty && s3ids.forall(_ % 97 != 0),
+      "decontaminated stage leaked held-out eval-slice docs into training")
+    assert(s3ids.intersect(contaminatedIds).isEmpty,
+      "decontaminated stage leaked q73-contaminated docs")
     // the funnel must actually fire (non-vacuous) and attrit monotonically
     val counts = r.stages.map { case (_, df) => df.count() }
     assert(counts.head > counts.last && counts.last == got.size.toLong)

@@ -696,6 +696,14 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("IvfMaintainer: compactLog collapses the covered deltas; restore from snapshot + later deltas ≡ uninterrupted") {
+    ivfCompactionLaw(java.nio.file.Files.createTempDirectory("graft_cmp_log").toString)
+  }
+
+  /** The compaction law, parameterized by the persist-log location so it
+    * runs unchanged on file:// (the temp-dir test above) AND on a second
+    * registered FileSystem scheme (the graftfs:// test below — VERDICT
+    * r12 #1). */
+  private def ivfCompactionLaw(ppath: String): Unit = {
     import graft.operators.IvfAnn
     val dir = "/root/testdata/sf0.001"
     val full = IvfAnn.fullCorpus(spark, dir)
@@ -706,7 +714,6 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding"))
     def chunk(i: Long) = raw.filter(col("vec_id") >= cut + i * k &&
       (if (i == 2) lit(true) else col("vec_id") < cut + (i + 1) * k))
-    val ppath = java.nio.file.Files.createTempDirectory("graft_cmp_log").toString
     val m1 = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
       rebuildWhen = _ => false, persistPath = Some(ppath))
     m1.applyBatch(chunk(0), 0L)
@@ -1116,13 +1123,20 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("IvfMaintainer: kill + restore from persist log + checkpoint resume ≡ uninterrupted") {
+    ivfKillResumeLaw(java.nio.file.Files.createTempDirectory("graft_ivfm_log").toString)
+  }
+
+  /** The kill/resume law, parameterized by the persist-log location
+    * (same convention as [[ivfCompactionLaw]] — the streaming
+    * checkpoint itself stays on file://: only the maintainer's durable
+    * log is scheme-portable; Spark owns the checkpoint's FS contract). */
+  private def ivfKillResumeLaw(ppath: String): Unit = {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.IvfAnn
     val dir = "/root/testdata/sf0.001"
     val full = IvfAnn.fullCorpus(spark, dir)
     val nTotal = full.count()
     val cut = nTotal / 2
-    val ppath = java.nio.file.Files.createTempDirectory("graft_ivfm_log").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfm_ckpt").toString
     val arriving = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") >= cut)
@@ -1314,6 +1328,178 @@ class StreamingSpec extends AnyFunSuite {
       m.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckpt))
     }
     ()
+  }
+
+  test("recovery surface on a second FileSystem scheme: kill/resume + compaction laws on graftfs:// (VERDICT r12 #1)") {
+    // Every recovery law so far ran the Hadoop FS API with file://
+    // behind it; a scheme-dependent assumption (default-FS fallback, a
+    // surviving java.io.File walk, local-only rename/listStatus use)
+    // would pass them all and still fail on hdfs:// or s3a://. Register
+    // the test-scoped graftfs:// wrapper (delegates to the local FS —
+    // bytes land on disk, scheme is NOT file) and run the SAME two law
+    // bodies with the persist log, snapshots, deltas and pairing record
+    // on that scheme. The op counter proves the wrapper was actually
+    // exercised, not silently bypassed via re-resolution to file://.
+    GraftFs.register(spark)
+    val before = GraftFs.ops.get()
+    ivfKillResumeLaw("graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_gfs_kr"))
+    ivfCompactionLaw("graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_gfs_cmp"))
+    assert(GraftFs.ops.get() > before,
+      "the graftfs:// wrapper was never exercised — persist-log paths " +
+        "must have re-resolved to file:// somewhere")
+  }
+
+  test("IvfMaintainer: compactLog from a maintenance thread under a LIVE stream loses nothing (VERDICT r12 #2)") {
+    // The compaction laws above drive applyBatch directly; this one
+    // exercises the exact deployment claim — "a deployment compacts it
+    // on its own cadence" — by hammering compactLog() from a separate
+    // maintenance thread WHILE a start()-ed stream is feeding batches.
+    // The shared monitor must serialize the two so every snapshot is a
+    // consistent (corpus, lastBatch) pair: zero lost vectors, search
+    // parity, restore from the live-compacted log, guard resumption.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.IvfAnn
+    val dir = "/root/testdata/sf0.001"
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val ppath = java.nio.file.Files.createTempDirectory("graft_livecmp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_livecmp_ck").toString
+    val arriving = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") >= cut)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val chunks = arriving.grouped(math.max(1, arriving.size / 6)).toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    val q = m.start(mem.toDS().toDF("vec_id", "embedding"), Some(ckpt))
+    val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintErr = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val compactions = new java.util.concurrent.atomic.AtomicLong(0)
+    val maint = new Thread(() => {
+      while (!stopFlag.get()) {
+        try { m.compactLog(); compactions.incrementAndGet() }
+        catch { case e: Throwable => maintErr.set(e); stopFlag.set(true) }
+        Thread.sleep(25)
+      }
+    }, "graft-maintenance")
+    maint.start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally {
+      stopFlag.set(true); maint.join(30000); q.stop()
+    }
+    assert(maintErr.get() == null,
+      s"maintenance-thread compaction failed under the live stream: ${maintErr.get()}")
+    assert(compactions.get() > 0, "the maintenance thread never ran")
+    assert(m.corpus.count() == nTotal,
+      "concurrent compaction lost (or duplicated) streamed vectors")
+    assert(m.index.assigned.select("vec_id").distinct().count() == nTotal)
+    val queries = full.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val viaRebuild = IvfAnn.boundedTopK(full, queries, 5,
+      Some(IvfAnn.buildIndexWithRadii(full)))._2
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(IvfAnn.boundedTopK(m.corpus, queries, 5, Some(m.index))._2
+      .as[(Long, Int, Long)].collect().toSeq == viaRebuild,
+      "search through the live-compacted index diverged from a rebuild")
+    // one final deterministic compaction, then the restore path: the
+    // log a concurrently-compacted run leaves behind must restore to
+    // the identical corpus and answers
+    m.compactLog()
+    val m2 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m2.corpus.count() == nTotal,
+      "restore from the live-compacted log lost vectors")
+    assert(IvfAnn.boundedTopK(m2.corpus, queries, 5, Some(m2.index))._2
+      .as[(Long, Int, Long)].collect().toSeq == viaRebuild)
+    // guard resumption: the restored maintainer still rejects a
+    // mispaired first delivery (batch ids restart below the head)
+    val ex = intercept[IllegalArgumentException] {
+      m2.applyBatch(chunks.head.toDF("vec_id", "embedding"), 0L)
+    }
+    assert(ex.getMessage.contains("checkpointLocation"))
+  }
+
+  test("IvfMaintainer: opt-in compactLogEvery compacts the durable log on its own cadence") {
+    import graft.operators.IvfAnn
+    val dir = "/root/testdata/sf0.001"
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = math.max(1L, (nTotal - cut) / 5)
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def chunk(i: Long) = raw.filter(col("vec_id") >= cut + i * k &&
+      (if (i == 4) lit(true) else col("vec_id") < cut + (i + 1) * k))
+    val ppath = java.nio.file.Files.createTempDirectory("graft_cle_log").toString
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath),
+      compactLogEvery = 2)
+    val fs = new org.apache.hadoop.fs.Path(ppath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$ppath/$s")
+    (0L to 4L).foreach(i => m.applyBatch(chunk(i), i))
+    // cadence 2 over 5 non-empty batches → generations at batch 1 and
+    // 3 (each retiring the previous), batch 4's delta still live
+    assert(fs.exists(p("compact/3/_SUCCESS")),
+      "compactLogEvery=2 did not produce the batch-3 generation")
+    assert(!fs.exists(p("compact/1")),
+      "the superseded batch-1 generation survived")
+    assert(!fs.exists(p("delta/2")) && !fs.exists(p("delta/3")),
+      "covered deltas survived the cadence compaction")
+    assert(fs.exists(p("delta/4/_SUCCESS")),
+      "the post-compaction delta is missing")
+    // restore sees snapshot + tail delta; search parity as always
+    val m2 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false,
+      compactLogEvery = 2)
+    assert(m2.corpus.count() == nTotal)
+    val queries = full.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    assert(IvfAnn.boundedTopK(m2.corpus, queries, 5, Some(m2.index))._2
+      .as[(Long, Int, Long)].collect().toSeq
+      == IvfAnn.boundedTopK(full, queries, 5,
+        Some(IvfAnn.buildIndexWithRadii(full)))._2
+        .as[(Long, Int, Long)].collect().toSeq)
+  }
+
+  test("MixturePlanner: fresh construction over a snapshot-free crashed log clears the stale pairing record (ADVICE r12)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ppath = java.nio.file.Files.createTempDirectory("graft_stale_pair").toString
+    val ckptA = java.nio.file.Files.createTempDirectory("graft_stale_ckA").toString
+    val ckptB = java.nio.file.Files.createTempDirectory("graft_stale_ckB").toString
+    // run 1: start() records the pairing, then "crashes" before any
+    // snapshot completes (no batch ever flows)
+    val mem = MemoryStream[(Long, String, String)]
+    val m1 = new Streaming.MixturePlanner(spark, Some(ppath))
+    m1.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckptA)).stop()
+    val fs = new org.apache.hadoop.fs.Path(ppath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/pairing.txt")),
+      "run 1 never recorded its pairing — fixture broken")
+    // plant crash debris: a counts dir that never reached _SUCCESS
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ppath/counts/3"))
+    // run 2: the log holds NO completed snapshot, so a fresh planner is
+    // legal — and its start() with a NEW checkpoint must not throw
+    // against the dead run's pairing record (the stale record and the
+    // debris are cleared at construction)
+    val m2 = new Streaming.MixturePlanner(spark, Some(ppath))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/counts/3")),
+      "fresh construction left the crash-debris snapshot dir")
+    val q2 = m2.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckptB))
+    try {
+      mem.addData(Seq((1L, "a b c", "s"))); q2.processAllAvailable()
+      assert(m2.counts.agg(sum(col("tok"))).head().getLong(0) == 3L)
+    } finally q2.stop()
+    // and the NEW pairing is the one on record now: a third start with
+    // the dead run's checkpoint is the mispairing
+    val m3 = Streaming.MixturePlanner.restore(spark, ppath)
+    val ex = intercept[IllegalArgumentException] {
+      m3.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckptA))
+    }
+    assert(ex.getMessage.contains("paired"))
   }
 
   test("streaming yield funnel: id-ordered replay == batch q287; late duplicate stays non-keeper") {
