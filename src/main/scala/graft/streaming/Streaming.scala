@@ -497,7 +497,12 @@ object Streaming {
       compactEvery: Int = 32,
       persistPath: Option[String] = None,
       fromRestore: Boolean = false,
-      compactLogEvery: Int = 0) {
+      compactLogEvery: Int = 0,
+      // restore-internal: the quantizer a compaction generation
+      // persisted (see compactLog) — a snapshot restore then wraps the
+      // logged index instead of re-learning it from the snapshot
+      // corpus. Only IvfMaintainer.restore passes this.
+      presetIndex: Option[graft.operators.IvfAnn.IvfIndex] = None) {
     import graft.operators.IvfAnn
     import graft.plans.Ckpt.CkptOps
     private val spark = initialCorpus.sparkSession
@@ -525,7 +530,7 @@ object Streaming {
     private val corpusRef = new java.util.concurrent.atomic.AtomicReference(
       initialCorpus.select(col("vec_id"), col("emb"), col("nrm")).ckpt())
     private val indexRef = new java.util.concurrent.atomic.AtomicReference(
-      IvfAnn.buildIndexWithRadii(corpusRef.get))
+      presetIndex.getOrElse(IvfAnn.buildIndexWithRadii(corpusRef.get)))
     @volatile private var rebuildCount = 0
     @volatile private var lastBatch = -1L
     @volatile private var firstAfterRestore = false
@@ -626,6 +631,16 @@ object Streaming {
         } else appended)
     }
 
+    /** Evaluate rebuildWhen on the current index and re-cluster if it
+      * fires — restore's hook for the snapshot-quantizer path, where no
+      * append() runs to perform the usual evaluation. */
+    private[streaming] def reclusterIfDegraded(): Unit = synchronized {
+      if (rebuildWhen(indexRef.get)) {
+        rebuildCount += 1
+        indexRef.set(IvfAnn.buildIndexWithRadii(corpusRef.get))
+      }
+    }
+
     /** Collapse the persist log into a corpus snapshot (the LSM
       * compaction the class scaladoc promises the deployment runs on
       * its own cadence — this IS that operation): write the CURRENT
@@ -681,7 +696,33 @@ object Streaming {
         // FileNotFoundException, the exact bug this line exists to fix.
         val idx = indexRef.get
         indexRef.set(idx.copy(assigned = idx.assigned.localCheckpoint()))
-        // deletion passes LAST, and both are idempotent + straggler-
+        // Persist the live quantizer alongside the generation (round
+        // 13): without it a snapshot restore must RE-LEARN the index
+        // from the snapshot corpus — RESTORE100X measured that re-learn
+        // at 120.75 s vs 32.8 s for the delta-log path at 600k vectors
+        // (k-means over the full corpus vs seed-learn + assign-only
+        // appends). The logged index is slim — (vec_id, cell)
+        // assignments, the nlist-row centroid/radius table, a one-row
+        // constants frame — and restore wraps it directly. Crash-safe
+        // by the same conventions as the snapshot: the ensemble is
+        // gated on an explicit _SUCCESS written LAST (a crash mid-write
+        // leaves no marker and restore falls back to re-learning), a
+        // COMPLETED ensemble is never rewritten, and restore only
+        // trusts a quantizer whose id equals the chosen snapshot's —
+        // stale generations are retired by the deletion pass below.
+        if (!markerExists(spark, s"$p/quantizer/$lb")) {
+          val live = indexRef.get
+          live.assigned.write.mode("overwrite")
+            .parquet(s"$p/quantizer/$lb/assigned")
+          live.cmeta.write.mode("overwrite")
+            .parquet(s"$p/quantizer/$lb/cmeta")
+          spark.range(1)
+            .select(lit(live.nlist).as("nlist"), lit(live.nprobe).as("nprobe"))
+            .write.mode("overwrite").parquet(s"$p/quantizer/$lb/meta")
+          val (mfs, mp) = hfs(spark, s"$p/quantizer/$lb/_SUCCESS")
+          mfs.create(mp, true).close()
+        }
+        // deletion passes LAST, and all are idempotent + straggler-
         // safe: restore skips stale dirs by id, so a crash anywhere in
         // here costs only disk space until the next compaction
         locally {
@@ -690,6 +731,10 @@ object Streaming {
         }
         locally {
           val (fs, ds) = numericDirs(spark, s"$p/compact")
+          ds.filter(_._2 < lb).foreach(d => fs.delete(d._1.getPath, true))
+        }
+        locally {
+          val (fs, ds) = numericDirs(spark, s"$p/quantizer")
           ds.filter(_._2 < lb).foreach(d => fs.delete(d._1.getPath, true))
         }
       }
@@ -755,15 +800,41 @@ object Streaming {
               "(incomplete seed write) — nothing durable to restore from")
           (spark.read.parquet(s"$path/seed"), -1L)
       }
+      // A generation that also logged its quantizer (compactLog, round
+      // 13) restores the index by READING it — assignment + centroid/
+      // radius tables wrap into an IvfIndex directly, valid because the
+      // snapshot corpus IS the corpus those frames were computed from
+      // under the maintainer's monitor. Only a quantizer whose id
+      // equals the chosen snapshot's counts; an incomplete ensemble (no
+      // _SUCCESS — a mid-write crash) falls back to re-learning from
+      // the snapshot corpus, which stays correct, just slower
+      // (RESTORE100X: 32.8 s read vs 120.8 s re-learn at 600k vectors).
+      val preset = base
+        .filter(b => markerExists(spark, s"$path/quantizer/$b"))
+        .map { b =>
+          val meta = spark.read.parquet(s"$path/quantizer/$b/meta").head()
+          graft.operators.IvfAnn.IvfIndex(
+            spark.read.parquet(s"$path/quantizer/$b/assigned"),
+            spark.read.parquet(s"$path/quantizer/$b/cmeta"),
+            meta.getAs[Int]("nlist"), meta.getAs[Int]("nprobe"))
+        }
       val m = new IvfMaintainer(seedFrame,
         rebuildWhen, compactEvery, Some(path), fromRestore = true,
-        compactLogEvery = compactLogEvery)
+        compactLogEvery = compactLogEvery, presetIndex = preset)
       val bids = completedBatchIds(spark, s"$path/delta").filter(_ > baseBatch)
       if (bids.nonEmpty) {
         // deltas are stored PREPPED (vec_id, emb, nrm) — feed the
         // union through the append step directly (no re-prep, no
-        // re-log; parquet leaves, so no checkpoint needed either)
+        // re-log; parquet leaves, so no checkpoint needed either).
+        // append() also re-evaluates rebuildWhen on the grown index —
+        // the restore-into-degraded-geometry contract.
         m.append(spark.read.parquet(bids.map(b => s"$path/delta/$b"): _*))
+      } else if (preset.isDefined) {
+        // no tail deltas means append() never ran, so the logged
+        // quantizer was adopted UNEVALUATED — a restore into a degraded
+        // geometry must still trigger the re-cluster (the r12 law;
+        // moot on the build-from-scratch path, whose geometry is fresh).
+        m.reclusterIfDegraded()
       }
       m.lastBatch = math.max(baseBatch, if (bids.isEmpty) -1L else bids.max)
       m.firstAfterRestore = m.lastBatch >= 0

@@ -693,6 +693,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(m2.rebuilds == 1,
       "restore into a degraded geometry must trigger the re-cluster")
     assert(m2.index.assigned.count() == 64 + 64)
+    // round 13: the same contract through the SNAPSHOT-QUANTIZER path —
+    // a compacted log with no tail deltas ADOPTS the logged quantizer
+    // without running append(), so restore must evaluate rebuildWhen on
+    // the adopted index explicitly (reclusterIfDegraded).
+    m1.compactLog()
+    val m3 = Streaming.IvfMaintainer.restore(spark, ppath,
+      rebuildWhen = idx => IvfAnn.thresholdPrunability(idx, 0.9) < 0.5)
+    assert(m3.rebuilds == 1,
+      "snapshot-quantizer restore skipped the degraded-geometry re-cluster")
+    assert(m3.index.assigned.count() == 64 + 64)
   }
 
   test("IvfMaintainer: compactLog collapses the covered deltas; restore from snapshot + later deltas ≡ uninterrupted") {
@@ -767,6 +777,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/compact/2/_SUCCESS")))
     val m3 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
     assert(m3.corpus.count() == nTotal)
+    // round 13: each generation also logs its quantizer (retired with
+    // the generation), and a snapshot restore ADOPTS it — read, never
+    // re-learned (RESTORE100X measured the re-learn at ~4× the read at
+    // 600k vectors). Adoption is provable from the geometry: m1's
+    // quantizer was LEARNED on the seed half and only radius-extended
+    // by the appends, so a re-learn over the full corpus would move the
+    // centroids — bit-exact cmeta equality + a zero rebuild count pin
+    // the read path.
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/quantizer/2/_SUCCESS")),
+      "compaction did not log its quantizer")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/quantizer/1")),
+      "the superseded quantizer generation survived")
+    val wantC = m2.index.cmeta.collect().map(_.toString).sorted.toSeq
+    val gotC = m3.index.cmeta.collect().map(_.toString).sorted.toSeq
+    assert(gotC == wantC,
+      "snapshot restore re-learned (or corrupted) the logged quantizer")
+    assert(m3.rebuilds == 0)
+    assert((m3.index.nlist, m3.index.nprobe) == ((m2.index.nlist, m2.index.nprobe)),
+      "logged probe constants diverged")
   }
 
   test("IvfMaintainer: a re-delivered batchId is a no-op (at-least-once idempotence)") {
