@@ -536,6 +536,10 @@ object Streaming {
     @volatile private var firstAfterRestore = false
     private var sinceCompact = 0
     private var appliedSinceLogCompact = 0
+    // the durable generation compactLog last completed (or the one a
+    // snapshot restore resumed from) — makes re-invocation at an
+    // unchanged head a true no-op
+    private var lastCompactedGen = -1L
     // durable seed, written once (restore skips it — the on-disk seed
     // it was constructed from IS the record)
     persistPath.foreach { p =>
@@ -579,10 +583,8 @@ object Streaming {
         // batch), which a latency-sensitive stream should schedule off
         // the hot path instead. Reentrant: both methods share the
         // maintainer's monitor.
-        if (compactLogEvery > 0 && appliedSinceLogCompact >= compactLogEvery) {
-          compactLog()
-          appliedSinceLogCompact = 0
-        }
+        if (compactLogEvery > 0 && appliedSinceLogCompact >= compactLogEvery)
+          compactLog() // resets appliedSinceLogCompact itself
       }
     }
 
@@ -633,11 +635,23 @@ object Streaming {
 
     /** Evaluate rebuildWhen on the current index and re-cluster if it
       * fires — restore's hook for the snapshot-quantizer path, where no
-      * append() runs to perform the usual evaluation. */
-    private[streaming] def reclusterIfDegraded(): Unit = synchronized {
+      * append() runs to perform the usual evaluation. The rebuilt
+      * quantizer is RE-LOGGED over the degraded generation it
+      * supersedes (review r13): otherwise every later restart would
+      * re-adopt the degraded ensemble and re-pay this full re-cluster
+      * until a new batch advanced the generation. Marker deleted FIRST:
+      * a crash mid-rewrite leaves an unmarked ensemble and restore
+      * falls back to re-learning from the snapshot — never a corrupt
+      * adoption. */
+    private[streaming] def reclusterIfDegraded(baseGen: Long): Unit = synchronized {
       if (rebuildWhen(indexRef.get)) {
         rebuildCount += 1
         indexRef.set(IvfAnn.buildIndexWithRadii(corpusRef.get))
+        persistPath.foreach { p =>
+          val (mfs, mp) = hfs(spark, s"$p/quantizer/$baseGen/_SUCCESS")
+          if (mfs.exists(mp)) mfs.delete(mp, false)
+          writeQuantizer(p, baseGen)
+        }
       }
     }
 
@@ -659,18 +673,31 @@ object Streaming {
       * monitor, so a maintenance-cadence compaction snapshots one
       * consistent (corpus, lastBatch) pair or waits — never an
       * interleaved mixture. Re-invoking at the same lastBatch is a
-      * no-op on the snapshot itself: a completed generation is never
-      * rewritten in place (overwrite deletes-then-writes, and a crash
-      * mid-rewrite of the ONLY snapshot — its covered deltas already
-      * gone — would silently roll the log back to the seed). No-op
-      * entirely before the first applied batch or without a
-      * persistPath. */
+      * TRUE no-op (early return on lastCompactedGen — review r13), and
+      * a completed generation is never rewritten in place (overwrite
+      * deletes-then-writes, and a crash mid-rewrite of the ONLY
+      * snapshot — its covered deltas already gone — would silently
+      * roll the log back to the seed). No-op entirely before the first
+      * applied batch or without a persistPath. The maintainer's OWN
+      * frames are re-rooted before any deletion; a caller that
+      * captured `index`/`corpus` BEFORE a compaction and is still
+      * mid-job when the retired generation's files are deleted can
+      * observe a FileNotFoundException — re-read the accessor and
+      * retry (the same contract any snapshot-isolated table format
+      * gives concurrent readers of an expired version). */
     def compactLog(): Unit = synchronized { persistPath.foreach { p =>
       // lastBatch is read ONCE (review finding: it is volatile and the
       // method is synchronized with applyBatch, so a maintenance-thread
       // compaction can never snapshot one batch set and delete another)
       val lb = lastBatch
-      if (lb >= 0) {
+      // Re-invocation at an unchanged head is a REAL no-op (review
+      // r13): the maintenance cadence calls this between batches, and
+      // without the gate every call redid the corpus re-point, a fresh
+      // localCheckpoint of the member frame and three directory
+      // listings — real latency on object stores. lastCompactedGen
+      // only advances after a COMPLETE pass, so a throw mid-compaction
+      // leaves it unset and the retry redoes every (idempotent) step.
+      if (lb >= 0 && lb != lastCompactedGen) {
         // never rewrite a completed snapshot in place (review finding:
         // overwrite deletes-then-writes, so a crash mid-rewrite of the
         // ONLY snapshot — whose covered deltas are already gone — would
@@ -686,16 +713,20 @@ object Streaming {
         // resets the union-chain depth, like the in-memory compaction.
         corpusRef.set(spark.read.parquet(s"$p/compact/$lb"))
         sinceCompact = 0
-        // the index's member frame gets the same treatment — its
-        // lineage may reach the delta files through a non-checkpointed
-        // bulk append; localCheckpoint truncates it at current state.
-        // DIRECT localCheckpoint, not the Ckpt shim (ADVICE r12): this
-        // is a durability operation, not a derivation build — under
-        // Ckpt.auditMode the shim silently no-ops, and the deletion
-        // pass below would then break the live index lineage with
-        // FileNotFoundException, the exact bug this line exists to fix.
+        // BOTH index frames get the same treatment — assigned's lineage
+        // may reach the delta files through a non-checkpointed bulk
+        // append, and cmeta's may be parquet-backed by an ADOPTED
+        // quantizer generation (review r13) or reach the deltas through
+        // appendToIndex's radius merge; localCheckpoint truncates each
+        // at current state. DIRECT localCheckpoint, not the Ckpt shim
+        // (ADVICE r12): this is a durability operation, not a
+        // derivation build — under Ckpt.auditMode the shim silently
+        // no-ops, and the deletion passes below would then break the
+        // live index lineage with FileNotFoundException, the exact bug
+        // these lines exist to fix.
         val idx = indexRef.get
-        indexRef.set(idx.copy(assigned = idx.assigned.localCheckpoint()))
+        indexRef.set(idx.copy(assigned = idx.assigned.localCheckpoint(),
+          cmeta = idx.cmeta.localCheckpoint()))
         // Persist the live quantizer alongside the generation (round
         // 13): without it a snapshot restore must RE-LEARN the index
         // from the snapshot corpus — RESTORE100X measured that re-learn
@@ -710,18 +741,8 @@ object Streaming {
         // COMPLETED ensemble is never rewritten, and restore only
         // trusts a quantizer whose id equals the chosen snapshot's —
         // stale generations are retired by the deletion pass below.
-        if (!markerExists(spark, s"$p/quantizer/$lb")) {
-          val live = indexRef.get
-          live.assigned.write.mode("overwrite")
-            .parquet(s"$p/quantizer/$lb/assigned")
-          live.cmeta.write.mode("overwrite")
-            .parquet(s"$p/quantizer/$lb/cmeta")
-          spark.range(1)
-            .select(lit(live.nlist).as("nlist"), lit(live.nprobe).as("nprobe"))
-            .write.mode("overwrite").parquet(s"$p/quantizer/$lb/meta")
-          val (mfs, mp) = hfs(spark, s"$p/quantizer/$lb/_SUCCESS")
-          mfs.create(mp, true).close()
-        }
+        if (!markerExists(spark, s"$p/quantizer/$lb"))
+          writeQuantizer(p, lb)
         // deletion passes LAST, and all are idempotent + straggler-
         // safe: restore skips stale dirs by id, so a crash anywhere in
         // here costs only disk space until the next compaction
@@ -737,8 +758,35 @@ object Streaming {
           val (fs, ds) = numericDirs(spark, s"$p/quantizer")
           ds.filter(_._2 < lb).foreach(d => fs.delete(d._1.getPath, true))
         }
+        lastCompactedGen = lb
+        // any compaction satisfies the inline cadence (review r13: the
+        // counter used to reset only on the inline path, so a
+        // maintenance-thread compaction at batch k was followed by a
+        // redundant full-corpus inline one at batch k+1)
+        appliedSinceLogCompact = 0
       }
     } }
+
+    /** Write the live index as generation `gen`'s quantizer ensemble —
+      * assignment + centroid/radius table + constants, with the
+      * explicit ensemble _SUCCESS written LAST. Callers fence:
+      * compactLog skips a completed ensemble entirely;
+      * reclusterIfDegraded deletes the marker FIRST so any crash
+      * mid-rewrite leaves an unmarked ensemble and restore falls back
+      * to re-learning (correct, just slower — the ensemble is an
+      * optimization, never the record; the snapshot is the record). */
+    private def writeQuantizer(p: String, gen: Long): Unit = {
+      val live = indexRef.get
+      live.assigned.write.mode("overwrite")
+        .parquet(s"$p/quantizer/$gen/assigned")
+      live.cmeta.write.mode("overwrite")
+        .parquet(s"$p/quantizer/$gen/cmeta")
+      spark.range(1)
+        .select(lit(live.nlist).as("nlist"), lit(live.nprobe).as("nprobe"))
+        .write.mode("overwrite").parquet(s"$p/quantizer/$gen/meta")
+      val (mfs, mp) = hfs(spark, s"$p/quantizer/$gen/_SUCCESS")
+      mfs.create(mp, true).close()
+    }
 
     /** newVectors: streaming (vec_id, embedding array<float>) frame.
       * `checkpointLocation` makes the source resumable — pair it with
@@ -834,8 +882,11 @@ object Streaming {
         // quantizer was adopted UNEVALUATED — a restore into a degraded
         // geometry must still trigger the re-cluster (the r12 law;
         // moot on the build-from-scratch path, whose geometry is fresh).
-        m.reclusterIfDegraded()
+        m.reclusterIfDegraded(baseBatch)
       }
+      // the chosen snapshot (if any) is a completed generation — a
+      // later compactLog at the same head must be the documented no-op
+      base.foreach(b => m.lastCompactedGen = b)
       m.lastBatch = math.max(baseBatch, if (bids.isEmpty) -1L else bids.max)
       m.firstAfterRestore = m.lastBatch >= 0
       m
@@ -904,18 +955,25 @@ object Streaming {
     * over a log that already holds state, throws instead of dropping.
     * (Unpaired operation — no persistPath, or no checkpoint before any
     * state exists — stays legal: nothing durable can be lost yet.) */
+  /** The checkpointLocation a persist log's pairing.txt records, None
+    * if the log is unpaired. */
+  private[streaming] def readPairing(spark: SparkSession,
+      logPath: String): Option[String] = {
+    val (fs, p) = hfs(spark, s"$logPath/pairing.txt")
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0L, buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim)
+    }
+  }
+
   private[streaming] def checkOrRecordPairing(spark: SparkSession,
       logPath: String, checkpointLocation: Option[String],
       hasLoggedState: Boolean): Unit = {
     val (fs, p) = hfs(spark, s"$logPath/pairing.txt")
-    val recorded: Option[String] =
-      if (!fs.exists(p)) None
-      else {
-        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        val in = fs.open(p)
-        try in.readFully(0L, buf) finally in.close()
-        Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim)
-      }
+    val recorded: Option[String] = readPairing(spark, logPath)
     (checkpointLocation, recorded) match {
       case (Some(c), Some(r)) =>
         require(c == r,
@@ -1082,13 +1140,30 @@ object Streaming {
         // _SUCCESS-less crash-debris dirs) on an otherwise state-free
         // log — the guard above correctly admits the fresh planner, but
         // its first start() would then throw spuriously against the
-        // dead run's pairing record (ADVICE r12). Nothing durable
-        // exists to protect (the require above proved it), so clear the
-        // debris and let the new pairing record cleanly.
-        val (fs, debris) = numericDirs(spark, s"$p/counts")
-        debris.foreach(d => fs.delete(d._1.getPath, true))
-        val pairing = new org.apache.hadoop.fs.Path(s"$p/pairing.txt")
-        if (fs.exists(pairing)) fs.delete(pairing, false)
+        // dead run's pairing record (ADVICE r12). The record alone
+        // cannot distinguish that dead run from a LIVE one that simply
+        // hasn't snapshotted yet (review r13: unconditional cleanup
+        // would let a supervisor retry silently re-pair a log a live
+        // stream is still feeding — the chimera the record exists to
+        // prevent). Adjudication: auto-clean only when the RECORDED
+        // checkpoint location no longer exists — provably neither
+        // resumable nor live, since a running stream keeps its
+        // checkpoint dir. Otherwise the record stays and start() keeps
+        // throwing the structural mismatch; the runbook remediation is
+        // to resume via restore() + the recorded checkpoint, or delete
+        // the dead run's checkpoint dir (the explicit fencing act) and
+        // construct fresh.
+        val recorded = readPairing(spark, p)
+        val recordedCkptGone = recorded.forall { c =>
+          val (cfs, cp) = hfs(spark, c)
+          !cfs.exists(cp)
+        }
+        if (recordedCkptGone) {
+          val (fs, debris) = numericDirs(spark, s"$p/counts")
+          debris.foreach(d => fs.delete(d._1.getPath, true))
+          val pairing = new org.apache.hadoop.fs.Path(s"$p/pairing.txt")
+          if (fs.exists(pairing)) fs.delete(pairing, false)
+        }
       }
     }
     private val countsRef =

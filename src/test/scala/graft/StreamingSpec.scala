@@ -698,11 +698,24 @@ class StreamingSpec extends AnyFunSuite {
     // without running append(), so restore must evaluate rebuildWhen on
     // the adopted index explicitly (reclusterIfDegraded).
     m1.compactLog()
+    val degradedCmeta = m1.index.cmeta.collect().map(_.toString).sorted.toSeq
     val m3 = Streaming.IvfMaintainer.restore(spark, ppath,
       rebuildWhen = idx => IvfAnn.thresholdPrunability(idx, 0.9) < 0.5)
     assert(m3.rebuilds == 1,
       "snapshot-quantizer restore skipped the degraded-geometry re-cluster")
     assert(m3.index.assigned.count() == 64 + 64)
+    // review r13: the re-cluster RE-LOGS the rebuilt quantizer over the
+    // degraded generation — the next restart must adopt the rebuilt one
+    // (read it back, not re-pay the re-cluster when the policy is
+    // satisfied). Pin via the ensemble content: a policy-free restore
+    // adopts exactly m3's rebuilt cmeta, which differs from the
+    // degraded one m1 logged.
+    val rebuiltCmeta = m3.index.cmeta.collect().map(_.toString).sorted.toSeq
+    assert(rebuiltCmeta != degradedCmeta, "re-cluster produced the same geometry — pin vacuous")
+    val m4 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m4.rebuilds == 0)
+    assert(m4.index.cmeta.collect().map(_.toString).sorted.toSeq == rebuiltCmeta,
+      "the generation's ensemble is not the rebuilt quantizer — every restart would re-pay the re-cluster")
   }
 
   test("IvfMaintainer: compactLog collapses the covered deltas; restore from snapshot + later deltas ≡ uninterrupted") {
@@ -1494,11 +1507,12 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, Int, Long)].collect().toSeq)
   }
 
-  test("MixturePlanner: fresh construction over a snapshot-free crashed log clears the stale pairing record (ADVICE r12)") {
+  test("MixturePlanner: fresh construction over a snapshot-free crashed log clears the stale pairing record — only once its checkpoint is gone (ADVICE r12 + review r13)") {
     implicit val sqlCtx = spark.sqlContext
     val ppath = java.nio.file.Files.createTempDirectory("graft_stale_pair").toString
     val ckptA = java.nio.file.Files.createTempDirectory("graft_stale_ckA").toString
     val ckptB = java.nio.file.Files.createTempDirectory("graft_stale_ckB").toString
+    val ckptC = java.nio.file.Files.createTempDirectory("graft_stale_ckC").toString
     // run 1: start() records the pairing, then "crashes" before any
     // snapshot completes (no batch ever flows)
     val mem = MemoryStream[(Long, String, String)]
@@ -1510,23 +1524,40 @@ class StreamingSpec extends AnyFunSuite {
       "run 1 never recorded its pairing — fixture broken")
     // plant crash debris: a counts dir that never reached _SUCCESS
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ppath/counts/3"))
-    // run 2: the log holds NO completed snapshot, so a fresh planner is
-    // legal — and its start() with a NEW checkpoint must not throw
-    // against the dead run's pairing record (the stale record and the
-    // debris are cleared at construction)
+    // While run 1's CHECKPOINT still exists it could be live (a
+    // supervisor retry racing a running stream — review r13): a fresh
+    // planner constructs, but it must NOT clean the record, and its
+    // start() with a new checkpoint must still throw the structural
+    // mismatch.
+    val mLive = new Streaming.MixturePlanner(spark, Some(ppath))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/pairing.txt")),
+      "cleanup fired while the recorded checkpoint still existed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/counts/3")),
+      "debris cleanup fired while the recorded checkpoint still existed")
+    val exLive = intercept[IllegalArgumentException] {
+      mLive.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckptB))
+    }
+    assert(exLive.getMessage.contains("paired"))
+    // The fencing act: the dead run's checkpoint dir is deleted. Now a
+    // fresh planner provably can't be racing a live stream — the stale
+    // record and the debris are cleared at construction and the new
+    // pairing records cleanly.
+    fs.delete(new org.apache.hadoop.fs.Path(ckptA), true)
     val m2 = new Streaming.MixturePlanner(spark, Some(ppath))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/counts/3")),
       "fresh construction left the crash-debris snapshot dir")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/pairing.txt")),
+      "fresh construction left the dead run's pairing record")
     val q2 = m2.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckptB))
     try {
       mem.addData(Seq((1L, "a b c", "s"))); q2.processAllAvailable()
       assert(m2.counts.agg(sum(col("tok"))).head().getLong(0) == 3L)
     } finally q2.stop()
     // and the NEW pairing is the one on record now: a third start with
-    // the dead run's checkpoint is the mispairing
+    // a different checkpoint is the mispairing
     val m3 = Streaming.MixturePlanner.restore(spark, ppath)
     val ex = intercept[IllegalArgumentException] {
-      m3.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckptA))
+      m3.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckptC))
     }
     assert(ex.getMessage.contains("paired"))
   }
