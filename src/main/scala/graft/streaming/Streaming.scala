@@ -583,8 +583,15 @@ object Streaming {
         // batch), which a latency-sensitive stream should schedule off
         // the hot path instead. Reentrant: both methods share the
         // maintainer's monitor.
-        if (compactLogEvery > 0 && appliedSinceLogCompact >= compactLogEvery)
-          compactLog() // resets appliedSinceLogCompact itself
+        if (compactLogEvery > 0 && appliedSinceLogCompact >= compactLogEvery) {
+          compactLog()
+          // compactLog resets the counter when it does real durable
+          // work, but not without a persistPath (its body is inside
+          // persistPath.foreach) — reset unconditionally so an
+          // unpersisted maintainer with a cadence doesn't invoke the
+          // no-op on every later batch (review r13, pass 2)
+          appliedSinceLogCompact = 0
+        }
       }
     }
 
@@ -884,11 +891,28 @@ object Streaming {
         // moot on the build-from-scratch path, whose geometry is fresh).
         m.reclusterIfDegraded(baseBatch)
       }
-      // the chosen snapshot (if any) is a completed generation — a
-      // later compactLog at the same head must be the documented no-op
-      base.foreach(b => m.lastCompactedGen = b)
+      // the chosen snapshot is a completed generation — a later
+      // compactLog at the same head must be the documented no-op — but
+      // ONLY when its quantizer ensemble completed too (review r13,
+      // pass 2): seeding the gate after restoring a generation whose
+      // ensemble write crashed would block the first compactLog from
+      // ever repairing it, and every restart at that head would re-pay
+      // the full re-learn — the exact cost the ensemble exists to
+      // avoid. preset.isDefined ⟺ the ensemble is complete.
+      if (preset.isDefined) m.lastCompactedGen = baseBatch
       m.lastBatch = math.max(baseBatch, if (bids.isEmpty) -1L else bids.max)
       m.firstAfterRestore = m.lastBatch >= 0
+      // A restore whose bulk append fired the re-cluster just paid the
+      // full-corpus k-means; the rebuilt quantizer belongs to a head
+      // PAST the snapshot, so it cannot be re-logged at the base
+      // generation (its assignment includes the tail deltas — a later
+      // restore would adopt it and then re-append those deltas,
+      // duplicating members). Persist it the only consistent way: one
+      // compaction at the restored head (review r13, pass 2 — without
+      // this a crash-looping deployment re-pays the re-cluster on
+      // every restart; the no-delta path is handled in place by
+      // reclusterIfDegraded's ensemble rewrite).
+      if (m.rebuilds > 0 && bids.nonEmpty) m.compactLog()
       m
     }
   }
@@ -943,20 +967,10 @@ object Streaming {
       .map(_._2).sorted
   }
 
-  /** Checkpoint-pairing record (ADVICE r11): the batch-id resume guard
-    * alone cannot catch a mispaired resume when the log holds exactly
-    * one batch — a fresh checkpoint renumbers from 0, `0 >= lastBatch
-    * == 0` passes, and the idempotence guard silently drops the new
-    * data. So the pairing is pinned structurally at start() time,
-    * before any batch flows: the first start() against a persist log
-    * records its checkpointLocation at `<log>/pairing.txt`, and every
-    * later start() over that log — same process or post-restore — must
-    * present the SAME location. A mismatch, or no checkpoint at all
-    * over a log that already holds state, throws instead of dropping.
-    * (Unpaired operation — no persistPath, or no checkpoint before any
-    * state exists — stays legal: nothing durable can be lost yet.) */
   /** The checkpointLocation a persist log's pairing.txt records, None
-    * if the log is unpaired. */
+    * if the log is unpaired — the record reader behind
+    * [[checkOrRecordPairing]] and the MixturePlanner stale-record
+    * cleanup. */
   private[streaming] def readPairing(spark: SparkSession,
       logPath: String): Option[String] = {
     val (fs, p) = hfs(spark, s"$logPath/pairing.txt")
@@ -969,6 +983,18 @@ object Streaming {
     }
   }
 
+  /** Checkpoint-pairing record (ADVICE r11): the batch-id resume guard
+    * alone cannot catch a mispaired resume when the log holds exactly
+    * one batch — a fresh checkpoint renumbers from 0, `0 >= lastBatch
+    * == 0` passes, and the idempotence guard silently drops the new
+    * data. So the pairing is pinned structurally at start() time,
+    * before any batch flows: the first start() against a persist log
+    * records its checkpointLocation at `<log>/pairing.txt`, and every
+    * later start() over that log — same process or post-restore — must
+    * present the SAME location. A mismatch, or no checkpoint at all
+    * over a log that already holds state, throws instead of dropping.
+    * (Unpaired operation — no persistPath, or no checkpoint before any
+    * state exists — stays legal: nothing durable can be lost yet.) */
   private[streaming] def checkOrRecordPairing(spark: SparkSession,
       logPath: String, checkpointLocation: Option[String],
       hasLoggedState: Boolean): Unit = {
@@ -998,6 +1024,21 @@ object Streaming {
           s"persist log $logPath already holds state but no pairing " +
             "record — its batch numbering cannot be verified against " +
             s"checkpoint $c; continue it with applyBatch, or start a new log")
+        // The checkpoint DIRECTORY is created before the record exists
+        // (review r13, pass 2): the MixturePlanner stale-record cleanup
+        // treats "recorded checkpoint dir absent" as proof the paired
+        // run is dead — but Spark only creates the dir at query start,
+        // AFTER this record is written, so a concurrently-constructed
+        // fresh planner could observe record-present + dir-absent on a
+        // LIVE run mid-start and delete its pairing (the TOCTOU form of
+        // the two-live-writers chimera). Creating the dir first makes
+        // the invariant "record exists ⟹ its checkpoint dir exists"
+        // hold from the record's first instant; a crash between the
+        // two leaves an empty unpaired dir, which Spark accepts.
+        locally {
+          val (cfs, cp) = hfs(spark, c)
+          cfs.mkdirs(cp)
+        }
         // atomic record via temp + rename (the _SUCCESS convention):
         // a crash mid-write must not leave a truncated pairing.txt
         // that bricks every future correctly-paired start

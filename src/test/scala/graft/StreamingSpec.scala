@@ -682,37 +682,54 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
       .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb"))))
       .drop("embedding")
-    val ppath = java.nio.file.Files.createTempDirectory("graft_rbw_log").toString
-    val m1 = new Streaming.IvfMaintainer(seed, rebuildWhen = _ => false,
-      persistPath = Some(ppath))
-    m1.applyBatch((100L until 164L).map(i => (i, unit().toSeq))
+    // Scenario A — the BULK-APPEND path: the radius-blowing arrivals
+    // sit in the delta log; restore's append() evaluates rebuildWhen
+    // and must fire. The rebuild happened PAST the snapshot-able base,
+    // so restore persists it as one compaction at the restored head
+    // (review r13, pass 2 — otherwise a crash-looping deployment
+    // re-pays the full re-cluster on every restart).
+    val ppathA = java.nio.file.Files.createTempDirectory("graft_rbw_logA").toString
+    val m1a = new Streaming.IvfMaintainer(seed, rebuildWhen = _ => false,
+      persistPath = Some(ppathA))
+    m1a.applyBatch((100L until 164L).map(i => (i, unit().toSeq))
       .toDF("vec_id", "embedding"), 0L)
-    assert(m1.rebuilds == 0, "live run must not rebuild (rebuildWhen = never)")
-    val m2 = Streaming.IvfMaintainer.restore(spark, ppath,
+    assert(m1a.rebuilds == 0, "live run must not rebuild (rebuildWhen = never)")
+    val m2 = Streaming.IvfMaintainer.restore(spark, ppathA,
       rebuildWhen = idx => IvfAnn.thresholdPrunability(idx, 0.9) < 0.5)
     assert(m2.rebuilds == 1,
       "restore into a degraded geometry must trigger the re-cluster")
     assert(m2.index.assigned.count() == 64 + 64)
-    // round 13: the same contract through the SNAPSHOT-QUANTIZER path —
-    // a compacted log with no tail deltas ADOPTS the logged quantizer
-    // without running append(), so restore must evaluate rebuildWhen on
-    // the adopted index explicitly (reclusterIfDegraded).
-    m1.compactLog()
-    val degradedCmeta = m1.index.cmeta.collect().map(_.toString).sorted.toSeq
-    val m3 = Streaming.IvfMaintainer.restore(spark, ppath,
+    val fsA = new org.apache.hadoop.fs.Path(ppathA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsA.exists(new org.apache.hadoop.fs.Path(s"$ppathA/compact/0/_SUCCESS"))
+      && fsA.exists(new org.apache.hadoop.fs.Path(s"$ppathA/quantizer/0/_SUCCESS")),
+      "the restore-time re-cluster was not persisted as a compaction")
+    val m2b = Streaming.IvfMaintainer.restore(spark, ppathA, _ => false)
+    assert(m2b.index.cmeta.collect().map(_.toString).sorted.toSeq
+      == m2.index.cmeta.collect().map(_.toString).sorted.toSeq
+      && m2b.rebuilds == 0,
+      "the next restart did not adopt the persisted rebuilt quantizer")
+
+    // Scenario B — the SNAPSHOT-QUANTIZER path: a compacted log with no
+    // tail deltas adopts the logged quantizer without running append(),
+    // so restore must evaluate rebuildWhen on the adopted index
+    // explicitly (reclusterIfDegraded), and the re-cluster RE-LOGS the
+    // rebuilt ensemble over the degraded generation it supersedes.
+    val ppathB = java.nio.file.Files.createTempDirectory("graft_rbw_logB").toString
+    val m1b = new Streaming.IvfMaintainer(seed, rebuildWhen = _ => false,
+      persistPath = Some(ppathB))
+    m1b.applyBatch((100L until 164L).map(i => (i, unit().toSeq))
+      .toDF("vec_id", "embedding"), 0L)
+    m1b.compactLog()
+    val degradedCmeta = m1b.index.cmeta.collect().map(_.toString).sorted.toSeq
+    val m3 = Streaming.IvfMaintainer.restore(spark, ppathB,
       rebuildWhen = idx => IvfAnn.thresholdPrunability(idx, 0.9) < 0.5)
     assert(m3.rebuilds == 1,
       "snapshot-quantizer restore skipped the degraded-geometry re-cluster")
     assert(m3.index.assigned.count() == 64 + 64)
-    // review r13: the re-cluster RE-LOGS the rebuilt quantizer over the
-    // degraded generation — the next restart must adopt the rebuilt one
-    // (read it back, not re-pay the re-cluster when the policy is
-    // satisfied). Pin via the ensemble content: a policy-free restore
-    // adopts exactly m3's rebuilt cmeta, which differs from the
-    // degraded one m1 logged.
     val rebuiltCmeta = m3.index.cmeta.collect().map(_.toString).sorted.toSeq
     assert(rebuiltCmeta != degradedCmeta, "re-cluster produced the same geometry — pin vacuous")
-    val m4 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    val m4 = Streaming.IvfMaintainer.restore(spark, ppathB, _ => false)
     assert(m4.rebuilds == 0)
     assert(m4.index.cmeta.collect().map(_.toString).sorted.toSeq == rebuiltCmeta,
       "the generation's ensemble is not the rebuilt quantizer — every restart would re-pay the re-cluster")
@@ -809,6 +826,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(m3.rebuilds == 0)
     assert((m3.index.nlist, m3.index.nprobe) == ((m2.index.nlist, m2.index.nprobe)),
       "logged probe constants diverged")
+    // review r13, pass 2: a generation whose ensemble write crashed
+    // (no marker) must be REPAIRABLE — restore falls back to the
+    // re-learn (correct, just slower), must NOT seed the no-op gate,
+    // and the first compactLog at that head rewrites the missing
+    // ensemble so later restarts stop re-paying the re-learn.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ppath/quantizer/2/_SUCCESS"), false)
+    val m5 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m5.corpus.count() == nTotal)
+    m5.compactLog()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/quantizer/2/_SUCCESS")),
+      "crash-incomplete ensemble was never repaired by the next compaction")
+    val m6 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m6.rebuilds == 0
+      && m6.index.cmeta.collect().map(_.toString).sorted.toSeq
+        == m5.index.cmeta.collect().map(_.toString).sorted.toSeq,
+      "the repaired ensemble was not adopted")
+    assert(IvfAnn.boundedTopK(m6.corpus, queries, 5, Some(m6.index))._2
+      .as[(Long, Int, Long)].collect().toSeq == viaRebuild,
+      "search through the repaired-ensemble index diverged")
   }
 
   test("IvfMaintainer: a re-delivered batchId is a no-op (at-least-once idempotence)") {
