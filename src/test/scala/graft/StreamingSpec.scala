@@ -1251,6 +1251,14 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("MixturePlanner: kill + restore from snapshot + checkpoint resume == batch q289") {
+    mixKillResumeLaw(java.nio.file.Files.createTempDirectory("graft_mix_log").toString)
+  }
+
+  /** The MixturePlanner kill/resume law, parameterized by the
+    * persist-log location (same convention as [[ivfKillResumeLaw]]) —
+    * its snapshot writes, two-newest retention walk and pairing record
+    * run on whichever scheme the caller passes. */
+  private def mixKillResumeLaw(ppath: String): Unit = {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
     val want = SparkEntry.queries("q289_temperature_mixture")(spark, dir)
@@ -1258,7 +1266,6 @@ class StreamingSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("source"))
       .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
-    val ppath = java.nio.file.Files.createTempDirectory("graft_mix_log").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_mix_ckpt").toString
     // ≥4 chunks regardless of fixture size: the resumed query must
     // process real post-restore batches (they consume the resume-
@@ -1424,6 +1431,10 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("graft_gfs_kr"))
     ivfCompactionLaw("graftfs://" +
       java.nio.file.Files.createTempDirectory("graft_gfs_cmp"))
+    // beyond the ask: MixturePlanner's snapshot/retention/pairing walk
+    // is a separate recovery surface — same scheme, same proof
+    mixKillResumeLaw("graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_gfs_mix"))
     assert(GraftFs.ops.get() > before,
       "the graftfs:// wrapper was never exercised — persist-log paths " +
         "must have re-resolved to file:// somewhere")
