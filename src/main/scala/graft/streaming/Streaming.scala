@@ -649,12 +649,14 @@ object Streaming {
       * until a new batch advanced the generation. Marker deleted FIRST:
       * a crash mid-rewrite leaves an unmarked ensemble and restore
       * falls back to re-learning from the snapshot — never a corrupt
-      * adoption. */
-    private[streaming] def reclusterIfDegraded(baseGen: Long): Unit = synchronized {
+      * adoption. `persist = false` (restore's read-only mode — review
+      * r13, pass 3) keeps the re-cluster in memory only. */
+    private[streaming] def reclusterIfDegraded(baseGen: Long,
+        persist: Boolean = true): Unit = synchronized {
       if (rebuildWhen(indexRef.get)) {
         rebuildCount += 1
         indexRef.set(IvfAnn.buildIndexWithRadii(corpusRef.get))
-        persistPath.foreach { p =>
+        if (persist) persistPath.foreach { p =>
           val (mfs, mp) = hfs(spark, s"$p/quantizer/$baseGen/_SUCCESS")
           if (mfs.exists(mp)) mfs.delete(mp, false)
           writeQuantizer(p, baseGen)
@@ -704,7 +706,17 @@ object Streaming {
       // listings — real latency on object stores. lastCompactedGen
       // only advances after a COMPLETE pass, so a throw mid-compaction
       // leaves it unset and the retry redoes every (idempotent) step.
-      if (lb >= 0 && lb != lastCompactedGen) {
+      // The head alone is not enough once a generation exists (review
+      // r13, pass 3): applyBatch advances lastBatch on EMPTY batches
+      // too (it must — idempotence tracks delivery, not data), so an
+      // empty micro-batch would make `lb != lastCompactedGen` true
+      // again and a cadenced compaction would rewrite the full corpus,
+      // assignment and quantizer for byte-identical content. Gate on
+      // data actually applied since the last completed compaction;
+      // restore seeds the counter with its tail-delta count so a
+      // post-restart compaction at an uncompacted head still runs.
+      if (lb >= 0 && lb != lastCompactedGen &&
+          (lastCompactedGen < 0 || appliedSinceLogCompact > 0)) {
         // never rewrite a completed snapshot in place (review finding:
         // overwrite deletes-then-writes, so a crash mid-rewrite of the
         // ONLY snapshot — whose covered deltas are already gone — would
@@ -828,11 +840,27 @@ object Streaming {
       * whose radii cover its members), and the law asserts answer
       * parity, which is the contract. rebuildWhen is evaluated once on
       * the bulk-appended index, so a restore into a degraded geometry
-      * still triggers the re-cluster. */
+      * still triggers the re-cluster.
+      *
+      * Write discipline (review r13, pass 3): with the default
+      * `persistRebuild = true`, a restore whose rebuildWhen fires
+      * WRITES the re-cluster back to the log (the ensemble rewrite /
+      * restored-head compaction below) so a crash-looping deployment
+      * doesn't re-pay the full k-means on every restart — which makes
+      * such a restore a log WRITER, subject to the same single-writer
+      * contract as compactLog. A serving replica restoring a log it
+      * does not own, or a restore from a read-only mount, must pass
+      * `persistRebuild = false`: the restore is then guaranteed
+      * write-free (the re-cluster still happens, in memory only, and
+      * search answers are identical — it just isn't persisted).
+      * Concurrent read-only restores of one log are safe; two
+      * persistRebuild=true restores of one log are two writers, same
+      * as two live maintainers, and are not. */
     def restore(spark: SparkSession, path: String,
         rebuildWhen: graft.operators.IvfAnn.IvfIndex => Boolean,
         compactEvery: Int = 32,
-        compactLogEvery: Int = 0): IvfMaintainer = {
+        compactLogEvery: Int = 0,
+        persistRebuild: Boolean = true): IvfMaintainer = {
       // a compacted log restores from its newest COMPLETED snapshot
       // (which already contains every delta it covered) plus only the
       // deltas that arrived after it; an uncompacted log from the
@@ -889,7 +917,7 @@ object Streaming {
         // quantizer was adopted UNEVALUATED — a restore into a degraded
         // geometry must still trigger the re-cluster (the r12 law;
         // moot on the build-from-scratch path, whose geometry is fresh).
-        m.reclusterIfDegraded(baseBatch)
+        m.reclusterIfDegraded(baseBatch, persist = persistRebuild)
       }
       // the chosen snapshot is a completed generation — a later
       // compactLog at the same head must be the documented no-op — but
@@ -902,6 +930,10 @@ object Streaming {
       if (preset.isDefined) m.lastCompactedGen = baseBatch
       m.lastBatch = math.max(baseBatch, if (bids.isEmpty) -1L else bids.max)
       m.firstAfterRestore = m.lastBatch >= 0
+      // the tail deltas ARE data applied since the adopted generation —
+      // seed the counter so a post-restart compaction at this head
+      // passes the data-applied no-op gate (review r13, pass 3)
+      if (bids.nonEmpty) m.appliedSinceLogCompact = bids.size
       // A restore whose bulk append fired the re-cluster just paid the
       // full-corpus k-means; the rebuilt quantizer belongs to a head
       // PAST the snapshot, so it cannot be re-logged at the base
@@ -911,8 +943,11 @@ object Streaming {
       // compaction at the restored head (review r13, pass 2 — without
       // this a crash-looping deployment re-pays the re-cluster on
       // every restart; the no-delta path is handled in place by
-      // reclusterIfDegraded's ensemble rewrite).
-      if (m.rebuilds > 0 && bids.nonEmpty) m.compactLog()
+      // reclusterIfDegraded's ensemble rewrite). Skipped under
+      // persistRebuild = false — the read-only contract wins; the
+      // re-cluster stays in memory and the next owning restart re-pays
+      // it, which is the price of not owning the log.
+      if (persistRebuild && m.rebuilds > 0 && bids.nonEmpty) m.compactLog()
       m
     }
   }
@@ -1037,7 +1072,16 @@ object Streaming {
         // two leaves an empty unpaired dir, which Spark accepts.
         locally {
           val (cfs, cp) = hfs(spark, c)
-          cfs.mkdirs(cp)
+          // mkdirs signals most failures by RETURNING false (the
+          // fs.rename lesson below — review r13, pass 3): an unchecked
+          // false would record a pairing whose checkpoint dir is
+          // absent, which the MixturePlanner stale-record cleanup
+          // reads as proof the run is dead — the exact invariant this
+          // mkdirs exists to establish.
+          require(cfs.mkdirs(cp),
+            s"failed to create checkpoint directory $c before recording " +
+              s"the pairing at $logPath/pairing.txt — a record whose " +
+              "checkpoint dir is absent would be adjudicated stale")
         }
         // atomic record via temp + rename (the _SUCCESS convention):
         // a crash mid-write must not leave a truncated pairing.txt
@@ -1194,16 +1238,37 @@ object Streaming {
         // to resume via restore() + the recorded checkpoint, or delete
         // the dead run's checkpoint dir (the explicit fencing act) and
         // construct fresh.
+        // Cleanup fires ONLY when a pairing record exists and its
+        // checkpoint is gone (review r13, pass 3: the old
+        // `recorded.forall` was vacuously true on a record-FREE log, so
+        // a fresh planner racing a live UNPAIRED run — one fed by
+        // applyBatch directly, which never writes pairing.txt — would
+        // delete its in-flight snapshot dir mid-write). With no record
+        // there is nothing stale to adjudicate: any unmarked debris a
+        // dead unpaired run left is retired by the retention pass on
+        // the new run's first applied batch, and a completed snapshot
+        // would have been caught by the guard above.
         val recorded = readPairing(spark, p)
-        val recordedCkptGone = recorded.forall { c =>
+        recorded.foreach { c =>
           val (cfs, cp) = hfs(spark, c)
-          !cfs.exists(cp)
-        }
-        if (recordedCkptGone) {
-          val (fs, debris) = numericDirs(spark, s"$p/counts")
-          debris.foreach(d => fs.delete(d._1.getPath, true))
-          val pairing = new org.apache.hadoop.fs.Path(s"$p/pairing.txt")
-          if (fs.exists(pairing)) fs.delete(pairing, false)
+          if (!cfs.exists(cp)) {
+            val (fs, debris) = numericDirs(spark, s"$p/counts")
+            debris.foreach(d => fs.delete(d._1.getPath, true))
+            // compare-before-delete (review r13, pass 3): between the
+            // staleness adjudication above and this delete, another
+            // cleaner may have removed the dead record and a NEW run
+            // recorded its own pairing — a blind delete would destroy
+            // the live record and re-open the two-live-writers window.
+            // Re-reading narrows the race to the read-delete gap; the
+            // filesystem offers no compare-and-delete, so the record
+            // remains ADVISORY locking — concurrent fresh constructions
+            // over one log need external mutual exclusion (one
+            // supervisor), which the runbook states.
+            if (readPairing(spark, p).contains(c)) {
+              val pairing = new org.apache.hadoop.fs.Path(s"$p/pairing.txt")
+              fs.delete(pairing, false)
+            }
+          }
         }
       }
     }

@@ -735,6 +735,133 @@ class StreamingSpec extends AnyFunSuite {
       "the generation's ensemble is not the rebuilt quantizer — every restart would re-pay the re-cluster")
   }
 
+  /** Recursive (relative-path, size) listing of a local log dir — dirs
+    * carry size -1. Write-free claims are pinned as listing equality:
+    * even a REWRITE of identical content changes part-file names
+    * (task-attempt UUIDs), so equality means no write touched the log. */
+  private def logListing(root: String): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(root)
+    val s = java.nio.file.Files.walk(base)
+    try s.iterator().asScala.map { q =>
+      (base.relativize(q).toString,
+        if (java.nio.file.Files.isDirectory(q)) -1L
+        else java.nio.file.Files.size(q))
+    }.toSeq.sorted
+    finally s.close()
+  }
+
+  test("IvfMaintainer: restore(persistRebuild = false) is write-free — the re-cluster stays in memory (review r13)") {
+    // The r13 write-backs (ensemble rewrite / restored-head compaction)
+    // make a rebuild-firing restore a log WRITER; a serving replica or
+    // a read-only mount needs the pre-r13 contract back. Same degraded
+    // fixture as the rebuildWhen-restore law, both paths, and the
+    // whole-log listing must be bit-for-bit stable across the restore.
+    import graft.operators.IvfAnn
+    val rnd = new scala.util.Random(73)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Seq.fill(8)(unit())
+    val seedVecs = for (c <- 0 until 8; i <- 0 until 8) yield {
+      val noise = Array.fill(64)(rnd.nextGaussian() * 0.02f)
+      ((c * 8 + i).toLong,
+        centers(c).zip(noise).map { case (a, b) => a + b }.toSeq)
+    }
+    val seed = seedVecs.toDF("vec_id", "embedding")
+      .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb"))))
+      .drop("embedding")
+    val degraded = (100L until 164L).map(i => (i, unit().toSeq))
+    // Path A — rebuild fires in the bulk append (tail deltas present):
+    // the persisting restore would compact at the restored head.
+    val ppathA = java.nio.file.Files.createTempDirectory("graft_ro_logA").toString
+    val m1a = new Streaming.IvfMaintainer(seed, rebuildWhen = _ => false,
+      persistPath = Some(ppathA))
+    m1a.applyBatch(degraded.toDF("vec_id", "embedding"), 0L)
+    val beforeA = logListing(ppathA)
+    // rebuildWhen fires deterministically — the contract under test is
+    // write-free-ness when the re-cluster runs, not the diagnostic
+    val m2 = Streaming.IvfMaintainer.restore(spark, ppathA,
+      rebuildWhen = _ => true, persistRebuild = false)
+    assert(m2.rebuilds == 1, "read-only restore skipped the re-cluster")
+    assert(m2.index.assigned.count() == 64 + 64)
+    assert(logListing(ppathA) == beforeA,
+      "restore(persistRebuild = false) wrote to the log")
+    // the in-memory rebuild answers like a from-scratch rebuild over
+    // the same corpus (the kill/resume parity convention)
+    val queries = seed.limit(5)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val viaRO = IvfAnn.boundedTopK(m2.corpus, queries, 5,
+      Some(m2.index))._2.as[(Long, Int, Long)].collect().toSeq
+    val viaRebuild = IvfAnn.boundedTopK(m2.corpus, queries, 5,
+      Some(IvfAnn.buildIndexWithRadii(m2.corpus)))._2
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(viaRO.nonEmpty && viaRO == viaRebuild)
+    // Path B — snapshot-quantizer adoption (no tail deltas): the
+    // persisting restore would rewrite the generation's ensemble.
+    val ppathB = java.nio.file.Files.createTempDirectory("graft_ro_logB").toString
+    val m1b = new Streaming.IvfMaintainer(seed, rebuildWhen = _ => false,
+      persistPath = Some(ppathB))
+    m1b.applyBatch(degraded.toDF("vec_id", "embedding"), 0L)
+    m1b.compactLog()
+    val beforeB = logListing(ppathB)
+    val m3 = Streaming.IvfMaintainer.restore(spark, ppathB,
+      rebuildWhen = _ => true, persistRebuild = false)
+    assert(m3.rebuilds == 1,
+      "read-only snapshot restore skipped the degraded-geometry re-cluster")
+    assert(m3.index.assigned.count() == 64 + 64)
+    assert(logListing(ppathB) == beforeB,
+      "restore(persistRebuild = false) rewrote the quantizer ensemble")
+    // and the log still restores for the next owner: a later OWNING
+    // restore persists the re-cluster as before (the default contract)
+    val m4 = Streaming.IvfMaintainer.restore(spark, ppathB,
+      rebuildWhen = _ => true)
+    assert(m4.rebuilds == 1 && logListing(ppathB) != beforeB,
+      "the owning restore no longer persists the re-cluster")
+  }
+
+  test("IvfMaintainer: compactLog after an EMPTY batch is a true no-op (review r13)") {
+    // applyBatch advances lastBatch on empty deliveries (idempotence
+    // tracks delivery, not data), so the unchanged-head gate alone
+    // would see a 'new' head and a cadenced compaction would rewrite
+    // the full corpus + quantizer for byte-identical content.
+    val rnd = new scala.util.Random(79)
+    def unit(): Seq[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val seed = (0L until 32L).map(i => (i, unit())).toDF("vec_id", "embedding")
+      .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb"))))
+      .drop("embedding")
+    val ppath = java.nio.file.Files.createTempDirectory("graft_noop_cmp").toString
+    val m = new Streaming.IvfMaintainer(seed, rebuildWhen = _ => false,
+      persistPath = Some(ppath))
+    m.applyBatch((100L until 110L).map(i => (i, unit())).toDF("vec_id", "embedding"), 0L)
+    m.compactLog()
+    val fs = new org.apache.hadoop.fs.Path(ppath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/compact/0/_SUCCESS")))
+    // an empty delivery advances the idempotence head but applies no data
+    m.applyBatch(Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), 1L)
+    val before = logListing(ppath)
+    m.compactLog()
+    assert(logListing(ppath) == before,
+      "compactLog after an empty batch rewrote the log for identical content")
+    // a real batch re-opens the gate: the next compaction advances the
+    // generation and retires the old one
+    m.applyBatch((110L until 120L).map(i => (i, unit())).toDF("vec_id", "embedding"), 2L)
+    m.compactLog()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/compact/2/_SUCCESS"))
+      && !fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/compact/0")),
+      "a data batch after the empty one did not re-open the compaction gate")
+    assert(m.corpus.count() == 32 + 20)
+  }
+
   test("IvfMaintainer: compactLog collapses the covered deltas; restore from snapshot + later deltas ≡ uninterrupted") {
     ivfCompactionLaw(java.nio.file.Files.createTempDirectory("graft_cmp_log").toString)
   }
@@ -1560,13 +1687,24 @@ class StreamingSpec extends AnyFunSuite {
     val ckptA = java.nio.file.Files.createTempDirectory("graft_stale_ckA").toString
     val ckptB = java.nio.file.Files.createTempDirectory("graft_stale_ckB").toString
     val ckptC = java.nio.file.Files.createTempDirectory("graft_stale_ckC").toString
+    val fs = new org.apache.hadoop.fs.Path(ppath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A record-FREE log with in-flight (unmarked) snapshot dirs is NOT
+    // cleaned (review r13, pass 3): an unpaired run fed by applyBatch
+    // directly never writes pairing.txt, so its mid-write snapshot is
+    // indistinguishable from dead debris — a fresh planner must leave
+    // it alone (dead debris is retired by the retention pass later).
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ppath/counts/7"))
+    new Streaming.MixturePlanner(spark, Some(ppath))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/counts/7")),
+      "fresh construction over a record-free log deleted an in-flight " +
+        "unpaired run's snapshot dir")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ppath/counts/7"), true)
     // run 1: start() records the pairing, then "crashes" before any
     // snapshot completes (no batch ever flows)
     val mem = MemoryStream[(Long, String, String)]
     val m1 = new Streaming.MixturePlanner(spark, Some(ppath))
     m1.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckptA)).stop()
-    val fs = new org.apache.hadoop.fs.Path(ppath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ppath/pairing.txt")),
       "run 1 never recorded its pairing — fixture broken")
     // plant crash debris: a counts dir that never reached _SUCCESS
