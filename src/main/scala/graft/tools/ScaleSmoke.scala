@@ -890,6 +890,76 @@ object ScaleSmoke {
       return
     }
 
+    // Live-compaction latency tax (round 13): the runbook sends
+    // latency-sensitive deployments to a maintenance-thread compactLog
+    // "off the hot path" — but compactLog SHARES the maintainer's
+    // monitor with applyBatch (that is what makes it crash-safe under a
+    // live stream), so the one micro-batch that arrives DURING a
+    // compaction waits for its full wall (∝ corpus). This leg
+    // quantifies that: the MAINT10X feed (20k seed + 40 × 1000-vector
+    // batches) once solo and once with a maintenance thread compacting
+    // every few seconds — p50 batch wall should hold at the solo cost
+    // (batches between compactions are untouched) while the max
+    // approaches the compaction wall (the blocked arrival).
+    if (sys.env.contains("SPARK_GRAFT_COMPACTLIVE10X")) {
+      import graft.operators.IvfAnn
+      import graft.streaming.Streaming
+      val vdir = "/tmp/graft_compactlive10x"
+      synthesizeClusteredVecs(spark, vdir, nVecs = 60000L, clusterSize = 16)
+      val all = spark.read.parquet(s"$vdir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val seed = IvfAnn.fullCorpus(spark, vdir).filter(col("vec_id") < 20000L)
+      def feed(tag: String, withMaint: Boolean): Unit = {
+        val ppath = s"${vdir}_log_$tag"
+        val fs = new org.apache.hadoop.fs.Path(ppath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(ppath), true)
+        val m = new Streaming.IvfMaintainer(seed, rebuildWhen = _ => false,
+          compactEvery = 16, persistPath = Some(ppath))
+        @volatile var stop = false
+        val cWalls = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+        val maint = if (!withMaint) None else Some(new Thread(() => {
+          while (!stop) {
+            val t0 = System.nanoTime()
+            m.compactLog()
+            val s = (System.nanoTime() - t0) / 1e9
+            // the data-applied gate makes wakeups at an unchanged head
+            // sub-ms no-ops — only count real compactions
+            if (s > 0.5) cWalls.add(s)
+            Thread.sleep(4000)
+          }
+        }))
+        maint.foreach { t => t.setDaemon(true); t.start() }
+        val walls = Seq.newBuilder[Double]
+        for (b <- 0 until 40) {
+          val lo = 20000L + 1000L * b
+          val batch = all.filter(col("vec_id") >= lo && col("vec_id") < lo + 1000L)
+          val t0 = System.nanoTime()
+          m.applyBatch(batch, b.toLong)
+          walls += (System.nanoTime() - t0) / 1e9
+        }
+        stop = true
+        maint.foreach(_.join())
+        require(m.index.assigned.count() == 60000L,
+          s"COMPACTLIVE10X $tag: live compaction lost or duplicated vectors")
+        val w = walls.result().sorted
+        val cs = {
+          import scala.jdk.CollectionConverters._
+          cWalls.asScala.map(_.doubleValue).toSeq.sorted
+        }
+        println(f"COMPACTLIVE10X $tag%-5s batch wall p50 ${w(w.size / 2)}%6.2f s" +
+          f"  p90 ${w(w.size * 9 / 10)}%6.2f s  max ${w.last}%6.2f s" +
+          (if (withMaint)
+            f"  | ${cs.size}%2d real compactions, walls " +
+              f"${if (cs.isEmpty) 0.0 else cs.head}%5.2f–${if (cs.isEmpty) 0.0 else cs.last}%5.2f s"
+          else ""))
+      }
+      feed("solo", withMaint = false)
+      feed("live", withMaint = true)
+      spark.stop()
+      return
+    }
+
     // IvfMaintainer restore at scale (VERDICT r11 #4): the r11 restore
     // law runs on a toy log; this leg builds delta logs at the MAINT10X
     // corpus size (20k seed + 40k appended) and times restore().
