@@ -715,6 +715,18 @@ object Streaming {
       // data actually applied since the last completed compaction;
       // restore seeds the counter with its tail-delta count so a
       // post-restart compaction at an uncompacted head still runs.
+      // The `lastCompactedGen < 0` arm deliberately bypasses the data
+      // gate (review r13, pass 4 — adjudicated, not a hole): before
+      // any generation exists it admits exactly ONE compaction even
+      // over an empty-only delivery history, and that write is not
+      // redundant — it persists the quantizer ensemble, which is what
+      // turns every later restore from a full re-learn into an
+      // adoption (the RESTORE100X 112× fix). It also keeps crash
+      // repair reachable: a restore over a generation whose ensemble
+      // write crashed leaves lastCompactedGen unset with zero tail
+      // deltas, and the repair compaction must run despite
+      // appliedSinceLogCompact == 0. After that first generation the
+      // empty-batch no-op guarantee holds (the StreamingSpec law).
       if (lb >= 0 && lb != lastCompactedGen &&
           (lastCompactedGen < 0 || appliedSinceLogCompact > 0)) {
         // never rewrite a completed snapshot in place (review finding:
@@ -1251,19 +1263,23 @@ object Streaming {
         val recorded = readPairing(spark, p)
         recorded.foreach { c =>
           val (cfs, cp) = hfs(spark, c)
-          if (!cfs.exists(cp)) {
+          // compare-before-delete, BOTH destructive passes (review r13,
+          // passes 3+4): between the staleness adjudication and each
+          // delete, another cleaner may have removed the dead record
+          // and a NEW run recorded its own pairing and begun writing
+          // snapshots — a blind pass would then destroy the live run's
+          // record (pass 3) or its in-flight snapshot dirs (pass 4:
+          // the debris walk lists whatever is in counts/ NOW, not what
+          // was there at adjudication time). Re-reading the record
+          // immediately before each pass narrows the race to the
+          // read-delete gap; the filesystem offers no
+          // compare-and-delete, so the record remains ADVISORY locking
+          // — concurrent fresh constructions over one log need
+          // external mutual exclusion (one supervisor), which the
+          // runbook states.
+          if (!cfs.exists(cp) && readPairing(spark, p).contains(c)) {
             val (fs, debris) = numericDirs(spark, s"$p/counts")
             debris.foreach(d => fs.delete(d._1.getPath, true))
-            // compare-before-delete (review r13, pass 3): between the
-            // staleness adjudication above and this delete, another
-            // cleaner may have removed the dead record and a NEW run
-            // recorded its own pairing — a blind delete would destroy
-            // the live record and re-open the two-live-writers window.
-            // Re-reading narrows the race to the read-delete gap; the
-            // filesystem offers no compare-and-delete, so the record
-            // remains ADVISORY locking — concurrent fresh constructions
-            // over one log need external mutual exclusion (one
-            // supervisor), which the runbook states.
             if (readPairing(spark, p).contains(c)) {
               val pairing = new org.apache.hadoop.fs.Path(s"$p/pairing.txt")
               fs.delete(pairing, false)

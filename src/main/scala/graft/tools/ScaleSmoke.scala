@@ -917,16 +917,23 @@ object ScaleSmoke {
         val m = new Streaming.IvfMaintainer(seed, rebuildWhen = _ => false,
           compactEvery = 16, persistPath = Some(ppath))
         @volatile var stop = false
+        @volatile var maintErr: Throwable = null
         val cWalls = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
         val maint = if (!withMaint) None else Some(new Thread(() => {
-          while (!stop) {
-            val t0 = System.nanoTime()
-            m.compactLog()
-            val s = (System.nanoTime() - t0) / 1e9
-            // the data-applied gate makes wakeups at an unchanged head
-            // sub-ms no-ops — only count real compactions
-            if (s > 0.5) cWalls.add(s)
-            Thread.sleep(4000)
+          try {
+            while (!stop) {
+              val t0 = System.nanoTime()
+              m.compactLog()
+              val s = (System.nanoTime() - t0) / 1e9
+              // the data-applied gate makes wakeups at an unchanged head
+              // sub-ms no-ops — only count real compactions
+              if (s > 0.5) cWalls.add(s)
+              Thread.sleep(4000)
+            }
+          } catch {
+            // a dead maintenance thread would silently degrade the
+            // 'live' leg to a solo measurement — surface it instead
+            case t: Throwable => maintErr = t
           }
         }))
         maint.foreach { t => t.setDaemon(true); t.start() }
@@ -940,6 +947,9 @@ object ScaleSmoke {
         }
         stop = true
         maint.foreach(_.join())
+        require(maintErr == null,
+          s"COMPACTLIVE10X $tag: maintenance thread died — the leg " +
+            s"would report a solo run as live: $maintErr")
         require(m.index.assigned.count() == 60000L,
           s"COMPACTLIVE10X $tag: live compaction lost or duplicated vectors")
         val w = walls.result().sorted
@@ -947,6 +957,10 @@ object ScaleSmoke {
           import scala.jdk.CollectionConverters._
           cWalls.asScala.map(_.doubleValue).toSeq.sorted
         }
+        require(!withMaint || cs.nonEmpty,
+          s"COMPACTLIVE10X $tag: no real compaction landed inside the " +
+            "feed — the live row would be vacuous; lengthen the feed or " +
+            "shorten the cadence")
         println(f"COMPACTLIVE10X $tag%-5s batch wall p50 ${w(w.size / 2)}%6.2f s" +
           f"  p90 ${w(w.size * 9 / 10)}%6.2f s  max ${w.last}%6.2f s" +
           (if (withMaint)
