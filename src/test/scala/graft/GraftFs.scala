@@ -23,16 +23,67 @@ import org.apache.hadoop.util.Progressable
   * exercised — a green run whose paths quietly re-resolved to file://
   * would otherwise prove nothing.
   *
+  * FAULT INJECTION (VERDICT r13 #2): the scheme wrapper proved the
+  * recovery code scheme-clean, but the guard arms that exist FOR
+  * filesystem failures — rename returning false mid-pairing, create
+  * crashing mid-ensemble, delete throwing mid-retention, mkdirs
+  * returning false before the pairing record — were only ever crossed
+  * by hand-deleting markers in tests. [[GraftFs.armFault]] scripts one
+  * fault: the next call to the named op on a path containing the given
+  * fragment either RETURNS FALSE (the boolean-signalling ops: rename /
+  * delete / mkdirs) or THROWS a [[java.io.FileNotFoundException]]
+  * (an IOException subclass — also the exact signature the
+  * replica-invalidation contract keys on). A non-sticky fault fires
+  * once and disarms itself; a sticky one fires until [[GraftFs.disarm]]
+  * — the replica second-invalidation law needs repeated failure.
+  * Laws assert `faultsFired` moved, so a fault that never matched
+  * (refactored path names) fails loudly instead of passing vacuously.
+  *
   * What this does and does NOT prove: it proves the persist/restore/
-  * compaction code is scheme-clean (no default-FS fallbacks, no local
-  * shortcuts, FileSystem resolved per path). It does NOT emulate
-  * object-store semantics — rename here is atomic and listStatus is
-  * immediately consistent, so eventual-consistency or non-atomic-rename
-  * failure modes (pre-Nov-2020 S3) remain out of scope; see NOTES.md.
+  * compaction code is scheme-clean and that every guard/fallback arm
+  * behaves under an injected fault at its exact call site. It does NOT
+  * emulate object-store semantics — rename here is atomic and
+  * listStatus is immediately consistent, so eventual-consistency or
+  * non-atomic-rename failure modes (pre-Nov-2020 S3) remain out of
+  * scope; see NOTES.md.
   */
 object GraftFs {
   /** Calls observed through the wrapper since JVM start. */
   val ops = new AtomicLong(0)
+
+  /** Times the currently/last armed fault fired. */
+  val faultsFired = new AtomicLong(0)
+
+  final case class FaultSpec(op: String, pathPart: String, sticky: Boolean)
+
+  @volatile private var fault: Option[FaultSpec] = None
+
+  /** Arm one fault: the next `op` ("rename" | "delete" | "mkdirs" |
+    * "create" | "open") whose path contains `pathPart` fails — by
+    * returning false where the op signals failure that way, by
+    * throwing FileNotFoundException otherwise. Resets `faultsFired`. */
+  def armFault(op: String, pathPart: String, sticky: Boolean = false): Unit = {
+    faultsFired.set(0)
+    fault = Some(FaultSpec(op, pathPart, sticky))
+  }
+
+  def disarm(): Unit = fault = None
+
+  /** True iff the armed fault matches — records the firing and (if
+    * non-sticky) disarms. The boolean-signalling call sites turn true
+    * into `false` return values; the throwing sites raise. */
+  private[graft] def shouldFail(op: String, p: Path): Boolean = fault match {
+    case Some(f) if f.op == op && p.toString.contains(f.pathPart) =>
+      if (!f.sticky) fault = None
+      faultsFired.incrementAndGet()
+      true
+    case _ => false
+  }
+
+  private[graft] def failThrow(op: String, p: Path): Unit =
+    if (shouldFail(op, p))
+      throw new java.io.FileNotFoundException(
+        s"GraftFs injected fault: $op $p")
 
   val scheme = "graftfs"
 
@@ -50,7 +101,8 @@ class GraftFs extends RawLocalFileSystem {
   // Count the calls the recovery surface depends on (walks, markers,
   // snapshot writes, the pairing record's create+rename, the retention
   // deletes). Delegation is unconditional — the wrapper must never
-  // change behavior, only observe it.
+  // change behavior, only observe it — EXCEPT when a law has armed a
+  // fault on the specific (op, path) being attempted.
   override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] = {
     ops.incrementAndGet(); super.listStatus(p)
   }
@@ -61,18 +113,46 @@ class GraftFs extends RawLocalFileSystem {
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
     ops.incrementAndGet()
+    GraftFs.failThrow("create", p)
     super.create(p, permission, overwrite, bufferSize, replication, blockSize, progress)
   }
+  // RawLocalFileSystem overrides the permission-free 6-arg create and
+  // the 1-arg mkdirs DIRECTLY (they do not funnel through the
+  // permission variants), and FileSystem's convenience overloads —
+  // fs.create(path, overwrite), fs.mkdirs(path) — resolve to them; a
+  // wrapper that only overrides the permission variants observes
+  // nothing on those call sites (round-14 finding: the first fault
+  // laws passed vacuously until these landed).
+  override def create(p: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    ops.incrementAndGet()
+    GraftFs.failThrow("create", p)
+    super.create(p, overwrite, bufferSize, replication, blockSize, progress)
+  }
+  override def mkdirs(p: Path): Boolean = {
+    ops.incrementAndGet()
+    if (GraftFs.shouldFail("mkdirs", p)) false
+    else super.mkdirs(p)
+  }
   override def open(p: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
-    ops.incrementAndGet(); super.open(p, bufferSize)
+    ops.incrementAndGet()
+    GraftFs.failThrow("open", p)
+    super.open(p, bufferSize)
   }
   override def rename(src: Path, dst: Path): Boolean = {
-    ops.incrementAndGet(); super.rename(src, dst)
+    ops.incrementAndGet()
+    if (GraftFs.shouldFail("rename", src)) false
+    else super.rename(src, dst)
   }
   override def delete(p: Path, recursive: Boolean): Boolean = {
-    ops.incrementAndGet(); super.delete(p, recursive)
+    ops.incrementAndGet()
+    GraftFs.failThrow("delete", p)
+    super.delete(p, recursive)
   }
   override def mkdirs(p: Path, permission: FsPermission): Boolean = {
-    ops.incrementAndGet(); super.mkdirs(p, permission)
+    ops.incrementAndGet()
+    if (GraftFs.shouldFail("mkdirs", p)) false
+    else super.mkdirs(p, permission)
   }
 }

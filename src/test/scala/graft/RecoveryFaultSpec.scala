@@ -1,0 +1,389 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 recovery hardening laws (VERDICT r13 #1–#3 + ADVICE r13):
+  *
+  *  - the TWO-PHASE compactLog's head-moved finalize branches, pinned
+  *    deterministically via the mid-stage test seam (a batch delivered
+  *    at exactly the point round 13's design held the monitor);
+  *  - injected-filesystem-fault laws crossing the guard arms the
+  *    graftfs:// scheme proof could not reach (rename returning false
+  *    mid-pairing, mkdirs returning false pre-record, create crashing
+  *    mid-ensemble, delete throwing mid-retention);
+  *  - the replica-invalidation contract in code ([[Streaming.IvfReplica]]:
+  *    owner compacts under a live replica → the replica's next search
+  *    self-heals with parity; a second consecutive invalidation throws
+  *    the runbook message);
+  *  - the restore-seeding / inline-cadence counter split;
+  *  - the exclusive-create cleanup lock on the MixturePlanner
+  *    stale-record pass.
+  */
+class RecoveryFaultSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  import graft.operators.IvfAnn
+
+  private val dir = "/root/testdata/sf0.001"
+  private def fsFor(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def p(base: String, s: String) = new org.apache.hadoop.fs.Path(s"$base/$s")
+
+  /** top-5 answers for the first 10 vectors through (corpus, index). */
+  private def answers(corpus: org.apache.spark.sql.DataFrame,
+      idx: IvfAnn.IvfIndex): Seq[(Long, Int, Long)] = {
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val queries = full.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    IvfAnn.boundedTopK(corpus, queries, 5, Some(idx))._2
+      .as[(Long, Int, Long)].collect().toSeq
+  }
+
+  private lazy val fullAnswers: Seq[(Long, Int, Long)] = {
+    val full = IvfAnn.fullCorpus(spark, dir)
+    answers(full, IvfAnn.buildIndexWithRadii(full))
+  }
+
+  private def rawBatch(lo: Long, hi: Long) =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id"), col("embedding"))
+
+  test("two-phase compactLog: a batch arriving mid-stage is neither lost nor blocked on O(corpus) work") {
+    // The head-moved finalize branch: capture at head 1, stage, then
+    // the seam delivers batch 2 — finalize must rebuild the live
+    // frames from snapshot(1) ∪ delta(2) (never lb's snapshot alone),
+    // retire only the covered deltas, and carry batch 2's data toward
+    // the NEXT generation's gate.
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 3
+    val ppath = java.nio.file.Files.createTempDirectory("graft_midstage").toString
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    m.applyBatch(rawBatch(cut, cut + k), 0L)
+    m.applyBatch(rawBatch(cut + k, cut + 2 * k), 1L)
+    var hookRan = false
+    m.midStageHook = () => {
+      m.midStageHook = () => ()
+      hookRan = true
+      m.applyBatch(rawBatch(cut + 2 * k, nTotal), 2L)
+    }
+    assert(m.compactLog(), "compaction with data applied returned false")
+    assert(hookRan, "the mid-stage seam never ran — the law is vacuous")
+    val fs = fsFor(ppath)
+    assert(fs.exists(p(ppath, "compact/1/_SUCCESS")),
+      "the staged generation (head at capture) is missing")
+    assert(!fs.exists(p(ppath, "delta/0")) && !fs.exists(p(ppath, "delta/1")),
+      "covered deltas survived the head-moved finalize")
+    assert(fs.exists(p(ppath, "delta/2/_SUCCESS")),
+      "the mid-stage batch's delta was wrongly retired")
+    // nothing lost: live corpus/index hold ALL vectors including the
+    // mid-stage arrival, and search parity holds
+    assert(m.corpus.count() == nTotal,
+      "head-moved finalize lost (or duplicated) the mid-stage batch")
+    assert(m.index.assigned.select("vec_id").distinct().count() == nTotal)
+    assert(answers(m.corpus, m.index) == fullAnswers,
+      "search through the head-moved-finalized index diverged")
+    // the mid-stage batch counts toward the NEXT generation: another
+    // compactLog does real work and retires it; a third is a no-op
+    assert(m.compactLog(), "the mid-stage batch's data never re-armed the gate")
+    assert(fs.exists(p(ppath, "compact/2/_SUCCESS")) && !fs.exists(p(ppath, "delta/2"))
+      && !fs.exists(p(ppath, "compact/1")),
+      "the follow-up compaction did not advance the generation")
+    assert(!m.compactLog(), "re-compaction at an unchanged head was not a no-op")
+    // and the log restores to the full corpus with parity
+    val m2 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m2.corpus.count() == nTotal)
+    assert(answers(m2.corpus, m2.index) == fullAnswers)
+  }
+
+  test("two-phase compactLog: a rebuild firing mid-stage defers the deletions, never breaks the live index") {
+    // If rebuildWhen re-clusters during staging, the live index is a
+    // FRESH quantizer whose lineage finalize cannot cheaply re-root —
+    // the generation still completes but the deletion passes defer to
+    // the next compaction (disk, not correctness).
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 3
+    val ppath = java.nio.file.Files.createTempDirectory("graft_midrebuild").toString
+    @volatile var fire = false
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => fire, persistPath = Some(ppath))
+    m.applyBatch(rawBatch(cut, cut + k), 0L)
+    m.applyBatch(rawBatch(cut + k, cut + 2 * k), 1L)
+    m.midStageHook = () => {
+      m.midStageHook = () => ()
+      fire = true // the mid-stage batch triggers the re-cluster
+      m.applyBatch(rawBatch(cut + 2 * k, nTotal), 2L)
+      fire = false
+    }
+    assert(m.compactLog())
+    val fs = fsFor(ppath)
+    assert(fs.exists(p(ppath, "compact/1/_SUCCESS")),
+      "the generation itself must complete even when deletions defer")
+    assert(fs.exists(p(ppath, "delta/0")) && fs.exists(p(ppath, "delta/1")),
+      "deletions were NOT deferred despite a mid-stage rebuild — the " +
+        "rebuilt index's lineage may reach those files")
+    assert(m.rebuilds == 1, "fixture broken: the mid-stage rebuild never fired")
+    // the rebuilt (better) geometry was kept, everything answers, and
+    // NO FileNotFoundException anywhere — the point of deferring
+    assert(m.corpus.count() == nTotal)
+    assert(answers(m.corpus, m.index) == fullAnswers)
+    // the next compaction subsumes the deferred deletions
+    assert(m.compactLog())
+    assert(!fs.exists(p(ppath, "delta/0")) && !fs.exists(p(ppath, "delta/1"))
+      && !fs.exists(p(ppath, "delta/2")) && !fs.exists(p(ppath, "compact/1")),
+      "the follow-up compaction did not subsume the deferred deletions")
+    val m2 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m2.corpus.count() == nTotal)
+    assert(answers(m2.corpus, m2.index) == fullAnswers)
+  }
+
+  test("restore seeds only the no-op gate, not the inline cadence (ADVICE r13)") {
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 4
+    def buildLog(): String = {
+      val ppath = java.nio.file.Files.createTempDirectory("graft_seedsplit").toString
+      // cadence OFF for the original run so three uncompacted tail
+      // deltas accumulate
+      val m0 = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+        rebuildWhen = _ => false, persistPath = Some(ppath))
+      (0 to 2).foreach(i => m0.applyBatch(rawBatch(cut + i * k, cut + (i + 1) * k), i.toLong))
+      ppath
+    }
+    // Leg 1: an owner restore with compactLogEvery=2 over a 3-delta
+    // tail must NOT compact inside the FIRST post-restore batch (the
+    // r13 seeding fed the cadence counter too, so it did) — the
+    // cadence counts post-restore batches only.
+    val ppathA = buildLog()
+    val fsA = fsFor(ppathA)
+    val mA = Streaming.IvfMaintainer.restore(spark, ppathA, _ => false,
+      compactLogEvery = 2)
+    mA.applyBatch(rawBatch(cut + 3 * k, cut + 3 * k + k / 2), 3L)
+    assert(!fsA.exists(p(ppathA, "compact/3")),
+      "the first post-restore batch paid an inline compaction — the " +
+        "restore seeding leaked into the cadence counter")
+    assert(fsA.exists(p(ppathA, "delta/3/_SUCCESS")))
+    // the SECOND post-restore batch completes the cadence window
+    mA.applyBatch(rawBatch(cut + 3 * k + k / 2, nTotal), 4L)
+    assert(fsA.exists(p(ppathA, "compact/4/_SUCCESS")),
+      "the inline cadence never fired after two post-restore batches")
+    assert(!fsA.exists(p(ppathA, "delta/0")) && !fsA.exists(p(ppathA, "delta/4")),
+      "the cadence compaction left covered deltas")
+    assert(mA.corpus.count() == nTotal)
+    // Leg 2: the no-op gate IS seeded — a maintenance-thread
+    // compactLog directly after restore (zero post-restore batches)
+    // still does real durable work at the uncompacted head.
+    val ppathB = buildLog()
+    val mB = Streaming.IvfMaintainer.restore(spark, ppathB, _ => false)
+    assert(mB.compactLog(),
+      "a post-restore compaction at an uncompacted head was a no-op — " +
+        "the tail deltas never seeded the data gate")
+    assert(fsFor(ppathB).exists(p(ppathB, "compact/2/_SUCCESS")))
+    assert(!mB.compactLog(), "re-compaction at the restored head must no-op")
+  }
+
+  test("injected faults cross the pairing guard arms: mkdirs false, rename false — nothing recorded, retry safe") {
+    GraftFs.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_fault_pair")
+    val ckpt = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_fault_ck") + "/ck"
+    val mem = MemoryStream[(Long, String, String)]
+    val m = new Streaming.MixturePlanner(spark, Some(ppath))
+    // arm 1: the pre-record mkdirs of the checkpoint dir returns false
+    GraftFs.armFault("mkdirs", "/ck")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        m.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckpt))
+      }
+      assert(ex.getMessage.contains("failed to create checkpoint directory"))
+      assert(GraftFs.faultsFired.get() == 1, "the mkdirs fault never fired")
+    } finally GraftFs.disarm()
+    val fs = fsFor(ppath)
+    assert(!fs.exists(p(ppath, "pairing.txt")),
+      "a pairing was recorded despite the failed checkpoint-dir mkdirs")
+    // arm 2: the atomic temp->rename of pairing.txt returns false
+    GraftFs.armFault("rename", "pairing.txt.tmp")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        m.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckpt))
+      }
+      assert(ex.getMessage.contains("failed to record checkpoint pairing"))
+      assert(GraftFs.faultsFired.get() == 1, "the rename fault never fired")
+    } finally GraftFs.disarm()
+    assert(!fs.exists(p(ppath, "pairing.txt")),
+      "a pairing exists despite the failed rename — the record is torn")
+    // the runbook's remediation claim, verified: nothing was recorded,
+    // so the SAME start retries cleanly once the filesystem behaves
+    val q = m.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckpt))
+    try {
+      mem.addData(Seq((1L, "a b c", "s"))); q.processAllAvailable()
+      assert(m.counts.agg(sum(col("tok"))).head().getLong(0) == 3L)
+    } finally q.stop()
+    assert(fs.exists(p(ppath, "pairing.txt")), "the retry never recorded")
+  }
+
+  test("injected fault: create crashing mid-ensemble leaves an adoptable-free generation; the next compaction repairs it") {
+    GraftFs.register(spark)
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_fault_ens")
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    m.applyBatch(rawBatch(cut, nTotal), 0L)
+    // the snapshot write (compact/) must land; the FIRST create under
+    // the quantizer ensemble crashes — a mid-ensemble death
+    GraftFs.armFault("create", "quantizer/0")
+    try {
+      intercept[Throwable] { m.compactLog() }
+      assert(GraftFs.faultsFired.get() == 1, "the create fault never fired")
+    } finally GraftFs.disarm()
+    val fs = fsFor(ppath)
+    assert(fs.exists(p(ppath, "compact/0/_SUCCESS")),
+      "fixture broken: the snapshot should complete before the ensemble")
+    assert(!fs.exists(p(ppath, "quantizer/0/_SUCCESS")),
+      "the crashed ensemble carries a completion marker")
+    // restore falls back to re-learning from the snapshot (correct,
+    // slower) — and does NOT trust the partial ensemble
+    val m2 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m2.corpus.count() == nTotal)
+    assert(answers(m2.corpus, m2.index) == fullAnswers,
+      "search through the fallback re-learned index diverged")
+    // the crash left lastCompactedGen unset, so the repair compaction
+    // runs despite zero tail deltas and rewrites ONLY the ensemble
+    assert(m2.compactLog(), "the repair compaction never ran")
+    assert(fs.exists(p(ppath, "quantizer/0/_SUCCESS")),
+      "the repair compaction did not complete the ensemble")
+    val m3 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m3.rebuilds == 0
+      && m3.index.cmeta.collect().map(_.toString).sorted.toSeq
+        == m2.index.cmeta.collect().map(_.toString).sorted.toSeq,
+      "the repaired ensemble was not adopted")
+  }
+
+  test("injected fault: delete throwing mid-retention leaves a retryable, restorable log") {
+    GraftFs.register(spark)
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 2
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_fault_del")
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    m.applyBatch(rawBatch(cut, cut + k), 0L)
+    m.applyBatch(rawBatch(cut + k, nTotal), 1L)
+    GraftFs.armFault("delete", "delta/0")
+    try {
+      intercept[Throwable] { m.compactLog() }
+      assert(GraftFs.faultsFired.get() == 1, "the delete fault never fired")
+    } finally GraftFs.disarm()
+    val fs = fsFor(ppath)
+    // the generation is durable; the straggler delta is disk debris,
+    // and the gate did NOT advance (lastCompactedGen is set last)
+    assert(fs.exists(p(ppath, "compact/1/_SUCCESS")))
+    assert(m.corpus.count() == nTotal,
+      "a thrown retention delete corrupted the live corpus")
+    assert(answers(m.corpus, m.index) == fullAnswers)
+    // a restore RIGHT NOW is correct — stale deltas are skipped by id
+    val mMid = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(mMid.corpus.count() == nTotal,
+      "restore double-applied a stale (covered) delta")
+    // the retry finishes the retention idempotently
+    assert(m.compactLog(), "the retry after a thrown delete was a no-op")
+    assert(!fs.exists(p(ppath, "delta/0")) && !fs.exists(p(ppath, "delta/1")),
+      "the retry did not retire the covered deltas")
+    assert(!m.compactLog(), "post-retry compaction at an unchanged head must no-op")
+  }
+
+  test("IvfReplica: the owner's compaction invalidates a live replica; its next search self-heals with parity (VERDICT r13 #3)") {
+    GraftFs.register(spark)
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 3
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_replica")
+    val owner = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    owner.applyBatch(rawBatch(cut, cut + k), 0L)
+    owner.compactLog()
+    // replica adopts generation 0 (snapshot + logged quantizer)
+    val replica = new Streaming.IvfReplica(spark, ppath.toString)
+    val queries = full.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val preAnswers = replica.searchTopK(queries, 5)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(preAnswers.nonEmpty && replica.reRestores == 0)
+    // the owner moves on and compacts — retiring the generation/delta
+    // files the replica's frames are lazily backed by
+    owner.applyBatch(rawBatch(cut + k, nTotal), 1L)
+    owner.compactLog()
+    // the replica's next search hits the expired generation and must
+    // self-heal: one re-restore, then answers with parity against the
+    // owner's current state
+    val healed = replica.searchTopK(queries, 5)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(replica.reRestores == 1,
+      "the replica never re-restored — the law exercised nothing " +
+        "(the owner's compaction did not invalidate the adopted files?)")
+    assert(healed == fullAnswers,
+      "the self-healed replica's answers diverged from the owner's corpus")
+    // second-invalidation arm: a sticky fault makes every read of the
+    // log fail — the search must throw the runbook message, not retry
+    // forever
+    GraftFs.armFault("open", "graft_replica", sticky = true)
+    try {
+      val ex = intercept[IllegalStateException] {
+        replica.searchTopK(queries, 5)
+      }
+      assert(ex.getMessage.contains("invalidated twice"))
+      assert(GraftFs.faultsFired.get() >= 1, "the open fault never fired")
+    } finally GraftFs.disarm()
+    // and a healthy filesystem heals it again (the wrapper survives)
+    val after = replica.searchTopK(queries, 5)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(after == fullAnswers)
+  }
+
+  test("MixturePlanner cleanup lock: an exclusive-create lock fences concurrent cleaners; an orphaned lock fails closed (ADVICE r13)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ppath = java.nio.file.Files.createTempDirectory("graft_cleanlock").toString
+    val ckptA = java.nio.file.Files.createTempDirectory("graft_cleanlock_ck").toString
+    val fs = fsFor(ppath)
+    // run 1 records its pairing, never snapshots, "crashes"
+    val mem = MemoryStream[(Long, String, String)]
+    val m1 = new Streaming.MixturePlanner(spark, Some(ppath))
+    m1.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckptA)).stop()
+    assert(fs.exists(p(ppath, "pairing.txt")))
+    // fencing act: the dead run's checkpoint dir is deleted — cleanup
+    // WOULD fire, but another cleaner holds the exclusive-create lock
+    fs.delete(new org.apache.hadoop.fs.Path(ckptA), true)
+    fs.create(p(ppath, "cleanup.lock"), false).close()
+    new Streaming.MixturePlanner(spark, Some(ppath))
+    assert(fs.exists(p(ppath, "pairing.txt")),
+      "a fresh construction cleaned the record despite a held cleanup lock")
+    assert(fs.exists(p(ppath, "cleanup.lock")),
+      "the skipping constructor deleted a lock it never acquired")
+    // lock released (the runbook's manual remediation for an orphaned
+    // lock): the next fresh construction cleans and releases
+    fs.delete(p(ppath, "cleanup.lock"), false)
+    new Streaming.MixturePlanner(spark, Some(ppath))
+    assert(!fs.exists(p(ppath, "pairing.txt")),
+      "cleanup never fired once the lock was free")
+    assert(!fs.exists(p(ppath, "cleanup.lock")),
+      "the cleaner leaked its cleanup lock")
+  }
+}
