@@ -124,6 +124,43 @@ object Bench {
       if (steady.isEmpty) ""
       else steady.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString(""","steady":{""", ",", "}")
+    // Machine adjudication of the steady block (VERDICT r13 #4): each
+    // measured steady gets a verdict against its checked-in range —
+    // `above` is the adjudicate-me signal (fail-loud line below),
+    // `below` informational, `no_range` a query newly entered the
+    // steady pool. The ranges file lives in the repo root (the bench
+    // runs from it); SPARK_GRAFT_STEADY_RANGES overrides for tests.
+    // The ranges are adjudicated AT THE DRIVER'S BENCH SCALE (sf0.1) —
+    // at any other scale no verdicts are emitted (a 0.1 s sf0.001
+    // steady classifying "below" a sf0.1 range would be noise dressed
+    // as signal).
+    val ranges =
+      if (!sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+          && !sys.env.contains("SPARK_GRAFT_STEADY_RANGES")) Map.empty[String, (Double, Double)]
+      else BenchRanges.load(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_STEADY_RANGES",
+          sys.props("user.dir") + "/STEADY_RANGES.json")))
+    val verdicts: Seq[(String, String)] =
+      if (ranges.isEmpty) Seq.empty
+      else steady.map { case (k, v) =>
+        k -> ranges.get(k)
+          .map { case (lo, hi) => BenchRanges.verdict(v, lo, hi) }
+          .getOrElse("no_range")
+      }
+    val verdictField =
+      if (verdicts.isEmpty) ""
+      else verdicts.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(""","steady_verdict":{""", ",", "}")
+    val aboveLine: Option[String] = {
+      val above = verdicts.collect { case (k, "above") =>
+        val (lo, hi) = ranges(k)
+        val v = steady.collectFirst { case (`k`, s) => s }.get
+        s"$k ${fmt(v)}s > [${fmt(lo)}, ${fmt(hi)}]"
+      }
+      if (above.isEmpty) None
+      else Some("STEADYVERDICT ABOVE RANGE (adjudicate, see " +
+        "STEADY_RANGES.json + NOTES.md): " + above.mkString("; "))
+    }
     val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
@@ -141,7 +178,7 @@ object Bench {
       case (k, Some(v)) if baselineNames.contains(k) => v
     }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_production":${fmt(totalProduction)},"queries":$qs$failedField$baselineField$steadyField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_production":${fmt(totalProduction)},"queries":$qs$failedField$baselineField$steadyField$verdictField,"sf":"$sfDir"}"""
     // Durable outputs resolve against a FIXED base (ADVICE r9): the
     // env-configured output dir when set, else the launch directory —
     // never a bare relative path that silently follows a changed cwd.
@@ -184,6 +221,10 @@ object Bench {
     // after the compact line; emit on stderr too in case the driver
     // captures the combined or stderr stream instead.
     spark.stop()
+    // fail-loud steady adjudication, printed into the captured tail on
+    // BOTH streams (one line — it must not displace the BENCHJSON
+    // sentinel from the tail window)
+    aboveLine.foreach { l => System.err.println(l); println(l) }
     System.err.println("BENCHJSON " + compact)
     println("BENCHJSON " + compact)
     println(compact)

@@ -548,6 +548,19 @@ object Streaming {
     // maintenance compaction at an uncompacted head still runs.
     private var appliedSinceLogCompact = 0
     private var dataSinceGen = 0
+    // Whether the index frames may reference persist-log parquet — an
+    // adopted quantizer ensemble or restore's bulk-append delta read.
+    // ONLY a restore creates such references: live appends checkpoint
+    // their delta assignment and merged cmeta (appendToIndex), and the
+    // arriving prepped frames root at the stream's batch plan, so a
+    // never-restored index is memory-rooted and survives every
+    // compaction deletion pass untouched. While false, a head-moved
+    // finalize skips the O(tail) index re-root entirely — the
+    // round-14 COMPACTLIVE re-leg showed that re-root (a tail assign
+    // job inside the monitor) was the residual stall under continuous
+    // arrival. Set by restore; cleared by any finalize that re-roots
+    // the index onto durably-truncated frames.
+    private var indexDiskBacked = false
     // test seam: invoked between compactLog's staging writes and its
     // finalize critical section, with NO lock held — a law can deliver
     // a batch at exactly the point where the round-13 design held the
@@ -792,6 +805,19 @@ object Streaming {
           else None
         }
         captured.exists { case (lb, corpusSnap, idxSnap, rebuilds0, data0) =>
+          // Tag every compaction job with a dedicated scheduler pool:
+          // under FIFO (the default) this is a no-op, but a deployment
+          // that enables FAIR scheduling and weights the pool down
+          // keeps the staging write from queueing ahead of the
+          // stream's micro-batch jobs — the residual live-vs-solo tail
+          // gap the COMPACTLIVE re-leg measured is slot contention
+          // during staging, not lock wait. Thread-local, restored
+          // after the pass (the inline-cadence caller shares the
+          // handler thread).
+          val sc = spark.sparkContext
+          val prevPool = sc.getLocalProperty("spark.scheduler.pool")
+          sc.setLocalProperty("spark.scheduler.pool", "graft_maintenance")
+          try {
           // ---- stage (NO lock held; wall ∝ corpus) ----------------
           // never rewrite a completed snapshot in place (review
           // finding: overwrite deletes-then-writes, so a crash
@@ -839,6 +865,7 @@ object Streaming {
               // in-memory compaction.
               corpusRef.set(spark.read.parquet(s"$p/compact/$lb"))
               indexRef.set(idxSnap.copy(assigned = assignedCk, cmeta = cmetaCk))
+              indexDiskBacked = false // re-rooted on direct localCheckpoints
               sinceCompact = 0
               true
             } else if (rebuildCount == rebuilds0) {
@@ -846,20 +873,31 @@ object Streaming {
               // equal snapshot(lb) ∪ deltas(lb, head] — every
               // non-empty batch wrote its delta inside the monitor
               // before appending, so by now (monitor held) the tail
-              // dirs are complete. Rebuild both frames from those
-              // durable pieces: the corpus as a LAZY union (no job),
-              // the index as ONE O(tail) bulk appendToIndex over the
-              // checkpointed captured frames — bulk ≡ the sequential
-              // appends that actually ran (the restore law's
-              // order-insensitivity: assignment depends only on the
-              // unchanged centroids; the radius is a max). The
-              // blocked arrival therefore waits O(tail), never
-              // O(corpus) — the COMPACTLIVE10X fix.
+              // dirs are complete. The corpus re-roots as a LAZY
+              // union over those durable pieces (no job — its old
+              // frame was parquet-backed by the PREVIOUS generation,
+              // which the deletion pass below retires). The index
+              // re-roots only when it is actually disk-backed (a
+              // restore adopted parquet frames): ONE O(tail) bulk
+              // appendToIndex over the checkpointed captured frames —
+              // bulk ≡ the sequential appends that actually ran (the
+              // restore law's order-insensitivity: assignment depends
+              // only on the unchanged centroids; the radius is a
+              // max). A memory-rooted index is left untouched — zero
+              // monitor-held jobs, the COMPACTLIVE steady state.
               val tail = spark.read.parquet(tailIds.map(b => s"$p/delta/$b"): _*)
               corpusRef.set(
                 spark.read.parquet(s"$p/compact/$lb").unionByName(tail))
-              indexRef.set(IvfAnn.appendToIndex(
-                idxSnap.copy(assigned = assignedCk, cmeta = cmetaCk), tail))
+              if (indexDiskBacked) {
+                indexRef.set(IvfAnn.appendToIndex(
+                  idxSnap.copy(assigned = assignedCk, cmeta = cmetaCk), tail))
+                // appendToIndex checkpoints its delta assignment and
+                // merged cmeta in production; under the test-only
+                // plan-audit scope those ckpts no-op and the re-rooted
+                // frames would still reference the tail delta parquet
+                // — only clear the flag when the truncation ran
+                if (!graft.plans.Ckpt.auditMode) indexDiskBacked = false
+              }
               sinceCompact = tailIds.size
               true
             } else {
@@ -902,6 +940,7 @@ object Streaming {
             // a redundant full-corpus inline one at batch k+1)
             appliedSinceLogCompact = 0
           }
+          } finally sc.setLocalProperty("spark.scheduler.pool", prevPool)
           true
         }
       }
@@ -1060,6 +1099,11 @@ object Streaming {
       // post-restore micro-batch — the cadence counts post-restore
       // batches only (the StreamingSpec law pins the split).
       if (bids.nonEmpty) m.dataSinceGen = bids.size
+      // a restored index is (possibly) parquet-backed — by the adopted
+      // quantizer ensemble and/or the bulk-append delta read — so the
+      // first head-moved compaction finalize must re-root it before
+      // the deletion passes can retire those files
+      m.indexDiskBacked = preset.isDefined || bids.nonEmpty
       // A restore whose bulk append fired the re-cluster just paid the
       // full-corpus k-means; the rebuilt quantizer belongs to a head
       // PAST the snapshot, so it cannot be re-logged at the base

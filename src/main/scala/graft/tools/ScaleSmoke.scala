@@ -923,11 +923,18 @@ object ScaleSmoke {
           try {
             while (!stop) {
               val t0 = System.nanoTime()
-              m.compactLog()
+              // count real compactions by compactLog's OWN report
+              // (ADVICE r13: the old 0.5 s wall heuristic missed fast
+              // real compactions and could spuriously trip the
+              // non-vacuous require below). The measured wall is the
+              // maintenance thread's view: staging (no lock) plus any
+              // monitor wait behind an in-flight applyBatch in the
+              // capture/finalize sections — the printed compaction
+              // walls therefore INCLUDE lock-wait; the batch walls are
+              // the stall signal, these are context.
+              val didWork = m.compactLog()
               val s = (System.nanoTime() - t0) / 1e9
-              // the data-applied gate makes wakeups at an unchanged head
-              // sub-ms no-ops — only count real compactions
-              if (s > 0.5) cWalls.add(s)
+              if (didWork) cWalls.add(s)
               Thread.sleep(4000)
             }
           } catch {

@@ -61,7 +61,7 @@ class RecoveryFaultSpec extends AnyFunSuite {
     val full = IvfAnn.fullCorpus(spark, dir)
     val nTotal = full.count()
     val cut = nTotal / 2
-    val k = (nTotal - cut) / 3
+    val k = (nTotal - cut) / 5
     val ppath = java.nio.file.Files.createTempDirectory("graft_midstage").toString
     val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
       rebuildWhen = _ => false, persistPath = Some(ppath))
@@ -71,10 +71,15 @@ class RecoveryFaultSpec extends AnyFunSuite {
     m.midStageHook = () => {
       m.midStageHook = () => ()
       hookRan = true
-      m.applyBatch(rawBatch(cut + 2 * k, nTotal), 2L)
+      m.applyBatch(rawBatch(cut + 2 * k, cut + 3 * k), 2L)
     }
     assert(m.compactLog(), "compaction with data applied returned false")
     assert(hookRan, "the mid-stage seam never ran — the law is vacuous")
+    val n3 = cut + 3 * k
+    def partialAnswers(bound: Long): Seq[(Long, Int, Long)] = {
+      val c = full.filter(col("vec_id") < bound)
+      answers(c, IvfAnn.buildIndexWithRadii(c))
+    }
     val fs = fsFor(ppath)
     assert(fs.exists(p(ppath, "compact/1/_SUCCESS")),
       "the staged generation (head at capture) is missing")
@@ -84,10 +89,10 @@ class RecoveryFaultSpec extends AnyFunSuite {
       "the mid-stage batch's delta was wrongly retired")
     // nothing lost: live corpus/index hold ALL vectors including the
     // mid-stage arrival, and search parity holds
-    assert(m.corpus.count() == nTotal,
+    assert(m.corpus.count() == n3,
       "head-moved finalize lost (or duplicated) the mid-stage batch")
-    assert(m.index.assigned.select("vec_id").distinct().count() == nTotal)
-    assert(answers(m.corpus, m.index) == fullAnswers,
+    assert(m.index.assigned.select("vec_id").distinct().count() == n3)
+    assert(answers(m.corpus, m.index) == partialAnswers(n3),
       "search through the head-moved-finalized index diverged")
     // the mid-stage batch counts toward the NEXT generation: another
     // compactLog does real work and retires it; a third is a no-op
@@ -96,10 +101,38 @@ class RecoveryFaultSpec extends AnyFunSuite {
       && !fs.exists(p(ppath, "compact/1")),
       "the follow-up compaction did not advance the generation")
     assert(!m.compactLog(), "re-compaction at an unchanged head was not a no-op")
-    // and the log restores to the full corpus with parity
+    // ---- restored leg: the same mid-stage arrival on a RESTORED ----
+    // maintainer, whose index frames are parquet-backed by the adopted
+    // quantizer ensemble — the head-moved finalize must re-root them
+    // (O(tail) bulk appendToIndex) BEFORE the deletion passes retire
+    // that ensemble, or every later search dies with
+    // FileNotFoundException.
     val m2 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m2.corpus.count() == n3)
+    m2.applyBatch(rawBatch(cut + 3 * k, cut + 4 * k), 3L)
+    var hook2 = false
+    m2.midStageHook = () => {
+      m2.midStageHook = () => ()
+      hook2 = true
+      m2.applyBatch(rawBatch(cut + 4 * k, nTotal), 4L)
+    }
+    assert(m2.compactLog())
+    assert(hook2, "the restored-leg seam never ran")
+    assert(fs.exists(p(ppath, "compact/3/_SUCCESS")) && !fs.exists(p(ppath, "quantizer/2"))
+      && fs.exists(p(ppath, "delta/4/_SUCCESS")),
+      "the restored-leg head-moved finalize mis-retired the log")
     assert(m2.corpus.count() == nTotal)
-    assert(answers(m2.corpus, m2.index) == fullAnswers)
+    // the searches that would hit the retired ensemble if the re-root
+    // were skipped — must be clean AND exact
+    assert(answers(m2.corpus, m2.index) == fullAnswers,
+      "search through the restored head-moved-finalized index diverged " +
+        "(or hit the retired quantizer files)")
+    assert(m2.compactLog()) // retires the mid-stage delta 4
+    assert(!m2.compactLog())
+    // and the log restores to the full corpus with parity
+    val m3 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m3.corpus.count() == nTotal)
+    assert(answers(m3.corpus, m3.index) == fullAnswers)
   }
 
   test("two-phase compactLog: a rebuild firing mid-stage defers the deletions, never breaks the live index") {
