@@ -562,10 +562,14 @@ object Streaming {
     // the index onto durably-truncated frames.
     private var indexDiskBacked = false
     // test seam: invoked between compactLog's staging writes and its
-    // finalize critical section, with NO lock held — a law can deliver
-    // a batch at exactly the point where the round-13 design held the
-    // monitor, pinning the head-moved finalize branches
-    // deterministically instead of hoping a thread race lands there
+    // finalize critical section — the maintainer MONITOR is not held
+    // (compactionLock IS, so the hook must not invoke compactLog or
+    // anything that takes it: intrinsic locks are reentrant and a
+    // nested compaction would run mid-stage of the outer one). A law
+    // can deliver a batch (applyBatch takes only the monitor) at
+    // exactly the point where the round-13 design held the monitor,
+    // pinning the head-moved finalize branches deterministically
+    // instead of hoping a thread race lands there.
     private[graft] var midStageHook: () => Unit = () => ()
     // serializes compactLog invocations among themselves (maintenance
     // thread vs inline cadence vs restore) WITHOUT holding the
@@ -853,10 +857,19 @@ object Streaming {
           val assignedCk = idxSnap.assigned.localCheckpoint()
           val cmetaCk = idxSnap.cmeta.localCheckpoint()
           midStageHook()
-          // ---- finalize (short monitor hold) ----------------------
-          synchronized {
-            val tailIds = completedBatchIds(spark, s"$p/delta").filter(_ > lb)
-            val deletions = if (indexRef.get eq idxSnap) {
+          // ---- finalize: re-root (short monitor hold) -------------
+          // Only ref swaps and (on the post-restore head-moved path)
+          // one delta listing + lazy plan construction run under the
+          // monitor; the deletion passes run AFTER it with no lock —
+          // once the live frames are re-rooted nothing live references
+          // the retired files, later appends chain on the re-rooted
+          // frames, and concurrent compactions are serialized by
+          // compactionLock. An arriving micro-batch therefore waits on
+          // ref swaps, never on per-dir filesystem round trips (review
+          // r14: the deletion listings/deletes under the monitor were
+          // re-introducing an O(retired-dirs) stall on object stores).
+          val deletions = synchronized {
+            if (indexRef.get eq idxSnap) {
               // nothing appended during staging (empty batches may
               // still have advanced the head — they carry no data):
               // the checkpointed copies ARE the live index, and the
@@ -884,7 +897,10 @@ object Streaming {
               // restore law's order-insensitivity: assignment depends
               // only on the unchanged centroids; the radius is a
               // max). A memory-rooted index is left untouched — zero
-              // monitor-held jobs, the COMPACTLIVE steady state.
+              // monitor-held jobs, the COMPACTLIVE steady state. The
+              // tail listing must run HERE (monitor held): it has to
+              // capture exactly the deltas behind the current head.
+              val tailIds = completedBatchIds(spark, s"$p/delta").filter(_ > lb)
               val tail = spark.read.parquet(tailIds.map(b => s"$p/delta/$b"): _*)
               corpusRef.set(
                 spark.read.parquet(s"$p/compact/$lb").unionByName(tail))
@@ -912,23 +928,28 @@ object Streaming {
               // never correctness: restore skips stale dirs by id.
               false
             }
-            if (deletions) {
-              // deletion passes LAST, all idempotent + straggler-safe:
-              // restore skips stale dirs by id, so a crash anywhere in
-              // here costs only disk space until the next compaction
-              locally {
-                val (fs, ds) = numericDirs(spark, s"$p/delta")
-                ds.filter(_._2 <= lb).foreach(d => fs.delete(d._1.getPath, true))
-              }
-              locally {
-                val (fs, ds) = numericDirs(spark, s"$p/compact")
-                ds.filter(_._2 < lb).foreach(d => fs.delete(d._1.getPath, true))
-              }
-              locally {
-                val (fs, ds) = numericDirs(spark, s"$p/quantizer")
-                ds.filter(_._2 < lb).foreach(d => fs.delete(d._1.getPath, true))
-              }
+          }
+          // ---- deletions (NO lock held) ---------------------------
+          // idempotent + straggler-safe: restore skips stale dirs by
+          // id, so a crash anywhere in here costs only disk space
+          // until the retry (the gate advances AFTER these passes, so
+          // a retry at the same head redoes them).
+          if (deletions) {
+            locally {
+              val (fs, ds) = numericDirs(spark, s"$p/delta")
+              ds.filter(_._2 <= lb).foreach(d => fs.delete(d._1.getPath, true))
             }
+            locally {
+              val (fs, ds) = numericDirs(spark, s"$p/compact")
+              ds.filter(_._2 < lb).foreach(d => fs.delete(d._1.getPath, true))
+            }
+            locally {
+              val (fs, ds) = numericDirs(spark, s"$p/quantizer")
+              ds.filter(_._2 < lb).foreach(d => fs.delete(d._1.getPath, true))
+            }
+          }
+          // ---- gate advance (short monitor hold), LAST ------------
+          synchronized {
             lastCompactedGen = lb
             // the generation covers exactly the data0 batches counted
             // at capture; batches applied during staging stay counted
@@ -1137,32 +1158,54 @@ object Streaming {
     * search throws with the runbook remediation (the owner's
     * compaction cadence is outrunning the replica — a re-restore per
     * search means the cadence is mis-sized, and retrying forever would
-    * mask it). Any non-file-gone failure propagates untouched. */
+    * mask it). Any non-file-gone failure propagates untouched —
+    * including a non-file-gone failure of the healing restore itself.
+    * One honesty note: the file-gone signature cannot distinguish the
+    * log's retired files from the CALLER's queries frame losing its
+    * backing files — the latter costs one pointless re-restore and
+    * then surfaces as the same error (the message's "or the log itself
+    * is damaged" arm; check the cause chain's path).
+    *
+    * Thread-safe for concurrent searches: each attempt resolves the
+    * maintainer reference ONCE (a concurrent heal swapping it between
+    * a corpus read and an index read would pair frames from two
+    * different generations — silently wrong answers, not an error),
+    * and the heal itself is serialized so racing searches cannot
+    * stack redundant restores. */
   final class IvfReplica(spark: SparkSession, path: String,
       rebuildWhen: graft.operators.IvfAnn.IvfIndex => Boolean = _ => false) {
     import graft.operators.IvfAnn
     @volatile private var m: IvfMaintainer =
       IvfMaintainer.restore(spark, path, rebuildWhen, persistRebuild = false)
-    @volatile private var reRestoreCount = 0L
+    private val reRestoreCount = new java.util.concurrent.atomic.AtomicLong(0)
     /** How many times a search self-healed (observability: a steadily
       * climbing count is the mis-sized-cadence signal the runbook
       * tells operators to alarm on). */
-    def reRestores: Long = reRestoreCount
+    def reRestores: Long = reRestoreCount.get()
 
     /** Exact IVF top-k through the replica's adopted index,
       * materialized via localCheckpoint (stays distributed — no driver
       * collect) so an expired generation is caught and healed here. */
     def searchTopK(queries: DataFrame, k: Int): DataFrame = {
-      def attempt(): DataFrame =
-        IvfAnn.boundedTopK(m.corpus, queries, k, Some(m.index))._2
+      def attempt(via: IvfMaintainer): DataFrame =
+        IvfAnn.boundedTopK(via.corpus, queries, k, Some(via.index))._2
           .localCheckpoint()
-      try attempt()
+      val first = m
+      try attempt(first)
       catch { case e: Throwable if fileGone(e) =>
-        reRestoreCount += 1
-        m = try IvfMaintainer.restore(spark, path, rebuildWhen,
-            persistRebuild = false)
-          catch { case e2: Throwable => throw invalidatedTwice(e2) }
-        try attempt()
+        // serialize heals: the loser of a racing pair re-reads the
+        // winner's already-healed reference instead of restoring again
+        val healed = synchronized {
+          if (m eq first) {
+            reRestoreCount.incrementAndGet()
+            m = try IvfMaintainer.restore(spark, path, rebuildWhen,
+                persistRebuild = false)
+              catch { case e2: Throwable if fileGone(e2) =>
+                throw invalidatedTwice(e2) }
+          }
+          m
+        }
+        try attempt(healed)
         catch { case e2: Throwable if fileGone(e2) => throw invalidatedTwice(e2) }
       }
     }

@@ -30,12 +30,16 @@ import org.apache.hadoop.util.Progressable
   * returning false before the pairing record — were only ever crossed
   * by hand-deleting markers in tests. [[GraftFs.armFault]] scripts one
   * fault: the next call to the named op on a path containing the given
-  * fragment either RETURNS FALSE (the boolean-signalling ops: rename /
-  * delete / mkdirs) or THROWS a [[java.io.FileNotFoundException]]
-  * (an IOException subclass — also the exact signature the
-  * replica-invalidation contract keys on). A non-sticky fault fires
-  * once and disarms itself; a sticky one fires until [[GraftFs.disarm]]
-  * — the replica second-invalidation law needs repeated failure.
+  * fragment either RETURNS FALSE (rename / mkdirs — the arms the
+  * pairing guards key on) or THROWS a
+  * [[java.io.FileNotFoundException]] (create / open / delete; an
+  * IOException subclass — also the exact signature the
+  * replica-invalidation contract keys on; delete is in the THROWING
+  * group deliberately: the retention-pass law exercises a delete that
+  * dies, not one that politely declines). A non-sticky fault fires
+  * exactly once and disarms itself; a sticky one fires until
+  * [[GraftFs.disarm]] — the replica second-invalidation law needs
+  * repeated failure.
   * Laws assert `faultsFired` moved, so a fault that never matched
   * (refactored path names) fails loudly instead of passing vacuously.
   *
@@ -58,10 +62,9 @@ object GraftFs {
 
   @volatile private var fault: Option[FaultSpec] = None
 
-  /** Arm one fault: the next `op` ("rename" | "delete" | "mkdirs" |
-    * "create" | "open") whose path contains `pathPart` fails — by
-    * returning false where the op signals failure that way, by
-    * throwing FileNotFoundException otherwise. Resets `faultsFired`. */
+  /** Arm one fault: the next `op` ("rename" | "mkdirs" — return false;
+    * "create" | "open" | "delete" — throw FileNotFoundException) whose
+    * path contains `pathPart` fails. Resets `faultsFired`. */
   def armFault(op: String, pathPart: String, sticky: Boolean = false): Unit = {
     faultsFired.set(0)
     fault = Some(FaultSpec(op, pathPart, sticky))
@@ -71,13 +74,19 @@ object GraftFs {
 
   /** True iff the armed fault matches — records the firing and (if
     * non-sticky) disarms. The boolean-signalling call sites turn true
-    * into `false` return values; the throwing sites raise. */
-  private[graft] def shouldFail(op: String, p: Path): Boolean = fault match {
-    case Some(f) if f.op == op && p.toString.contains(f.pathPart) =>
-      if (!f.sticky) fault = None
-      faultsFired.incrementAndGet()
-      true
-    case _ => false
+    * into `false` return values; the throwing sites raise.
+    * SYNCHRONIZED: parquet jobs hit matching paths from several local
+    * executor threads near-simultaneously, and a check-then-act race
+    * would let a non-sticky fault fire twice — flaking every
+    * `faultsFired == 1` law assertion. */
+  private[graft] def shouldFail(op: String, p: Path): Boolean = synchronized {
+    fault match {
+      case Some(f) if f.op == op && p.toString.contains(f.pathPart) =>
+        if (!f.sticky) fault = None
+        faultsFired.incrementAndGet()
+        true
+      case _ => false
+    }
   }
 
   private[graft] def failThrow(op: String, p: Path): Unit =
