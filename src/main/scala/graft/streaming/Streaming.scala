@@ -935,18 +935,16 @@ object Streaming {
           // until the retry (the gate advances AFTER these passes, so
           // a retry at the same head redoes them).
           if (deletions) {
-            locally {
-              val (fs, ds) = numericDirs(spark, s"$p/delta")
-              ds.filter(_._2 <= lb).foreach(d => fs.delete(d._1.getPath, true))
-            }
-            locally {
-              val (fs, ds) = numericDirs(spark, s"$p/compact")
-              ds.filter(_._2 < lb).foreach(d => fs.delete(d._1.getPath, true))
-            }
-            locally {
-              val (fs, ds) = numericDirs(spark, s"$p/quantizer")
-              ds.filter(_._2 < lb).foreach(d => fs.delete(d._1.getPath, true))
-            }
+            // one pass definition over (subdir, retire-through bound):
+            // deltas ≤ lb are covered by the new generation; compact
+            // and quantizer generations strictly below it are
+            // superseded (the new one keeps serving restores)
+            Seq(("delta", lb), ("compact", lb - 1), ("quantizer", lb - 1))
+              .foreach { case (sub, bound) =>
+                val (fs, ds) = numericDirs(spark, s"$p/$sub")
+                ds.filter(_._2 <= bound)
+                  .foreach(d => fs.delete(d._1.getPath, true))
+              }
           }
           // ---- gate advance (short monitor hold), LAST ------------
           synchronized {
@@ -1190,23 +1188,42 @@ object Streaming {
       def attempt(via: IvfMaintainer): DataFrame =
         IvfAnn.boundedTopK(via.corpus, queries, k, Some(via.index))._2
           .localCheckpoint()
+      // Serialize heals: the loser of a racing pair ADOPTS the
+      // winner's already-healed reference instead of restoring again.
+      // `ownHeal` distinguishes the two (review r14 pass 2): an
+      // adopted reference can predate OUR failure (the winner healed,
+      // then the owner compacted again, THEN we failed) — its failure
+      // earns one restore of our own before the cadence is declared
+      // mis-sized, else a recoverable invalidation surfaces as the
+      // runbook error. The counter moves only on a restore that
+      // actually COMPLETED, so failed heals can't climb the
+      // operator-facing alarm.
+      var ownHeal = false
+      def healOnce(stale: IvfMaintainer): IvfMaintainer = synchronized {
+        if (m eq stale) {
+          m = try IvfMaintainer.restore(spark, path, rebuildWhen,
+              persistRebuild = false)
+            catch { case e2: Throwable if fileGone(e2) =>
+              throw invalidatedTwice(e2) }
+          reRestoreCount.incrementAndGet()
+          ownHeal = true
+        }
+        m
+      }
       val first = m
       try attempt(first)
       catch { case e: Throwable if fileGone(e) =>
-        // serialize heals: the loser of a racing pair re-reads the
-        // winner's already-healed reference instead of restoring again
-        val healed = synchronized {
-          if (m eq first) {
-            reRestoreCount.incrementAndGet()
-            m = try IvfMaintainer.restore(spark, path, rebuildWhen,
-                persistRebuild = false)
-              catch { case e2: Throwable if fileGone(e2) =>
-                throw invalidatedTwice(e2) }
-          }
-          m
+        val h1 = healOnce(first)
+        try attempt(h1)
+        catch {
+          case e2: Throwable if fileGone(e2) && ownHeal =>
+            throw invalidatedTwice(e2)
+          case e2: Throwable if fileGone(e2) =>
+            val h2 = healOnce(h1)
+            try attempt(h2)
+            catch { case e3: Throwable if fileGone(e3) =>
+              throw invalidatedTwice(e3) }
         }
-        try attempt(healed)
-        catch { case e2: Throwable if fileGone(e2) => throw invalidatedTwice(e2) }
       }
     }
 

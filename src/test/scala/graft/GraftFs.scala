@@ -65,12 +65,18 @@ object GraftFs {
   /** Arm one fault: the next `op` ("rename" | "mkdirs" — return false;
     * "create" | "open" | "delete" — throw FileNotFoundException) whose
     * path contains `pathPart` fails. Resets `faultsFired`. */
-  def armFault(op: String, pathPart: String, sticky: Boolean = false): Unit = {
-    faultsFired.set(0)
-    fault = Some(FaultSpec(op, pathPart, sticky))
-  }
+  def armFault(op: String, pathPart: String, sticky: Boolean = false): Unit =
+    synchronized {
+      // same monitor as shouldFail (review r14 pass 2): without it a
+      // straggler executor task could match the PREVIOUS law's
+      // still-armed fault between the counter reset and the new arm,
+      // making the next `faultsFired == 1` assertion count the wrong
+      // fault's firing
+      faultsFired.set(0)
+      fault = Some(FaultSpec(op, pathPart, sticky))
+    }
 
-  def disarm(): Unit = fault = None
+  def disarm(): Unit = synchronized { fault = None }
 
   /** True iff the armed fault matches — records the firing and (if
     * non-sticky) disarms. The boolean-signalling call sites turn true
