@@ -1151,12 +1151,14 @@ object Streaming {
     * with `FileNotFoundException` (the expired-snapshot contract).
     * This wrapper materializes each search INSIDE the call (a missing
     * file must surface here, not at the caller's later action), and on
-    * that specific failure re-restores ONCE from the log's current
-    * head and retries; a second consecutive invalidation in the same
-    * search throws with the runbook remediation (the owner's
-    * compaction cadence is outrunning the replica — a re-restore per
-    * search means the cadence is mis-sized, and retrying forever would
-    * mask it). Any non-file-gone failure propagates untouched —
+    * that specific failure heals and retries: it ADOPTS a reference a
+    * racing search already healed, and restores AT MOST ONCE of its
+    * own per search; a file-gone failure AFTER its own completed
+    * restore throws with the runbook remediation (the owner's
+    * compaction cadence is outrunning the replica — more than one
+    * own-restore per search means the cadence is mis-sized, and
+    * retrying forever would mask it). Any non-file-gone failure
+    * propagates untouched —
     * including a non-file-gone failure of the healing restore itself.
     * One honesty note: the file-gone signature cannot distinguish the
     * log's retired files from the CALLER's queries frame losing its
@@ -1188,16 +1190,20 @@ object Streaming {
       def attempt(via: IvfMaintainer): DataFrame =
         IvfAnn.boundedTopK(via.corpus, queries, k, Some(via.index))._2
           .localCheckpoint()
-      // Serialize heals: the loser of a racing pair ADOPTS the
-      // winner's already-healed reference instead of restoring again.
-      // `ownHeal` distinguishes the two (review r14 pass 2): an
-      // adopted reference can predate OUR failure (the winner healed,
-      // then the owner compacted again, THEN we failed) — its failure
-      // earns one restore of our own before the cadence is declared
-      // mis-sized, else a recoverable invalidation surfaces as the
-      // runbook error. The counter moves only on a restore that
-      // actually COMPLETED, so failed heals can't climb the
-      // operator-facing alarm.
+      // Serialize heals: a search whose failed reference is already
+      // stale ADOPTS the current one (some racing search restored it)
+      // instead of restoring again; only when its failed reference IS
+      // the current one does it restore for itself. `ownHeal`
+      // distinguishes the two (review r14 passes 2+3): an adopted
+      // reference can predate OUR failure (the adopter healed, the
+      // owner compacted again, THEN we failed), so a file-gone failure
+      // throws the runbook error only after a restore of OUR OWN
+      // completed and still failed — any number of adoptions keeps
+      // retrying (each adoption means another search completed a
+      // restore; infinite adoption would require the owner to compact
+      // between every retry, in which case retrying IS the correct
+      // behavior). The counter moves only on a restore that actually
+      // COMPLETED, so failed heals can't climb the operator alarm.
       var ownHeal = false
       def healOnce(stale: IvfMaintainer): IvfMaintainer = synchronized {
         if (m eq stale) {
@@ -1210,21 +1216,16 @@ object Streaming {
         }
         m
       }
-      val first = m
-      try attempt(first)
-      catch { case e: Throwable if fileGone(e) =>
-        val h1 = healOnce(first)
-        try attempt(h1)
-        catch {
-          case e2: Throwable if fileGone(e2) && ownHeal =>
-            throw invalidatedTwice(e2)
-          case e2: Throwable if fileGone(e2) =>
-            val h2 = healOnce(h1)
-            try attempt(h2)
-            catch { case e3: Throwable if fileGone(e3) =>
-              throw invalidatedTwice(e3) }
+      var ref = m
+      var result: DataFrame = null
+      while (result eq null) {
+        try result = attempt(ref)
+        catch { case e: Throwable if fileGone(e) =>
+          if (ownHeal) throw invalidatedTwice(e)
+          ref = healOnce(ref)
         }
       }
+      result
     }
 
     private def invalidatedTwice(cause: Throwable) = new IllegalStateException(
