@@ -1205,24 +1205,46 @@ object Streaming {
       // behavior). The counter moves only on a restore that actually
       // COMPLETED, so failed heals can't climb the operator alarm.
       var ownHeal = false
-      def healOnce(stale: IvfMaintainer): IvfMaintainer = synchronized {
-        if (m eq stale) {
-          m = try IvfMaintainer.restore(spark, path, rebuildWhen,
+      // The restore itself can die file-gone (review r14 pass 4): it
+      // picks the newest generation and eagerly reads it, and the
+      // owner's NEXT compaction can retire that generation
+      // mid-restore — an immediate retry adopts the new head. Only a
+      // SECOND consecutive mid-restore invalidation (the owner
+      // compacting faster than a restore completes, twice in a row)
+      // throws: no completed restore is reachable under that cadence.
+      def restoreFresh(): IvfMaintainer =
+        try IvfMaintainer.restore(spark, path, rebuildWhen,
+            persistRebuild = false)
+        catch { case e: Throwable if fileGone(e) =>
+          try IvfMaintainer.restore(spark, path, rebuildWhen,
               persistRebuild = false)
-            catch { case e2: Throwable if fileGone(e2) =>
-              throw invalidatedTwice(e2) }
-          reRestoreCount.incrementAndGet()
-          ownHeal = true
+          catch { case e2: Throwable if fileGone(e2) =>
+            throw invalidatedTwice(e2) }
         }
-        m
-      }
+      def heal(stale: IvfMaintainer, force: Boolean): IvfMaintainer =
+        synchronized {
+          if (force || (m eq stale)) {
+            m = restoreFresh()
+            reRestoreCount.incrementAndGet()
+            ownHeal = true
+          }
+          m
+        }
       var ref = m
+      var adoptions = 0
       var result: DataFrame = null
       while (result eq null) {
         try result = attempt(ref)
         catch { case e: Throwable if fileGone(e) =>
           if (ownHeal) throw invalidatedTwice(e)
-          ref = healOnce(ref)
+          // adopt a racing search's completed heal up to 3 times —
+          // each adoption is free and means the log moved under us —
+          // then a starved caller restores for ITSELF even if the
+          // reference moved again (review r14 pass 4: the unbounded
+          // adopt loop re-ran a full distributed search per lost
+          // race). Worst case per search: 5 attempts, 1 own restore.
+          adoptions += 1
+          ref = heal(ref, force = adoptions > 3)
         }
       }
       result
