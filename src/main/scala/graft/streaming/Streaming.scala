@@ -1649,7 +1649,19 @@ object Streaming {
           // stream; re-wrapping the checkpointed RDD resets it — the
           // frame is sources-sized and never needs an estimate.
           val reset = m.sparkSession.createDataFrame(m.rdd, m.schema)
-          countsRef.set(reset)
+          // Durable snapshot FIRST, in-memory refs after (round 14 —
+          // the injected-fault law surfaced the inverted order): a
+          // snapshot write that crashes must leave the planner's
+          // in-memory state UNTOUCHED, because lastBatch has not
+          // advanced and the at-least-once contract will re-deliver
+          // this batchId — with counts already merged, the re-delivery
+          // double-counted on a live instance. Write-then-set keeps
+          // every faultable window consistent: a crash in the snapshot
+          // write or the retention pass leaves old counts + old head,
+          // and the re-delivery re-merges the delta from the OLD
+          // counts — byte-identical snapshot, idempotent retention.
+          // Between the set and the lastBatch advance there is no
+          // filesystem operation left to fail.
           persistPath.foreach { p =>
             reset.write.mode("overwrite").parquet(s"$p/counts/$batchId")
             // retire all but the two newest COMPLETED snapshots (the
@@ -1671,6 +1683,7 @@ object Streaming {
               .filter(d => !keep.contains(d._2))
               .foreach(d => fs.delete(d._1.getPath, true))
           }
+          countsRef.set(reset)
         }
         lastBatch = batchId
       }

@@ -904,11 +904,25 @@ object ScaleSmoke {
     if (sys.env.contains("SPARK_GRAFT_COMPACTLIVE10X")) {
       import graft.operators.IvfAnn
       import graft.streaming.Streaming
-      val vdir = "/tmp/graft_compactlive10x"
-      synthesizeClusteredVecs(spark, vdir, nVecs = 60000L, clusterSize = 16)
+      // SPARK_GRAFT_COMPACTLIVE10X=100x pins the same claim one decade
+      // up (round 14, the RESTORE100X convention): 200k seed + 40 ×
+      // 10k-vector batches = 600k vectors, where a compaction stages
+      // the FULL corpus — the regime in which the r13 monitor-held
+      // design cost an arriving batch the whole compaction wall. The
+      // two-phase claim is that live max stays ≈ solo max even as the
+      // compaction wall grows with the corpus.
+      val at100 = sys.env.get("SPARK_GRAFT_COMPACTLIVE10X").contains("100x")
+      val legTag = if (at100) "COMPACTLIVE100X" else "COMPACTLIVE10X"
+      val nVecs = if (at100) 600000L else 60000L
+      val seedN = if (at100) 200000L else 20000L
+      val batchSz = if (at100) 10000L else 1000L
+      val cadenceMs = if (at100) 8000L else 4000L
+      val vdir = if (at100) "/tmp/graft_compactlive100x"
+        else "/tmp/graft_compactlive10x"
+      synthesizeClusteredVecs(spark, vdir, nVecs = nVecs, clusterSize = 16)
       val all = spark.read.parquet(s"$vdir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
-      val seed = IvfAnn.fullCorpus(spark, vdir).filter(col("vec_id") < 20000L)
+      val seed = IvfAnn.fullCorpus(spark, vdir).filter(col("vec_id") < seedN)
       def feed(tag: String, withMaint: Boolean): Unit = {
         val ppath = s"${vdir}_log_$tag"
         val fs = new org.apache.hadoop.fs.Path(ppath)
@@ -935,7 +949,7 @@ object ScaleSmoke {
               val didWork = m.compactLog()
               val s = (System.nanoTime() - t0) / 1e9
               if (didWork) cWalls.add(s)
-              Thread.sleep(4000)
+              Thread.sleep(cadenceMs)
             }
           } catch {
             // a dead maintenance thread would silently degrade the
@@ -946,8 +960,8 @@ object ScaleSmoke {
         maint.foreach { t => t.setDaemon(true); t.start() }
         val walls = Seq.newBuilder[Double]
         for (b <- 0 until 40) {
-          val lo = 20000L + 1000L * b
-          val batch = all.filter(col("vec_id") >= lo && col("vec_id") < lo + 1000L)
+          val lo = seedN + batchSz * b
+          val batch = all.filter(col("vec_id") >= lo && col("vec_id") < lo + batchSz)
           val t0 = System.nanoTime()
           m.applyBatch(batch, b.toLong)
           walls += (System.nanoTime() - t0) / 1e9
@@ -955,20 +969,20 @@ object ScaleSmoke {
         stop = true
         maint.foreach(_.join())
         require(maintErr == null,
-          s"COMPACTLIVE10X $tag: maintenance thread died — the leg " +
+          s"$legTag $tag: maintenance thread died — the leg " +
             s"would report a solo run as live: $maintErr")
-        require(m.index.assigned.count() == 60000L,
-          s"COMPACTLIVE10X $tag: live compaction lost or duplicated vectors")
+        require(m.index.assigned.count() == nVecs,
+          s"$legTag $tag: live compaction lost or duplicated vectors")
         val w = walls.result().sorted
         val cs = {
           import scala.jdk.CollectionConverters._
           cWalls.asScala.map(_.doubleValue).toSeq.sorted
         }
         require(!withMaint || cs.nonEmpty,
-          s"COMPACTLIVE10X $tag: no real compaction landed inside the " +
+          s"$legTag $tag: no real compaction landed inside the " +
             "feed — the live row would be vacuous; lengthen the feed or " +
             "shorten the cadence")
-        println(f"COMPACTLIVE10X $tag%-5s batch wall p50 ${w(w.size / 2)}%6.2f s" +
+        println(f"$legTag%s $tag%-5s batch wall p50 ${w(w.size / 2)}%6.2f s" +
           f"  p90 ${w(w.size * 9 / 10)}%6.2f s  max ${w.last}%6.2f s" +
           (if (withMaint)
             f"  | ${cs.size}%2d real compactions, walls " +

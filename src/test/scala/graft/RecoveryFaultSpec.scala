@@ -391,6 +391,143 @@ class RecoveryFaultSpec extends AnyFunSuite {
     assert(after == fullAnswers)
   }
 
+  test("injected fault: a crashed seed write never becomes a truncated seed — construction throws, restore refuses, a fresh run recovers the path") {
+    GraftFs.register(spark)
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_fault_seed")
+    GraftFs.armFault("create", "graft_fault_seed", sticky = false)
+    try {
+      intercept[Throwable] {
+        new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+          rebuildWhen = _ => false, persistPath = Some(ppath))
+      }
+      assert(GraftFs.faultsFired.get() == 1, "the seed create fault never fired")
+    } finally GraftFs.disarm()
+    // the partial seed carries no _SUCCESS: restore must refuse loudly
+    // (reading it would silently rebuild from a TRUNCATED corpus)
+    assert(!fsFor(ppath).exists(p(ppath, "seed/_SUCCESS")))
+    val ex = intercept[IllegalArgumentException] {
+      Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    }
+    assert(ex.getMessage.contains("no _SUCCESS"))
+    // and the fresh-construction guard keys on the COMPLETION marker,
+    // so a retry at the same path is admitted and overwrites cleanly
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    m.applyBatch(rawBatch(cut, nTotal), 0L)
+    val m2 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m2.corpus.count() == nTotal)
+    assert(answers(m2.corpus, m2.index) == fullAnswers)
+  }
+
+  test("injected fault: a crashed counts-snapshot write leaves the planner re-deliverable — no double count (round-14 ordering fix)") {
+    GraftFs.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_fault_counts")
+    val m = new Streaming.MixturePlanner(spark, Some(ppath))
+    m.applyBatch(Seq((1L, "a b c", "s")).toDF("doc_id", "text", "source"), 0L)
+    assert(m.counts.agg(sum(col("tok"))).head().getLong(0) == 3L)
+    GraftFs.armFault("create", "counts/1")
+    try {
+      intercept[Throwable] {
+        m.applyBatch(Seq((2L, "d e", "s")).toDF("doc_id", "text", "source"), 1L)
+      }
+      assert(GraftFs.faultsFired.get() == 1, "the counts create fault never fired")
+    } finally GraftFs.disarm()
+    // the crashed persist left the IN-MEMORY state untouched (the old
+    // order merged counts before persisting, so the at-least-once
+    // re-delivery below double-counted to 8)
+    assert(m.counts.agg(sum(col("tok"))).head().getLong(0) == 3L,
+      "a crashed snapshot write left half-applied in-memory counts")
+    // at-least-once re-delivery of the SAME batchId applies exactly once
+    m.applyBatch(Seq((2L, "d e", "s")).toDF("doc_id", "text", "source"), 1L)
+    assert(m.counts.agg(sum(col("tok"))).head().getLong(0) == 5L,
+      "re-delivery after a crashed persist double-counted (or lost) the batch")
+    // and the durable log agrees
+    val m2 = Streaming.MixturePlanner.restore(spark, ppath.toString)
+    assert(m2.counts.agg(sum(col("tok"))).head().getLong(0) == 5L)
+  }
+
+  test("IvfReplica soak: concurrent searches racing owner compactions never pair frames across generations") {
+    // The pass-2..4 review findings were all torn-state races in the
+    // replica heal path; this law hammers them: four threads search a
+    // SHARED replica while the owner appends + compacts through four
+    // generations. Every successful result must be the EXACT answer
+    // for one of the owner's published generation prefixes — a torn
+    // (corpus from gen i, index from gen j) pairing yields an answer
+    // matching no prefix. A deterministic final invalidation pins the
+    // heal non-vacuity the race itself can't guarantee.
+    GraftFs.register(spark)
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 5
+    // generation after batch i (i = 0..3) holds the prefix < bounds(i)
+    val bounds = (0 to 3).map(i => cut + (i + 1) * k)
+    val expected: Set[Seq[(Long, Int, Long)]] = bounds.map { b =>
+      val c = full.filter(col("vec_id") < b)
+      answers(c, IvfAnn.buildIndexWithRadii(c))
+    }.toSet
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_replica_soak")
+    val owner = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    owner.applyBatch(rawBatch(cut, bounds(0)), 0L)
+    owner.compactLog()
+    val replica = new Streaming.IvfReplica(spark, ppath.toString)
+    val queries = full.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var ownerDone = false
+    val searchers = (1 to 4).map { t =>
+      new Thread(() => {
+        try {
+          while (!ownerDone) {
+            val got =
+              try Some(replica.searchTopK(queries, 5)
+                .as[(Long, Int, Long)].collect().toSeq)
+              catch {
+                // legal under an aggressive owner cadence; the loop
+                // simply searches again — the law's target is torn
+                // answers, not heal exhaustion
+                case e: IllegalStateException
+                  if e.getMessage.contains("invalidated twice") => None
+              }
+            got.foreach { g =>
+              if (!expected.contains(g))
+                bad.add(s"thread $t: answer matches NO generation prefix " +
+                  s"(torn corpus/index pairing?): ${g.take(5)}")
+            }
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      }, s"graft-soak-$t")
+    }
+    searchers.foreach(_.start())
+    (1 to 3).foreach { i =>
+      owner.applyBatch(rawBatch(bounds(i - 1), bounds(i)), i.toLong)
+      owner.compactLog()
+      Thread.sleep(500)
+    }
+    ownerDone = true
+    searchers.foreach(_.join(120000))
+    assert(searchers.forall(!_.isAlive), "a soak searcher hung")
+    assert(errs.isEmpty, s"soak searcher died: ${errs.peek()}")
+    assert(bad.isEmpty, s"cross-generation answer observed: ${bad.peek()}")
+    // deterministic non-vacuity: one more generation retires whatever
+    // the replica last adopted; the next search must heal with parity
+    owner.applyBatch(rawBatch(bounds(3), nTotal), 4L)
+    owner.compactLog()
+    val fin = replica.searchTopK(queries, 5).as[(Long, Int, Long)].collect().toSeq
+    assert(fin == fullAnswers,
+      "the post-soak healed search diverged from the full corpus")
+    assert(replica.reRestores >= 1, "the soak law never exercised a heal — vacuous")
+  }
+
   test("MixturePlanner cleanup lock: an exclusive-create lock fences concurrent cleaners; an orphaned lock fails closed (ADVICE r13)") {
     implicit val sqlCtx = spark.sqlContext
     val ppath = java.nio.file.Files.createTempDirectory("graft_cleanlock").toString
