@@ -1257,13 +1257,23 @@ object Streaming {
         "the replicas' re-read cadence — see the recovery runbook), or the " +
         "log itself is damaged", cause)
 
-    /** True iff the failure's cause chain reaches a
-      * FileNotFoundException — the retired-generation signature (Spark
-      * wraps executor-side read failures in SparkException layers). */
+    /** True iff the failure is the retired-files signature: a
+      * FileNotFoundException anywhere in the cause chain (Spark wraps
+      * executor-side read failures in SparkException layers), OR a
+      * PATH_NOT_FOUND AnalysisException — Spark raises the latter
+      * CAUSELESS when a whole directory (not just its files) vanished
+      * between a restore's log listing and its spark.read.parquet
+      * (review r14 pass 5: the owner deleting an entire retired
+      * generation mid-heal surfaced as an unhandled AnalysisException
+      * instead of the documented retry). */
     private def fileGone(t: Throwable): Boolean = {
       var c = t; var hops = 0
       while (c != null && hops < 20) {
         if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+        if (c.isInstanceOf[org.apache.spark.sql.AnalysisException] && {
+          val msg = String.valueOf(c.getMessage)
+          msg.contains("PATH_NOT_FOUND") || msg.contains("Path does not exist")
+        }) return true
         c = if (c.getCause eq c) null else c.getCause
         hops += 1
       }

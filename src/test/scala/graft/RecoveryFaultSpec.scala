@@ -454,12 +454,19 @@ class RecoveryFaultSpec extends AnyFunSuite {
 
   test("IvfReplica soak: concurrent searches racing owner compactions never pair frames across generations") {
     // The pass-2..4 review findings were all torn-state races in the
-    // replica heal path; this law hammers them: four threads search a
+    // replica heal path; this law soaks them: four threads search a
     // SHARED replica while the owner appends + compacts through four
     // generations. Every successful result must be the EXACT answer
-    // for one of the owner's published generation prefixes — a torn
-    // (corpus from gen i, index from gen j) pairing yields an answer
-    // matching no prefix. A deterministic final invalidation pins the
+    // for one of the owner's published generation prefixes. Honesty
+    // note (review r14 pass 5) on what that catches: an INTRA-index
+    // tear (assigned vs cmeta from different generations) or any
+    // stale-heal divergence breaks exactness; a CROSS-frame tear
+    // (corpus gen i, index gen j) would NOT be caught — boundedTopK's
+    // corpus⋈assigned join truncates it to the older prefix's exact
+    // answers — so that mode is pinned structurally instead (searchTopK
+    // resolves the maintainer reference once; a torn pairing cannot be
+    // CONSTRUCTED), and this soak guards the exception/liveness
+    // surface around it. A deterministic final invalidation pins the
     // heal non-vacuity the race itself can't guarantee.
     GraftFs.register(spark)
     val full = IvfAnn.fullCorpus(spark, dir)
