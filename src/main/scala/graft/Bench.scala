@@ -137,9 +137,23 @@ object Bench {
     val ranges =
       if (!sfDir.replaceAll("/+$", "").endsWith("sf0.1")
           && !sys.env.contains("SPARK_GRAFT_STEADY_RANGES")) Map.empty[String, (Double, Double)]
-      else BenchRanges.load(java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_STEADY_RANGES",
-          sys.props("user.dir") + "/STEADY_RANGES.json")))
+      else {
+        val rangesPath = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_STEADY_RANGES",
+            sys.props("user.dir") + "/STEADY_RANGES.json"))
+        val loaded = BenchRanges.load(rangesPath)
+        // Fail-loud on the fail-loud mechanism itself (ADVICE r14): the
+        // path resolves from user.dir, so a bench launched from any
+        // other cwd at the adjudication scale would otherwise silently
+        // emit zero verdicts — no steady_verdict field, no no_range
+        // markers — and a regression would sail through unadjudicated.
+        if (loaded.isEmpty && steady.nonEmpty)
+          println("STEADYVERDICT RANGES MISSING: no ranges loaded from " +
+            s"$rangesPath — steady adjudication is OFF for this capture " +
+            "(run the bench from the repo root or set " +
+            "SPARK_GRAFT_STEADY_RANGES)")
+        loaded
+      }
     val verdicts: Seq[(String, String)] =
       if (ranges.isEmpty) Seq.empty
       else steady.map { case (k, v) =>

@@ -577,7 +577,9 @@ object Streaming {
     // writes — applyBatch only ever contends for the short capture and
     // finalize sections. Lock order is always compactionLock -> monitor
     // (applyBatch never calls compactLog while holding the monitor).
-    private val compactionLock = new Object
+    // A ReentrantLock, not an intrinsic monitor (ADVICE r14): the
+    // inline cadence needs tryLock-and-skip — see [[tryCompactLog]].
+    private val compactionLock = new java.util.concurrent.locks.ReentrantLock
     // the durable generation compactLog last completed (or the one a
     // snapshot restore resumed from) — makes re-invocation at an
     // unchanged head a true no-op
@@ -614,9 +616,10 @@ object Streaming {
       // against a concurrent maintenance-thread compaction and
       // deadlock.
       if (cadenceDue) {
-        if (persistPath.isDefined) compactLog()
+        if (persistPath.isDefined) tryCompactLog()
         // reset even when compactLog had nothing durable to do (no
-        // persistPath, or the no-op gate rejected) so a cadence-bearing
+        // persistPath, the no-op gate rejected, or an in-flight
+        // compaction made tryCompactLog skip) so a cadence-bearing
         // maintainer doesn't re-invoke it on every later batch (review
         // r13, pass 2); a completed compaction already reset it in its
         // finalize section.
@@ -675,24 +678,36 @@ object Streaming {
       * checkpointed; the accumulated corpus is a lazy union over
       * checkpointed leaves, fully re-checkpointed only every
       * compactEvery batches (bounds union-chain depth AND avoids
-      * pinning a fresh full-corpus block set per micro-batch). */
+      * pinning a fresh full-corpus block set per micro-batch).
+      *
+      * ORDERING (ADVICE r14): every failable Spark job — the periodic
+      * corpus/assignment checkpoints, appendToIndex's delta ckpts, the
+      * rebuildWhen evaluation and the full re-cluster it may fire —
+      * runs BEFORE either ref is set; the swaps and counter updates
+      * below the line are straight-line unfailable code. A job failure
+      * mid-append therefore leaves the maintainer EXACTLY as it was
+      * (corpus, index, counters, and the caller's lastBatch all
+      * unchanged), so the at-least-once re-delivery of the same batchId
+      * re-appends once instead of duplicating vec_ids — the same
+      * compute→set→advance discipline MixturePlanner.applyBatch pins
+      * (round 14; this was its unfixed sibling). Law: the mid-append
+      * crash + re-delivery test in RecoveryFaultSpec. */
     private def append(prepped: DataFrame): Unit = {
-      sinceCompact += 1
-      val doCompact = sinceCompact >= compactEvery
+      val doCompact = sinceCompact + 1 >= compactEvery
       val grown0 = corpusRef.get.unionByName(prepped)
       val grown = if (doCompact) grown0.ckpt() else grown0
-      corpusRef.set(grown)
       val appended0 = IvfAnn.appendToIndex(indexRef.get, prepped)
       val appended =
         if (doCompact)
           appended0.copy(assigned = appended0.assigned.ckpt())
         else appended0
-      if (doCompact) sinceCompact = 0
-      indexRef.set(
-        if (rebuildWhen(appended)) {
-          rebuildCount += 1
-          IvfAnn.buildIndexWithRadii(grown)
-        } else appended)
+      val rebuilt = rebuildWhen(appended)
+      val next = if (rebuilt) IvfAnn.buildIndexWithRadii(grown) else appended
+      // ---- no failable work below: ref swaps + counters only ----
+      corpusRef.set(grown)
+      indexRef.set(next)
+      if (rebuilt) rebuildCount += 1
+      sinceCompact = if (doCompact) 0 else sinceCompact + 1
     }
 
     /** Evaluate rebuildWhen on the current index and re-cluster if it
@@ -778,7 +793,32 @@ object Streaming {
       *         snapshot + finalize) — false for every no-op arm. The
       *         measurement harnesses count real compactions by this,
       *         not by wall-clock heuristics (ADVICE r13). */
-    def compactLog(): Boolean = compactionLock.synchronized {
+    def compactLog(): Boolean = {
+      compactionLock.lock()
+      try compactLogLocked() finally compactionLock.unlock()
+    }
+
+    /** The inline-cadence entry (ADVICE r14): when a maintenance-thread
+      * compaction is already in flight, the micro-batch handler must
+      * NOT block on compactionLock for that pass's corpus-proportional
+      * staging wall (usually just to hit the no-op gate afterwards) —
+      * that re-introduces the O(corpus) batch stall two-phase removed,
+      * for exactly the deployments that configure both cadences.
+      * tryLock-and-skip is safe, never lossy: the in-flight pass's gate
+      * accounting keeps this batch counted toward the NEXT generation
+      * (finalize subtracts only the batches captured at ITS capture
+      * point), and the wrapper's cadence-counter reset re-arms after
+      * compactLogEvery further batches — skipped work is deferred to
+      * the next cadence window or maintenance pass, never lost. The
+      * held-by-current-thread guard is belt-and-braces: tryLock is
+      * reentrant, and a (contract-violating) midStageHook that fed a
+      * cadence-due batch from the compaction thread itself would
+      * otherwise nest a compaction mid-stage of the outer one. */
+    private def tryCompactLog(): Unit =
+      if (!compactionLock.isHeldByCurrentThread && compactionLock.tryLock())
+        try { compactLogLocked(); () } finally compactionLock.unlock()
+
+    private def compactLogLocked(): Boolean = {
       persistPath.exists { p =>
         // ---- capture (short monitor hold) -------------------------
         // The no-op gate decides HERE, on a consistent triple. Head
@@ -1175,8 +1215,28 @@ object Streaming {
   final class IvfReplica(spark: SparkSession, path: String,
       rebuildWhen: graft.operators.IvfAnn.IvfIndex => Boolean = _ => false) {
     import graft.operators.IvfAnn
-    @volatile private var m: IvfMaintainer =
-      IvfMaintainer.restore(spark, path, rebuildWhen, persistRebuild = false)
+
+    /** Restore with the mid-restore-invalidation retry (review r14
+      * pass 4): restore picks the newest generation and eagerly reads
+      * it, and the owner's NEXT compaction can retire that generation
+      * mid-restore — an immediate retry adopts the new head. Only a
+      * SECOND consecutive mid-restore invalidation (the owner
+      * compacting faster than a restore completes, twice in a row)
+      * throws: no completed restore is reachable under that cadence.
+      * Shared by the heals AND the constructor (ADVICE r14: the
+      * constructor used to throw on the first file-gone where a search
+      * would have healed — an asymmetry in the self-healing contract). */
+    private def restoreFresh(): IvfMaintainer =
+      try IvfMaintainer.restore(spark, path, rebuildWhen,
+          persistRebuild = false)
+      catch { case e: Throwable if fileGone(e) =>
+        try IvfMaintainer.restore(spark, path, rebuildWhen,
+            persistRebuild = false)
+        catch { case e2: Throwable if fileGone(e2) =>
+          throw invalidatedTwice(e2) }
+      }
+
+    @volatile private var m: IvfMaintainer = restoreFresh()
     private val reRestoreCount = new java.util.concurrent.atomic.AtomicLong(0)
     /** How many times a search self-healed (observability: a steadily
       * climbing count is the mis-sized-cadence signal the runbook
@@ -1205,22 +1265,6 @@ object Streaming {
       // behavior). The counter moves only on a restore that actually
       // COMPLETED, so failed heals can't climb the operator alarm.
       var ownHeal = false
-      // The restore itself can die file-gone (review r14 pass 4): it
-      // picks the newest generation and eagerly reads it, and the
-      // owner's NEXT compaction can retire that generation
-      // mid-restore — an immediate retry adopts the new head. Only a
-      // SECOND consecutive mid-restore invalidation (the owner
-      // compacting faster than a restore completes, twice in a row)
-      // throws: no completed restore is reachable under that cadence.
-      def restoreFresh(): IvfMaintainer =
-        try IvfMaintainer.restore(spark, path, rebuildWhen,
-            persistRebuild = false)
-        catch { case e: Throwable if fileGone(e) =>
-          try IvfMaintainer.restore(spark, path, rebuildWhen,
-              persistRebuild = false)
-          catch { case e2: Throwable if fileGone(e2) =>
-            throw invalidatedTwice(e2) }
-        }
       def heal(stale: IvfMaintainer, force: Boolean): IvfMaintainer =
         synchronized {
           if (force || (m eq stale)) {
@@ -1270,10 +1314,21 @@ object Streaming {
       var c = t; var hops = 0
       while (c != null && hops < 20) {
         if (c.isInstanceOf[java.io.FileNotFoundException]) return true
-        if (c.isInstanceOf[org.apache.spark.sql.AnalysisException] && {
-          val msg = String.valueOf(c.getMessage)
-          msg.contains("PATH_NOT_FOUND") || msg.contains("Path does not exist")
-        }) return true
+        c match {
+          // structured error condition first (ADVICE r14: a message
+          // substring is brittle across Spark versions — a reworded
+          // message would turn the documented heal into an unhandled
+          // throw); the message check stays as the fallback for
+          // exceptions raised without a condition (older call sites
+          // wrap the path into free-text messages)
+          case ae: org.apache.spark.sql.AnalysisException
+              if ae.getCondition == "PATH_NOT_FOUND" || {
+                val msg = String.valueOf(ae.getMessage)
+                msg.contains("PATH_NOT_FOUND") ||
+                  msg.contains("Path does not exist")
+              } => return true
+          case _ =>
+        }
         c = if (c.getCause eq c) null else c.getCause
         hops += 1
       }

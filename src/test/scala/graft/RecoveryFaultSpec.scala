@@ -21,6 +21,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - the restore-seeding / inline-cadence counter split;
   *  - the exclusive-create cleanup lock on the MixturePlanner
   *    stale-record pass.
+  *
+  * Round-15 additions (ADVICE r14): the mid-append crash + re-delivery
+  * exactly-once law (append's compute→set→advance reorder), the
+  * inline-cadence tryLock-and-skip law (a cadence-due batch must not
+  * block on an in-flight maintenance compaction's staging wall), and
+  * the replica-construction self-heal law (the constructor restore gets
+  * the same file-gone double-attempt as a search heal).
   */
 class RecoveryFaultSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
@@ -533,6 +540,136 @@ class RecoveryFaultSpec extends AnyFunSuite {
     assert(fin == fullAnswers,
       "the post-soak healed search diverged from the full corpus")
     assert(replica.reRestores >= 1, "the soak law never exercised a heal — vacuous")
+  }
+
+  test("a mid-append job failure leaves the maintainer untouched; re-delivery applies exactly once (ADVICE r14)") {
+    // rebuildWhen is evaluated AFTER appendToIndex inside append() — a
+    // throw there models any mid-append Spark job failure (a failed
+    // checkpoint, a dying executor) at the most state-advanced point.
+    // The old order set corpusRef BEFORE that evaluation, so the
+    // at-least-once re-delivery of the same batchId re-appended the
+    // batch into the already-merged corpus and duplicated vec_ids.
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val ppath = java.nio.file.Files.createTempDirectory("graft_midappend").toString
+    @volatile var boom = false
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => {
+        if (boom) { boom = false
+          throw new RuntimeException("injected mid-append failure") }
+        false
+      },
+      persistPath = Some(ppath))
+    boom = true
+    intercept[RuntimeException] { m.applyBatch(rawBatch(cut, nTotal), 0L) }
+    // the failed append left corpus, index and the idempotence guard
+    // exactly as they were — nothing half-applied
+    assert(m.corpus.count() == cut,
+      "a mid-append failure left a half-applied corpus (ref set before " +
+        "the failable work completed)")
+    assert(m.index.assigned.count() == cut)
+    // at-least-once re-delivery of the SAME batchId applies exactly once
+    m.applyBatch(rawBatch(cut, nTotal), 0L)
+    assert(m.corpus.count() == nTotal
+      && m.corpus.select("vec_id").distinct().count() == nTotal,
+      "re-delivery after a mid-append failure duplicated vec_ids in the corpus")
+    assert(m.index.assigned.count() == nTotal
+      && m.index.assigned.select("vec_id").distinct().count() == nTotal,
+      "re-delivery after a mid-append failure duplicated vec_ids in the index")
+    assert(answers(m.corpus, m.index) == fullAnswers)
+    // and the durable log agrees (the delta write is keyed by batchId,
+    // so the re-delivery overwrote the same dir — idempotent)
+    val m2 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m2.corpus.count() == nTotal)
+    assert(answers(m2.corpus, m2.index) == fullAnswers)
+  }
+
+  test("inline cadence skips, never blocks, while a maintenance compaction is mid-stage (ADVICE r14)") {
+    // A deployment that runs BOTH a maintenance thread and
+    // compactLogEvery: the handler's inline cadence firing while the
+    // maintenance pass is mid-stage must return promptly (tryLock-and-
+    // skip), not wait out the corpus-proportional staging wall — and
+    // the skipped batch's data must reach a later generation.
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 4
+    val ppath = java.nio.file.Files.createTempDirectory("graft_cadenceskip").toString
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath),
+      compactLogEvery = 2)
+    m.applyBatch(rawBatch(cut, cut + k), 0L) // cadence counter 1 of 2
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    m.midStageHook = () => {
+      m.midStageHook = () => ()
+      entered.countDown()
+      release.await()
+    }
+    @volatile var maintCompacted = false
+    val maint = new Thread(() => { maintCompacted = m.compactLog() },
+      "graft-maint")
+    maint.start()
+    assert(entered.await(120, java.util.concurrent.TimeUnit.SECONDS),
+      "the maintenance pass never reached mid-stage — the law is vacuous")
+    // compactionLock is held mid-stage; a cadence-due batch arrives
+    @volatile var applied = false
+    val handler = new Thread(() => {
+      m.applyBatch(rawBatch(cut + k, cut + 2 * k), 1L) // counter 2 → due
+      applied = true
+    }, "graft-handler")
+    handler.start()
+    handler.join(60000)
+    assert(applied,
+      "the cadence-due batch BLOCKED on the in-flight compaction's " +
+        "staging wall — tryLock-and-skip regressed to a lock wait")
+    release.countDown()
+    maint.join(120000)
+    assert(maintCompacted, "the maintenance pass itself failed to compact")
+    val fs = fsFor(ppath)
+    assert(fs.exists(p(ppath, "compact/0/_SUCCESS")),
+      "the maintenance generation (captured at head 0) is missing")
+    // deferred, never lost: the next cadence window compacts batch 1's
+    // data (counter resets to 0 on the skip, so two more batches arm it)
+    m.applyBatch(rawBatch(cut + 2 * k, cut + 3 * k), 2L)
+    m.applyBatch(rawBatch(cut + 3 * k, nTotal), 3L)
+    assert(fs.exists(p(ppath, "compact/3/_SUCCESS")),
+      "the follow-up cadence window never compacted")
+    assert(!fs.exists(p(ppath, "delta/1")),
+      "the skipped batch's delta was never retired — its data missed " +
+        "the follow-up generation")
+    val m2 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m2.corpus.count() == nTotal)
+    assert(answers(m2.corpus, m2.index) == fullAnswers)
+  }
+
+  test("IvfReplica construction self-heals a mid-construction invalidation (ADVICE r14)") {
+    GraftFs.register(spark)
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_replica_ctor")
+    val owner = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    owner.applyBatch(rawBatch(cut, nTotal), 0L)
+    assert(owner.compactLog())
+    // the first read of the adopted generation dies file-gone — the
+    // constructing replica must retry (the owner-compacted-mid-restore
+    // signature), not throw where a search heal would have recovered
+    GraftFs.armFault("open", "compact/0")
+    val replica =
+      try new Streaming.IvfReplica(spark, ppath.toString)
+      finally GraftFs.disarm()
+    assert(GraftFs.faultsFired.get() == 1,
+      "the open fault never fired — the law is vacuous")
+    import spark.implicits._
+    val queries = full.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val got = replica.searchTopK(queries, 5).as[(Long, Int, Long)].collect().toSeq
+    assert(got == fullAnswers,
+      "the retried construction adopted a divergent generation")
   }
 
   test("MixturePlanner cleanup lock: an exclusive-create lock fences concurrent cleaners; an orphaned lock fails closed (ADVICE r13)") {
