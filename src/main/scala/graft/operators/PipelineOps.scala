@@ -113,29 +113,97 @@ object PipelineOps {
   final case class CurationRun(stages: Seq[(String, DataFrame)],
       survivors: DataFrame, mixture: DataFrame, shards: DataFrame)
 
-  private[graft] def curationRun(s: SparkSession, d: String): CurationRun = {
+  /** Test seam: invoked with the stage number each time [[curationRun]]
+    * is about to COMPUTE a stage frontier (as opposed to reading a
+    * completed one back from the run log). The kill/resume laws assert
+    * a resumed run's computed set is exactly the unfinished suffix, and
+    * a probe that throws at stage N is the crash lever — a driver death
+    * between stage N-1 and N. */
+  private[graft] var stageProbe: Int => Unit = _ => ()
+
+  /** Run-log ↔ dataset pairing (the pairing.txt lesson, as a
+    * marker-gated record): the first invocation records the dataset dir
+    * as a one-row `_SUCCESS`-gated parquet at `runDir/meta`; every
+    * later invocation must present the SAME dataset — resuming another
+    * corpus's completed frontiers would silently return a chimera of
+    * two runs (the IvfMaintainer fresh-construction lesson, round 11).
+    * A crash mid-record leaves an unmarked dir and the retry rewrites
+    * it; no rename anywhere. */
+  private def checkOrRecordRunMeta(s: SparkSession, runDir: String,
+      d: String): Unit = {
+    val norm = d.replaceAll("/+$", "")
+    val metaDir = s"$runDir/meta"
+    if (graft.streaming.Streaming.markerExists(s, metaDir)) {
+      val recorded = s.read.parquet(metaDir).head().getString(0)
+      require(recorded == norm,
+        s"curation run log $runDir holds stage frontiers for dataset " +
+          s"$recorded but this invocation reads $norm — resuming would " +
+          "mix two corpora's frontiers; use a fresh runDir")
+    } else
+      s.range(1).select(lit(norm).as("dataset"))
+        .write.mode("overwrite").parquet(metaDir)
+  }
+
+  /** @param runDir opt-in durable run log (VERDICT r14 #1). Without it
+    * each stage frontier is localCheckpoint'ed — executor memory, gone
+    * on any crash, so a 100-TB curation run dying at the mixture-plan
+    * stage re-pays dedup + clustering + decontamination from zero. With
+    * it, each frontier persists as `_SUCCESS`-gated parquet at
+    * `runDir/stage_N` under the IvfMaintainer log conventions: written
+    * straight to its final name (an unmarked dir is invisible and
+    * overwritten on retry — no renames), foreign-dir-tolerant,
+    * overwrite-idempotent. A re-invocation with the same runDir SKIPS
+    * every completed stage — its frontier is READ, and the stage's
+    * upstream jobs (the pair graph, CC, gate signals) never execute,
+    * because each stage body is by-name and only evaluated when its
+    * marker is absent — and resumes at the first unmarked stage. The
+    * frontiers are slim ((doc_id), plus (source, n_tok) at stage 5), so
+    * the extra write is one column-pruned job per stage, trivial next
+    * to the stage itself at any scale. Single-writer: two concurrent
+    * invocations over one runDir are two writers of one log (the same
+    * contract as two live IvfMaintainers) — run sequentially or use
+    * distinct runDirs. Kill/resume + injected-fault laws: PipelineSpec. */
+  private[graft] def curationRun(s: SparkSession, d: String,
+      runDir: Option[String] = None): CurationRun = {
     val q = graft.SparkEntry.queries
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
-    // each stage frontier is checkpointed: a real pipeline materializes
+    runDir.foreach(rd => checkOrRecordRunMeta(s, rd, d))
+    // each stage frontier is materialized: a real pipeline materializes
     // its stage outputs, and here the funnel counts plus the two plan
     // tables would otherwise re-execute the overlapping upstream DAG
     // (pair graph joins, gate signals) once per action
-    val s1 = q("q42_dedup_exact_survivors")(s, d).select("doc_id").ckpt()
-    // clustered docs that lost their family's quality election
-    val nonKeepers = q("q70_dedup_clusters")(s, d).select(col("doc_id"))
-      .join(q("q221_dedup_best_keeper")(s, d)
-        .select(col("keeper_id").as("doc_id")), Seq("doc_id"), "left_anti")
-    val s2 = s1.join(nonKeepers, Seq("doc_id"), "left_anti").ckpt()
-    val s3 = s2
-      .join(q("q73_decontaminate")(s, d).filter(col("contaminated"))
-        .select("doc_id"), Seq("doc_id"), "left_anti")
-      .filter(col("doc_id") % 97 =!= 0)
-      .ckpt()
-    val s4 = s3.join(q("q90_quality_gate")(s, d).filter(col("keep"))
-      .select("doc_id"), Seq("doc_id"), "left_semi").ckpt()
-    val surv = s4.join(docs, "doc_id").ckpt()
+    def frontier(n: Int)(compute: => DataFrame): DataFrame = runDir match {
+      case None =>
+        stageProbe(n)
+        compute.ckpt()
+      case Some(rd) =>
+        val stageDir = s"$rd/stage_$n"
+        if (!graft.streaming.Streaming.markerExists(s, stageDir)) {
+          stageProbe(n)
+          compute.write.mode("overwrite").parquet(stageDir)
+        }
+        s.read.parquet(stageDir)
+    }
+    val s1 = frontier(1)(q("q42_dedup_exact_survivors")(s, d).select("doc_id"))
+    val s2 = frontier(2) {
+      // clustered docs that lost their family's quality election
+      val nonKeepers = q("q70_dedup_clusters")(s, d).select(col("doc_id"))
+        .join(q("q221_dedup_best_keeper")(s, d)
+          .select(col("keeper_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      s1.join(nonKeepers, Seq("doc_id"), "left_anti")
+    }
+    val s3 = frontier(3) {
+      s2.join(q("q73_decontaminate")(s, d).filter(col("contaminated"))
+          .select("doc_id"), Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 97 =!= 0)
+    }
+    val s4 = frontier(4) {
+      s3.join(q("q90_quality_gate")(s, d).filter(col("keep"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    }
+    val surv = frontier(5)(s4.join(docs, "doc_id"))
     CurationRun(
       Seq("ingested" -> docs.select("doc_id"), "exact_dedup" -> s1,
         "near_dup" -> s2, "decontaminated" -> s3, "quality" -> s4),

@@ -1350,8 +1350,11 @@ object Streaming {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** True iff `dir/_SUCCESS` exists (the parquet completion marker). */
-  private[streaming] def markerExists(spark: SparkSession, dir: String): Boolean = {
+  /** True iff `dir/_SUCCESS` exists (the parquet completion marker).
+    * private[graft]: the batch curation run log
+    * ([[graft.operators.PipelineOps.curationRun]]) reuses the persist
+    * log's completion-gate convention through this one definition. */
+  private[graft] def markerExists(spark: SparkSession, dir: String): Boolean = {
     val (fs, p) = hfs(spark, s"$dir/_SUCCESS")
     fs.exists(p)
   }

@@ -58,6 +58,16 @@ object GraftFs {
   /** Times the currently/last armed fault fired. */
   val faultsFired = new AtomicLong(0)
 
+  /** When [[recordCreates]] is on, every path a create lands on is
+    * recorded here — the curation-run resume laws assert a resumed run
+    * WRITES nothing under its completed stage dirs (their frontiers
+    * are read back, never rewritten), which the op counter alone
+    * cannot distinguish from reads. */
+  val createdPaths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  @volatile var recordCreates = false
+  private[graft] def noteCreate(p: Path): Unit =
+    if (recordCreates) createdPaths.add(p.toString)
+
   final case class FaultSpec(op: String, pathPart: String, sticky: Boolean)
 
   @volatile private var fault: Option[FaultSpec] = None
@@ -129,6 +139,7 @@ class GraftFs extends RawLocalFileSystem {
       progress: Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
     ops.incrementAndGet()
     GraftFs.failThrow("create", p)
+    GraftFs.noteCreate(p)
     super.create(p, permission, overwrite, bufferSize, replication, blockSize, progress)
   }
   // RawLocalFileSystem overrides the permission-free 6-arg create and
@@ -143,6 +154,7 @@ class GraftFs extends RawLocalFileSystem {
       progress: Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
     ops.incrementAndGet()
     GraftFs.failThrow("create", p)
+    GraftFs.noteCreate(p)
     super.create(p, overwrite, bufferSize, replication, blockSize, progress)
   }
   override def mkdirs(p: Path): Boolean = {

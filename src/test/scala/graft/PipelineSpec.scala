@@ -370,4 +370,113 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.shards.collect().toSeq.map(_.toString)
       == q("q285_shard_planner")(spark, sdir).collect().toSeq.map(_.toString))
   }
+
+  // ---- durable, resumable stage frontiers (VERDICT r14 #1) ----------
+
+  private def runOutputs(r: operators.PipelineOps.CurationRun)
+      : (Set[String], Seq[String], Seq[String]) = (
+    r.survivors.collect().map(_.toString).toSet,
+    r.mixture.collect().toSeq.map(_.toString),
+    r.shards.collect().toSeq.map(_.toString))
+
+  /** The uninterrupted in-memory run — the reference every resumed run
+    * must be byte-identical to. */
+  private lazy val refRun: (Set[String], Seq[String], Seq[String]) =
+    runOutputs(operators.PipelineOps.curationRun(spark, "/root/testdata/sf0.001"))
+
+  private def probed(f: Int => Unit)(body: => Unit): Seq[Int] = {
+    val seen = scala.collection.mutable.ArrayBuffer[Int]()
+    operators.PipelineOps.stageProbe = n => { seen += n; f(n) }
+    try body finally operators.PipelineOps.stageProbe = _ => ()
+    seen.toSeq
+  }
+
+  test("curationRun runDir: a driver death between stages resumes at the first unmarked stage — completed frontiers read, not recomputed") {
+    GraftFs.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val runDir = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_rundir")
+    def marker(n: Int) =
+      graft.streaming.Streaming.markerExists(spark, s"$runDir/stage_$n")
+    // run stages 1-2, then "die" before stage 3 computes (the probe
+    // throws where a driver death between the frontiers would land)
+    val seen1 = probed(n => if (n == 3) throw new RuntimeException("injected driver death")) {
+      intercept[RuntimeException] {
+        operators.PipelineOps.curationRun(spark, dir, Some(runDir))
+      }
+    }
+    assert(seen1 == Seq(1, 2, 3), s"crash leg computed $seen1")
+    assert(marker(1) && marker(2) && !marker(3),
+      "the crash leg's durable frontier set is wrong")
+    // resume: stages 1-2 are READ (no recompute, no rewrite), stages
+    // 3-5 run, and the final outputs are byte-identical to an
+    // uninterrupted run
+    GraftFs.createdPaths.clear()
+    GraftFs.recordCreates = true
+    var resumed: operators.PipelineOps.CurationRun = null
+    val seen2 =
+      try probed(_ => ()) {
+        resumed = operators.PipelineOps.curationRun(spark, dir, Some(runDir))
+      } finally GraftFs.recordCreates = false
+    assert(seen2 == Seq(3, 4, 5),
+      s"resume recomputed completed stages (computed set: $seen2)")
+    val created = {
+      import scala.jdk.CollectionConverters._
+      GraftFs.createdPaths.asScala.toSeq
+    }
+    assert(created.exists(_.contains("stage_3")),
+      "the create recorder observed nothing — the read-not-rewritten " +
+        "assertion below would be vacuous")
+    assert(!created.exists(c => c.contains("stage_1") || c.contains("stage_2")),
+      "the resumed run REWROTE completed stage frontiers instead of " +
+        "reading them")
+    assert(runOutputs(resumed) == refRun,
+      "the resumed run's survivors/mixture/shards diverged from an " +
+        "uninterrupted run")
+    // a third invocation computes nothing at all — every frontier is
+    // complete, the run is a pure read
+    var again: operators.PipelineOps.CurationRun = null
+    val seen3 = probed(_ => ()) {
+      again = operators.PipelineOps.curationRun(spark, dir, Some(runDir))
+    }
+    assert(seen3 == Seq.empty, s"a fully-complete run recomputed $seen3")
+    assert(runOutputs(again) == refRun)
+    // dataset pairing: resuming the log against a DIFFERENT dataset
+    // must refuse (a chimera of two corpora's frontiers), not resume
+    val ex = intercept[IllegalArgumentException] {
+      operators.PipelineOps.curationRun(spark, "/root/testdata/sf0.01",
+        Some(runDir))
+    }
+    assert(ex.getMessage.contains("use a fresh runDir"))
+  }
+
+  test("curationRun runDir: a create crashing mid-frontier leaves an unmarked dir; resume redoes exactly that stage") {
+    GraftFs.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val runDir = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_runfault")
+    GraftFs.armFault("create", "stage_2")
+    val seen1 =
+      try probed(_ => ()) {
+        intercept[Throwable] {
+          operators.PipelineOps.curationRun(spark, dir, Some(runDir))
+        }
+      } finally GraftFs.disarm()
+    assert(GraftFs.faultsFired.get() == 1, "the create fault never fired")
+    assert(seen1 == Seq(1, 2), s"fault leg computed $seen1")
+    assert(graft.streaming.Streaming.markerExists(spark, s"$runDir/stage_1"),
+      "stage 1's completed frontier went missing")
+    assert(!graft.streaming.Streaming.markerExists(spark, s"$runDir/stage_2"),
+      "the crashed stage-2 write carries a completion marker")
+    // resume redoes stage 2 (overwrite-idempotent over the partial
+    // dir) and the unfinished suffix — never stage 1
+    var resumed: operators.PipelineOps.CurationRun = null
+    val seen2 = probed(_ => ()) {
+      resumed = operators.PipelineOps.curationRun(spark, dir, Some(runDir))
+    }
+    assert(seen2 == Seq(2, 3, 4, 5),
+      s"resume after a mid-frontier crash computed $seen2")
+    assert(runOutputs(resumed) == refRun,
+      "resume over a partial (unmarked) frontier diverged")
+  }
 }
