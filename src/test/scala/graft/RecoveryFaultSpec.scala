@@ -28,6 +28,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * block on an in-flight maintenance compaction's staging wall), and
   * the replica-construction self-heal law (the constructor restore gets
   * the same file-gone double-attempt as a search heal).
+  *
+  * Round-15 object-store laws (VERDICT r14 #2, via the GraftFs modes):
+  * the pairing record under rename-as-copy+delete with a mid-rename
+  * crash (record complete, retry verifies, debris harmless); the
+  * retention pass under a stale LIST (skips invisible dirs — disk
+  * debris, never data loss; the next pass retires them once visible);
+  * and the PINNED failure mode — a restore whose LIST misses the
+  * newest delta or generation silently truncates, which is why the
+  * runbook states the strong-listing deployment requirement (every
+  * object store since Dec 2020) instead of claiming tolerance.
   */
 class RecoveryFaultSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
@@ -670,6 +680,150 @@ class RecoveryFaultSpec extends AnyFunSuite {
     val got = replica.searchTopK(queries, 5).as[(Long, Int, Long)].collect().toSeq
     assert(got == fullAnswers,
       "the retried construction adopted a divergent generation")
+  }
+
+  test("object-store rename (copy+delete): a mid-rename crash leaves a COMPLETE pairing record; the retry verifies it and mismatches still throw") {
+    GraftFs.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_oss_pair")
+    val ckpt = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_oss_ck") + "/ck"
+    val mem = MemoryStream[(Long, String, String)]
+    val m = new Streaming.MixturePlanner(spark, Some(ppath))
+    val fs = fsFor(ppath)
+    GraftFs.renameAsCopyDelete = true
+    GraftFs.renameCrashAfterCopy = true
+    try {
+      // the s3a mid-rename crash: the record copy completed, the
+      // source delete did not — BOTH paths visible
+      val ex = intercept[java.io.IOException] {
+        m.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckpt))
+      }
+      assert(ex.getMessage.contains("died after the copy"))
+      assert(fs.exists(p(ppath, "pairing.txt")),
+        "the destination is missing — the copy never completed, so the " +
+          "law exercised nothing")
+      assert(fs.exists(p(ppath, "pairing.txt.tmp")),
+        "the source was deleted — the crash landed after the rename " +
+          "completed, not mid-rename")
+      // the record is COMPLETE (the per-object PUT is atomic): the
+      // retry with the paired checkpoint verifies and runs — still
+      // under copy+delete renames, which the counts-snapshot writes'
+      // committer renames now also traverse
+      val q = m.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckpt))
+      try {
+        mem.addData(Seq((1L, "a b c", "s"))); q.processAllAvailable()
+        assert(m.counts.agg(sum(col("tok"))).head().getLong(0) == 3L)
+      } finally q.stop()
+      // and a MISpaired start still throws — the record is not torn
+      val ex2 = intercept[IllegalArgumentException] {
+        m.start(mem.toDS().toDF("doc_id", "text", "source"),
+          Some(ckpt + "_other"))
+      }
+      assert(ex2.getMessage.contains("paired with checkpointLocation"))
+    } finally {
+      GraftFs.renameAsCopyDelete = false
+      GraftFs.renameCrashAfterCopy = false
+    }
+    // the leftover .tmp is inert debris: the restored planner reads the
+    // completed log, not the temp record
+    val m2 = Streaming.MixturePlanner.restore(spark, ppath.toString)
+    assert(m2.counts.agg(sum(col("tok"))).head().getLong(0) == 3L)
+  }
+
+  test("stale LIST during retention: invisible dirs are skipped — disk debris, never data loss; the next pass retires them once visible") {
+    GraftFs.register(spark)
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 3
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_stale_ret")
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    m.applyBatch(rawBatch(cut, cut + k), 0L)
+    m.applyBatch(rawBatch(cut + k, cut + 2 * k), 1L)
+    val fs = fsFor(ppath)
+    // delta/0 exists but has not propagated to LIST when the retention
+    // pass walks the log
+    GraftFs.markStaleListing("delta/0")
+    try {
+      assert(m.compactLog())
+      assert(fs.exists(p(ppath, "delta/0")),
+        "the stale-hidden delta was deleted — the retention pass " +
+          "discovered it outside the listing?")
+      assert(!fs.exists(p(ppath, "delta/1")),
+        "the visible covered delta was not retired")
+      // the live maintainer is untouched by the debris
+      assert(m.corpus.count() == cut + 2 * k)
+    } finally GraftFs.resetStaleListing()
+    // restore is exact despite the debris: stale deltas ≤ the
+    // generation are skipped by id, never re-applied
+    val r = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(r.corpus.count() == cut + 2 * k,
+      "a stale (covered) delta was re-applied on restore")
+    // the next compaction subsumes the debris once the listing catches up
+    m.applyBatch(rawBatch(cut + 2 * k, nTotal), 2L)
+    assert(m.compactLog())
+    assert(!fs.exists(p(ppath, "delta/0")),
+      "the caught-up retention pass never retired the debris")
+    val r2 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(r2.corpus.count() == nTotal)
+    assert(answers(r2.corpus, r2.index) == fullAnswers)
+  }
+
+  test("stale LIST pins the strong-listing requirement: an unpropagated newest delta or generation silently truncates restore; a caught-up listing is exact") {
+    GraftFs.register(spark)
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 2
+    // ---- leg A: the newest DELTA invisible at restore time ----------
+    val pA = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_stale_delta")
+    val mA = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(pA))
+    mA.applyBatch(rawBatch(cut, cut + k), 0L)
+    mA.applyBatch(rawBatch(cut + k, nTotal), 1L)
+    GraftFs.markStaleListing("delta/1")
+    try {
+      val truncated = Streaming.IvfMaintainer.restore(spark, pA, _ => false)
+      // THE PINNED FAILURE MODE: restore walks the LIST, the list is
+      // stale, the restored corpus is silently short — and the
+      // resume-pairing guard cannot catch it (the next delivered batch
+      // id is ABOVE the truncated head, which is exactly what a
+      // correct pairing looks like). This is WHY the runbook states
+      // the strong-listing requirement instead of claiming tolerance;
+      // a fix needs a manifest with atomic replace — a different log
+      // design (what Delta's CAS log exists for), out of scope.
+      assert(truncated.corpus.count() == cut + k,
+        "expected the documented stale-LIST truncation; if the count " +
+          "is larger, restore now tolerates stale listings — update " +
+          "the runbook requirement and this law")
+    } finally GraftFs.resetStaleListing()
+    val okA = Streaming.IvfMaintainer.restore(spark, pA, _ => false)
+    assert(okA.corpus.count() == nTotal)
+    assert(answers(okA.corpus, okA.index) == fullAnswers)
+    // ---- leg B: the newest GENERATION invisible after its covered ---
+    // deltas were retired — restore falls back to the seed
+    val pB = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_stale_gen")
+    val mB = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(pB))
+    mB.applyBatch(rawBatch(cut, cut + k), 0L)
+    mB.applyBatch(rawBatch(cut + k, nTotal), 1L)
+    assert(mB.compactLog()) // compact/1 complete, covered deltas gone
+    GraftFs.markStaleListing("compact/1")
+    try {
+      val truncated = Streaming.IvfMaintainer.restore(spark, pB, _ => false)
+      assert(truncated.corpus.count() == cut,
+        "expected the documented truncation to the seed under a stale " +
+          "generation listing")
+    } finally GraftFs.resetStaleListing()
+    val okB = Streaming.IvfMaintainer.restore(spark, pB, _ => false)
+    assert(okB.corpus.count() == nTotal)
+    assert(answers(okB.corpus, okB.index) == fullAnswers)
   }
 
   test("MixturePlanner cleanup lock: an exclusive-create lock fences concurrent cleaners; an orphaned lock fails closed (ADVICE r13)") {
