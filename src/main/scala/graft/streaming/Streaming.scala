@@ -850,14 +850,19 @@ object Streaming {
         }
         captured.exists { case (lb, corpusSnap, idxSnap, rebuilds0, data0) =>
           // Tag every compaction job with a dedicated scheduler pool:
-          // under FIFO (the default) this is a no-op, but a deployment
+          // under FIFO (the default) this is a no-op; a deployment
           // that enables FAIR scheduling and weights the pool down
-          // keeps the staging write from queueing ahead of the
-          // stream's micro-batch jobs — the residual live-vs-solo tail
-          // gap the COMPACTLIVE re-leg measured is slot contention
-          // during staging, not lock wait. Thread-local, restored
-          // after the pass (the inline-cadence caller shares the
-          // handler thread).
+          // keeps the staging writes from queueing ahead of the
+          // stream's micro-batch jobs. MEASURED (round 15, SCALE.md
+          // "FAIR pool": two paired COMPACTLIVE10X reps, default pool
+          // weight 8/minShare 24 vs graft_maintenance weight 1): live
+          // batch-wall p90 dropped in both reps (FIFO 1.46–1.52 s →
+          // FAIR 1.16–1.28 s; live max 1.98–2.20 → 1.34–1.80 s) with
+          // the compaction walls unchanged within jitter — the
+          // residual live-vs-solo tail gap is staging slot contention,
+          // and the pool weighting is the lever that trims it.
+          // Thread-local, restored after the pass (the inline-cadence
+          // caller shares the handler thread).
           val sc = spark.sparkContext
           val prevPool = sc.getLocalProperty("spark.scheduler.pool")
           sc.setLocalProperty("spark.scheduler.pool", "graft_maintenance")

@@ -107,6 +107,33 @@ object ScaleSmoke {
   }
 
   def main(args: Array[String]): Unit = {
+    // FAIR-pool measurement arm (VERDICT r14 #5): arm FAIR scheduling
+    // with a down-weighted graft_maintenance pool BEFORE the context
+    // starts (SparkConf reads spark.* system properties), so a
+    // COMPACTLIVE leg can measure whether pool weighting trims the
+    // residual live-vs-solo contention — compactLog's staging jobs
+    // racing micro-batch jobs for executor slots.
+    if (sys.env.contains("SPARK_GRAFT_FAIR")) {
+      val xml = java.nio.file.Files.createTempFile("graft_fair", ".xml")
+      java.nio.file.Files.write(xml,
+        """<?xml version="1.0"?>
+          |<allocations>
+          |  <pool name="default">
+          |    <schedulingMode>FIFO</schedulingMode>
+          |    <weight>8</weight>
+          |    <minShare>24</minShare>
+          |  </pool>
+          |  <pool name="graft_maintenance">
+          |    <schedulingMode>FIFO</schedulingMode>
+          |    <weight>1</weight>
+          |    <minShare>0</minShare>
+          |  </pool>
+          |</allocations>
+          |""".stripMargin.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      sys.props("spark.scheduler.mode") = "FAIR"
+      sys.props("spark.scheduler.allocation.file") = xml.toString
+      println(s"FAIR pools armed (allocation file $xml)")
+    }
     val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val base = "/root/testdata/sf0.1"
     val big = "/tmp/graft_scale"
@@ -991,6 +1018,124 @@ object ScaleSmoke {
       }
       feed("solo", withMaint = false)
       feed("live", withMaint = true)
+      spark.stop()
+      return
+    }
+
+    // Replica-fleet pricing at the decade (VERDICT r14 #4): the
+    // IvfReplica laws run at sf0.001; the runbook's cadence-sizing rule
+    // ("owner compaction cadence above replica re-read cadence") had no
+    // measured numbers behind it. This leg runs the COMPACTLIVE-scale
+    // owner (seed + 40 batches, maintenance compactions on a wall-clock
+    // cadence) with FOUR threads searching one SHARED IvfReplica
+    // throughout, and reports: searches/sec, completed heals
+    // (reRestores) vs completed owner compactions, and the search-wall
+    // spread — max − p50 ≈ the heal price (one restore at this corpus
+    // size; cf. RESTORE100X's 1.08 s snapshot restore). Parity: the
+    // post-run search must heal onto the final generation and answer
+    // exactly like a from-scratch index over the full corpus.
+    // SPARK_GRAFT_REPLICA100X=10x runs the small arm for iteration.
+    if (sys.env.contains("SPARK_GRAFT_REPLICA100X")) {
+      import graft.operators.IvfAnn
+      import graft.streaming.Streaming
+      val small = sys.env.get("SPARK_GRAFT_REPLICA100X").contains("10x")
+      val legTag = if (small) "REPLICA10X" else "REPLICA100X"
+      val nVecs = if (small) 60000L else 600000L
+      val seedN = if (small) 20000L else 200000L
+      val batchSz = if (small) 1000L else 10000L
+      val cadenceMs = if (small) 4000L else 8000L
+      val vdir = if (small) "/tmp/graft_replica10x" else "/tmp/graft_replica100x"
+      synthesizeClusteredVecs(spark, vdir, nVecs = nVecs, clusterSize = 16)
+      val all = spark.read.parquet(s"$vdir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val full = IvfAnn.fullCorpus(spark, vdir)
+      val queries = full.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+          col("nrm").as("qn"))
+      val ppath = s"${vdir}_log"
+      val fs = new org.apache.hadoop.fs.Path(ppath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ppath), true)
+      val owner = new Streaming.IvfMaintainer(
+        full.filter(col("vec_id") < seedN), rebuildWhen = _ => false,
+        compactEvery = 16, persistPath = Some(ppath))
+      def batch(b: Int) = {
+        val lo = seedN + batchSz * b
+        all.filter(col("vec_id") >= lo && col("vec_id") < lo + batchSz)
+      }
+      // first generation BEFORE the replica constructs, so the replica
+      // adopts generation files every later compaction retires — the
+      // deployment shape (replicas serve compacted generations, not the
+      // immortal seed)
+      owner.applyBatch(batch(0), 0L)
+      require(owner.compactLog(), s"$legTag: the seeding compaction no-op'd")
+      val replica = new Streaming.IvfReplica(spark, ppath)
+      @volatile var stop = false
+      @volatile var maintErr: Throwable = null
+      @volatile var searchErr: Throwable = null
+      val nCompactions = new java.util.concurrent.atomic.AtomicLong(0)
+      val cWalls = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      val maint = new Thread(() => {
+        try {
+          while (!stop) {
+            val t0 = System.nanoTime()
+            if (owner.compactLog()) {
+              nCompactions.incrementAndGet()
+              cWalls.add((System.nanoTime() - t0) / 1e9)
+            }
+            Thread.sleep(cadenceMs)
+          }
+        } catch { case t: Throwable => maintErr = t }
+      }, "graft-replica-owner-maint")
+      maint.setDaemon(true); maint.start()
+      val sWalls = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      val searchers = (1 to 4).map { i =>
+        new Thread(() => {
+          try {
+            while (!stop) {
+              val t0 = System.nanoTime()
+              val n = replica.searchTopK(queries, 5).count()
+              sWalls.add((System.nanoTime() - t0) / 1e9)
+              require(n > 0, "a replica search returned zero rows")
+            }
+          } catch {
+            // "invalidated twice" here means the harness cadence is
+            // mis-sized, which is itself a finding — surface, don't mask
+            case t: Throwable => searchErr = t
+          }
+        }, s"graft-replica-search-$i")
+      }
+      searchers.foreach { t => t.setDaemon(true); t.start() }
+      val t0 = System.nanoTime()
+      for (b <- 1 until 40) owner.applyBatch(batch(b), b.toLong)
+      val feedWall = (System.nanoTime() - t0) / 1e9
+      stop = true
+      maint.join(); searchers.foreach(_.join(240000))
+      require(searchers.forall(!_.isAlive), s"$legTag: a searcher hung")
+      require(maintErr == null, s"$legTag: owner maintenance died: $maintErr")
+      require(searchErr == null, s"$legTag: a searcher died: $searchErr")
+      // final generation at the final head (no-op if the cadence
+      // already landed there), then the parity search — it must serve
+      // the FULL corpus exactly, healing if its adoption was retired
+      owner.compactLog()
+      val want = IvfAnn.boundedTopK(full, queries, 5,
+        Some(IvfAnn.buildIndexWithRadii(full)))._2.collect().toSeq.map(_.toString)
+      val got = replica.searchTopK(queries, 5).collect().toSeq.map(_.toString)
+      require(got == want, s"$legTag: post-run replica answers diverged " +
+        "from the full-corpus exact index")
+      import scala.jdk.CollectionConverters._
+      val sw = sWalls.asScala.map(_.doubleValue).toSeq.sorted
+      val cw = cWalls.asScala.map(_.doubleValue).toSeq.sorted
+      require(sw.nonEmpty && nCompactions.get() >= 2,
+        s"$legTag: too few searches/compactions — the leg is vacuous")
+      println(f"$legTag%s ${sw.size}%d searches in $feedWall%6.1f s feed " +
+        f"(${sw.size / feedWall}%5.2f searches/s, 4 threads) | " +
+        f"search wall p50 ${sw(sw.size / 2)}%5.2f s  p90 ${sw(sw.size * 9 / 10)}%5.2f s" +
+        f"  max ${sw.last}%5.2f s")
+      println(f"$legTag%s ${nCompactions.get()}%d owner compactions " +
+        f"(walls ${cw.head}%5.2f-${cw.last}%5.2f s, cadence ${cadenceMs / 1000.0}%4.1f s sleep) | " +
+        f"${replica.reRestores}%d completed heals " +
+        f"(${replica.reRestores.toDouble / nCompactions.get()}%4.2f heals/compaction)")
       spark.stop()
       return
     }
