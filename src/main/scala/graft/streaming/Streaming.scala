@@ -610,11 +610,13 @@ object Streaming {
       // keeps the corpus-proportional staging INSIDE this micro-batch's
       // handler (the stream's commit waits for it), which a
       // latency-sensitive stream should schedule off the hot path
-      // instead. Invoked OUTSIDE the monitor (round 14): compactLog
-      // takes compactionLock then the monitor, so calling it from
+      // instead. Invoked OUTSIDE the monitor (round 14): the compaction
+      // path takes compactionLock then the monitor, so calling it from
       // inside the monitor-held body would invert the lock order
-      // against a concurrent maintenance-thread compaction and
-      // deadlock.
+      // against a concurrent maintenance-thread compaction (with the
+      // round-15 tryLock the inversion would no longer deadlock — the
+      // inline call would just always skip while a maintenance pass
+      // holds the lock — but the ordering discipline stays).
       if (cadenceDue) {
         if (persistPath.isDefined) tryCompactLog()
         // reset even when compactLog had nothing durable to do (no
@@ -1301,10 +1303,10 @@ object Streaming {
 
     private def invalidatedTwice(cause: Throwable) = new IllegalStateException(
       s"IvfReplica: the persist log at $path was invalidated twice within " +
-        "one search — the owner's compactLog cadence is outrunning this " +
-        "replica's re-restore (size the owner's compaction cadence above " +
-        "the replicas' re-read cadence — see the recovery runbook), or the " +
-        "log itself is damaged", cause)
+        "one search or restore — the owner's compactLog cadence is " +
+        "outrunning this replica's re-restore (size the owner's compaction " +
+        "cadence above the replicas' re-read cadence — see the recovery " +
+        "runbook), or the log itself is damaged", cause)
 
     /** True iff the failure is the retired-files signature: a
       * FileNotFoundException anywhere in the cause chain (Spark wraps
