@@ -621,7 +621,11 @@ class RecoveryFaultSpec extends AnyFunSuite {
     val maint = new Thread(() => { maintCompacted = m.compactLog() },
       "graft-maint")
     maint.start()
-    assert(entered.await(120, java.util.concurrent.TimeUnit.SECONDS),
+    val sawMidStage = entered.await(120, java.util.concurrent.TimeUnit.SECONDS)
+    // same liveness discipline: never leave the hook parked on the
+    // latch when the assertion below is about to throw
+    if (!sawMidStage) release.countDown()
+    assert(sawMidStage,
       "the maintenance pass never reached mid-stage — the law is vacuous")
     // compactionLock is held mid-stage; a cadence-due batch arrives
     @volatile var applied = false
@@ -631,10 +635,15 @@ class RecoveryFaultSpec extends AnyFunSuite {
     }, "graft-handler")
     handler.start()
     handler.join(60000)
-    assert(applied,
+    // capture the verdict BEFORE releasing the latch, but release even
+    // when it failed — a thrown assert with the maintenance thread
+    // still parked on the latch would leave a non-daemon thread that
+    // blocks the forked test JVM's exit (review r15, pass 2)
+    val appliedWhileMidStage = applied
+    release.countDown()
+    assert(appliedWhileMidStage,
       "the cadence-due batch BLOCKED on the in-flight compaction's " +
         "staging wall — tryLock-and-skip regressed to a lock wait")
-    release.countDown()
     maint.join(120000)
     assert(maintCompacted, "the maintenance pass itself failed to compact")
     val fs = fsFor(ppath)
