@@ -1233,6 +1233,108 @@ object ScaleSmoke {
     // mixture/shard tables must equal the DECLARED q289/q285 run over
     // the materialized survivor corpus — same semantics through a
     // different code path (parquet round-trip vs in-memory chain).
+    // Durable-frontier restart pricing (VERDICT r14 #1, the measured
+    // leg behind the feature): the runDir laws prove resume semantics
+    // at sf0.001; this leg prices them at the PIPE10X corpus. Four
+    // timed runs, each from a fully-evicted derivation cache (the
+    // PIPE10X cold convention — resume must not look cheap merely
+    // because an earlier run warmed the pair graph):
+    //   mem     — the in-memory composed run (the PIPE10X protocol);
+    //   durable — the same run with runDir: the durability tax is the
+    //             five frontier writes;
+    //   crash   — a run that dies entering stage 4 (quality), stages
+    //             1-3 durable: what a real death at the gate stage
+    //             costs;
+    //   resume  — re-invocation over the crashed log: pays stages 4-5
+    //             + plans only; dedup, CC and decontamination are READ.
+    // Asserts the resumed outputs equal the uninterrupted durable
+    // run's, and that resume computed exactly stages 4-5.
+    if (sys.env.contains("SPARK_GRAFT_PIPERESUME")) {
+      import graft.operators.PipelineOps
+      val tag = "PIPERESUME10X"
+      val d10 = "/tmp/graft_piperesume10x"
+      synthesizeTemplated(spark, d10, nDocs = 50000L, vocabSize = 5000)
+      val fsRoot = new org.apache.hadoop.fs.Path("/tmp")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def freshDir(name: String): String = {
+        val p = s"/tmp/${name}"
+        fsRoot.delete(new org.apache.hadoop.fs.Path(p), true)
+        p
+      }
+      def cold(): Unit = {
+        graft.plans.DerivationCache.evictAll()
+        graft.plans.DerivationCache.dropOrphans(spark.sparkContext)
+      }
+      // materialize what a real run ships: funnel counts + both plans
+      def ship(r: PipelineOps.CurationRun): Seq[(String, Long)] = {
+        val funnel = r.stages.map { case (nm, df) => (nm, df.count()) }
+        noop(r.mixture); noop(r.shards)
+        funnel
+      }
+      def outputs(r: PipelineOps.CurationRun): (Long, Seq[String], Seq[String]) = (
+        r.survivors.count(),
+        r.mixture.collect().toSeq.map(_.toString),
+        r.shards.collect().toSeq.map(_.toString))
+      // untimed warm-up pass: the first composed run of a session pays
+      // JIT + whole-stage-codegen compilation the derivation eviction
+      // cannot (and should not) reset — without it the first TIMED run
+      // eats that one-time cost and the comparison lies (first capture
+      // of this leg showed a NEGATIVE durability tax for exactly that
+      // reason)
+      ship(PipelineOps.curationRun(spark, d10))
+      cold()
+      val t0m = System.nanoTime()
+      val rMem = PipelineOps.curationRun(spark, d10)
+      ship(rMem)
+      val memWall = (System.nanoTime() - t0m) / 1e9
+      val dirA = freshDir("graft_piperesume_a")
+      cold()
+      val t0d = System.nanoTime()
+      val rDur = PipelineOps.curationRun(spark, d10, Some(dirA))
+      ship(rDur)
+      val durableWall = (System.nanoTime() - t0d) / 1e9
+      val wantOut = outputs(rDur)
+      // crash entering stage 4 — stages 1-3 are durable when it dies
+      val dirB = freshDir("graft_piperesume_b")
+      cold()
+      val t0x = System.nanoTime()
+      val crashed =
+        try { PipelineOps.stageProbe = n =>
+            if (n == 4) throw new RuntimeException("injected driver death")
+          PipelineOps.curationRun(spark, d10, Some(dirB)); false
+        } catch { case _: RuntimeException => true }
+        finally PipelineOps.stageProbe = _ => ()
+      val crashWall = (System.nanoTime() - t0x) / 1e9
+      require(crashed, s"$tag: the crash leg never crashed — vacuous")
+      // resume over the crashed log, cold cache: stages 1-3 must be
+      // read, stages 4-5 computed, outputs identical to the
+      // uninterrupted durable run
+      val computed = scala.collection.mutable.ArrayBuffer[Int]()
+      cold()
+      val t0r = System.nanoTime()
+      val rRes =
+        try { PipelineOps.stageProbe = n => { computed += n; () }
+          PipelineOps.curationRun(spark, d10, Some(dirB))
+        } finally PipelineOps.stageProbe = _ => ()
+      val resumeFunnel = ship(rRes)
+      val resumeWall = (System.nanoTime() - t0r) / 1e9
+      require(computed.toSeq == Seq(4, 5),
+        s"$tag: resume computed $computed, expected exactly stages 4-5")
+      require(outputs(rRes) == wantOut,
+        s"$tag: resumed outputs diverged from the uninterrupted run")
+      resumeFunnel.foreach { case (nm, n) =>
+        println(f"$tag funnel $nm%-16s $n%8d docs")
+      }
+      println(f"$tag in-memory composed $memWall%6.2f s | durable (runDir)" +
+        f" $durableWall%6.2f s (durability tax ${durableWall - memWall}%+5.2f s)" +
+        f" | crash-at-stage-4 run $crashWall%6.2f s")
+      println(f"$tag resume $resumeWall%6.2f s = ${100 * resumeWall / durableWall}%4.1f%%" +
+        f" of the full durable run — the restart re-pays stages 4-5 + plans" +
+        f" only (dedup/CC/decontamination read back)")
+      spark.stop()
+      return
+    }
+
     if (sys.env.contains("SPARK_GRAFT_PIPE10X")) {
       import graft.operators.PipelineOps
       // SPARK_GRAFT_PIPE10X=100x runs the same protocol on the ROI100X
