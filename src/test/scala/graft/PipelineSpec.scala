@@ -450,6 +450,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("use a fresh runDir"))
   }
 
+  test("curationRun runDir round-trips under copy+delete renames — the committer's internal renames are marker-fenced") {
+    // The run log's own protocol has no renames, but parquet's
+    // FileOutputCommitter renames task files into place internally; on
+    // s3a those become copy+delete. The runbook claims the log never
+    // depends on rename atomicity — this law runs a full durable run
+    // under the emulated s3a rename and asserts every frontier
+    // completes with outputs identical to the in-memory reference.
+    GraftFs.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val runDir = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_runoss")
+    GraftFs.renameAsCopyDelete = true
+    val r =
+      try operators.PipelineOps.curationRun(spark, dir, Some(runDir))
+      finally GraftFs.renameAsCopyDelete = false
+    (1 to 5).foreach(n => assert(
+      graft.streaming.Streaming.markerExists(spark, s"$runDir/stage_$n"),
+      s"stage $n's frontier never completed under copy+delete renames"))
+    assert(runOutputs(r) == refRun,
+      "a durable run under copy+delete renames diverged from the " +
+        "in-memory reference")
+  }
+
   test("curationRun runDir: a create crashing mid-frontier leaves an unmarked dir; resume redoes exactly that stage") {
     GraftFs.register(spark)
     val dir = "/root/testdata/sf0.001"

@@ -663,6 +663,53 @@ class RecoveryFaultSpec extends AnyFunSuite {
     assert(answers(m2.corpus, m2.index) == fullAnswers)
   }
 
+  test("tryCompactLog reentrancy guard: a contract-violating hook delivering a cadence-due batch from the compaction thread cannot nest a compaction") {
+    // midStageHook's contract forbids invoking compaction work from
+    // the hook thread; the inline cadence's isHeldByCurrentThread
+    // guard makes a VIOLATING hook safe anyway — ReentrantLock.tryLock
+    // succeeds reentrantly, so without the guard the hook thread would
+    // re-acquire the lock it already holds and run a nested compaction
+    // mid-stage of the outer one (capturing the moved head, staging a
+    // second generation, and retiring the dirs the outer pass is still
+    // rooted on). This law IS that violating hook.
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 2
+    val ppath = java.nio.file.Files.createTempDirectory("graft_reentrant").toString
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath),
+      compactLogEvery = 2)
+    m.applyBatch(rawBatch(cut, cut + k), 0L) // cadence counter 1 of 2
+    val fs = fsFor(ppath)
+    @volatile var hookRan = false
+    @volatile var nestedGen = false
+    m.midStageHook = () => {
+      m.midStageHook = () => ()
+      hookRan = true
+      // cadence-due delivery from the COMPACTION THREAD itself: the
+      // wrapper's tryCompactLog must skip via the held-by-current-
+      // thread guard, not reentrantly nest
+      m.applyBatch(rawBatch(cut + k, nTotal), 1L) // counter 2 → due
+      // a nested pass would have captured the moved head and staged
+      // generation 1 right here, mid-stage of the outer pass
+      nestedGen = fs.exists(p(ppath, "compact/1"))
+    }
+    assert(m.compactLog(), "the outer pass failed to compact")
+    assert(hookRan, "the violating hook never ran — the law is vacuous")
+    assert(!nestedGen,
+      "a compaction NESTED mid-stage of the outer one — the reentrancy " +
+        "guard regressed")
+    // the outer pass finalized the head-moved branch sanely: gen 0
+    // durable, the mid-stage batch's data intact and counted forward
+    assert(fs.exists(p(ppath, "compact/0/_SUCCESS")))
+    assert(m.corpus.count() == nTotal)
+    assert(m.compactLog(), "the mid-stage batch never re-armed the gate")
+    val m2 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(m2.corpus.count() == nTotal)
+    assert(answers(m2.corpus, m2.index) == fullAnswers)
+  }
+
   test("IvfReplica construction self-heals a mid-construction invalidation (ADVICE r14)") {
     GraftFs.register(spark)
     val full = IvfAnn.fullCorpus(spark, dir)
