@@ -64,10 +64,13 @@ import org.apache.hadoop.util.Progressable
   * What remains out of scope (documented, not emulated): cross-client
   * list propagation timing, stale-DELETE visibility (removed keys
   * reappearing in listings), and multipart-upload partial-failure
-  * modes. The recovery laws run under both modes in RecoveryFaultSpec;
-  * where a mode breaks a law, the law PINS the failure and the
-  * strong-listing deployment requirement is documented (README
-  * runbook) instead of papering over it.
+  * modes. The recovery laws run under both modes in RecoveryFaultSpec.
+  * The restore truncation a stale LIST caused was PINNED by an r15 law
+  * and CLOSED in r16 by the head-record frontier (restore discovers
+  * the frontier by GETs alone); the law now asserts full recovery
+  * under the emulated stale listing, and the strong-LIST deployment
+  * requirement survives only as the legacy-log note in the README
+  * runbook.
   */
 object GraftFs {
   /** Calls observed through the wrapper since JVM start. */
@@ -112,6 +115,17 @@ object GraftFs {
     * caught up". */
   private val staleFragments =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** A fragment ending in `$` is suffix-anchored: it hides only the
+    * entry whose path ENDS with it (the directory's own entry in its
+    * parent's listing), leaving the files INSIDE that directory
+    * visible. The distinction separates the two stale-LIST surfaces:
+    * frontier DISCOVERY (whose truncation the r15 law pinned and the
+    * r16 head records close — metadata the log protocol owns) vs
+    * part-file enumeration inside a dir the frontier already NAMES —
+    * the parquet reader's data plane, the same committer-era surface
+    * the scaladoc above carves out as outside this repo's code. An
+    * un-anchored fragment keeps the old contains semantics (hides the
+    * dir and everything under it). */
   def markStaleListing(fragment: String): Unit = staleFragments.add(fragment)
   def resetStaleListing(): Unit = staleFragments.clear()
   private[graft] def hiddenFromListing(p: Path): Boolean =
@@ -119,7 +133,10 @@ object GraftFs {
       val s = p.toString
       val it = staleFragments.iterator()
       var hit = false
-      while (!hit && it.hasNext) hit = s.contains(it.next())
+      while (!hit && it.hasNext) {
+        val f = it.next()
+        hit = if (f.endsWith("$")) s.endsWith(f.dropRight(1)) else s.contains(f)
+      }
       hit
     }
 

@@ -829,40 +829,44 @@ class RecoveryFaultSpec extends AnyFunSuite {
     assert(answers(r2.corpus, r2.index) == fullAnswers)
   }
 
-  test("stale LIST pins the strong-listing requirement: an unpropagated newest delta or generation silently truncates restore; a caught-up listing is exact") {
+  test("head records close the stale-LIST restore truncation (VERDICT r15 #1): restore is EXACT with the newest delta or generation invisible to LIST") {
     GraftFs.register(spark)
     val full = IvfAnn.fullCorpus(spark, dir)
     val nTotal = full.count()
     val cut = nTotal / 2
     val k = (nTotal - cut) / 2
     // ---- leg A: the newest DELTA invisible at restore time ----------
+    // Round 15 PINNED this as silent truncation to cut + k (frontier
+    // discovery walked listStatus); the head record now NAMES delta/1,
+    // and discovery probes it with strongly-consistent GETs — the
+    // restore must be byte-equal to a caught-up one.
     val pA = "graftfs://" +
       java.nio.file.Files.createTempDirectory("graft_stale_delta")
     val mA = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
       rebuildWhen = _ => false, persistPath = Some(pA))
     mA.applyBatch(rawBatch(cut, cut + k), 0L)
     mA.applyBatch(rawBatch(cut + k, nTotal), 1L)
-    GraftFs.markStaleListing("delta/1")
+    // Suffix-anchored staleness: delta/1's ENTRY is invisible in the
+    // delta dir's listing (the frontier-metadata surface the log
+    // protocol owns — the r15 pinned truncation), while the part
+    // files inside the dir stay listable (enumerating parts of a dir
+    // the frontier NAMES is the parquet reader's data plane, the
+    // committer-era surface the GraftFs scaladoc carves out).
+    GraftFs.markStaleListing("delta/1$")
     try {
-      val truncated = Streaming.IvfMaintainer.restore(spark, pA, _ => false)
-      // THE PINNED FAILURE MODE: restore walks the LIST, the list is
-      // stale, the restored corpus is silently short — and the
-      // resume-pairing guard cannot catch it (the next delivered batch
-      // id is ABOVE the truncated head, which is exactly what a
-      // correct pairing looks like). This is WHY the runbook states
-      // the strong-listing requirement instead of claiming tolerance;
-      // a fix needs a manifest with atomic replace — a different log
-      // design (what Delta's CAS log exists for), out of scope.
-      assert(truncated.corpus.count() == cut + k,
-        "expected the documented stale-LIST truncation; if the count " +
-          "is larger, restore now tolerates stale listings — update " +
-          "the runbook requirement and this law")
+      // non-vacuity counterfactual: the OLD discovery (the LIST walk)
+      // does truncate inside this exact window
+      assert(Streaming.completedBatchIds(spark, s"$pA/delta") == Seq(0L),
+        "the staleness window hid nothing — the law is vacuous")
+      val r = Streaming.IvfMaintainer.restore(spark, pA, _ => false)
+      assert(r.corpus.count() == nTotal,
+        "restore truncated under a stale delta listing — frontier " +
+          "discovery regressed to the LIST walk")
+      assert(answers(r.corpus, r.index) == fullAnswers)
     } finally GraftFs.resetStaleListing()
-    val okA = Streaming.IvfMaintainer.restore(spark, pA, _ => false)
-    assert(okA.corpus.count() == nTotal)
-    assert(answers(okA.corpus, okA.index) == fullAnswers)
     // ---- leg B: the newest GENERATION invisible after its covered ---
-    // deltas were retired — restore falls back to the seed
+    // deltas were retired — round 15's truncation-to-the-seed leg; the
+    // compaction's head record names gen 1 directly.
     val pB = "graftfs://" +
       java.nio.file.Files.createTempDirectory("graft_stale_gen")
     val mB = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
@@ -870,16 +874,128 @@ class RecoveryFaultSpec extends AnyFunSuite {
     mB.applyBatch(rawBatch(cut, cut + k), 0L)
     mB.applyBatch(rawBatch(cut + k, nTotal), 1L)
     assert(mB.compactLog()) // compact/1 complete, covered deltas gone
-    GraftFs.markStaleListing("compact/1")
+    GraftFs.markStaleListing("compact/1$")
     try {
-      val truncated = Streaming.IvfMaintainer.restore(spark, pB, _ => false)
-      assert(truncated.corpus.count() == cut,
-        "expected the documented truncation to the seed under a stale " +
-          "generation listing")
+      assert(Streaming.completedBatchIds(spark, s"$pB/compact").isEmpty,
+        "the staleness window hid nothing — the law is vacuous")
+      val r = Streaming.IvfMaintainer.restore(spark, pB, _ => false)
+      assert(r.corpus.count() == nTotal,
+        "restore fell back to the seed under a stale generation " +
+          "listing — the head record was not consulted")
+      assert(answers(r.corpus, r.index) == fullAnswers)
     } finally GraftFs.resetStaleListing()
+    // a caught-up listing agrees, and resumed appends continue the log
     val okB = Streaming.IvfMaintainer.restore(spark, pB, _ => false)
     assert(okB.corpus.count() == nTotal)
     assert(answers(okB.corpus, okB.index) == fullAnswers)
+  }
+
+  test("head records: retention keeps only the newest generation's records behind an anchor; a LEGACY log (no head dir) still restores via the LIST walk") {
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 2
+    val ppath = java.nio.file.Files
+      .createTempDirectory("graft_head_ret").toString
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    m.applyBatch(rawBatch(cut, cut + k), 0L)
+    m.applyBatch(rawBatch(cut + k, nTotal), 1L)
+    val fs = fsFor(ppath)
+    // two appended records before any compaction; no anchor yet
+    assert(fs.exists(p(ppath, "head/1")) && fs.exists(p(ppath, "head/2")))
+    assert(m.compactLog())
+    // the compaction wrote record 3 (gen=1, empty tail), advanced its
+    // anchor slot, and retired records 1–2
+    assert(fs.exists(p(ppath, "head/3")))
+    assert(!fs.exists(p(ppath, "head/1")) && !fs.exists(p(ppath, "head/2")),
+      "superseded head records survived the retention pass")
+    assert(fs.exists(p(ppath, "head/anchor1")),
+      "the compaction never advanced its anchor slot (seq 3 → slot 1)")
+    assert(Streaming.discoverFrontier(spark, ppath)
+      .contains((3L, 1L, Seq.empty[Long])))
+    val r = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(r.corpus.count() == nTotal)
+    assert(answers(r.corpus, r.index) == fullAnswers)
+    // ---- legacy fallback: a log written before head records ---------
+    // (emulated by deleting head/ wholesale) restores through the old
+    // LIST walk — which is exactly why the runbook keeps the
+    // strong-LIST note for legacy logs only
+    fs.delete(p(ppath, "head"), true)
+    val legacy = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(legacy.corpus.count() == nTotal)
+    assert(answers(legacy.corpus, legacy.index) == fullAnswers)
+    // and the restored legacy maintainer RE-SEEDS the head log: its
+    // next applied batch writes record 1 naming the full frontier
+    legacy.applyBatch(rawBatch(0, 1), 2L)
+    assert(Streaming.discoverFrontier(spark, ppath)
+      .contains((1L, 1L, Seq(2L))))
+  }
+
+  test("head records: a crash DURING the record write is exactly-once under re-delivery, and a restore inside the window resumes one batch back") {
+    GraftFs.register(spark)
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 2
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_head_crash")
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    m.applyBatch(rawBatch(cut, cut + k), 0L)
+    // batch 1's delta write completes; its head-record create dies —
+    // the crash window between the two failable writes
+    GraftFs.armFault("create", "head/2")
+    intercept[java.io.FileNotFoundException] {
+      m.applyBatch(rawBatch(cut + k, nTotal), 1L)
+    }
+    assert(GraftFs.faultsFired.get() == 1,
+      "the head-record create fault never fired — the law is vacuous")
+    // compute→set→advance: nothing advanced, the live maintainer still
+    // serves the pre-crash state
+    assert(m.corpus.count() == cut + k)
+    // a restore INSIDE the window sees the frontier one batch back —
+    // delta/1 is durable but unnamed, exactly the shape of a delta
+    // whose _SUCCESS never landed: the stream checkpoint re-delivers
+    val mid = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(mid.corpus.count() == cut + k,
+      "restore adopted an unnamed delta — or a torn record was parsed")
+    mid.applyBatch(rawBatch(cut + k, nTotal), 1L) // the re-delivery
+    assert(mid.corpus.count() == nTotal)
+    assert(answers(mid.corpus, mid.index) == fullAnswers)
+    // the re-delivery rewrote record 2 with the same content; the
+    // frontier is whole again
+    assert(Streaming.discoverFrontier(spark, ppath.toString)
+      .contains((2L, -1L, Seq(0L, 1L))))
+  }
+
+  test("head records: a TORN newest record (partial write, no sentinel) steps discovery back to the previous complete record") {
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 2
+    val ppath = java.nio.file.Files
+      .createTempDirectory("graft_head_torn").toString
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    m.applyBatch(rawBatch(cut, cut + k), 0L)
+    m.applyBatch(rawBatch(cut + k, nTotal), 1L)
+    val fs = fsFor(ppath)
+    // tear a PHANTOM newest record: seq 3 exists but its write died
+    // mid-content (no `end` sentinel) — the local-filesystem shape of
+    // the crash the exactly-once law injects at create time
+    val out = fs.create(p(ppath, "head/3"), true)
+    out.write("graft-head-v1\ngen=1\ntail=".getBytes("UTF-8")); out.close()
+    assert(Streaming.readHeadRecord(spark, ppath, 3L).isEmpty,
+      "a sentinel-less record parsed as complete — the torn-write " +
+        "gate is broken")
+    // discovery steps back to record 2, whose frontier is the full
+    // corpus — the torn record named nothing that isn't re-deliverable
+    assert(Streaming.discoverFrontier(spark, ppath)
+      .contains((2L, -1L, Seq(0L, 1L))))
+    val r = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(r.corpus.count() == nTotal)
+    assert(answers(r.corpus, r.index) == fullAnswers)
   }
 
   test("MixturePlanner cleanup lock: an exclusive-create lock fences concurrent cleaners; an orphaned lock fails closed (ADVICE r13)") {
