@@ -144,6 +144,11 @@ object PipelineOps {
         .write.mode("overwrite").parquet(metaDir)
   }
 
+  /** Number of durable stage frontiers a completed [[curationRun]]
+    * leaves at `runDir/stage_N` — the completeness test
+    * [[retireRun]] gates on. */
+  private[graft] val CurationStages = 5
+
   /** @param runDir opt-in durable run log (VERDICT r14 #1). Without it
     * each stage frontier is localCheckpoint'ed — executor memory, gone
     * on any crash, so a 100-TB curation run dying at the mixture-plan
@@ -159,17 +164,51 @@ object PipelineOps {
     * marker is absent — and resumes at the first unmarked stage. The
     * frontiers are slim ((doc_id), plus (source, n_tok) at stage 5), so
     * the extra write is one column-pruned job per stage, trivial next
-    * to the stage itself at any scale. Single-writer: two concurrent
-    * invocations over one runDir are two writers of one log (the same
-    * contract as two live IvfMaintainers) — run sequentially or use
-    * distinct runDirs. Kill/resume + injected-fault laws: PipelineSpec. */
+    * to the stage itself at any scale.
+    *
+    * Single-writer, ENFORCED (VERDICT r15 #3): entry takes
+    * `runDir/run.lock` by exclusive create (the cleanup.lock
+    * precedent) and releases it only on completion, so a second
+    * concurrent invocation over one runDir — two writers of one log,
+    * the same hazard as two live IvfMaintainers — refuses loudly
+    * instead of silently interleaving frontier writes. A lock orphaned
+    * by a crash also refuses (deliberate fail-closed, like
+    * cleanup.lock): the runbook remediation is to delete run.lock
+    * after confirming the previous invocation is dead, then re-invoke —
+    * the resume then reads every completed frontier as usual. On
+    * filesystems without atomic create-no-overwrite the lock degrades
+    * to advisory, same as pairing.txt. Kill/resume + injected-fault +
+    * lock laws: PipelineSpec. */
   private[graft] def curationRun(s: SparkSession, d: String,
       runDir: Option[String] = None): CurationRun = {
     val q = graft.SparkEntry.queries
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
-    runDir.foreach(rd => checkOrRecordRunMeta(s, rd, d))
+    runDir.foreach { rd =>
+      val (lfs, lock) = runLockPath(s, rd)
+      try lfs.create(lock, false).close()
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"curation run log $rd is locked ($rd/run.lock exists): a " +
+            "runDir has ONE writer at a time — a concurrent invocation " +
+            "is live, or a previous one crashed without releasing the " +
+            "lock. If the previous invocation is confirmed dead, delete " +
+            "run.lock and re-invoke; the resume reads every completed " +
+            "frontier.", e)
+      }
+      // the chimera/pending-retirement refusals are clean no-ops, not
+      // crashes — release the lock so the CORRECT invocation that
+      // follows isn't blocked by an orphan these guards created
+      try {
+        require(!lfs.exists(new org.apache.hadoop.fs.Path(s"$rd/retired")),
+          s"curation run log $rd has a pending retirement " +
+            s"($rd/retired exists): finish it with retireRun, or use a " +
+            "fresh runDir — new frontiers written under a pending " +
+            "retirement would be deleted by its retry")
+        checkOrRecordRunMeta(s, rd, d)
+      } catch { case e: Throwable => lfs.delete(lock, false); throw e }
+    }
     // each stage frontier is materialized: a real pipeline materializes
     // its stage outputs, and here the funnel counts plus the two plan
     // tables would otherwise re-execute the overlapping upstream DAG
@@ -204,6 +243,13 @@ object PipelineOps {
         .select("doc_id"), Seq("doc_id"), "left_semi")
     }
     val surv = frontier(5)(s4.join(docs, "doc_id"))
+    // completion: every frontier is durable (or the run was in-memory) —
+    // release the writer lock. A crash anywhere above leaves it held,
+    // which is the fail-closed contract the entry guard documents.
+    runDir.foreach { rd =>
+      val (lfs, lock) = runLockPath(s, rd)
+      lfs.delete(lock, false)
+    }
     CurationRun(
       Seq("ingested" -> docs.select("doc_id"), "exact_dedup" -> s1,
         "near_dup" -> s2, "decontaminated" -> s3, "quality" -> s4),
@@ -211,6 +257,55 @@ object PipelineOps {
       temperatureAllocation(
         surv.groupBy(col("source")).agg(sum(col("n_tok")).as("tok"))),
       shardPlan(surv.select("doc_id", "n_tok")))
+  }
+
+  private def runLockPath(s: SparkSession, runDir: String) = {
+    val p = new org.apache.hadoop.fs.Path(s"$runDir/run.lock")
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Opt-in retention for curation run logs (VERDICT r15 #3):
+    * completed runDirs otherwise accumulate forever. Retires a run's
+    * stage frontiers ONLY when the run is provably finished and
+    * unowned — every `stage_N` marker present (a completed prefix is
+    * exactly what a resume needs, so an in-flight run is never
+    * touched) and no `run.lock` held (a live writer, or a crashed one
+    * pending the runbook's lock removal, keeps its log). The caller
+    * decides WHEN a completed run is superseded — a newer completed
+    * run of the pipeline, an explicit operator decision — this pass
+    * only enforces that retirement cannot destroy a resumable
+    * frontier.
+    *
+    * Marker-gated like the IvfMaintainer debris pass: an intent
+    * record (`runDir/retired`) is written AFTER the completeness
+    * check and BEFORE any deletion, so a crash mid-retirement is
+    * re-invokable — the retry sees the intent and finishes the
+    * (idempotent) deletes instead of mistaking the half-deleted log
+    * for an in-flight run and stranding the debris. [[curationRun]]
+    * refuses a runDir carrying the intent record for the same reason
+    * in reverse: a fresh run writing new frontiers under a pending
+    * retirement would hand them straight to the retry's delete pass.
+    * Returns true iff the log was retired (including finishing a
+    * crashed retirement). */
+  private[graft] def retireRun(s: SparkSession, runDir: String): Boolean = {
+    val (lfs, lock) = runLockPath(s, runDir)
+    val intent = new org.apache.hadoop.fs.Path(s"$runDir/retired")
+    def deleteAll(): Boolean = {
+      (1 to CurationStages).foreach(n => lfs.delete(
+        new org.apache.hadoop.fs.Path(s"$runDir/stage_$n"), true))
+      lfs.delete(new org.apache.hadoop.fs.Path(s"$runDir/meta"), true)
+      lfs.delete(intent, false)
+      true
+    }
+    if (lfs.exists(intent)) deleteAll() // finish a crashed retirement
+    else if (lfs.exists(lock)) false
+    else if (!(1 to CurationStages).forall(n =>
+        graft.streaming.Streaming.markerExists(s, s"$runDir/stage_$n")))
+      false
+    else {
+      lfs.create(intent, false).close()
+      deleteAll()
+    }
   }
 
   /** q289's allocation core over a (source, tok) token-count frame:

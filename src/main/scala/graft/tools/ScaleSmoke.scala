@@ -1298,14 +1298,27 @@ object ScaleSmoke {
       val dirB = freshDir("graft_piperesume_b")
       cold()
       val t0x = System.nanoTime()
+      // a DEDICATED exception type (ADVICE r15): catching any
+      // RuntimeException would misclassify a genuine stage-1-3 failure
+      // as the injected death and let it surface later as a confusing
+      // resume-leg assertion — anything else propagates
+      final class InjectedDriverDeath
+        extends RuntimeException("injected driver death")
       val crashed =
         try { PipelineOps.stageProbe = n =>
-            if (n == 4) throw new RuntimeException("injected driver death")
+            if (n == 4) throw new InjectedDriverDeath
           PipelineOps.curationRun(spark, d10, Some(dirB)); false
-        } catch { case _: RuntimeException => true }
+        } catch { case _: InjectedDriverDeath => true }
         finally PipelineOps.stageProbe = _ => ()
       val crashWall = (System.nanoTime() - t0x) / 1e9
       require(crashed, s"$tag: the crash leg never crashed — vacuous")
+      // the runbook step before any resume (r16 single-writer lock):
+      // the dead writer's run.lock is orphaned and fails closed
+      locally {
+        val lp = new org.apache.hadoop.fs.Path(s"$dirB/run.lock")
+        lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(lp, false)
+      }
       // resume over the crashed log, cold cache: stages 1-3 must be
       // read, stages 4-5 computed, outputs identical to the
       // uninterrupted durable run

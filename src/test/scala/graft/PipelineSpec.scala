@@ -408,6 +408,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(seen1 == Seq(1, 2, 3), s"crash leg computed $seen1")
     assert(marker(1) && marker(2) && !marker(3),
       "the crash leg's durable frontier set is wrong")
+    // the dead writer's lock is orphaned — a resume attempt FAILS
+    // CLOSED with the contract message (VERDICT r15 #3; this is also
+    // exactly what a second CONCURRENT invocation sees, since the
+    // lock is held for the whole run)
+    val fs = new org.apache.hadoop.fs.Path(runDir.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lockPath = new org.apache.hadoop.fs.Path(s"$runDir/run.lock")
+    assert(fs.exists(lockPath), "the crashed run released its lock?")
+    val exLock = intercept[IllegalStateException] {
+      operators.PipelineOps.curationRun(spark, dir, Some(runDir))
+    }
+    assert(exLock.getMessage.contains("ONE writer at a time"))
+    // the runbook remediation: the operator confirms the previous
+    // invocation is dead and deletes run.lock
+    fs.delete(lockPath, false)
     // resume: stages 1-2 are READ (no recompute, no rewrite), stages
     // 3-5 run, and the final outputs are byte-identical to an
     // uninterrupted run
@@ -491,6 +506,10 @@ class PipelineSpec extends AnyFunSuite {
       "stage 1's completed frontier went missing")
     assert(!graft.streaming.Streaming.markerExists(spark, s"$runDir/stage_2"),
       "the crashed stage-2 write carries a completion marker")
+    // runbook step: clear the dead writer's orphaned lock
+    new org.apache.hadoop.fs.Path(runDir.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$runDir/run.lock"), false)
     // resume redoes stage 2 (overwrite-idempotent over the partial
     // dir) and the unfinished suffix — never stage 1
     var resumed: operators.PipelineOps.CurationRun = null
@@ -501,5 +520,64 @@ class PipelineSpec extends AnyFunSuite {
       s"resume after a mid-frontier crash computed $seen2")
     assert(runOutputs(resumed) == refRun,
       "resume over a partial (unmarked) frontier diverged")
+  }
+
+  test("retireRun retires only COMPLETED, unowned run logs; in-flight frontiers and locked logs are never touched; a crashed retirement finishes (VERDICT r15 #3)") {
+    val dir = "/root/testdata/sf0.001"
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def pth(s: String) = new org.apache.hadoop.fs.Path(s)
+    // ---- a completed run retires cleanly --------------------------
+    val done = java.nio.file.Files
+      .createTempDirectory("graft_retire_done").toString
+    operators.PipelineOps.curationRun(spark, dir, Some(done))
+    assert(operators.PipelineOps.retireRun(spark, done))
+    (1 to 5).foreach(n => assert(!fs.exists(pth(s"$done/stage_$n")),
+      s"stage $n survived retirement"))
+    assert(!fs.exists(pth(s"$done/meta")) && !fs.exists(pth(s"$done/retired")))
+    // retirement is not resurrection-proofing: the dir is reusable
+    val r2 = operators.PipelineOps.curationRun(spark, dir, Some(done))
+    assert(runOutputs(r2) == refRun)
+    // ---- an IN-FLIGHT run (crashed between stages) is refused ------
+    val inflight = java.nio.file.Files
+      .createTempDirectory("graft_retire_mid").toString
+    probed(n => if (n == 4) throw new RuntimeException("injected driver death")) {
+      intercept[RuntimeException] {
+        operators.PipelineOps.curationRun(spark, dir, Some(inflight))
+      }
+    }
+    assert(!operators.PipelineOps.retireRun(spark, inflight),
+      "retireRun destroyed a crashed (lock-held) run's frontiers")
+    fs.delete(pth(s"$inflight/run.lock"), false) // runbook step
+    assert(!operators.PipelineOps.retireRun(spark, inflight),
+      "retireRun destroyed an incomplete run's resumable prefix")
+    assert(graft.streaming.Streaming.markerExists(spark, s"$inflight/stage_3"),
+      "the resumable prefix went missing")
+    // the refused log resumes exactly as the kill/resume law promises
+    val seen = probed(_ => ()) {
+      operators.PipelineOps.curationRun(spark, dir, Some(inflight))
+    }
+    assert(seen == Seq(4, 5), s"post-refusal resume computed $seen")
+    // ---- a retirement that crashed mid-delete finishes on retry ----
+    assert(operators.PipelineOps.retireRun(spark, inflight))
+    val crashed = java.nio.file.Files
+      .createTempDirectory("graft_retire_crash").toString
+    operators.PipelineOps.curationRun(spark, dir, Some(crashed))
+    // emulate the crash window: intent written, stage_5 deleted, then
+    // death — the surviving markers no longer read "complete"
+    fs.create(pth(s"$crashed/retired"), false).close()
+    fs.delete(pth(s"$crashed/stage_5"), true)
+    // a fresh run must refuse the pending retirement (its retry would
+    // delete the new frontiers), naming the remediation
+    val ex = intercept[IllegalArgumentException] {
+      operators.PipelineOps.curationRun(spark, dir, Some(crashed))
+    }
+    assert(ex.getMessage.contains("pending retirement"))
+    assert(!fs.exists(pth(s"$crashed/run.lock")),
+      "the pending-retirement refusal leaked its lock")
+    // the retry finishes the retirement despite the incomplete markers
+    assert(operators.PipelineOps.retireRun(spark, crashed))
+    (1 to 5).foreach(n => assert(!fs.exists(pth(s"$crashed/stage_$n"))))
+    assert(!fs.exists(pth(s"$crashed/retired")))
   }
 }
