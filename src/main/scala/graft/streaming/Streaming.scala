@@ -603,6 +603,21 @@ object Streaming {
     private var headSeq = 0L
     private var frontierGen = -1L
     private var frontierTail = Vector.empty[Long]
+    // completed compaction passes in THIS process (restore resets it —
+    // cross-restart scrapers rate the monotone generation id instead)
+    private var compactionCount = 0L
+
+    /** Operational counters for a deployment to scrape (VERDICT r15
+      * #4 — the REPLICA100X runbook alarm reads these): `compactions` =
+      * completed compactLog passes in this process; `generations` =
+      * the newest completed generation's batch id (-1 before the
+      * first), monotone across restarts, so replica lag and
+      * heal-per-generation ratios are plain arithmetic. The replica
+      * fields are zero on the owner — see [[IvfReplica.stats]]. */
+    def stats: IvfStats = synchronized {
+      IvfStats(compactions = compactionCount, generations = frontierGen,
+        heals = 0L, reRestores = 0L, adoptedHeals = 0L, searches = 0L)
+    }
     // durable seed, written once (restore skips it — the on-disk seed
     // it was constructed from IS the record)
     persistPath.foreach { p =>
@@ -1071,6 +1086,7 @@ object Streaming {
           // ---- gate advance (short monitor hold), LAST ------------
           synchronized {
             lastCompactedGen = lb
+            compactionCount += 1
             // the generation covers exactly the data0 batches counted
             // at capture; batches applied during staging stay counted
             // toward the NEXT generation's gate
@@ -1285,6 +1301,23 @@ object Streaming {
     }
   }
 
+  /** Immutable snapshot of the IvfMaintainer/IvfReplica operational
+    * counters (VERDICT r15 #4): the stable surface a deployment
+    * scrapes instead of parsing logs. The runbook's fleet-sizing alarm
+    * is plain arithmetic over these — fire when a replica's
+    * `reRestores` climbs faster than the owner's `compactions` (more
+    * than one OWN restore per invalidating generation means the
+    * owner's compaction cadence is outrunning the replica — see the
+    * README recovery runbook). Invariant on a replica: `heals ==
+    * reRestores + adoptedHeals` (every resolved invalidation either
+    * restored for itself or adopted a racing search's completed
+    * restore); `generations` is the newest generation id the
+    * maintainer completed / the replica currently serves, monotone
+    * across restarts. Owner-side replica fields and replica-side
+    * `compactions` are zero. */
+  final case class IvfStats(compactions: Long, generations: Long,
+      heals: Long, reRestores: Long, adoptedHeals: Long, searches: Long)
+
   /** Self-healing read-only serving replica over an [[IvfMaintainer]]
     * persist log — the replica-invalidation contract, coded (VERDICT
     * r13 #3; it was a runbook paragraph before). A replica restores a
@@ -1342,10 +1375,26 @@ object Streaming {
 
     @volatile private var m: IvfMaintainer = restoreFresh()
     private val reRestoreCount = new java.util.concurrent.atomic.AtomicLong(0)
+    private val adoptedHealCount = new java.util.concurrent.atomic.AtomicLong(0)
+    private val searchCount = new java.util.concurrent.atomic.AtomicLong(0)
     /** How many times a search self-healed (observability: a steadily
       * climbing count is the mis-sized-cadence signal the runbook
       * tells operators to alarm on). */
     def reRestores: Long = reRestoreCount.get()
+
+    /** Operational counters (VERDICT r15 #4): `reRestores` = OWN
+      * completed healing restores, `adoptedHeals` = invalidations
+      * resolved by adopting a racing search's completed restore,
+      * `heals` = their sum, `searches` = completed searchTopK calls,
+      * `generations` = the generation currently served. The runbook
+      * alarm compares this `reRestores` against the owner's
+      * `stats.compactions` rate — see [[IvfStats]]. */
+    def stats: IvfStats = {
+      val own = reRestoreCount.get(); val adopted = adoptedHealCount.get()
+      IvfStats(compactions = 0L, generations = m.stats.generations,
+        heals = own + adopted, reRestores = own, adoptedHeals = adopted,
+        searches = searchCount.get())
+    }
 
     /** Exact IVF top-k through the replica's adopted index,
       * materialized via localCheckpoint (stays distributed — no driver
@@ -1375,7 +1424,7 @@ object Streaming {
             m = restoreFresh()
             reRestoreCount.incrementAndGet()
             ownHeal = true
-          }
+          } else adoptedHealCount.incrementAndGet()
           m
         }
       var ref = m
@@ -1395,6 +1444,7 @@ object Streaming {
           ref = heal(ref, force = adoptions > 3)
         }
       }
+      searchCount.incrementAndGet()
       result
     }
 

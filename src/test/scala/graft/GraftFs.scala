@@ -246,21 +246,39 @@ class GraftFs extends RawLocalFileSystem {
     if (GraftFs.shouldFail("rename", src)) false
     else if (!GraftFs.renameAsCopyDelete) super.rename(src, dst)
     else {
-      // s3a file rename: client-side copy (dst appears as one atomic
-      // object PUT — the copy routes through this.create/open, so ops,
-      // faults and staleness stamps all observe it), then source
-      // delete; the optional crash lands exactly between the two.
+      // s3a file rename: client-side copy, then source delete; the
+      // optional crash lands exactly between the two. The copy streams
+      // into a HIDDEN temp sibling and is promoted with one local
+      // atomic rename (ADVICE r15): FileUtil.copy straight onto dst
+      // let a concurrent reader observe a partially-written
+      // destination, which real S3 never exposes — a PUT is all or
+      // nothing. The copy still routes through this.create/open (ops,
+      // faults and the create recorder all observe it; a contains
+      // fragment matching dst matches the temp name too). Residual
+      // infidelity, documented not hidden: overwriting an EXISTING dst
+      // briefly exposes it as absent (delete + swap) where real S3
+      // keeps the old object until the swap — no law renames onto an
+      // existing destination.
       if (!exists(src)) false
       else {
-        org.apache.hadoop.fs.FileUtil.copy(this, src, this, dst,
+        val tmp = new Path(dst.getParent,
+          "." + dst.getName + ".graftfs-put")
+        org.apache.hadoop.fs.FileUtil.copy(this, src, this, tmp,
           false, true, getConf)
+        if (exists(dst)) super.delete(dst, true)
+        super.rename(tmp, dst)
         if (GraftFs.renameCrashAfterCopy) {
           GraftFs.renameCrashAfterCopy = false
           throw new java.io.IOException("GraftFs injected crash: " +
             s"rename($src, $dst) died after the copy, before the " +
             "source delete — both paths are visible")
         }
-        super.delete(src, true)
+        // the source delete goes through THIS filesystem (ADVICE r15),
+        // not super: a law arming a delete fault on the mid-rename
+        // window must be able to hit the delete half symmetrically
+        // with create faults on the copy half, and the op counter
+        // should see it
+        this.delete(src, true)
         true
       }
     }

@@ -550,6 +550,14 @@ class RecoveryFaultSpec extends AnyFunSuite {
     assert(fin == fullAnswers,
       "the post-soak healed search diverged from the full corpus")
     assert(replica.reRestores >= 1, "the soak law never exercised a heal — vacuous")
+    // the stats invariant under REAL concurrency (VERDICT r15 #4):
+    // every resolved invalidation is either an own restore or an
+    // adoption of a racing search's — never double-counted, never lost
+    val st = replica.stats
+    assert(st.heals == st.reRestores + st.adoptedHeals, s"stats tore: $st")
+    assert(st.reRestores == replica.reRestores)
+    assert(st.generations == 4L,
+      s"the healed replica serves generation ${st.generations}, not the owner's head")
   }
 
   test("a mid-append job failure leaves the maintainer untouched; re-delivery applies exactly once (ADVICE r14)") {
@@ -786,6 +794,90 @@ class RecoveryFaultSpec extends AnyFunSuite {
     // completed log, not the temp record
     val m2 = Streaming.MixturePlanner.restore(spark, ppath.toString)
     assert(m2.counts.agg(sum(col("tok"))).head().getLong(0) == 3L)
+  }
+
+  test("IvfStats: owner and replica counters move exactly as the replica-fleet scenario documents — one own heal per invalidating generation, adoption counted separately (VERDICT r15 #4)") {
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 2
+    val ppath = java.nio.file.Files
+      .createTempDirectory("graft_stats").toString
+    val owner = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    assert(owner.stats == Streaming.IvfStats(0, -1, 0, 0, 0, 0))
+    owner.applyBatch(rawBatch(cut, cut + k), 0L)
+    assert(owner.compactLog())
+    assert(owner.stats == Streaming.IvfStats(1, 0, 0, 0, 0, 0),
+      "the owner's compaction pass never moved (compactions, generations)")
+    val replica = new Streaming.IvfReplica(spark, ppath)
+    assert(replica.stats == Streaming.IvfStats(0, 0, 0, 0, 0, 0),
+      "construction is a restore, not a heal — no counter may move")
+    import spark.implicits._
+    val queries = full.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        col("nrm").as("qn"))
+    replica.searchTopK(queries, 5).collect()
+    assert(replica.stats == Streaming.IvfStats(0, 0, 0, 0, 0, 1))
+    // the owner's next generation retires the files the replica serves
+    owner.applyBatch(rawBatch(cut + k, nTotal), 1L)
+    assert(owner.compactLog())
+    assert(owner.stats == Streaming.IvfStats(2, 1, 0, 0, 0, 0))
+    // one invalidating generation ⇒ exactly one OWN heal, zero
+    // adoptions (no racing search to adopt from), and the replica's
+    // served generation catches up to the owner's
+    val got = replica.searchTopK(queries, 5).as[(Long, Int, Long)]
+      .collect().toSeq
+    assert(got == fullAnswers)
+    assert(replica.stats == Streaming.IvfStats(0, 1, 1, 1, 0, 2),
+      s"post-invalidation stats ${replica.stats}: expected one own " +
+        "heal for one invalidating generation")
+    // a healthy follow-up search heals nothing — reRestores is the
+    // alarm counter, and it must NOT climb without an invalidation
+    replica.searchTopK(queries, 5).collect()
+    assert(replica.stats == Streaming.IvfStats(0, 1, 1, 1, 0, 3))
+    // the runbook alarm arithmetic is now API: replica.stats.reRestores
+    // (1) vs owner.stats.compactions since the replica attached (1
+    // invalidating of the 2 total) — a ratio above one own-restore per
+    // generation is the mis-sized-cadence signal
+  }
+
+  test("object-store rename (copy+delete): an injected fault on the DELETE half is observable and leaves the same retryable both-paths state (ADVICE r15)") {
+    GraftFs.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_oss_delhalf")
+    val ckpt = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_oss_delhalf_ck") + "/ck"
+    val mem = MemoryStream[(Long, String, String)]
+    val m = new Streaming.MixturePlanner(spark, Some(ppath))
+    val fs = fsFor(ppath)
+    GraftFs.renameAsCopyDelete = true
+    // the delete half of the emulated rename used to bypass the
+    // wrapper (super.delete), so this fault could never fire and a law
+    // targeting the window was unwritable — now it routes through
+    // this.delete, symmetric with create faults on the copy half
+    GraftFs.armFault("delete", "pairing.txt.tmp")
+    try {
+      val ex = intercept[java.io.FileNotFoundException] {
+        m.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckpt))
+      }
+      assert(ex.getMessage.contains("pairing.txt.tmp"))
+      assert(GraftFs.faultsFired.get() == 1,
+        "the delete fault never fired — the law is vacuous")
+      // same shape as the mid-rename crash: destination complete,
+      // source still present, retry verifies and runs
+      assert(fs.exists(p(ppath, "pairing.txt")))
+      assert(fs.exists(p(ppath, "pairing.txt.tmp")))
+      val q = m.start(mem.toDS().toDF("doc_id", "text", "source"), Some(ckpt))
+      try {
+        mem.addData(Seq((1L, "a b", "s"))); q.processAllAvailable()
+        assert(m.counts.agg(sum(col("tok"))).head().getLong(0) == 2L)
+      } finally q.stop()
+    } finally {
+      GraftFs.disarm()
+      GraftFs.renameAsCopyDelete = false
+    }
   }
 
   test("stale LIST during retention: invisible dirs are skipped — disk debris, never data loss; the next pass retires them once visible") {
