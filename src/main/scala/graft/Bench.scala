@@ -165,16 +165,6 @@ object Bench {
       if (verdicts.isEmpty) ""
       else verdicts.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(""","steady_verdict":{""", ",", "}")
-    val aboveLine: Option[String] = {
-      val above = verdicts.collect { case (k, "above") =>
-        val (lo, hi) = ranges(k)
-        val v = steady.collectFirst { case (`k`, s) => s }.get
-        s"$k ${fmt(v)}s > [${fmt(lo)}, ${fmt(hi)}]"
-      }
-      if (above.isEmpty) None
-      else Some("STEADYVERDICT ABOVE RANGE (adjudicate, see " +
-        "STEADY_RANGES.json + NOTES.md): " + above.mkString("; "))
-    }
     val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
@@ -191,8 +181,37 @@ object Bench {
     val totalProduction = total - results.collect {
       case (k, Some(v)) if baselineNames.contains(k) => v
     }.sum
+    // TOTAL-level adjudication (VERDICT r15 #2): the per-query steady
+    // verdicts absorb individual cold-capture outliers, but the TOTAL
+    // had no range of its own — a uniform environmental elevation and a
+    // genuine across-the-board regression (a session-config change
+    // doubling every query) produced the identical artifact trail,
+    // adjudicated only by prose. The reserved key "total_production" in
+    // STEADY_RANGES.json carries the same [0.4×min, 1.5×max]-over-
+    // adjudicated-captures policy applied to the production headline
+    // (the baseline anchors are excluded exactly so their deliberate
+    // quadratics can't mask a production-wide shift); `above` keeps the
+    // adjudicate-me semantics and joins the fail-loud line.
+    val totalVerdict: Option[String] =
+      ranges.get("total_production").map { case (lo, hi) =>
+        BenchRanges.verdict(totalProduction, lo, hi) }
+    val totalVerdictField =
+      totalVerdict.map(v => s""","steady_verdict_total":"$v"""").getOrElse("")
+    val aboveLine: Option[String] = {
+      val above = verdicts.collect { case (k, "above") =>
+        val (lo, hi) = ranges(k)
+        val v = steady.collectFirst { case (`k`, s) => s }.get
+        s"$k ${fmt(v)}s > [${fmt(lo)}, ${fmt(hi)}]"
+      } ++ totalVerdict.collect { case "above" =>
+        val (lo, hi) = ranges("total_production")
+        s"total_production ${fmt(totalProduction)}s > [${fmt(lo)}, ${fmt(hi)}]"
+      }
+      if (above.isEmpty) None
+      else Some("STEADYVERDICT ABOVE RANGE (adjudicate, see " +
+        "STEADY_RANGES.json + NOTES.md): " + above.mkString("; "))
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_production":${fmt(totalProduction)},"queries":$qs$failedField$baselineField$steadyField$verdictField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_production":${fmt(totalProduction)},"queries":$qs$failedField$baselineField$steadyField$verdictField$totalVerdictField,"sf":"$sfDir"}"""
     // Durable outputs resolve against a FIXED base (ADVICE r9): the
     // env-configured output dir when set, else the launch directory —
     // never a bare relative path that silently follows a changed cwd.
@@ -220,7 +239,7 @@ object Bench {
     val headline =
       slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_production":${fmt(totalProduction)},"n_queries":${results.size},"n_ok":${results.count(_._2.isDefined)},"queries":{$headline},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_production":${fmt(totalProduction)}$totalVerdictField,"n_queries":${results.size},"n_ok":${results.count(_._2.isDefined)},"queries":{$headline},"sf":"$sfDir"}"""
     // Durable + greppable copies of the compact headline (VERDICT r8
     // #5 — five rounds of "parsed": null). The driver's tail capture
     // keeps ~2000 chars of stdout and sbt appends an epilogue after

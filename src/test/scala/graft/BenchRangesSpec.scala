@@ -27,8 +27,27 @@ class BenchRangesSpec extends AnyFunSuite {
     assert(ranges.nonEmpty, "STEADY_RANGES.json missing or unparseable")
     ranges.foreach { case (q, (lo, hi)) =>
       assert(lo > 0 && hi > lo, s"$q has a degenerate range [$lo, $hi]")
-      assert(q.startsWith("q"), s"non-query key $q parsed as a range")
+      assert(q.startsWith("q") || q == "total_production",
+        s"non-query key $q parsed as a range")
     }
+  }
+
+  test("total_production adjudication (VERDICT r15 #2): the r13-r15 adjudicated headlines classify in_range; a doubling classifies above") {
+    // The blind spot the r15 round exposed: its +24% headline (197.4 s
+    // production vs r14's 159.0) was adjudicated by prose. Under the
+    // reserved total range the three adjudicated captures classify
+    // in_range mechanically, and the failure mode the prose could not
+    // exclude — a session-config change doubling every query — trips.
+    val ranges = BenchRanges.load(java.nio.file.Paths.get("STEADY_RANGES.json"))
+    val (lo, hi) = ranges.getOrElse("total_production",
+      fail("the reserved total_production range is missing"))
+    Seq(156.5, 158.952, 197.381).foreach(t =>
+      assert(BenchRanges.verdict(t, lo, hi) == "in_range",
+        s"adjudicated capture $t classifies off-range"))
+    assert(BenchRanges.verdict(2 * 197.381, lo, hi) == "above")
+    // the floor is informational, not an alarm, but must stay below
+    // the best adjudicated capture
+    assert(lo < 156.5 && BenchRanges.verdict(60.0, lo, hi) == "below")
   }
 
   test("the r13 steady block re-adjudicates mechanically — q115's contested 2.365 classifies in_range") {
