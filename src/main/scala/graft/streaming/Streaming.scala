@@ -1589,11 +1589,13 @@ object Streaming {
   //  - ANCHOR: retention (below) deletes superseded records, which
   //    would strand a gallop that starts at seq 1 — so each compaction
   //    rewrites an anchor slot naming its own record's seq BEFORE its
-  //    retention pass runs. Two alternating slots (`anchor0`/`anchor1`,
-  //    chosen by seq parity): a crash tearing one slot's rewrite
-  //    always leaves the OTHER slot intact and naming a record that
-  //    still exists, because the torn write means THIS compaction's
-  //    retention never ran. Discovery takes the max valid slot.
+  //    retention pass runs. Two slots (`anchor0`/`anchor1`), each
+  //    advance writing the slot OPPOSITE the current best value
+  //    (strict alternation — see [[writeHeadAnchor]]): a crash tearing
+  //    one slot's rewrite always leaves the OTHER slot intact and
+  //    naming a record that still exists, because the torn write means
+  //    THIS compaction's retention never ran. Discovery takes the max
+  //    valid slot whose record exists.
   //  - DISCOVERY ([[discoverFrontier]]): gallop exists(seq+1) upward
   //    from the anchor (records [anchor, newest] are contiguous —
   //    retention only ever deletes below a completed compaction's own
@@ -1653,14 +1655,43 @@ object Streaming {
     }
   }
 
+  /** Advance the anchor into the slot OPPOSITE the one holding the
+    * current best value (review r16 pass 1: the first cut chose the
+    * slot by seq parity, but consecutive compactions can land on the
+    * same parity — an even seq gap — rewriting one slot twice in a
+    * row, so a torn rewrite could leave the OTHER slot naming a record
+    * an EARLIER retention already deleted. Choosing the loser slot
+    * alternates by construction, is stateless across restarts, and
+    * restores the documented invariant: a torn rewrite always leaves
+    * the other slot naming the previous compaction's record, which its
+    * own retention kept and the torn compaction's retention — which
+    * runs only after this write completes — never touched). */
   private[streaming] def writeHeadAnchor(spark: SparkSession, p: String,
       seq: Long): Unit = {
     val (fs, _) = hfs(spark, s"$p/head")
-    val path = new org.apache.hadoop.fs.Path(s"$p/head/anchor${seq % 2}")
+    val best = Seq(0, 1).flatMap(i => readHeadAnchorSlot(spark, p, i)
+      .map(v => (i, v))).sortBy(_._2).lastOption
+    val slot = best.map(b => 1 - b._1).getOrElse(0)
+    val path = new org.apache.hadoop.fs.Path(s"$p/head/anchor$slot")
     val out = fs.create(path, true)
     try out.write(seq.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Parse anchor slot `i`: Some(seq) iff present and well-formed. */
+  private def readHeadAnchorSlot(spark: SparkSession, p: String,
+      i: Int): Option[Long] = {
+    val (fs, _) = hfs(spark, s"$p/head")
+    val sp = new org.apache.hadoop.fs.Path(s"$p/head/anchor$i")
+    if (!fs.exists(sp)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(sp).getLen.toInt)
+      val in = fs.open(sp)
+      try in.readFully(0L, buf) finally in.close()
+      val s = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
+      if (s.matches("[0-9]+")) Some(s.toLong) else None
+    }
   }
 
   /** The durable frontier by strongly-consistent GETs alone: Some((seq,
@@ -1671,23 +1702,11 @@ object Streaming {
       path: String): Option[(Long, Long, Seq[Long])] = {
     val (fs, _) = hfs(spark, s"$path/head")
     def recExists(seq: Long) = fs.exists(headRecordPath(path, seq))
-    def slot(i: Int): Option[Long] = {
-      val sp = new org.apache.hadoop.fs.Path(s"$path/head/anchor$i")
-      if (!fs.exists(sp)) None
-      else {
-        val buf = new Array[Byte](fs.getFileStatus(sp).getLen.toInt)
-        val in = fs.open(sp)
-        try in.readFully(0L, buf) finally in.close()
-        val s = new String(buf,
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        if (s.matches("[0-9]+")) Some(s.toLong) else None
-      }
-    }
     // max valid slot whose record exists; by the crash-ordering
     // invariant at least one slot satisfies this once retention has
     // ever run. Both slots absent/invalid ⇒ gallop from 1 (retention
     // never ran, so record 1 exists iff any record does).
-    val start = (slot(0).toSeq ++ slot(1).toSeq)
+    val start = Seq(0, 1).flatMap(readHeadAnchorSlot(spark, path, _))
       .filter(a => a >= 1 && recExists(a))
       .sorted.lastOption.getOrElse(1L)
     if (!recExists(start)) None

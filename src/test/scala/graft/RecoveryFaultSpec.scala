@@ -1002,8 +1002,8 @@ class RecoveryFaultSpec extends AnyFunSuite {
     assert(fs.exists(p(ppath, "head/3")))
     assert(!fs.exists(p(ppath, "head/1")) && !fs.exists(p(ppath, "head/2")),
       "superseded head records survived the retention pass")
-    assert(fs.exists(p(ppath, "head/anchor1")),
-      "the compaction never advanced its anchor slot (seq 3 → slot 1)")
+    assert(fs.exists(p(ppath, "head/anchor0")),
+      "the compaction never advanced its anchor slot (first advance → slot 0)")
     assert(Streaming.discoverFrontier(spark, ppath)
       .contains((3L, 1L, Seq.empty[Long])))
     val r = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
@@ -1022,6 +1022,29 @@ class RecoveryFaultSpec extends AnyFunSuite {
     legacy.applyBatch(rawBatch(0, 1), 2L)
     assert(Streaming.discoverFrontier(spark, ppath)
       .contains((1L, 1L, Seq(2L))))
+    // anchor-slot ALTERNATION (review r16 pass 1: parity-chosen slots
+    // could rewrite one slot twice in a row, voiding the torn-rewrite
+    // invariant — each advance must land OPPOSITE the best slot):
+    // two further compactions land in slot 0 then slot 1, each naming
+    // its own record, and discovery tracks the head throughout
+    assert(legacy.compactLog())
+    assert(Streaming.readHeadRecord(spark, ppath, 2L).exists(_._1 == 2L))
+    assert(Streaming.discoverFrontier(spark, ppath)
+      .contains((2L, 2L, Seq.empty[Long])))
+    legacy.applyBatch(rawBatch(1, 2), 3L)
+    assert(legacy.compactLog())
+    val anchors = Seq(0, 1).map(i => {
+      val ap = p(ppath, s"head/anchor$i")
+      val in = fs.open(ap)
+      val buf = new Array[Byte](fs.getFileStatus(ap).getLen.toInt)
+      try in.readFully(0L, buf) finally in.close()
+      new String(buf, "UTF-8").trim.toLong
+    })
+    assert(anchors == Seq(2L, 4L),
+      s"anchor slots $anchors: expected strict alternation (slot 0 = " +
+        "first post-reseed compaction's record 2, slot 1 = the next's 4)")
+    assert(Streaming.discoverFrontier(spark, ppath)
+      .contains((4L, 3L, Seq.empty[Long])))
   }
 
   test("head records: a crash DURING the record write is exactly-once under re-delivery, and a restore inside the window resumes one batch back") {
