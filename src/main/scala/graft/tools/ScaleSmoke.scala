@@ -1251,9 +1251,20 @@ object ScaleSmoke {
     // run's, and that resume computed exactly stages 4-5.
     if (sys.env.contains("SPARK_GRAFT_PIPERESUME")) {
       import graft.operators.PipelineOps
-      val tag = "PIPERESUME10X"
-      val d10 = "/tmp/graft_piperesume10x"
-      synthesizeTemplated(spark, d10, nDocs = 50000L, vocabSize = 5000)
+      // SPARK_GRAFT_PIPERESUME=100x runs the identical protocol on the
+      // PIPE100X corpus (VERDICT r15 #6): the design argument says the
+      // resume RATIO falls with scale — the durability tax is five slim
+      // id-frame writes (∝ corpus rows once) while the resume saving is
+      // the upstream pair-graph + CC + decontamination walls (the
+      // super-linear part) — and a ratio argument needs both decades
+      // measured, not extrapolated.
+      val at100 = sys.env.get("SPARK_GRAFT_PIPERESUME").contains("100x")
+      val tag = if (at100) "PIPERESUME100X" else "PIPERESUME10X"
+      val d10 = if (at100) "/tmp/graft_piperesume100x"
+        else "/tmp/graft_piperesume10x"
+      synthesizeTemplated(spark, d10,
+        nDocs = if (at100) 500000L else 50000L,
+        vocabSize = if (at100) 50000 else 5000)
       val fsRoot = new org.apache.hadoop.fs.Path("/tmp")
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       def freshDir(name: String): String = {
@@ -1287,7 +1298,7 @@ object ScaleSmoke {
       val rMem = PipelineOps.curationRun(spark, d10)
       ship(rMem)
       val memWall = (System.nanoTime() - t0m) / 1e9
-      val dirA = freshDir("graft_piperesume_a")
+      val dirA = freshDir(s"graft_piperesume_a_$tag")
       cold()
       val t0d = System.nanoTime()
       val rDur = PipelineOps.curationRun(spark, d10, Some(dirA))
@@ -1295,7 +1306,7 @@ object ScaleSmoke {
       val durableWall = (System.nanoTime() - t0d) / 1e9
       val wantOut = outputs(rDur)
       // crash entering stage 4 — stages 1-3 are durable when it dies
-      val dirB = freshDir("graft_piperesume_b")
+      val dirB = freshDir(s"graft_piperesume_b_$tag")
       cold()
       val t0x = System.nanoTime()
       // a DEDICATED exception type (ADVICE r15): catching any
