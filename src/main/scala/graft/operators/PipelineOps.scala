@@ -189,13 +189,17 @@ object PipelineOps {
       val (lfs, lock) = runLockPath(s, rd)
       try lfs.create(lock, false).close()
       catch { case e: java.io.IOException =>
-        throw new IllegalStateException(
+        // only an exclusive-create loss is the contract message
+        // (review r16 pass 2: a permissions/filesystem failure must
+        // not masquerade as "another writer holds the lock")
+        if (lfs.exists(lock)) throw new IllegalStateException(
           s"curation run log $rd is locked ($rd/run.lock exists): a " +
             "runDir has ONE writer at a time — a concurrent invocation " +
             "is live, or a previous one crashed without releasing the " +
             "lock. If the previous invocation is confirmed dead, delete " +
             "run.lock and re-invoke; the resume reads every completed " +
             "frontier.", e)
+        else throw e
       }
       // the chimera/pending-retirement refusals are clean no-ops, not
       // crashes — release the lock so the CORRECT invocation that
@@ -297,14 +301,30 @@ object PipelineOps {
       lfs.delete(intent, false)
       true
     }
-    if (lfs.exists(intent)) deleteAll() // finish a crashed retirement
-    else if (lfs.exists(lock)) false
+    // lock check FIRST, even for the finish-a-crashed-retirement arm
+    // (review r16 pass 3): intent + lock can coexist transiently while
+    // a racing writer and retirer resolve their Dekker exchange below,
+    // and a second retirer entering that window must yield to the
+    // lock, not treat the in-flight intent as a crashed one. A
+    // genuinely crashed retirement never holds the lock (retireRun
+    // never takes it).
+    if (lfs.exists(lock)) false
+    else if (lfs.exists(intent)) deleteAll() // finish a crashed retirement
     else if (!(1 to CurationStages).forall(n =>
         graft.streaming.Streaming.markerExists(s, s"$runDir/stage_$n")))
       false
     else {
       lfs.create(intent, false).close()
-      deleteAll()
+      // Cross-check AFTER the intent write (review r16 pass 2 — the
+      // Dekker shape): a concurrent curationRun acquiring the lock
+      // between our lock check and the intent write would otherwise
+      // resume under a retirement. Both sides re-check the OTHER
+      // record after writing their own — curationRun checks `retired`
+      // while holding the lock — so whichever wrote second sees the
+      // other and backs off; a lock observed here means the writer may
+      // not have seen our intent yet, so WE yield.
+      if (lfs.exists(lock)) { lfs.delete(intent, false); false }
+      else deleteAll()
     }
   }
 

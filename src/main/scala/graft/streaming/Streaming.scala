@@ -1611,6 +1611,14 @@ object Streaming {
   // entries are debris retired a pass later, never data loss) plus the
   // legacy-restore fallback, which keeps the old strong-LIST
   // requirement only for pre-head-record logs (README runbook).
+  //
+  // Sizing: a record is O(uncompacted tail) bytes (~8 bytes per tail
+  // delta id), so the per-batch record write is bounded by the SAME
+  // compaction cadence that already bounds restore cost — the runbook
+  // sizing rule ("pick the cadence from your restart SLA") bounds both
+  // at once. A deployment that never compacts pays O(tail) metadata
+  // per batch, a faithful miniature of the O(tail) data restore it has
+  // also chosen.
 
   private def headRecordPath(p: String, seq: Long) =
     new org.apache.hadoop.fs.Path(s"$p/head/$seq")

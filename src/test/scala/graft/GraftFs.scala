@@ -266,7 +266,12 @@ class GraftFs extends RawLocalFileSystem {
         org.apache.hadoop.fs.FileUtil.copy(this, src, this, tmp,
           false, true, getConf)
         if (exists(dst)) super.delete(dst, true)
-        super.rename(tmp, dst)
+        // checked (review r16 pass 2): a false here would silently
+        // leave no destination and still report the rename succeeded —
+        // the emulation must fail loud, not lie
+        if (!super.rename(tmp, dst))
+          throw new java.io.IOException(
+            s"GraftFs copy+delete rename: promote of $tmp to $dst failed")
         if (GraftFs.renameCrashAfterCopy) {
           GraftFs.renameCrashAfterCopy = false
           throw new java.io.IOException("GraftFs injected crash: " +
