@@ -1481,6 +1481,26 @@ object Streaming {
                 msg.contains("PATH_NOT_FOUND") ||
                   msg.contains("Path does not exist")
               } => return true
+          // FAILED_READ_FILE (review r16 pass 5, caught by the soak
+          // law firing for real): when the owner retires files DURING
+          // a replica's read, Spark 4 can surface the failure as
+          // FAILED_READ_FILE — usually the FILE_NOT_EXIST sub-kind
+          // with an FNFE cause (caught above), but under AQE stage
+          // materialization the failures are AGGREGATED into a
+          // STAGE_MATERIALIZATION_MULTIPLE_FAILURES wrapper whose
+          // sub-errors live in the MESSAGE, not the cause chain, and
+          // the sub-kind can degrade to NO_HINT — the walk saw
+          // nothing and the heal never fired. In this replica's read
+          // context a failed file read after an owner compaction IS
+          // the retired-files signature; a genuinely corrupt file
+          // costs one pointless heal and then surfaces through
+          // invalidatedTwice with the cause attached — the same
+          // adjudicated contract as the caller-frame honesty note.
+          case se: org.apache.spark.SparkException
+              if Option(se.getCondition)
+                .exists(_.startsWith("FAILED_READ_FILE")) ||
+                String.valueOf(se.getMessage)
+                  .contains("FAILED_READ_FILE") => return true
           case _ =>
         }
         c = if (c.getCause eq c) null else c.getCause

@@ -1084,6 +1084,74 @@ class RecoveryFaultSpec extends AnyFunSuite {
       .contains((2L, -1L, Seq(0L, 1L))))
   }
 
+  test("head records: a crash during the COMPACTION's record write leaves the pass retryable at the same head; the retry completes the generation") {
+    GraftFs.register(spark)
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 2
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_head_cpcrash")
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    m.applyBatch(rawBatch(cut, cut + k), 0L)
+    m.applyBatch(rawBatch(cut + k, nTotal), 1L)
+    // records 1-2 are the appends'; the compaction's is seq 3 — its
+    // create dies inside the finalize monitor section, AFTER the
+    // snapshot+ensemble staged and the live refs re-rooted
+    GraftFs.armFault("create", "head/3")
+    intercept[java.io.FileNotFoundException] { m.compactLog() }
+    assert(GraftFs.faultsFired.get() == 1,
+      "the compaction record fault never fired — the law is vacuous")
+    val fs = fsFor(ppath)
+    assert(fs.exists(p(ppath, "compact/1/_SUCCESS")),
+      "the staged snapshot went missing — the crash landed too early")
+    // the frontier still names the PRE-compaction state; a restore
+    // inside the window is exact via the old generation + tail
+    assert(Streaming.discoverFrontier(spark, ppath.toString)
+      .contains((2L, -1L, Seq(0L, 1L))))
+    val mid = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(mid.corpus.count() == nTotal)
+    // the gate never advanced, so the retry is NOT a no-op: it reuses
+    // the completed snapshot (never rewritten in place), writes record
+    // 3 for the same head, and retires the covered deltas
+    assert(m.compactLog(), "the retry treated the crashed pass as done")
+    assert(Streaming.discoverFrontier(spark, ppath.toString)
+      .contains((3L, 1L, Seq.empty[Long])))
+    val r = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(r.corpus.count() == nTotal)
+    assert(answers(r.corpus, r.index) == fullAnswers)
+  }
+
+  test("head records: the full feed + compact + restore cycle round-trips under emulated copy+delete renames") {
+    // The maintainer's own protocol has no renames (records and
+    // anchors are direct creates), but every parquet commit underneath
+    // it renames task files into place — on s3a those become
+    // copy+delete. The runbook's rename-independence claim for the
+    // persist log gets the same end-to-end law the curation run log
+    // got in r15.
+    GraftFs.register(spark)
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 2
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_head_oss")
+    GraftFs.renameAsCopyDelete = true
+    try {
+      val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+        rebuildWhen = _ => false, persistPath = Some(ppath))
+      m.applyBatch(rawBatch(cut, cut + k), 0L)
+      assert(m.compactLog())
+      m.applyBatch(rawBatch(cut + k, nTotal), 1L)
+      assert(Streaming.discoverFrontier(spark, ppath.toString)
+        .contains((3L, 0L, Seq(1L))))
+      val r = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+      assert(r.corpus.count() == nTotal)
+      assert(answers(r.corpus, r.index) == fullAnswers)
+    } finally GraftFs.renameAsCopyDelete = false
+  }
+
   test("head records: a TORN newest record (partial write, no sentinel) steps discovery back to the previous complete record") {
     val full = IvfAnn.fullCorpus(spark, dir)
     val nTotal = full.count()
