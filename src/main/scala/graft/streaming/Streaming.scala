@@ -1953,11 +1953,13 @@ object Streaming {
     * batch is cheaper than any delta scheme — is written to
     * `path/counts/<batchId>`; only the two most recent snapshots are
     * kept (the older one covers a crash between a snapshot write and
-    * the stream commit). [[MixturePlanner.restore]] loads the latest
-    * COMPLETED snapshot and resumes the idempotence guard at its
-    * batch id, so a checkpoint-resumed stream re-delivers at most the
-    * one uncommitted batch, which the guard absorbs. Kill + restore +
-    * resume ≡ uninterrupted (StreamingSpec law). */
+    * the stream commit). Each snapshot is named by a head record
+    * (r16, the maintainer's machinery): [[MixturePlanner.restore]]
+    * discovers the newest snapshot by GETs, never a LIST, and resumes
+    * the idempotence guard at its batch id, so a checkpoint-resumed
+    * stream re-delivers at most the one uncommitted batch, which the
+    * guard absorbs. Kill + restore + resume ≡ uninterrupted
+    * (StreamingSpec law). */
   final class MixturePlanner(spark: SparkSession,
       persistPath: Option[String] = None,
       fromRestore: Boolean = false) {
@@ -2031,6 +2033,11 @@ object Streaming {
               if (readPairing(spark, p).contains(c)) {
                 val (fs, debris) = numericDirs(spark, s"$p/counts")
                 debris.foreach(d => fs.delete(d._1.getPath, true))
+                // the dead run's head records go with its snapshots
+                // (r16): stale records naming deleted counts dirs
+                // would otherwise outlive the cleanup and collide
+                // with the fresh run's re-seeded record seqs
+                fs.delete(new org.apache.hadoop.fs.Path(s"$p/head"), true)
                 if (readPairing(spark, p).contains(c)) {
                   val pairing = new org.apache.hadoop.fs.Path(s"$p/pairing.txt")
                   fs.delete(pairing, false)
@@ -2048,6 +2055,14 @@ object Streaming {
             StructField("tok", LongType)))))
     @volatile private var lastBatch = -1L
     @volatile private var firstAfterRestore = false
+    // head-record seq (review r16 pass 5 — the IvfMaintainer fix left
+    // this class as the LAST LIST-discovered restore: a stale LIST
+    // hiding the newest counts snapshot silently resumed from the
+    // previous one, and the lost batch — already committed to the
+    // stream checkpoint — never re-delivers). Every snapshot write is
+    // followed by a head record naming its batch id; restore discovers
+    // the newest by GETs through the same machinery as the maintainer.
+    private var headSeq = 0L
 
     /** Accumulated (source, tok) counts. */
     def counts: DataFrame = countsRef.get
@@ -2099,6 +2114,31 @@ object Streaming {
           // filesystem operation left to fail.
           persistPath.foreach { p =>
             reset.write.mode("overwrite").parquet(s"$p/counts/$batchId")
+            // head record naming the completed snapshot (r16: the
+            // LIST-free frontier, same machinery and same crash
+            // contract as the IvfMaintainer's — failable, so it runs
+            // before countsRef.set; a crash here or in the retention
+            // below leaves headSeq unadvanced and the re-delivery
+            // rewrites the same seq with the same content. A TORN
+            // record write steps a restore back to the previous
+            // record, whose snapshot the keep-2 retention window
+            // preserves, and the stream's re-delivery re-merges from
+            // it — byte-identical; a crash AFTER the record completes
+            // restores the new snapshot and absorbs the re-delivery
+            // as the usual no-op.) The record's gen field carries the
+            // snapshot's batch id; the tail field is unused
+            // (snapshots are full state).
+            writeHeadRecord(spark, p, headSeq + 1, batchId, Seq.empty)
+            // anchor + head retention, per batch (every record
+            // supersedes the previous — the torn-rewrite invariant
+            // holds per advance because THIS batch's retention runs
+            // only after its anchor write completes)
+            writeHeadAnchor(spark, p, headSeq + 1)
+            locally {
+              val (hfs0, files) = numericFiles(spark, s"$p/head")
+              files.filter(_._2 < headSeq + 1)
+                .foreach(f => hfs0.delete(f._1.getPath, false))
+            }
             // retire all but the two newest COMPLETED snapshots (the
             // penultimate covers a crash between this write and the
             // stream commit). Unmarked batch-id dirs — crash debris
@@ -2119,6 +2159,7 @@ object Streaming {
               .foreach(d => fs.delete(d._1.getPath, true))
           }
           countsRef.set(reset)
+          if (persistPath.isDefined) headSeq += 1
         }
         lastBatch = batchId
       }
@@ -2140,13 +2181,27 @@ object Streaming {
 
   object MixturePlanner {
     /** Rebuild a planner from its latest completed counts snapshot
-      * after a driver restart (fresh planner if none exists yet). */
+      * after a driver restart (fresh planner if none exists yet).
+      * Discovery is head-record-driven like the maintainer's (r16 —
+      * GET-probed, no LIST): the newest record NAMES the snapshot, so
+      * a stale listing cannot silently resume from an older counts
+      * state whose missing batches the stream checkpoint will never
+      * re-deliver. Record-free logs (pre-r16, or nothing snapshotted
+      * yet) fall back to the legacy LIST walk. */
     def restore(spark: SparkSession, path: String): MixturePlanner = {
       val m = new MixturePlanner(spark, Some(path), fromRestore = true)
-      completedBatchIds(spark, s"$path/counts").lastOption.foreach { bid =>
-        m.countsRef.set(spark.read.parquet(s"$path/counts/$bid"))
-        m.lastBatch = bid
-        m.firstAfterRestore = true
+      discoverFrontier(spark, path) match {
+        case Some((seq, bid, _)) =>
+          m.countsRef.set(spark.read.parquet(s"$path/counts/$bid"))
+          m.lastBatch = bid
+          m.firstAfterRestore = true
+          m.headSeq = seq
+        case None =>
+          completedBatchIds(spark, s"$path/counts").lastOption.foreach { bid =>
+            m.countsRef.set(spark.read.parquet(s"$path/counts/$bid"))
+            m.lastBatch = bid
+            m.firstAfterRestore = true
+          }
       }
       m
     }

@@ -1181,6 +1181,48 @@ class RecoveryFaultSpec extends AnyFunSuite {
     assert(answers(r.corpus, r.index) == fullAnswers)
   }
 
+  test("MixturePlanner head records: a stale LIST cannot resume the counts from an older snapshot (the maintainer fix's last sibling, r16)") {
+    // The IvfMaintainer fix left this class as the LAST LIST-discovered
+    // restore — and its exposure is WORSE than the maintainer's was:
+    // the hidden newest snapshot's batch is already committed to the
+    // stream checkpoint, so it never re-delivers and the counts are
+    // silently short forever.
+    GraftFs.register(spark)
+    import spark.implicits._
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_mix_stale")
+    val m = new Streaming.MixturePlanner(spark, Some(ppath))
+    m.applyBatch(Seq((1L, "a b", "s")).toDF("doc_id", "text", "source"), 0L)
+    m.applyBatch(Seq((2L, "c d e", "s")).toDF("doc_id", "text", "source"), 1L)
+    def tok(p: Streaming.MixturePlanner) =
+      p.counts.agg(sum(col("tok"))).head().getLong(0)
+    assert(tok(m) == 5L)
+    GraftFs.markStaleListing("counts/1$")
+    try {
+      // non-vacuity counterfactual: the legacy walk resumes one
+      // snapshot back inside this exact window
+      assert(Streaming.completedBatchIds(spark, s"$ppath/counts") == Seq(0L),
+        "the staleness window hid nothing — the law is vacuous")
+      val r = Streaming.MixturePlanner.restore(spark, ppath.toString)
+      assert(tok(r) == 5L,
+        "restore resumed from the older snapshot under a stale " +
+          "listing — the head record was not consulted")
+    } finally GraftFs.resetStaleListing()
+    // legacy fallback: a record-free log (pre-r16) restores through
+    // the LIST walk, and the restored planner re-seeds the head log
+    val fs = fsFor(ppath)
+    fs.delete(p(ppath, "head"), true)
+    val legacy = Streaming.MixturePlanner.restore(spark, ppath.toString)
+    assert(tok(legacy) == 5L)
+    legacy.applyBatch(
+      Seq((3L, "f", "s")).toDF("doc_id", "text", "source"), 2L)
+    assert(tok(legacy) == 6L)
+    assert(Streaming.discoverFrontier(spark, ppath.toString)
+      .contains((1L, 2L, Seq.empty[Long])))
+    val r2 = Streaming.MixturePlanner.restore(spark, ppath.toString)
+    assert(tok(r2) == 6L)
+  }
+
   test("MixturePlanner cleanup lock: an exclusive-create lock fences concurrent cleaners; an orphaned lock fails closed (ADVICE r13)") {
     implicit val sqlCtx = spark.sqlContext
     val ppath = java.nio.file.Files.createTempDirectory("graft_cleanlock").toString
