@@ -1972,7 +1972,15 @@ object Streaming {
     // that already holds snapshots.
     persistPath.foreach { p =>
       if (!fromRestore) {
-        require(completedBatchIds(spark, s"$p/counts").isEmpty,
+        // the head-record probe (GETs) backs the LIST walk (review r16
+        // pass 5 sweep): this guard is a REFUSAL, and a stale listing
+        // hiding the old run's snapshots would otherwise admit a fresh
+        // planner over a used log — the exact chimera the guard
+        // refuses. The maintainer's sibling guard was already GET-based
+        // (the seed marker); record-bearing logs now refuse on GETs
+        // here too, and only pre-r16 record-free logs rest on the LIST.
+        require(completedBatchIds(spark, s"$p/counts").isEmpty &&
+            discoverFrontier(spark, p).isEmpty,
           s"MixturePlanner: persistPath $p already holds counts " +
             "snapshots — use MixturePlanner.restore to resume it, or " +
             "point the fresh planner at an empty path")

@@ -1221,6 +1221,19 @@ class RecoveryFaultSpec extends AnyFunSuite {
       .contains((1L, 2L, Seq.empty[Long])))
     val r2 = Streaming.MixturePlanner.restore(spark, ppath.toString)
     assert(tok(r2) == 6L)
+    // the fresh-construction guard refuses a used log even when a
+    // stale LIST hides every snapshot — the head-record probe (GETs)
+    // backs the walk, so the reuse chimera needs more than a lagging
+    // listing to slip through
+    GraftFs.markStaleListing("counts")
+    try {
+      assert(Streaming.completedBatchIds(spark, s"$ppath/counts").isEmpty,
+        "the staleness window hid nothing — the guard leg is vacuous")
+      val ex = intercept[IllegalArgumentException] {
+        new Streaming.MixturePlanner(spark, Some(ppath))
+      }
+      assert(ex.getMessage.contains("already holds counts snapshots"))
+    } finally GraftFs.resetStaleListing()
   }
 
   test("MixturePlanner cleanup lock: an exclusive-create lock fences concurrent cleaners; an orphaned lock fails closed (ADVICE r13)") {
