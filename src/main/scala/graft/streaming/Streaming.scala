@@ -2140,12 +2140,16 @@ object Streaming {
             // anchor + head retention, per batch (every record
             // supersedes the previous — the torn-rewrite invariant
             // holds per advance because THIS batch's retention runs
-            // only after its anchor write completes)
+            // only after its anchor write completes). The retention is
+            // ONE targeted delete, not a listing: records are dense
+            // and this runs every batch, so the only retirable record
+            // is the immediately-previous seq — a per-batch listStatus
+            // here would re-introduce exactly the micro-batch latency
+            // the r12 review evicted from the counts pass below.
             writeHeadAnchor(spark, p, headSeq + 1)
-            locally {
-              val (hfs0, files) = numericFiles(spark, s"$p/head")
-              files.filter(_._2 < headSeq + 1)
-                .foreach(f => hfs0.delete(f._1.getPath, false))
+            if (headSeq > 0) {
+              val (hfs0, prev) = hfs(spark, s"$p/head/$headSeq")
+              hfs0.delete(prev, false)
             }
             // retire all but the two newest COMPLETED snapshots (the
             // penultimate covers a crash between this write and the
