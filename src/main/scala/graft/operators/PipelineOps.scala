@@ -121,6 +121,12 @@ object PipelineOps {
     * between stage N-1 and N. */
   private[graft] var stageProbe: Int => Unit = _ => ()
 
+  /** Test seam: invoked by [[retireRun]] between its guard checks and
+    * its intent write — the window where a CONCURRENT retirer can
+    * create the intent first, so the race-loss law can stage that loss
+    * deterministically instead of latch-juggling two threads. */
+  private[graft] var retireProbe: () => Unit = () => ()
+
   /** Run-log ↔ dataset pairing (the pairing.txt lesson, as a
     * marker-gated record): the first invocation records the dataset dir
     * as a one-row `_SUCCESS`-gated parquet at `runDir/meta`; every
@@ -314,7 +320,20 @@ object PipelineOps {
         graft.streaming.Streaming.markerExists(s, s"$runDir/stage_$n")))
       false
     else {
-      lfs.create(intent, false).close()
+      retireProbe()
+      // Exclusive-create loss vs real failure (ADVICE r16, mirroring
+      // the run.lock disambiguation in [[curationRun]]): two
+      // concurrent retirers can both pass the !exists(intent) check
+      // above, and the loser's create throws a raw IOException — which
+      // without the re-check would also masquerade a permissions/
+      // filesystem failure as a lost race. Intent present after the
+      // throw = the race, and the WINNER is actively retiring — yield
+      // (false), never treat its in-flight intent as a crashed one;
+      // absent = a real failure, rethrow.
+      try lfs.create(intent, false).close()
+      catch { case e: java.io.IOException =>
+        if (lfs.exists(intent)) return false else throw e
+      }
       // Cross-check AFTER the intent write (review r16 pass 2 — the
       // Dekker shape): a concurrent curationRun acquiring the lock
       // between our lock check and the intent write would otherwise

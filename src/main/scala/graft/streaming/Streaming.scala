@@ -601,23 +601,66 @@ object Streaming {
     // re-rooted corpus). headSeq numbers the head records densely;
     // restore seeds all three from the discovered record.
     private var headSeq = 0L
-    private var frontierGen = -1L
+    // volatile, not monitor-read (ADVICE r16): stats scrapes these
+    // two, and the monitor is held by applyBatchInner across the delta
+    // parquet write + head-record PUT + append jobs — a metrics scrape
+    // taking it could block for a full micro-batch, awkward for the
+    // runbook alarm the counters exist to feed. Writes stay
+    // monitor-serialized (the single-writer protocol); volatile gives
+    // the scraper visibility without the wait. The two fields are read
+    // independently — a scrape landing between a finalize's record
+    // write and its gate advance can see the new generation with the
+    // old compaction count for one instant, which a rate-based alarm
+    // absorbs by construction.
+    @volatile private var frontierGen = -1L
     private var frontierTail = Vector.empty[Long]
     // completed compaction passes in THIS process (restore resets it —
     // cross-restart scrapers rate the monotone generation id instead)
-    private var compactionCount = 0L
+    @volatile private var compactionCount = 0L
 
     /** Operational counters for a deployment to scrape (VERDICT r15
       * #4 — the REPLICA100X runbook alarm reads these): `compactions` =
       * completed compactLog passes in this process; `generations` =
       * the newest completed generation's batch id (-1 before the
       * first), monotone across restarts, so replica lag and
-      * heal-per-generation ratios are plain arithmetic. The replica
-      * fields are zero on the owner — see [[IvfReplica.stats]]. */
-    def stats: IvfStats = synchronized {
+      * heal-per-generation ratios are plain arithmetic; `searches` =
+      * completed [[searchTopK]] calls served by this owner (VERDICT
+      * r16 #5 — an owner that also serves queries scrapes the same
+      * shape a replica does). LOCK-FREE (ADVICE r16): reads volatile/
+      * atomic fields without the maintainer monitor, so a scrape never
+      * waits on an in-flight micro-batch. The heal fields are zero on
+      * the owner — it reads its own live frames and has nothing to
+      * heal; see [[IvfReplica.stats]]. */
+    def stats: IvfStats =
       IvfStats(compactions = compactionCount, generations = frontierGen,
-        heals = 0L, reRestores = 0L, adoptedHeals = 0L, searches = 0L)
+        heals = 0L, reRestores = 0L, adoptedHeals = 0L,
+        searches = ownerSearchCount.get())
+    private val ownerSearchCount =
+      new java.util.concurrent.atomic.AtomicLong(0)
+
+    /** Exact IVF top-k through the owner's live index (VERDICT r16
+      * #5): the counted sibling of [[IvfReplica.searchTopK]], so a
+      * deployment whose owner also serves queries scrapes a symmetric
+      * stats surface instead of a hard-coded zero. The (corpus, index)
+      * pair resolves under the monitor — compaction finalize swaps
+      * BOTH refs in one monitor section, and reading them independently
+      * could pair frames from two generations (the same cross-frame
+      * tear the replica avoids by resolving its maintainer reference
+      * once). No heal arm: the owner reads its own live frames, which
+      * its own retention never retires out from under it — a
+      * FileNotFoundException here is foreign damage and propagates.
+      * Materialized inside the call like the replica's (no driver
+      * collect), so `searches` counts COMPLETED answers. */
+    def searchTopK(queries: DataFrame, k: Int): DataFrame = {
+      val (corpusNow, indexNow) = synchronized {
+        (corpusRef.get, indexRef.get)
+      }
+      val out = IvfAnn.boundedTopK(corpusNow, queries, k, Some(indexNow))
+        ._2.localCheckpoint()
+      ownerSearchCount.incrementAndGet()
+      out
     }
+
     // durable seed, written once (restore skips it — the on-disk seed
     // it was constructed from IS the record)
     persistPath.foreach { p =>
@@ -1299,6 +1342,47 @@ object Streaming {
       if (persistRebuild && m.rebuilds > 0 && bids.nonEmpty) m.compactLog()
       m
     }
+
+    /** One-shot head-record adoption for a LEGACY (record-free)
+      * maintainer log (VERDICT r16 #1) — deletes the last place the
+      * old stale-LIST truncation survives instead of fencing it. A log
+      * written before head records restores through the LIST walk, so
+      * a stale listing (the pre-Dec-2020 S3 contract) can still
+      * silently truncate ITS restore; this migration pays that
+      * strong-LIST requirement ONE final time — the same
+      * [[completedBatchIds]] walk restore does today — and records the
+      * discovered frontier as head record 1 plus its anchor, after
+      * which every restore of the log is GET-only like a live-protocol
+      * log's.
+      *
+      * Contract: run OFFLINE, like restore itself — the single-writer
+      * protocol extends to adoption (a live owner is already numbering
+      * head records; racing it could collide at the same seq). Safe to
+      * re-run: a log that already holds records — live protocol or a
+      * prior adoption — is left untouched (returns false). The
+      * adopted log resumes seamlessly: restore seeds `headSeq = 1`
+      * from the record, so the owner's next applied batch writes
+      * record 2 and the dense-retention discipline continues.
+      *
+      * True iff records were written; requires the completed-seed
+      * marker (the same fail-fast as restore — a log without a
+      * complete seed never held a complete maintainer, and adopting a
+      * frontier for one would certify a truncation). */
+    def adoptHeadRecords(spark: SparkSession, path: String): Boolean = {
+      if (discoverFrontier(spark, path).nonEmpty) false
+      else {
+        require(markerExists(spark, s"$path/seed"),
+          s"adoptHeadRecords: $path/seed has no _SUCCESS marker " +
+            "(incomplete or absent seed) — not a restorable maintainer " +
+            "log; nothing to adopt")
+        val gen = completedBatchIds(spark, s"$path/compact")
+          .lastOption.getOrElse(-1L)
+        val tail = completedBatchIds(spark, s"$path/delta").filter(_ > gen)
+        writeHeadRecord(spark, path, 1L, gen, tail)
+        writeHeadAnchor(spark, path, 1L)
+        true
+      }
+    }
   }
 
   /** Immutable snapshot of the IvfMaintainer/IvfReplica operational
@@ -1395,6 +1479,16 @@ object Streaming {
         heals = own + adopted, reRestores = own, adoptedHeals = adopted,
         searches = searchCount.get())
     }
+
+    /** How many generations this replica's served snapshot trails the
+      * owner's (VERDICT r16 #5): the runbook's lag alarm as ONE call
+      * instead of a two-sided scrape-and-subtract. Non-negative — a
+      * replica that healed past a scrape-stale owner view reads as
+      * caught up, not negative. Generation ids are batch ids, so the
+      * unit is "batches behind", monotone across restarts on both
+      * sides. */
+    def lagBehind(owner: IvfMaintainer): Long =
+      math.max(0L, owner.stats.generations - stats.generations)
 
     /** Exact IVF top-k through the replica's adopted index,
       * materialized via localCheckpoint (stays distributed — no driver
@@ -1655,8 +1749,21 @@ object Streaming {
 
   /** Parse head record `seq`: Some((gen, tail)) iff present AND
     * complete (magic + sentinel + well-formed fields); None for
-    * missing or torn. */
+    * missing or torn. Missing includes VANISHING (ADVICE r16): the
+    * exists→getFileStatus/open sequence is not atomic, and the
+    * OWNER's head-record retention can delete the record between the
+    * probe and the read while a replica discovers the frontier — a
+    * deletion that implies a NEWER record exists, so treating the
+    * FNFE as absence is exact: discovery steps back or lands on the
+    * legacy LIST fallback, both already-correct arms, instead of
+    * letting a raw FileNotFoundException escape into a replica search
+    * as an unhandled crash. */
   private[graft] def readHeadRecord(spark: SparkSession, p: String,
+      seq: Long): Option[(Long, Seq[Long])] =
+    try readHeadRecordInner(spark, p, seq)
+    catch { case _: java.io.FileNotFoundException => None }
+
+  private def readHeadRecordInner(spark: SparkSession, p: String,
       seq: Long): Option[(Long, Seq[Long])] = {
     val (fs, _) = hfs(spark, s"$p/head")
     val path = headRecordPath(p, seq)
@@ -1707,19 +1814,26 @@ object Streaming {
     finally out.close()
   }
 
-  /** Parse anchor slot `i`: Some(seq) iff present and well-formed. */
+  /** Parse anchor slot `i`: Some(seq) iff present and well-formed.
+    * Anchors are overwritten in place, never deleted, so the
+    * vanishing-read window is narrower than the record's — but the
+    * same FNFE-as-absence contract applies (ADVICE r16, symmetric
+    * with [[readHeadRecord]]): an unreadable slot degrades discovery
+    * to the gallop-from-1 / legacy arms, never to a crash. */
   private def readHeadAnchorSlot(spark: SparkSession, p: String,
       i: Int): Option[Long] = {
     val (fs, _) = hfs(spark, s"$p/head")
     val sp = new org.apache.hadoop.fs.Path(s"$p/head/anchor$i")
-    if (!fs.exists(sp)) None
-    else {
-      val buf = new Array[Byte](fs.getFileStatus(sp).getLen.toInt)
-      val in = fs.open(sp)
-      try in.readFully(0L, buf) finally in.close()
-      val s = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
-      if (s.matches("[0-9]+")) Some(s.toLong) else None
-    }
+    try {
+      if (!fs.exists(sp)) None
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(sp).getLen.toInt)
+        val in = fs.open(sp)
+        try in.readFully(0L, buf) finally in.close()
+        val s = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
+        if (s.matches("[0-9]+")) Some(s.toLong) else None
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** The durable frontier by strongly-consistent GETs alone: Some((seq,
@@ -2208,6 +2322,25 @@ object Streaming {
           m.lastBatch = bid
           m.firstAfterRestore = true
           m.headSeq = seq
+          // Orphan sweep (ADVICE r16): the planner's per-batch head
+          // retention is ONE targeted delete of its own predecessor
+          // (deliberately — a per-batch LIST is the latency the r12
+          // review evicted), so a crash after the anchor write but
+          // before that delete strands record seq−1 PERMANENTLY: the
+          // restored planner seeds headSeq = seq and later batches
+          // only ever delete their own predecessor. Restore is the
+          // right place to pay one listing (it already pays a snapshot
+          // read): retire every record below the discovered seq. Same
+          // adjudication as the maintainer's retention pass — a stale
+          // LIST can only UNDER-report (records it misses stay debris
+          // for the next restore; it cannot name a seq above the
+          // GET-discovered newest), so the sweep never touches the
+          // live record; deleting an already-gone record is a no-op.
+          locally {
+            val (hfs0, files) = numericFiles(spark, s"$path/head")
+            files.filter(_._2 < seq)
+              .foreach(f => hfs0.delete(f._1.getPath, false))
+          }
         case None =>
           completedBatchIds(spark, s"$path/counts").lastOption.foreach { bid =>
             m.countsRef.set(spark.read.parquet(s"$path/counts/$bid"))
@@ -2217,6 +2350,23 @@ object Streaming {
       }
       m
     }
+
+    /** One-shot head-record adoption for a LEGACY (record-free)
+      * planner log — [[IvfMaintainer.adoptHeadRecords]]'s sibling
+      * (VERDICT r16 #1), same contract: offline, idempotent (a log
+      * already holding records is untouched → false), pays the
+      * strong-LIST walk ONE final time and records the newest counts
+      * snapshot as head record 1 + anchor, making every later restore
+      * GET-only. A log with no completed snapshot yet has no frontier
+      * to adopt (false) — its first applied batch will seed the head
+      * log itself, exactly as a fresh planner's does. */
+    def adoptHeadRecords(spark: SparkSession, path: String): Boolean =
+      if (discoverFrontier(spark, path).nonEmpty) false
+      else completedBatchIds(spark, s"$path/counts").lastOption.exists { bid =>
+        writeHeadRecord(spark, path, 1L, bid, Seq.empty)
+        writeHeadAnchor(spark, path, 1L)
+        true
+      }
   }
 
   /** Parquet sink with checkpointing (exactly-once file sink). */

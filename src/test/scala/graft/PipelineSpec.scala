@@ -580,4 +580,61 @@ class PipelineSpec extends AnyFunSuite {
     (1 to 5).foreach(n => assert(!fs.exists(pth(s"$crashed/stage_$n"))))
     assert(!fs.exists(pth(s"$crashed/retired")))
   }
+
+  test("retireRun: losing the intent exclusive-create race yields to the winner; a real create failure propagates instead of masquerading as a lost race (ADVICE r16)") {
+    def pth(s: String) = new org.apache.hadoop.fs.Path(s)
+    // a complete, unlocked run log by its on-disk definition — the
+    // stage markers are all retireRun inspects, and the existing
+    // retirement laws already pay the real curationRun fixture
+    def fabricate(runDir: String,
+        fs: org.apache.hadoop.fs.FileSystem): Unit = (1 to 5).foreach { n =>
+      fs.mkdirs(pth(s"$runDir/stage_$n"))
+      fs.create(pth(s"$runDir/stage_$n/_SUCCESS"), true).close()
+    }
+    // ---- the lost race: both retirers pass !exists(retired); the ----
+    // loser's exclusive create throws. Staged deterministically via
+    // the seam — the "winner" writes its intent inside the loser's
+    // check→create window.
+    val raceDir = java.nio.file.Files
+      .createTempDirectory("graft_retire_race").toString
+    val fs = pth(raceDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fabricate(raceDir, fs)
+    val intent = pth(s"$raceDir/retired")
+    operators.PipelineOps.retireProbe = () => fs.create(intent, false).close()
+    try assert(!operators.PipelineOps.retireRun(spark, raceDir),
+      "the race loser did not yield")
+    finally operators.PipelineOps.retireProbe = () => ()
+    assert(fs.exists(intent),
+      "the loser deleted the winner's in-flight intent")
+    assert(graft.streaming.Streaming.markerExists(spark, s"$raceDir/stage_3"),
+      "the loser deleted frontiers behind the winner's intent")
+    // the winner (or any retry) finishes the retirement
+    assert(operators.PipelineOps.retireRun(spark, raceDir))
+    (1 to 5).foreach(n => assert(!fs.exists(pth(s"$raceDir/stage_$n"))))
+    assert(!fs.exists(intent))
+    // ---- the real-failure arm: the create dies with NO intent -------
+    // present — the IOException must propagate (pre-fix it did; the
+    // fix must not widen the catch into reading every failure as a
+    // lost race), and the failed pass stays cleanly retryable
+    GraftFs.register(spark)
+    val failDir = "graftfs://" + java.nio.file.Files
+      .createTempDirectory("graft_retire_fail")
+    val gfs = pth(failDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fabricate(failDir, gfs)
+    GraftFs.armFault("create", "retired")
+    try {
+      val ex = intercept[java.io.FileNotFoundException] {
+        operators.PipelineOps.retireRun(spark, failDir)
+      }
+      assert(ex.getMessage.contains("retired"))
+      assert(GraftFs.faultsFired.get() == 1,
+        "the create fault never fired — the law is vacuous")
+    } finally GraftFs.disarm()
+    assert(!gfs.exists(pth(s"$failDir/retired")),
+      "the failed pass left a phantom intent")
+    assert(graft.streaming.Streaming.markerExists(spark, s"$failDir/stage_5"),
+      "the failed pass deleted frontiers")
+    assert(operators.PipelineOps.retireRun(spark, failDir))
+    (1 to 5).foreach(n => assert(!gfs.exists(pth(s"$failDir/stage_$n"))))
+  }
 }

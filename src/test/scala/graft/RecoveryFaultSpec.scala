@@ -840,6 +840,25 @@ class RecoveryFaultSpec extends AnyFunSuite {
     // (1) vs owner.stats.compactions since the replica attached (1
     // invalidating of the 2 total) — a ratio above one own-restore per
     // generation is the mis-sized-cadence signal
+    // ---- the owner search path counts too (VERDICT r16 #5): an -----
+    // owner that also serves queries scrapes the same shape, not a
+    // hard-coded zero — and with answer parity against the replica
+    val ownerGot = owner.searchTopK(queries, 5).as[(Long, Int, Long)]
+      .collect().toSeq
+    assert(ownerGot == fullAnswers)
+    assert(owner.stats == Streaming.IvfStats(2, 1, 0, 0, 0, 1),
+      s"owner stats ${owner.stats}: the served search never counted")
+    // ---- the lag alarm is ONE call (VERDICT r16 #5) ----------------
+    assert(replica.lagBehind(owner) == 0L,
+      "a healed replica reads as lagging")
+    val straggler = new Streaming.IvfReplica(spark, ppath) // attaches at gen 1
+    owner.applyBatch(rawBatch(0, 1), 2L)
+    assert(owner.compactLog()) // gen 2 — retires the files gen 1 served
+    assert(straggler.lagBehind(owner) == 1L,
+      "the straggling replica's lag never registered")
+    straggler.searchTopK(queries, 5).collect() // heals to gen 2
+    assert(straggler.lagBehind(owner) == 0L,
+      "the healed straggler still reads as lagging")
   }
 
   test("object-store rename (copy+delete): an injected fault on the DELETE half is observable and leaves the same retryable both-paths state (ADVICE r15)") {
@@ -1263,5 +1282,244 @@ class RecoveryFaultSpec extends AnyFunSuite {
       "cleanup never fired once the lock was free")
     assert(!fs.exists(p(ppath, "cleanup.lock")),
       "the cleaner leaked its cleanup lock")
+  }
+
+  test("head-record reads treat a vanishing file as absence (ADVICE r16): the exists→read TOCTOU against the owner's retention degrades discovery to the step-back/legacy arms, never a raw FNFE") {
+    GraftFs.register(spark)
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 2
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_head_toctou")
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    m.applyBatch(rawBatch(cut, cut + k), 0L)
+    m.applyBatch(rawBatch(cut + k, nTotal), 1L)
+    // records 1 and 2 exist; the STICKY open fault emulates the
+    // retention race — exists() sees head/2, every read of it raises
+    // FileNotFoundException (deleted between the probe and the open)
+    GraftFs.armFault("open", "head/2", sticky = true)
+    try {
+      // the unreadable newest record is absence: discovery steps back
+      // one, exactly the torn-newest contract
+      assert(Streaming.discoverFrontier(spark, ppath)
+        .contains((1L, -1L, Seq(0L))),
+        "discovery did not step back past the vanishing record")
+      assert(GraftFs.faultsFired.get() > 0,
+        "the open fault never fired — the law is vacuous")
+      // a restore inside the window resumes one batch back (the
+      // stream checkpoint re-delivers the stepped-over batch) instead
+      // of crashing with the unhandled FNFE the ADVICE pinned
+      val r = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+      assert(r.corpus.count() == cut + k,
+        "restore under the vanishing-record window did not resume one batch back")
+      // the ADVICE crash site: a replica construction + search inside
+      // the window heal/fall back instead of throwing
+      val rep = new Streaming.IvfReplica(spark, ppath)
+      assert(rep.searchTopK(full.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+          col("nrm").as("qn")), 5).count() == 50L)
+    } finally GraftFs.disarm()
+    // caught up: the full frontier is back
+    val ok = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(ok.corpus.count() == nTotal)
+    assert(answers(ok.corpus, ok.index) == fullAnswers)
+    // anchor leg (symmetric fix): unreadable anchor slots degrade the
+    // start to the gallop-from-1 arm; with records 1–2 retired by the
+    // compaction below, discovery lands on the legacy LIST walk — the
+    // already-correct fallback — instead of crashing
+    assert(ok.compactLog()) // record 3, anchor0 = 3, records 1–2 retired
+    GraftFs.armFault("open", "anchor", sticky = true)
+    try {
+      assert(Streaming.discoverFrontier(spark, ppath).isEmpty,
+        "discovery used an anchor it could not read")
+      assert(GraftFs.faultsFired.get() > 0,
+        "the anchor open fault never fired — the leg is vacuous")
+      val r2 = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+      assert(r2.corpus.count() == nTotal)
+      assert(answers(r2.corpus, r2.index) == fullAnswers)
+    } finally GraftFs.disarm()
+  }
+
+  test("IvfMaintainer.stats is lock-free (ADVICE r16): a scrape completes while the maintainer monitor is held, as it is across a full micro-batch") {
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val cut = full.count() / 2
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    // applyBatchInner holds the maintainer monitor across the delta
+    // parquet write, head-record PUT and append jobs — seconds. The
+    // holder thread pins that state; the scrape must not wait on it.
+    val holder = new Thread(() => m.synchronized {
+      entered.countDown(); release.await()
+    })
+    holder.start(); entered.await()
+    try {
+      val got = new java.util.concurrent.atomic.AtomicReference[Streaming.IvfStats]
+      val scraper = new Thread(() => got.set(m.stats))
+      scraper.start(); scraper.join(5000)
+      assert(!scraper.isAlive && got.get() != null,
+        "stats blocked on the held maintainer monitor — the runbook " +
+          "alarm would stall for a full micro-batch")
+      assert(got.get() == Streaming.IvfStats(0, -1, 0, 0, 0, 0))
+    } finally { release.countDown(); holder.join() }
+  }
+
+  test("MixturePlanner restore sweeps orphaned head records (ADVICE r16): a crash between the anchor write and the predecessor delete leaks one record per crash — restore retires the debris") {
+    GraftFs.register(spark)
+    import spark.implicits._
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_mix_orphan")
+    val m = new Streaming.MixturePlanner(spark, Some(ppath))
+    m.applyBatch(Seq((1L, "a b", "s")).toDF("doc_id", "text", "source"), 0L)
+    val fs = fsFor(ppath)
+    assert(fs.exists(p(ppath, "head/1")))
+    // the leak window: batch 1's snapshot, record 2 and anchor are
+    // complete; the ONE targeted predecessor delete dies
+    GraftFs.armFault("delete", "head/1")
+    val ex = intercept[java.io.FileNotFoundException] {
+      m.applyBatch(Seq((2L, "c d e", "s")).toDF("doc_id", "text", "source"), 1L)
+    }
+    assert(ex.getMessage.contains("head/1"))
+    assert(GraftFs.faultsFired.get() == 1,
+      "the delete fault never fired — the law is vacuous")
+    assert(fs.exists(p(ppath, "head/1")) && fs.exists(p(ppath, "head/2")),
+      "the crash window did not leak the predecessor record")
+    // without the restore sweep record 1 is orphaned FOREVER: restore
+    // seeds headSeq from the discovered record and every later batch
+    // deletes only its OWN predecessor — one leaked file per crash,
+    // contradicting the dense-retention claim
+    val r = Streaming.MixturePlanner.restore(spark, ppath.toString)
+    assert(r.counts.agg(sum(col("tok"))).head().getLong(0) == 5L,
+      "restore missed the snapshot the completed record names")
+    assert(!fs.exists(p(ppath, "head/1")),
+      "restore left the orphaned record — the sweep never ran")
+    assert(fs.exists(p(ppath, "head/2")),
+      "the sweep deleted the live record")
+    // dense retention continues from the restored seq
+    r.applyBatch(Seq((3L, "f", "s")).toDF("doc_id", "text", "source"), 2L)
+    assert(fs.exists(p(ppath, "head/3")) && !fs.exists(p(ppath, "head/2")))
+    assert(Streaming.discoverFrontier(spark, ppath.toString)
+      .contains((3L, 2L, Seq.empty[Long])))
+  }
+
+  test("adoptHeadRecords migrates a legacy log (VERDICT r16 #1): the record-free LIST walk truncates under a stale listing; after the one-shot adoption the SAME window restores FULLY, and the owner resumes the dense seq") {
+    GraftFs.register(spark)
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 2
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_adopt")
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    m.applyBatch(rawBatch(cut, cut + k), 0L)
+    m.applyBatch(rawBatch(cut + k, nTotal), 1L)
+    // a live-protocol log is untouched — adoption must never collide
+    // with the owner's own record numbering
+    assert(!Streaming.IvfMaintainer.adoptHeadRecords(spark, ppath),
+      "adoption rewrote a log that already holds head records")
+    val fs = fsFor(ppath)
+    assert(fs.exists(p(ppath, "head/2")))
+    // the legacy shape: a log written before head records (emulated by
+    // deleting head/ wholesale — byte-identical to a pre-r16 log)
+    fs.delete(p(ppath, "head"), true)
+    // ---- TODAY'S pinned behavior, the counterfactual: the legacy ----
+    // walk silently truncates when the stale listing hides delta/1
+    GraftFs.markStaleListing("delta/1$")
+    try {
+      val truncated = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+      assert(truncated.corpus.count() == cut + k,
+        "the legacy walk did not truncate — the counterfactual is " +
+          "vacuous (is the record-free fallback still a LIST walk?)")
+    } finally GraftFs.resetStaleListing()
+    // ---- the migration: ONE guarded strong-LIST pass ----------------
+    assert(Streaming.IvfMaintainer.adoptHeadRecords(spark, ppath))
+    assert(fs.exists(p(ppath, "head/1")) && fs.exists(p(ppath, "head/anchor0")),
+      "adoption did not write the record + anchor pair")
+    assert(Streaming.discoverFrontier(spark, ppath)
+      .contains((1L, -1L, Seq(0L, 1L))))
+    // ---- the SAME staleness window now restores FULLY (GET-only) ----
+    GraftFs.markStaleListing("delta/1$")
+    try {
+      assert(Streaming.completedBatchIds(spark, s"$ppath/delta") == Seq(0L),
+        "the staleness window hid nothing — the law is vacuous")
+      val r = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+      assert(r.corpus.count() == nTotal,
+        "the adopted log still truncated under a stale listing — " +
+          "restore is not consulting the adopted record")
+      assert(answers(r.corpus, r.index) == fullAnswers)
+    } finally GraftFs.resetStaleListing()
+    // idempotent: a second invocation is a no-op on the adopted log
+    assert(!Streaming.IvfMaintainer.adoptHeadRecords(spark, ppath))
+    // the adopted log resumes seamlessly: restore seeds headSeq from
+    // record 1, the next applied batch writes record 2, and a
+    // compaction continues the anchor/retention discipline
+    val res = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    res.applyBatch(rawBatch(0, 1), 2L)
+    assert(Streaming.discoverFrontier(spark, ppath)
+      .contains((2L, -1L, Seq(0L, 1L, 2L))))
+    assert(res.compactLog())
+    assert(Streaming.discoverFrontier(spark, ppath)
+      .contains((3L, 2L, Seq.empty[Long])))
+    assert(!fs.exists(p(ppath, "head/1")) && !fs.exists(p(ppath, "head/2")),
+      "the post-adoption compaction's retention skipped the adopted record")
+    val fin = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(fin.corpus.count() == nTotal + 1)
+    // adopting a path that never held a complete maintainer fails fast
+    // (the restore seed-gate contract, not a silent empty adoption)
+    intercept[IllegalArgumentException] {
+      Streaming.IvfMaintainer.adoptHeadRecords(spark, "graftfs://" +
+        java.nio.file.Files.createTempDirectory("graft_adopt_empty"))
+    }
+  }
+
+  test("MixturePlanner.adoptHeadRecords: the planner's legacy counts logs migrate the same way — stale-LIST resume-from-older-snapshot before, GET-only after") {
+    GraftFs.register(spark)
+    import spark.implicits._
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_mix_adopt")
+    val m = new Streaming.MixturePlanner(spark, Some(ppath))
+    m.applyBatch(Seq((1L, "a b", "s")).toDF("doc_id", "text", "source"), 0L)
+    m.applyBatch(Seq((2L, "c d e", "s")).toDF("doc_id", "text", "source"), 1L)
+    assert(!Streaming.MixturePlanner.adoptHeadRecords(spark, ppath),
+      "adoption rewrote a live-protocol planner log")
+    val fs = fsFor(ppath)
+    fs.delete(p(ppath, "head"), true)
+    // counterfactual: the legacy walk resumes from the OLDER snapshot
+    // when the stale listing hides counts/1 — the batches in between
+    // are ones the stream checkpoint will never re-deliver
+    GraftFs.markStaleListing("counts/1$")
+    try {
+      val stale = Streaming.MixturePlanner.restore(spark, ppath)
+      assert(stale.counts.agg(sum(col("tok"))).head().getLong(0) == 2L,
+        "the legacy walk did not resume from the older snapshot — " +
+          "the counterfactual is vacuous")
+    } finally GraftFs.resetStaleListing()
+    // a snapshotless log has no frontier to adopt
+    assert(!Streaming.MixturePlanner.adoptHeadRecords(spark, "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_mix_adopt_empty")))
+    // the migration, then the SAME window restores the newest snapshot
+    assert(Streaming.MixturePlanner.adoptHeadRecords(spark, ppath))
+    assert(Streaming.discoverFrontier(spark, ppath)
+      .contains((1L, 1L, Seq.empty[Long])))
+    GraftFs.markStaleListing("counts/1$")
+    val r = try {
+      assert(!Streaming.completedBatchIds(spark, s"$ppath/counts")
+        .contains(1L), "the staleness window hid nothing — vacuous")
+      val r0 = Streaming.MixturePlanner.restore(spark, ppath)
+      assert(r0.counts.agg(sum(col("tok"))).head().getLong(0) == 5L,
+        "the adopted planner log still resumed from the older snapshot")
+      r0
+    } finally GraftFs.resetStaleListing()
+    assert(!Streaming.MixturePlanner.adoptHeadRecords(spark, ppath))
+    // the resumed planner continues the dense head-record discipline
+    r.applyBatch(Seq((3L, "f", "s")).toDF("doc_id", "text", "source"), 2L)
+    assert(fs.exists(p(ppath, "head/2")) && !fs.exists(p(ppath, "head/1")),
+      "the post-adoption batch did not continue the dense retention")
+    assert(Streaming.discoverFrontier(spark, ppath)
+      .contains((2L, 2L, Seq.empty[Long])))
   }
 }
