@@ -193,7 +193,19 @@ object PipelineOps {
         size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
     runDir.foreach { rd =>
       val (lfs, lock) = runLockPath(s, rd)
-      try lfs.create(lock, false).close()
+      // The CLAIM is the exclusive create; the writer-identity token
+      // (pid@host — the liveness probe [[forceUnlockRun]] reads) lands
+      // with the same stream's close. A crash inside that sliver
+      // leaves a claimed-but-unstamped lock, which forceUnlockRun
+      // refuses (fail-closed: an unstamped claim may belong to a live
+      // writer mid-stamp) — the manual runbook delete remains the
+      // remediation for that window only.
+      try {
+        val out = lfs.create(lock, false)
+        try out.write(runLockToken().getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
       catch { case e: java.io.IOException =>
         // only an exclusive-create loss is the contract message
         // (review r16 pass 2: a permissions/filesystem failure must
@@ -202,9 +214,10 @@ object PipelineOps {
           s"curation run log $rd is locked ($rd/run.lock exists): a " +
             "runDir has ONE writer at a time — a concurrent invocation " +
             "is live, or a previous one crashed without releasing the " +
-            "lock. If the previous invocation is confirmed dead, delete " +
-            "run.lock and re-invoke; the resume reads every completed " +
-            "frontier.", e)
+            "lock. If the previous invocation is confirmed dead, unlock " +
+            "with forceUnlockRun (it probes the recorded writer identity " +
+            "and refuses while liveness can't be ruled out) and " +
+            "re-invoke; the resume reads every completed frontier.", e)
         else throw e
       }
       // the chimera/pending-retirement refusals are clean no-ops, not
@@ -272,6 +285,94 @@ object PipelineOps {
   private def runLockPath(s: SparkSession, runDir: String) = {
     val p = new org.apache.hadoop.fs.Path(s"$runDir/run.lock")
     (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def localHostName: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.net.UnknownHostException => "localhost" }
+
+  /** The writer-identity token [[curationRun]] stamps into run.lock —
+    * magic + `writer=<pid>@<host>` + end sentinel, the same framing
+    * discipline as the head records. PID-on-host is the strongest
+    * liveness handle available without a heartbeat protocol: exact on
+    * the writer's own host (modulo OS pid reuse, which errs REFUSING —
+    * the safe direction), explicitly unprobeable from any other. */
+  private def runLockToken(): String = {
+    val pid = ProcessHandle.current().pid()
+    s"graft-run-lock-v1\nwriter=$pid@$localHostName\nend\n"
+  }
+
+  /** Tooled remediation for an orphaned `run.lock` (VERDICT r16 #6 —
+    * the runbook step was a bare manual delete, one typo away from
+    * unlocking a LIVE run). Deletes the lock ONLY when the stamped
+    * writer is provably dead: the token names this host AND its pid no
+    * longer exists. Everything else refuses loudly, mirroring
+    * [[retireRun]]'s fail-closed posture — a live pid (or a reused
+    * one), a lock stamped on another host (liveness unprobeable from
+    * here), a token naming THIS process (the writer thread may still
+    * be live in this JVM — curationRun in this process either finishes
+    * and releases it, or truly crashed, in which case restarting the
+    * JVM makes the pid probeable), and an unstamped/malformed token (a
+    * claim whose stamp hasn't landed yet belongs to a possibly-live
+    * claimant). True iff the lock was deleted; false iff there was no
+    * lock to delete (including one released mid-probe). After a
+    * successful unlock, re-invoking [[curationRun]] resumes from the
+    * completed frontiers as usual. */
+  private[graft] def forceUnlockRun(s: SparkSession, runDir: String): Boolean = {
+    val (lfs, lock) = runLockPath(s, runDir)
+    def refuse(why: String): Nothing = throw new IllegalStateException(
+      s"forceUnlockRun: refusing to delete $runDir/run.lock — $why. " +
+        "Deleting a live writer's lock readmits the two-writer hazard " +
+        "the lock exists to prevent; remove it manually only with " +
+        "out-of-band proof the writer is dead.")
+    val content: Option[String] =
+      try {
+        if (!lfs.exists(lock)) None
+        else {
+          val buf = new Array[Byte](lfs.getFileStatus(lock).getLen.toInt)
+          val in = lfs.open(lock)
+          try in.readFully(0L, buf) finally in.close()
+          Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      } catch {
+        // vanished mid-probe = the writer completed and released it —
+        // the outcome the caller wanted, minus anything left to delete
+        case _: java.io.FileNotFoundException => None
+      }
+    content match {
+      case None => false
+      case Some(c) =>
+        val lines = c.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+        val writer =
+          if (lines.length == 3 && lines(0) == "graft-run-lock-v1" &&
+              lines(1).startsWith("writer=") && lines(2) == "end")
+            Some(lines(1).stripPrefix("writer=")) else None
+        writer match {
+          case None => refuse("the lock carries no complete writer " +
+            "token (a pre-token lock, or a claim whose stamp hasn't " +
+            "landed yet — the claimant may be live)")
+          case Some(w) => w.split("@", 2) match {
+            case Array(pidS, host) if pidS.matches("[0-9]+") =>
+              if (host != localHostName)
+                refuse(s"the lock was taken on host '$host' — writer " +
+                  "liveness is unprobeable from this one; run the " +
+                  "unlock there")
+              else {
+                val pid = pidS.toLong
+                if (pid == ProcessHandle.current().pid())
+                  refuse("the lock names THIS process — its writer " +
+                    "may still be live in this JVM; let it finish, or " +
+                    "restart the JVM and unlock from there")
+                val h = ProcessHandle.of(pid)
+                if (h.isPresent && h.get.isAlive)
+                  refuse(s"writer $w is still alive")
+                lfs.delete(lock, false)
+                true
+              }
+            case _ => refuse(s"the lock's writer token '$w' is malformed")
+          }
+        }
+    }
   }
 
   /** Opt-in retention for curation run logs (VERDICT r15 #3):

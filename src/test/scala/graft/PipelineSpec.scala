@@ -581,6 +581,80 @@ class PipelineSpec extends AnyFunSuite {
     assert(!fs.exists(pth(s"$crashed/retired")))
   }
 
+  test("forceUnlockRun unlocks only a provably-dead writer's lock (VERDICT r16 #6): a dead-pid orphan unlocks and the re-invocation resumes; same-process, foreign-host, live-pid and unstamped locks are refused") {
+    val dir = "/root/testdata/sf0.001"
+    val runDir = java.nio.file.Files
+      .createTempDirectory("graft_forceunlock").toString
+    def pth(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = pth(runDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = pth(s"$runDir/run.lock")
+    // no lock: nothing to unlock — false, not a refusal
+    assert(!operators.PipelineOps.forceUnlockRun(spark, runDir))
+    // crash between stages: the lock is orphaned, stamped with THIS
+    // JVM's identity by curationRun itself
+    val seen1 = probed(n =>
+        if (n == 3) throw new RuntimeException("injected driver death")) {
+      intercept[RuntimeException] {
+        operators.PipelineOps.curationRun(spark, dir, Some(runDir))
+      }
+    }
+    assert(seen1 == Seq(1, 2, 3))
+    assert(fs.exists(lock), "the crashed run released its lock?")
+    // same-process token: the writer thread may still be live in this
+    // JVM — refused, and the refusal must not delete the lock
+    val exSelf = intercept[IllegalStateException] {
+      operators.PipelineOps.forceUnlockRun(spark, runDir)
+    }
+    assert(exSelf.getMessage.contains("THIS process"))
+    assert(fs.exists(lock), "a refusal deleted the lock")
+    def restamp(token: String): Unit = {
+      fs.delete(lock, false)
+      val out = fs.create(lock, false)
+      try out.write(token.getBytes("UTF-8")) finally out.close()
+    }
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    // foreign-host token: liveness is unprobeable from here — refused
+    restamp(s"graft-run-lock-v1\nwriter=1234@other-$host\nend\n")
+    assert(intercept[IllegalStateException] {
+      operators.PipelineOps.forceUnlockRun(spark, runDir)
+    }.getMessage.contains("unprobeable"))
+    // live-pid token (this JVM's parent — the sbt process — is alive
+    // for the whole test run): refused as a live writer
+    val parent = ProcessHandle.current().parent()
+    assume(parent.isPresent, "no probeable parent process")
+    restamp(s"graft-run-lock-v1\nwriter=${parent.get.pid}@$host\nend\n")
+    assert(intercept[IllegalStateException] {
+      operators.PipelineOps.forceUnlockRun(spark, runDir)
+    }.getMessage.contains("still alive"))
+    // unstamped claim (crash inside the create→stamp sliver): refused
+    restamp("")
+    assert(intercept[IllegalStateException] {
+      operators.PipelineOps.forceUnlockRun(spark, runDir)
+    }.getMessage.contains("no complete writer token"))
+    // malformed writer identity: refused, never parsed as dead
+    restamp(s"graft-run-lock-v1\nwriter=notapid\nend\n")
+    intercept[IllegalStateException] {
+      operators.PipelineOps.forceUnlockRun(spark, runDir)
+    }
+    // ---- the real orphan: a pid that provably does not exist --------
+    val deadPid = Iterator.from(100000).map(_.toLong)
+      .find(p => ProcessHandle.of(p).isEmpty).get
+    restamp(s"graft-run-lock-v1\nwriter=$deadPid@$host\nend\n")
+    assert(operators.PipelineOps.forceUnlockRun(spark, runDir),
+      "a provably-dead writer's lock was not unlocked")
+    assert(!fs.exists(lock))
+    // the unlocked log resumes from its completed frontiers: stages
+    // 3-5 only, outputs identical to an uninterrupted run
+    var resumed: operators.PipelineOps.CurationRun = null
+    val seen2 = probed(_ => ()) {
+      resumed = operators.PipelineOps.curationRun(spark, dir, Some(runDir))
+    }
+    assert(seen2 == Seq(3, 4, 5),
+      s"resume after forceUnlockRun computed $seen2")
+    assert(runOutputs(resumed) == refRun,
+      "the resumed run diverged after the tooled unlock")
+  }
+
   test("retireRun: losing the intent exclusive-create race yields to the winner; a real create failure propagates instead of masquerading as a lost race (ADVICE r16)") {
     def pth(s: String) = new org.apache.hadoop.fs.Path(s)
     // a complete, unlocked run log by its on-disk definition — the
