@@ -32,22 +32,32 @@ class BenchRangesSpec extends AnyFunSuite {
     }
   }
 
-  test("total_production adjudication (VERDICT r15 #2): the r13-r15 adjudicated headlines classify in_range; a doubling classifies above") {
+  test("total_production adjudication (VERDICT r15 #2, tightened r17): all five adjudicated headlines classify in_range; the old ceiling's worst-allowed wall now trips") {
     // The blind spot the r15 round exposed: its +24% headline (197.4 s
     // production vs r14's 159.0) was adjudicated by prose. Under the
-    // reserved total range the three adjudicated captures classify
-    // in_range mechanically, and the failure mode the prose could not
-    // exclude — a session-config change doubling every query — trips.
+    // reserved total range the five adjudicated captures (r13/r14/r15
+    // plus both r16 same-tree captures) classify in_range mechanically,
+    // and the failure mode the prose could not exclude — a
+    // session-config change inflating every query — trips. r17
+    // tightening (VERDICT r16 #2): the total uses [0.6 x min, 1.3 x
+    // max] multipliers — the 313-query total averages per-query jitter
+    // (worst observed capture spread 1.35x), so the per-query 0.4/1.5
+    // band was slack: its 296.1 ceiling admitted a 2.03x regression of
+    // the r16 official wall without an alarm.
     val ranges = BenchRanges.load(java.nio.file.Paths.get("STEADY_RANGES.json"))
     val (lo, hi) = ranges.getOrElse("total_production",
       fail("the reserved total_production range is missing"))
-    Seq(156.5, 158.952, 197.381).foreach(t =>
+    Seq(156.5, 158.952, 197.381, 173.727, 145.97).foreach(t =>
       assert(BenchRanges.verdict(t, lo, hi) == "in_range",
         s"adjudicated capture $t classifies off-range"))
-    assert(BenchRanges.verdict(2 * 197.381, lo, hi) == "above")
+    // the teeth gained by the r17 tightening: the OLD ceiling (296.1 —
+    // 1.70x the r16 official wall) now classifies above, as does any
+    // capture beyond 1.3x the slowest adjudicated one
+    assert(BenchRanges.verdict(296.1, lo, hi) == "above")
+    assert(BenchRanges.verdict(1.31 * 197.381, lo, hi) == "above")
     // the floor is informational, not an alarm, but must stay below
     // the best adjudicated capture
-    assert(lo < 156.5 && BenchRanges.verdict(60.0, lo, hi) == "below")
+    assert(lo < 145.97 && BenchRanges.verdict(60.0, lo, hi) == "below")
   }
 
   test("the r13 steady block re-adjudicates mechanically — q115's contested 2.365 classifies in_range") {
