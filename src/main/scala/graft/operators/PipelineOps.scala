@@ -352,7 +352,10 @@ object PipelineOps {
             "token (a pre-token lock, or a claim whose stamp hasn't " +
             "landed yet — the claimant may be live)")
           case Some(w) => w.split("@", 2) match {
-            case Array(pidS, host) if pidS.matches("[0-9]+") =>
+            // width-bounded (review r17 pass 1): an unbounded digit
+            // run would overflow toLong into a NumberFormatException
+            // instead of the malformed-token refusal
+            case Array(pidS, host) if pidS.matches("[0-9]{1,18}") =>
               if (host != localHostName)
                 refuse(s"the lock was taken on host '$host' — writer " +
                   "liveness is unprobeable from this one; run the " +

@@ -1737,7 +1737,10 @@ object Streaming {
   private def headRecordPath(p: String, seq: Long) =
     new org.apache.hadoop.fs.Path(s"$p/head/$seq")
 
-  private[streaming] def writeHeadRecord(spark: SparkSession, p: String,
+  // private[graft], not [streaming]: the HEADTAIL economics leg
+  // (tools.ScaleSmoke) drives the real writer to price records at the
+  // never-compacting extreme without paying 4000 data-plane batches
+  private[graft] def writeHeadRecord(spark: SparkSession, p: String,
       seq: Long, gen: Long, tail: Seq[Long]): Unit = {
     val (fs, _) = hfs(spark, s"$p/head")
     val content =
@@ -1775,11 +1778,25 @@ object Streaming {
       val lines = new String(buf,
         java.nio.charset.StandardCharsets.UTF_8).split("\n", -1)
         .map(_.trim).filter(_.nonEmpty)
+      // tail validation is a LINEAR scan, not the obvious
+      // `([0-9]+(,[0-9]+)*)?` regex: Java's regex engine recurses per
+      // `(,[0-9]+)*` repetition, so a deep tail — the never-compacting
+      // deployment the sizing note prices — blew the stack at ~4000
+      // ids (StackOverflowError out of restore; caught by the r17
+      // HEADTAIL economics leg doing exactly what it was built for).
+      // ASCII-only and ≤18 digits (review r17 pass 1): Char.isDigit
+      // admits Unicode digits Long.parseLong also accepts, and an
+      // unbounded digit run overflows toLong into a crash — foreign
+      // damage must read as torn (None), not throw.
+      def longOk(t: String): Boolean = t.nonEmpty && t.length <= 18 &&
+        t.forall(c => c >= '0' && c <= '9')
+      def tailOk(s: String): Boolean =
+        s.isEmpty || s.split(",", -1).forall(longOk)
       val ok = lines.length == 4 && lines(0) == "graft-head-v1" &&
         lines(1).startsWith("gen=") && lines(2).startsWith("tail=") &&
         lines(3) == "end" &&
-        lines(1).stripPrefix("gen=").matches("-?[0-9]+") &&
-        lines(2).stripPrefix("tail=").matches("([0-9]+(,[0-9]+)*)?")
+        longOk(lines(1).stripPrefix("gen=").stripPrefix("-")) &&
+        tailOk(lines(2).stripPrefix("tail="))
       if (!ok) None
       else {
         val tailStr = lines(2).stripPrefix("tail=")
@@ -1801,7 +1818,7 @@ object Streaming {
     * the other slot naming the previous compaction's record, which its
     * own retention kept and the torn compaction's retention — which
     * runs only after this write completes — never touched). */
-  private[streaming] def writeHeadAnchor(spark: SparkSession, p: String,
+  private[graft] def writeHeadAnchor(spark: SparkSession, p: String,
       seq: Long): Unit = {
     val (fs, _) = hfs(spark, s"$p/head")
     val best = Seq(0, 1).flatMap(i => readHeadAnchorSlot(spark, p, i)
@@ -1831,7 +1848,10 @@ object Streaming {
         val in = fs.open(sp)
         try in.readFully(0L, buf) finally in.close()
         val s = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
-        if (s.matches("[0-9]+")) Some(s.toLong) else None
+        // same ASCII/width discipline as the record parse: a damaged
+        // slot degrades discovery, never crashes it
+        if (s.nonEmpty && s.length <= 18 &&
+          s.forall(c => c >= '0' && c <= '9')) Some(s.toLong) else None
       }
     } catch { case _: java.io.FileNotFoundException => None }
   }

@@ -1215,9 +1215,91 @@ object ScaleSmoke {
         require(answers(m3.corpus, m3.index) == want,
           s"$tag: compacted-log restore answers != rebuild ($nb-batch log)")
         println(f"$tag%s log $nb%3d batches × $bsz%5d vectors:" +
-          f" compactLog $tCompact%7.2f s  restore-after-compact $tRestoreC%7.2f s" +
+          f" feed $tFeed%7.2f s  compactLog $tCompact%7.2f s  restore-after-compact $tRestoreC%7.2f s" +
           "  (search parity OK)")
       }
+      spark.stop()
+      return
+    }
+
+    // Head-record economics at the deep-tail extreme (VERDICT r16 #4):
+    // the record is O(tail) bytes per batch and anchor-less discovery
+    // gallops O(newest) GETs — both were argued, neither measured.
+    // Three measurements:
+    //  (1) the RESTORE10X 10×4000 shape end-to-end: feed wall (records
+    //      ON — the only protocol), restore wall through the records,
+    //      then the SAME log with head/ deleted — the legacy LIST-walk
+    //      restore — as the with/without-records comparison;
+    //  (2) record SIZE at never-compacting tails (10 → 4000 ids): one
+    //      real writeHeadRecord each, file length read back;
+    //  (3) discovery cost over a 4000-record head dir — the real
+    //      writer fabricates the metadata layer (data-plane batches
+    //      don't affect record economics, and 4000 real batches would
+    //      measure Spark job overhead, not the records): gallop from
+    //      seq 1 (no anchor — retention/compaction never ran) vs from
+    //      an anchor at the newest (the cadence-maintained case), plus
+    //      the per-record PUT wall for all 4000.
+    if (sys.env.contains("SPARK_GRAFT_HEADTAIL")) {
+      import graft.operators.IvfAnn
+      import graft.streaming.Streaming
+      val vdir = "/tmp/graft_headtail"
+      synthesizeClusteredVecs(spark, vdir, nVecs = 60000L, clusterSize = 16)
+      val all = spark.read.parquet(s"$vdir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val full = IvfAnn.fullCorpus(spark, vdir)
+      // ---- (1) the 10×4000 shape, records vs legacy walk ------------
+      val ppath = s"${vdir}_log"
+      val fs = new org.apache.hadoop.fs.Path(ppath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ppath), true)
+      val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < 20000L),
+        rebuildWhen = _ => false, compactEvery = 1000,
+        persistPath = Some(ppath))
+      val tFeed = time {
+        for (b <- 0 until 10)
+          m.applyBatch(all.filter(col("vec_id") >= 20000L + 4000L * b &&
+            col("vec_id") < 20000L + 4000L * (b + 1)), b.toLong)
+      }
+      def restoreWall(): Double = time {
+        val r = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+        require(r.index.assigned.count() == 60000L,
+          "HEADTAIL restore lost or duplicated members")
+      }
+      val tRec = restoreWall()
+      fs.delete(new org.apache.hadoop.fs.Path(s"$ppath/head"), true)
+      val tLegacy = restoreWall()
+      println(f"HEADTAIL 10×4000: feed $tFeed%6.2f s  " +
+        f"restore-records $tRec%6.2f s  restore-legacy-walk $tLegacy%6.2f s")
+      // ---- (2) record size vs tail depth ----------------------------
+      val sdir = s"${vdir}_sizes"
+      fs.delete(new org.apache.hadoop.fs.Path(sdir), true)
+      for (depth <- Seq(10, 100, 400, 1000, 4000)) {
+        Streaming.writeHeadRecord(spark, sdir, depth.toLong, -1L,
+          0L until depth.toLong)
+        val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          s"$sdir/head/$depth")).getLen
+        println(f"HEADTAIL record size: tail $depth%5d ids -> $len%7d bytes")
+      }
+      // ---- (3) discovery over a 4000-record head dir ----------------
+      val gdir = s"${vdir}_gallop"
+      fs.delete(new org.apache.hadoop.fs.Path(gdir), true)
+      val tPuts = time {
+        for (n <- 1 to 4000)
+          Streaming.writeHeadRecord(spark, gdir, n.toLong, -1L,
+            0L until n.toLong)
+      }
+      val tGallop = time {
+        require(Streaming.discoverFrontier(spark, gdir)
+          .exists(_._1 == 4000L), "gallop discovery missed the newest record")
+      }
+      Streaming.writeHeadAnchor(spark, gdir, 4000L)
+      val tAnchored = time {
+        require(Streaming.discoverFrontier(spark, gdir)
+          .exists(_._1 == 4000L), "anchored discovery missed the newest record")
+      }
+      println(f"HEADTAIL 4000-record head: PUTs total $tPuts%6.2f s " +
+        f"(${tPuts / 4000 * 1000}%6.2f ms/record avg)  " +
+        f"gallop-from-1 $tGallop%6.3f s  anchored $tAnchored%6.3f s")
       spark.stop()
       return
     }
@@ -1355,6 +1437,58 @@ object ScaleSmoke {
       println(f"$tag resume $resumeWall%6.2f s = ${100 * resumeWall / durableWall}%4.1f%%" +
         f" of the full durable run — the restart re-pays stages 4-5 + plans" +
         f" only (dedup/CC/decontamination read back)")
+      spark.stop()
+      return
+    }
+
+    // Durability-tax bound at a memory-stable corpus (VERDICT r16 #3):
+    // the 100× (500k-doc) composed run is memory/GC-bound on this
+    // container — one-rep mem-vs-durable differences swung ±2× across
+    // reps (SCALE.md r16), so the tax number did not replicate there.
+    // This leg runs the tax protocol median-of-3 at 250k docs — big
+    // enough that the five frontier writes are priced against real
+    // stage walls, small enough that reps are GC-stable — with
+    // PAIRED, alternating reps (each mem rep immediately followed by
+    // its durable rep, so container drift hits both sides of a pair).
+    if (sys.env.contains("SPARK_GRAFT_PIPETAX")) {
+      import graft.operators.PipelineOps
+      val d10 = "/tmp/graft_pipetax250k"
+      synthesizeTemplated(spark, d10, nDocs = 250000L, vocabSize = 25000)
+      val fsRoot = new org.apache.hadoop.fs.Path("/tmp")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def cold(): Unit = {
+        graft.plans.DerivationCache.evictAll()
+        graft.plans.DerivationCache.dropOrphans(spark.sparkContext)
+      }
+      def ship(r: PipelineOps.CurationRun): Unit = {
+        r.stages.foreach { case (_, df) => df.count() }
+        noop(r.mixture); noop(r.shards)
+      }
+      // untimed JIT/codegen warm-up (the PIPERESUME convention — the
+      // first composed run of a session is not a measurement)
+      ship(PipelineOps.curationRun(spark, d10))
+      val reps = for (i <- 1 to 3) yield {
+        cold()
+        val t0m = System.nanoTime()
+        ship(PipelineOps.curationRun(spark, d10))
+        val mem = (System.nanoTime() - t0m) / 1e9
+        val rd = s"/tmp/graft_pipetax_run$i"
+        fsRoot.delete(new org.apache.hadoop.fs.Path(rd), true)
+        cold()
+        val t0d = System.nanoTime()
+        ship(PipelineOps.curationRun(spark, d10, Some(rd)))
+        val dur = (System.nanoTime() - t0d) / 1e9
+        println(f"PIPETAX250K rep$i: mem $mem%6.2f s  durable $dur%6.2f s" +
+          f"  tax ${dur - mem}%+6.2f s")
+        (mem, dur)
+      }
+      def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      val mMem = median(reps.map(_._1))
+      val mDur = median(reps.map(_._2))
+      val taxes = reps.map(r => r._2 - r._1)
+      println(f"PIPETAX250K median: mem $mMem%6.2f s  durable $mDur%6.2f s" +
+        f"  tax ${mDur - mMem}%+6.2f s (${100 * (mDur - mMem) / mMem}%+5.1f%%)" +
+        f"  per-rep taxes ${taxes.map(t => f"$t%+5.2f").mkString(" / ")}")
       spark.stop()
       return
     }

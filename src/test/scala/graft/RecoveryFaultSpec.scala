@@ -1405,6 +1405,30 @@ class RecoveryFaultSpec extends AnyFunSuite {
       .contains((3L, 2L, Seq.empty[Long])))
   }
 
+  test("head-record parse survives the never-compacting extreme (r17 HEADTAIL finding): a 4000-id tail round-trips — the naive tail regex blew the JVM stack per comma — and malformed deep tails still read as torn") {
+    val ppath = java.nio.file.Files
+      .createTempDirectory("graft_deeptail").toString
+    val deep = 0L until 4000L
+    Streaming.writeHeadRecord(spark, ppath, 1L, -1L, deep)
+    // pre-fix this line threw StackOverflowError out of the regex
+    // engine — the restore-crash a never-compacting deployment would
+    // have hit at ~4000 uncompacted batches
+    assert(Streaming.readHeadRecord(spark, ppath, 1L)
+      .contains((-1L, deep)))
+    assert(Streaming.discoverFrontier(spark, ppath)
+      .contains((1L, -1L, deep)))
+    // the linear validator keeps the torn-record contract: a deep tail
+    // with an empty token (torn mid-write) is absence, not a crash
+    val fs = fsFor(ppath)
+    val rec = p(ppath, "head/2")
+    val torn = "graft-head-v1\ngen=-1\ntail=" +
+      (0L until 4000L).mkString(",") + ",\nend\n"
+    val out = fs.create(rec, true)
+    try out.write(torn.getBytes("UTF-8")) finally out.close()
+    assert(Streaming.readHeadRecord(spark, ppath, 2L).isEmpty,
+      "a malformed deep tail parsed as complete")
+  }
+
   test("adoptHeadRecords migrates a legacy log (VERDICT r16 #1): the record-free LIST walk truncates under a stale listing; after the one-shot adoption the SAME window restores FULLY, and the owner resumes the dense seq") {
     GraftFs.register(spark)
     val full = IvfAnn.fullCorpus(spark, dir)
