@@ -317,7 +317,17 @@ object PipelineOps {
     * claimant). True iff the lock was deleted; false iff there was no
     * lock to delete (including one released mid-probe). After a
     * successful unlock, re-invoking [[curationRun]] resumes from the
-    * completed frontiers as usual. */
+    * completed frontiers as usual.
+    *
+    * Honesty note on the probe→delete window: two CONCURRENT unlock
+    * operators against the same dead writer are idempotent (both
+    * confirm the same dead pid; the loser's delete is a no-op), but if
+    * a second operator unlocks AND a new writer claims between this
+    * call's probe and its delete, the delete removes the NEW writer's
+    * lock — a two-operator-plus-instant-reclaim race no create/delete
+    * filesystem primitive can close. Accepted: the manual-delete
+    * runbook step this tool replaces carried the same window with NO
+    * liveness probe at all; run one unlock operator at a time. */
   private[graft] def forceUnlockRun(s: SparkSession, runDir: String): Boolean = {
     val (lfs, lock) = runLockPath(s, runDir)
     def refuse(why: String): Nothing = throw new IllegalStateException(
