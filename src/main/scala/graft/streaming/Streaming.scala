@@ -646,20 +646,51 @@ object Streaming {
       * BOTH refs in one monitor section, and reading them independently
       * could pair frames from two generations (the same cross-frame
       * tear the replica avoids by resolving its maintainer reference
-      * once). No heal arm: the owner reads its own live frames, which
-      * its own retention never retires out from under it — a
-      * FileNotFoundException here is foreign damage and propagates.
-      * Materialized inside the call like the replica's (no driver
-      * collect), so `searches` counts COMPLETED answers. */
+      * once). Materialized inside the call like the replica's (no
+      * driver collect), so `searches` counts COMPLETED answers.
+      *
+      * Heal arm (review r17 pass 3 — the first cut claimed the
+      * owner's retention could never retire frames out from under its
+      * own search, which is FALSE for a RESTORED owner: its index may
+      * be parquet-backed by the adopted generation's files until a
+      * head-moved finalize re-roots it, and a concurrent
+      * maintenance-thread compactLog retires exactly those — the
+      * accessor-capture contract the compactLog scaladoc has
+      * documented since r13). On the retired-files signature the
+      * search re-resolves the refs ONCE and retries — the re-rooted
+      * frames are live in-process, so one re-resolve always suffices;
+      * a second file-gone failure means the frames or log are damaged
+      * and throws with the cause attached. */
     def searchTopK(queries: DataFrame, k: Int): DataFrame = {
-      val (corpusNow, indexNow) = synchronized {
-        (corpusRef.get, indexRef.get)
+      def attempt(): DataFrame = {
+        val (corpusNow, indexNow) = synchronized {
+          (corpusRef.get, indexRef.get)
+        }
+        searchProbe()
+        IvfAnn.boundedTopK(corpusNow, queries, k, Some(indexNow))
+          ._2.localCheckpoint()
       }
-      val out = IvfAnn.boundedTopK(corpusNow, queries, k, Some(indexNow))
-        ._2.localCheckpoint()
+      val out =
+        try attempt()
+        catch { case e: Throwable if retiredFilesSignature(e) =>
+          try attempt()
+          catch { case e2: Throwable if retiredFilesSignature(e2) =>
+            throw new IllegalStateException(
+              "IvfMaintainer.searchTopK: the live frames failed twice " +
+                "within one search — the first failure is the documented " +
+                "compaction-retire race (healed by re-resolving), but the " +
+                "re-resolved frames failed too: the persist log or the " +
+                "in-memory frames are damaged", e2)
+          }
+        }
       ownerSearchCount.incrementAndGet()
       out
     }
+    // test seam: invoked between the search's ref resolution and its
+    // materialization — the accessor-capture window a concurrent
+    // compaction's retire races; a law stages the race
+    // deterministically here instead of hoping a thread lands in it
+    private[graft] var searchProbe: () => Unit = () => ()
 
     // durable seed, written once (restore skips it — the on-disk seed
     // it was constructed from IS the record)
@@ -1549,59 +1580,58 @@ object Streaming {
         "cadence above the replicas' re-read cadence — see the recovery " +
         "runbook), or the log itself is damaged", cause)
 
-    /** True iff the failure is the retired-files signature: a
-      * FileNotFoundException anywhere in the cause chain (Spark wraps
-      * executor-side read failures in SparkException layers), OR a
-      * PATH_NOT_FOUND AnalysisException — Spark raises the latter
-      * CAUSELESS when a whole directory (not just its files) vanished
-      * between a restore's log listing and its spark.read.parquet
-      * (review r14 pass 5: the owner deleting an entire retired
-      * generation mid-heal surfaced as an unhandled AnalysisException
-      * instead of the documented retry). */
-    private def fileGone(t: Throwable): Boolean = {
-      var c = t; var hops = 0
-      while (c != null && hops < 20) {
-        if (c.isInstanceOf[java.io.FileNotFoundException]) return true
-        c match {
-          // structured error condition first (ADVICE r14: a message
-          // substring is brittle across Spark versions — a reworded
-          // message would turn the documented heal into an unhandled
-          // throw); the message check stays as the fallback for
-          // exceptions raised without a condition (older call sites
-          // wrap the path into free-text messages)
-          case ae: org.apache.spark.sql.AnalysisException
-              if ae.getCondition == "PATH_NOT_FOUND" || {
-                val msg = String.valueOf(ae.getMessage)
-                msg.contains("PATH_NOT_FOUND") ||
-                  msg.contains("Path does not exist")
-              } => return true
-          // FAILED_READ_FILE (review r16 pass 5, caught by the soak
-          // law firing for real): when the owner retires files DURING
-          // a replica's read, Spark 4 can surface the failure as
-          // FAILED_READ_FILE — usually the FILE_NOT_EXIST sub-kind
-          // with an FNFE cause (caught above), but under AQE stage
-          // materialization the failures are AGGREGATED into a
-          // STAGE_MATERIALIZATION_MULTIPLE_FAILURES wrapper whose
-          // sub-errors live in the MESSAGE, not the cause chain, and
-          // the sub-kind can degrade to NO_HINT — the walk saw
-          // nothing and the heal never fired. In this replica's read
-          // context a failed file read after an owner compaction IS
-          // the retired-files signature; a genuinely corrupt file
-          // costs one pointless heal and then surfaces through
-          // invalidatedTwice with the cause attached — the same
-          // adjudicated contract as the caller-frame honesty note.
-          case se: org.apache.spark.SparkException
-              if Option(se.getCondition)
-                .exists(_.startsWith("FAILED_READ_FILE")) ||
-                String.valueOf(se.getMessage)
-                  .contains("FAILED_READ_FILE") => return true
-          case _ =>
-        }
-        c = if (c.getCause eq c) null else c.getCause
-        hops += 1
+    /** The retired-files signature — see [[retiredFilesSignature]]
+      * (hoisted there in r17 so the owner's searchTopK heal reads the
+      * same three arms this replica heals on). */
+    private def fileGone(t: Throwable): Boolean = retiredFilesSignature(t)
+  }
+
+  /** True iff the failure is the retired-files signature: a
+    * FileNotFoundException anywhere in the cause chain (Spark wraps
+    * executor-side read failures in SparkException layers), OR a
+    * PATH_NOT_FOUND AnalysisException — Spark raises the latter
+    * CAUSELESS when a whole directory (not just its files) vanished
+    * between a restore's log listing and its spark.read.parquet
+    * (review r14 pass 5: the owner deleting an entire retired
+    * generation mid-heal surfaced as an unhandled AnalysisException
+    * instead of the documented retry) — OR FAILED_READ_FILE (review
+    * r16 pass 5, caught by the soak law firing for real): when the
+    * owner retires files DURING a read, Spark 4 can surface the
+    * failure as FAILED_READ_FILE — usually the FILE_NOT_EXIST
+    * sub-kind with an FNFE cause, but under AQE stage materialization
+    * the failures are AGGREGATED into a
+    * STAGE_MATERIALIZATION_MULTIPLE_FAILURES wrapper whose sub-errors
+    * live in the MESSAGE, not the cause chain, and the sub-kind can
+    * degrade to NO_HINT. Structured error conditions are checked
+    * first (ADVICE r14 — a reworded message must not turn the heal
+    * into an unhandled throw); the message check stays as fallback.
+    * Hoisted from IvfReplica (review r17 pass 3) so the owner's own
+    * [[IvfMaintainer.searchTopK]] heal reads the SAME signature the
+    * replica heals on. In a read context after a compaction this IS
+    * the retired-files signature; a genuinely corrupt file costs one
+    * pointless heal and then surfaces with the cause attached. */
+  private[streaming] def retiredFilesSignature(t: Throwable): Boolean = {
+    var c = t; var hops = 0
+    while (c != null && hops < 20) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      c match {
+        case ae: org.apache.spark.sql.AnalysisException
+            if ae.getCondition == "PATH_NOT_FOUND" || {
+              val msg = String.valueOf(ae.getMessage)
+              msg.contains("PATH_NOT_FOUND") ||
+                msg.contains("Path does not exist")
+            } => return true
+        case se: org.apache.spark.SparkException
+            if Option(se.getCondition)
+              .exists(_.startsWith("FAILED_READ_FILE")) ||
+              String.valueOf(se.getMessage)
+                .contains("FAILED_READ_FILE") => return true
+        case _ =>
       }
-      false
+      c = if (c.getCause eq c) null else c.getCause
+      hops += 1
     }
+    false
   }
 
   /** Persist-log filesystem access (VERDICT r11 #1): every log walk

@@ -1405,6 +1405,50 @@ class RecoveryFaultSpec extends AnyFunSuite {
       .contains((3L, 2L, Seq.empty[Long])))
   }
 
+  test("owner searchTopK heals the compaction-retire race (review r17 pass 3): a restored owner's parquet-backed frames retired mid-search re-resolve once; answers exact, search counted once") {
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val k = (nTotal - cut) / 2
+    val ppath = java.nio.file.Files
+      .createTempDirectory("graft_ownerheal").toString
+    val m0 = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    m0.applyBatch(rawBatch(cut, cut + k), 0L)
+    assert(m0.compactLog()) // gen 0 with a logged quantizer ensemble
+    // the hazard requires a RESTORED owner: its adopted index is
+    // parquet-backed by gen 0's quantizer files until a head-moved
+    // finalize re-roots it
+    val m = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    m.applyBatch(rawBatch(cut + k, nTotal), 1L)
+    val queries = full.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        col("nrm").as("qn"))
+    // the seam fires INSIDE the accessor-capture window (refs
+    // resolved, frames not yet materialized): a maintenance
+    // compaction completes gen 1 and its retention deletes the gen-0
+    // files the resolved index is backed by
+    var probeCalls = 0
+    m.searchProbe = () => {
+      probeCalls += 1
+      if (probeCalls == 1) assert(m.compactLog(),
+        "the staged compaction was a no-op — the law is vacuous")
+    }
+    val got = try m.searchTopK(queries, 5).as[(Long, Int, Long)]
+        .collect().toSeq
+      finally m.searchProbe = () => ()
+    // the heal FIRED: attempt ran twice (first materialization hit the
+    // retired files; pre-fix this was an unhandled crash out of the
+    // scaladoc's "never happens" claim)
+    assert(probeCalls == 2,
+      s"probe ran $probeCalls time(s): the retire race never fired — " +
+        "the fixture is not parquet-backed and the law is vacuous")
+    assert(got == fullAnswers,
+      "the healed owner search returned wrong answers")
+    assert(m.stats.searches == 1L,
+      "the healed search double-counted or never counted")
+  }
+
   test("head-record parse survives the never-compacting extreme (r17 HEADTAIL finding): a 4000-id tail round-trips — the naive tail regex blew the JVM stack per comma — and malformed deep tails still read as torn") {
     val ppath = java.nio.file.Files
       .createTempDirectory("graft_deeptail").toString
