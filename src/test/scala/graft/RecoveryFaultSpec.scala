@@ -1544,6 +1544,50 @@ class RecoveryFaultSpec extends AnyFunSuite {
     }
   }
 
+  test("adoptHeadRecords crash window: the anchor create dying after the record write leaves a fully-discoverable log — gallop-from-1 needs no anchor until the first compaction writes one") {
+    GraftFs.register(spark)
+    val full = IvfAnn.fullCorpus(spark, dir)
+    val nTotal = full.count()
+    val cut = nTotal / 2
+    val ppath = "graftfs://" +
+      java.nio.file.Files.createTempDirectory("graft_adopt_crash")
+    val m = new Streaming.IvfMaintainer(full.filter(col("vec_id") < cut),
+      rebuildWhen = _ => false, persistPath = Some(ppath))
+    m.applyBatch(rawBatch(cut, nTotal), 0L)
+    val fs = fsFor(ppath)
+    fs.delete(p(ppath, "head"), true) // the legacy shape
+    // adoption writes record 1, then its anchor dies — the two-object
+    // crash window
+    GraftFs.armFault("create", "anchor")
+    intercept[java.io.FileNotFoundException] {
+      Streaming.IvfMaintainer.adoptHeadRecords(spark, ppath)
+    }
+    assert(GraftFs.faultsFired.get() == 1,
+      "the anchor create fault never fired — the law is vacuous")
+    assert(fs.exists(p(ppath, "head/1")) &&
+      !fs.exists(p(ppath, "head/anchor0")),
+      "the crash window left a different state than record-without-anchor")
+    // anchor-less discovery gallops from 1 — correct, because
+    // retention has never run (records are contiguous from 1)
+    assert(Streaming.discoverFrontier(spark, ppath)
+      .contains((1L, -1L, Seq(0L))))
+    val r = Streaming.IvfMaintainer.restore(spark, ppath, _ => false)
+    assert(r.corpus.count() == nTotal)
+    assert(answers(r.corpus, r.index) == fullAnswers)
+    // a RE-RUN of the migration is a no-op (the frontier is
+    // discoverable), never a duplicate record at a colliding seq
+    assert(!Streaming.IvfMaintainer.adoptHeadRecords(spark, ppath))
+    // the first compaction completes the pair: record 2 + anchor,
+    // retention retires the adopted record, discovery tracks
+    assert(r.compactLog())
+    assert(fs.exists(p(ppath, "head/anchor0")),
+      "the first post-adoption compaction never wrote the anchor")
+    assert(!fs.exists(p(ppath, "head/1")),
+      "retention skipped the adopted record")
+    assert(Streaming.discoverFrontier(spark, ppath)
+      .contains((2L, 0L, Seq.empty[Long])))
+  }
+
   test("MixturePlanner.adoptHeadRecords: the planner's legacy counts logs migrate the same way — stale-LIST resume-from-older-snapshot before, GET-only after") {
     GraftFs.register(spark)
     import spark.implicits._
