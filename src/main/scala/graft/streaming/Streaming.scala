@@ -1428,8 +1428,11 @@ object Streaming {
     * restored for itself or adopted a racing search's completed
     * restore); `generations` is the newest generation id the
     * maintainer completed / the replica currently serves, monotone
-    * across restarts. Owner-side replica fields and replica-side
-    * `compactions` are zero. */
+    * across restarts. `searches` counts completed searchTopK answers
+    * on BOTH sides (r17 — the owner's in-search retire-race re-resolve
+    * is not a restore and counts nowhere else). Owner-side heal fields
+    * (heals/reRestores/adoptedHeals) and replica-side `compactions`
+    * are zero. */
   final case class IvfStats(compactions: Long, generations: Long,
       heals: Long, reRestores: Long, adoptedHeals: Long, searches: Long)
 
