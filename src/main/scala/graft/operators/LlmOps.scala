@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.plans.Ckpt.CkptOps
+import graft.plans.Spread.SpreadOps
 import graft.{Q, Tables}
 import graft.functions.{TextFns, VectorFns}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -45,10 +46,24 @@ object LlmOps {
 
   // ---- shared building blocks -------------------------------------------
 
-  private def docsWithShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** `fan = true` spreads the compact doc rows across the cores BEFORE
+    * the shingle blowup — a single-row-group fixture scan otherwise
+    * runs the whole tokenize+shingle+explode chain of every consumer
+    * on one core (ProfileOne r17: 1-1.6 s single-task stages in
+    * q89/q272). No-op on a multi-split table (Spread scaladoc).
+    * OPT-IN, not the default: the interleaved A/B (r17) measured the
+    * fan-out per consumer family — decisive wins where the exploded
+    * frame feeds a self-join (q44 2.0→1.1 s, q89 3.4→1.6 s, q272
+    * −10%), neutral-to-losing (+8..35%) where the downstream is one
+    * fused aggregate/broadcast pipeline (q269) or the ckpt'd shared
+    * pair-graph build (q43c/q296), where the exchange + task fan costs
+    * more than the parallelism buys. */
+  private def docsWithShingles(s: SparkSession, d: String, fan: Boolean = false): DataFrame = {
+    val base = Tables.documents(s, d)
+    (if (fan) base.spread(col("doc_id")) else base)
       .withColumn("words", TextFns.tokens(col("text")))
       .withColumn("shingles", array_distinct(TextFns.shingles(col("words"), 3)))
+  }
 
   /** Base shingle hashes: xxhash64 mod P, computed ONCE per shingle —
     * the 32 permutations then only do cheap affine arithmetic over this
@@ -625,8 +640,8 @@ object LlmOps {
        |)""".stripMargin
 
   /** Distinct shingle sets per doc with blocking keys and set size. */
-  private[graft] def shingleBlocks(s: SparkSession, d: String): DataFrame =
-    docsWithShingles(s, d)
+  private[graft] def shingleBlocks(s: SparkSession, d: String, fan: Boolean = false): DataFrame =
+    docsWithShingles(s, d, fan)
       .select(col("doc_id"), col("lang"), (col("n_chars") / 100).cast("long").as("lb"),
         col("shingles").as("sg"))
       .withColumn("sz", size(col("sg")))
@@ -649,7 +664,12 @@ object LlmOps {
     * point is the asymmetric-size pairs the length bucket discards. */
   private def pairStatsBlockedBy(
       s: SparkSession, d: String, useLenBucket: Boolean): DataFrame = {
-    val sh = shingleBlocks(s, d)
+    // lang-only blocking (q89) fans the docs out before shingling: its
+    // co-occurrence join explodes BOTH sides from the raw scan and the
+    // serial shingle chain dominated the profile (A/B r17: 3.4→1.6 s);
+    // the lb-blocked form feeds the ckpt'd shared inventory, where the
+    // same fan-out measured as a small loss — keep it serial there.
+    val sh = shingleBlocks(s, d, fan = !useLenBucket)
     val ex = sh.select(col("doc_id"), col("lang"), col("lb"), col("sz"),
       explode(col("sg")).as("shingle"))
     val a = ex.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
@@ -1236,7 +1256,7 @@ object LlmOps {
         |  AND len(list_intersect(a.sg, b.sg)) * 10
         |      >= $productionThreshold10 * len(list_distinct(list_concat(a.sg, b.sg)))
         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val docs = docsWithShingles(s, d)
+      val docs = docsWithShingles(s, d, fan = true) // A/B r17: 2.0 -> 1.1 s
         .filter(size(col("shingles")) > 0)
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
       val sig = docs
@@ -2524,7 +2544,7 @@ object LlmOps {
         |  CAST(sum(n_bp) AS BIGINT) AS boilerplate_shingles,
         |  CAST((1000000 * sum(n_bp)) // sum(n_sh) AS BIGINT) AS share_ppm
         |FROM pd GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-      val f = docsWithShingles(s, d)
+      val f = docsWithShingles(s, d) // A/B r17: fan-out is a +35% loss here
         .select(col("doc_id"), col("source"), col("shingles").as("sg"))
         .filter(size(col("sg")) > 0)
       val e = f.select(col("doc_id"), col("source"),
@@ -2617,7 +2637,7 @@ object LlmOps {
         |       // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT)
         |    AS simpson_ppm
         |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-      val f = docsWithShingles(s, d)
+      val f = docsWithShingles(s, d, fan = true) // A/B r17: ~-10%
         .select(col("doc_id"), col("source"), col("shingles").as("sg"))
         .filter(size(col("sg")) > 0)
         .select(col("doc_id"), col("source"), explode(col("sg")).as("shingle"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.plans.Ckpt.CkptOps
+import graft.plans.Spread.SpreadOps
 import graft.{Q, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.DataFrame
@@ -66,6 +67,10 @@ object MiningOps {
     * shingle sets — same construction as LlmOps.docsWithShingles. */
   private def shingledDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // NOT spread (cf. LlmOps.docsWithShingles): interleaved A/B
+      // measured the pre-shingle fan-out neutral for q110 and a ~10%
+      // loss for q113 — these consumers aggregate/window right after
+      // the explode, so the serial fused scan pipeline wins locally
       .withColumn("sg", array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3)))
       .filter(size(col("sg")) > 0)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("sg"))
