@@ -382,13 +382,21 @@ object MiningOps {
       val full = cal.join(daily, Seq("pri", "day"), "left")
       val prevW = Window.partitionBy("pri").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, 0)
-      val nextW = Window.partitionBy("pri").orderBy("day")
-        .rowsBetween(0, Window.unboundedFollowing)
+      // Next-observed lookups as a RUNNING frame over the reversed sort:
+      // `first(x) OVER (ORDER BY day ROWS CURRENT..UNBOUNDED FOLLOWING)`
+      // is an UnboundedFollowingWindowFunctionFrame, which Spark
+      // re-evaluates from scratch per row — O(rows²) per partition
+      // (ProfileOne r17: 2 × ~620 ms single-task window stages, the
+      // whole query's hot spot). Days are unique per pri (calendar), so
+      // `last(x ignore nulls)` over day DESC running is exactly equal
+      // and streams in O(rows); the extra per-partition sort is noise.
+      val nextW = Window.partitionBy("pri").orderBy(col("day").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
       full
         .withColumn("pv", last(col("cents"), ignoreNulls = true).over(prevW))
         .withColumn("pd", last(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(prevW))
-        .withColumn("nv", first(col("cents"), ignoreNulls = true).over(nextW))
-        .withColumn("nd", first(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(nextW))
+        .withColumn("nv", last(col("cents"), ignoreNulls = true).over(nextW))
+        .withColumn("nd", last(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(nextW))
         .withColumn("delta", datediff(col("day"), col("pd")).cast("long"))
         .withColumn("span", datediff(col("nd"), col("pd")).cast("long"))
         .select(col("pri"), col("day"),
