@@ -270,6 +270,9 @@ object LlmOps {
   private[graft] def simhashSigs(
       s: SparkSession, d: String): (DataFrame, DataFrame, Long) = {
     val v = simhashSigCache.getOrCompute(s, d) {
+      // NOT spread (unlike q216b): A/B r17 measured the fan-out +12%
+      // on q216c and +40% on q45 — this build is consumed through the
+      // cache, so its serial chain amortizes across consumers
       val tokens = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
       val sg = simhashAgg(tokens).ckpt()
@@ -1388,7 +1391,10 @@ object LlmOps {
          |FROM p WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY a_id, b_id""".stripMargin
     }) { (s, d) =>
-      val tokens = Tables.documents(s, d)
+      // fan out before the signature build: one sha256 per token makes
+      // the serial single-split chain this query's hot spot
+      // (ProfileOne r17: a 740 ms single-task stage; no-op at scale)
+      val tokens = Tables.documents(s, d).spread(col("doc_id"))
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
       val sig = simhash64Agg(tokens).ckpt() // members + distinct
       val uniq = sig.select("simhash", "bv0", "bv1", "bv2", "bv3")

@@ -285,7 +285,13 @@ object MiningOps {
       // same table. Set size = parts per order — a small constant in
       // any basket schema — so the in-group state is bounded and the
       // Σ|o|² pair fan-out happens map-side in the double explode.
+      // spread BEFORE the basket agg, keyed on the SAME column: the
+      // repartition replaces (not adds to) the groupBy exchange, pins
+      // 32-way partitioning through the AQE coalesce (which otherwise
+      // leaves the 5 MB basket shuffle at 3-4 tasks), and the pair
+      // fan-out explode inherits it (A/B r17; no-op at scale).
       val baskets = Tables.lineitem(s, d)
+        .spread(col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(collect_set(col("l_partkey")).as("parts"))
         .select(col("parts"))
@@ -579,6 +585,9 @@ object MiningOps {
         .agg(collect_set(col("l_partkey")).as("parts"))
         .select(col("parts"))
         .ckpt() // pair counts + item counts + total share it
+      // (q114's pre-agg fan-out measured NEUTRAL here — the three
+      // consumers overlap inside one job, so the serial basket build
+      // is off the critical path; A/B r17)
       val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
       val itemCnt = baskets.select(explode(col("parts")).as("item"))
         .groupBy("item").agg(count(lit(1)).as("icnt"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.plans.Ckpt.CkptOps
+import graft.plans.Spread.SpreadOps
 import graft.{Q, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -781,6 +782,8 @@ object TrainingOps {
            |) h""".stripMargin
       Seq(3, 5, 8).map(legSql).mkString("", "\nUNION ALL\n", "\nORDER BY n")
     }) { (s, d) =>
+      // NOT spread: the three legs' serial gram chains overlap inside
+      // one union job, so fanning them out measured +10% (A/B r17)
       val docs = Tables.documents(s, d)
       Seq(3, 5, 8).map { n =>
         val grams = docGrams(docs, n)
