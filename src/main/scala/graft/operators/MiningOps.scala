@@ -65,15 +65,19 @@ object MiningOps {
 
   /** (doc_id, lang, n_chars, sg) with non-empty distinct 3-gram
     * shingle sets — same construction as LlmOps.docsWithShingles. */
-  private def shingledDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      // NOT spread (cf. LlmOps.docsWithShingles): interleaved A/B
-      // measured the pre-shingle fan-out neutral for q110 and a ~10%
-      // loss for q113 — these consumers aggregate/window right after
-      // the explode, so the serial fused scan pipeline wins locally
+  /** `fan` (cf. LlmOps.docsWithShingles): interleaved A/B r17 measured
+    * the pre-shingle fan-out per consumer — neutral for q110, ~10%
+    * loss for q113 (their aggregates ride the serial fused scan
+    * pipeline fine), so the default stays serial; q174 opts in (its
+    * ckpt'd explode was a 0.9 s single-task critical-path stage). */
+  private def shingledDocs(s: org.apache.spark.sql.SparkSession, d: String,
+      fan: Boolean = false): DataFrame = {
+    val base = Tables.documents(s, d)
+    (if (fan) base.spread(col("doc_id")) else base)
       .withColumn("sg", array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3)))
       .filter(size(col("sg")) > 0)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("sg"))
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -534,6 +538,8 @@ object MiningOps {
         |  string_agg(CAST(delta AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |FROM dl GROUP BY w ORDER BY w""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
+      // NOT spread: A/B r17 measured the fan-out +15% here — the fused
+      // explode+partial-distinct compresses before its exchange
       val u = docs
         .select(col("doc_id"),
           explode(TextFns.shingles(TextFns.tokens(col("text")), 2)).as("w"))
@@ -743,7 +749,7 @@ object MiningOps {
          |    AS BIGINT)) // CAST(count(*) AS BIGINT) AS novelty_ppm
          |FROM e LEFT JOIN ref USING (sg) WHERE e.doc_id % 2 = 1
          |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val e = shingledDocs(s, d)
+      val e = shingledDocs(s, d, fan = true) // A/B r17: see shingledDocs doc
         .select(col("doc_id"), explode(col("sg")).as("sg"))
         .ckpt() // reference distinct + candidate side
       val ref = e.filter(col("doc_id") % 2 === 0)
