@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.plans.Ckpt.CkptOps
+import graft.plans.Spread.SpreadOps
 import graft.{Q, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.DataFrame

@@ -2426,7 +2426,7 @@ object LlmOps {
       val mx = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
       // consumed by BOTH the index side and the delta probe side —
       // without the checkpoint the scan+shingle pipeline runs twice
-      val sh = shingleBlocks(s, d).ckpt()
+      val sh = shingleBlocks(s, d).ckpt() // (fan-out A/B'd r17: +15%, stays serial)
       val delta = sh.crossJoin(broadcast(mx))
         .where(col("doc_id") * 10 > col("mx") * 9).drop("mx")
       deltaNearDupProbe(sh, delta, productionThreshold10)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.plans.Ckpt.CkptOps
+import graft.plans.Spread.SpreadOps
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
