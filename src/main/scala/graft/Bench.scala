@@ -11,6 +11,17 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Host-load stamps (VERDICT r17 #2): the r17 32-core capture was
+    // contaminated by external host load (untouched queries at 15-60x
+    // their adjacent-window values); recording /proc/loadavg at start
+    // and end lets a consumer of this JSON adjudicate a contended
+    // window from the capture itself instead of from prose.
+    def load1m: String =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0) finally src.close()
+      } catch { case _: Throwable => "-1" }
+    val loadStart = load1m
     val spark = GraftSession.create()
 
     // Warm up the JVM/codegen/parquet-reader paths once so the first
@@ -165,6 +176,35 @@ object Bench {
       if (verdicts.isEmpty) ""
       else verdicts.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(""","steady_verdict":{""", ",", "}")
+    // Confirm-rep for contended-window spikes (VERDICT r17 #2,
+    // additions-only): a production query whose in-bench time exceeded
+    // 3x its adjudicated steady ceiling is either a real regression or
+    // a contended measurement window — one post-sweep rep tells the
+    // two apart inside the capture itself. Queries already re-measured
+    // by the steady block are skipped (their steady value IS the
+    // confirmation); the in-bench number stays in `queries` untouched.
+    val confirm: Seq[(String, Double)] =
+      if (ranges.isEmpty) Seq.empty
+      else {
+        val steadyNames = steady.map(_._1).toSet
+        results.collect {
+          case (k, Some(v)) if !baselineNames.contains(k) &&
+              !steadyNames.contains(k) &&
+              ranges.get(k).exists { case (_, hi) => v > 3 * hi } => k
+        }.flatMap { name =>
+          try Some(name -> runOnce(name))
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] confirm $name failed: ${e.getMessage}")
+              None
+          }
+        }
+      }
+    val confirmField =
+      if (confirm.isEmpty) ""
+      else confirm.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString(""","confirm":{""", ",", "}")
+    val loadField = s""","load":[$loadStart,$load1m]"""
     val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
@@ -211,7 +251,7 @@ object Bench {
         "STEADY_RANGES.json + NOTES.md): " + above.mkString("; "))
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_production":${fmt(totalProduction)},"queries":$qs$failedField$baselineField$steadyField$verdictField$totalVerdictField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_production":${fmt(totalProduction)},"queries":$qs$failedField$baselineField$steadyField$verdictField$totalVerdictField$confirmField$loadField,"sf":"$sfDir"}"""
     // Durable outputs resolve against a FIXED base (ADVICE r9): the
     // env-configured output dir when set, else the launch directory —
     // never a bare relative path that silently follows a changed cwd.
@@ -239,7 +279,7 @@ object Bench {
     val headline =
       slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_production":${fmt(totalProduction)}$totalVerdictField,"n_queries":${results.size},"n_ok":${results.count(_._2.isDefined)},"queries":{$headline},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_production":${fmt(totalProduction)}$totalVerdictField,"n_queries":${results.size},"n_ok":${results.count(_._2.isDefined)},"queries":{$headline}$loadField,"sf":"$sfDir"}"""
     // Durable + greppable copies of the compact headline (VERDICT r8
     // #5 — five rounds of "parsed": null). The driver's tail capture
     // keeps ~2000 chars of stdout and sbt appends an epilogue after

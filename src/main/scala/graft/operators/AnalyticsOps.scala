@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.plans.Ckpt.CkptOps
-import graft.plans.Spread.SpreadOps
 import graft.{Q, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.DataFrame
@@ -1436,6 +1435,8 @@ object AnalyticsOps {
         |  CAST(count(*) OVER (ORDER BY mo
         |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS t12_n
         |FROM m ORDER BY mo""".stripMargin) { (s, d) =>
+      // single-partition window BY CONSTRUCTION: months-sized monthly
+      // aggregate, never the fact (r18 audit).
       val w = Window.orderBy("mo").rowsBetween(-11, 0)
       Tables.orders(s, d)
         .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)

@@ -1513,6 +1513,8 @@ object LlmOps {
         .groupBy("token").agg(min(col("doc_id")).as("fd"))
       val decile = (1 to 9).map(k =>
         when(col("fd") > col(s"t$k"), 1L).otherwise(0L)).reduce(_ + _) + lit(1L)
+      // single-partition window BY CONSTRUCTION: 10 decile rows after
+      // the groupBy below, never the token frame (r18 audit).
       val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
       fo.crossJoin(broadcast(thr))
         .groupBy(decile.as("decile"))

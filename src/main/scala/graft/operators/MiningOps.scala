@@ -923,6 +923,9 @@ object MiningOps {
         .ckpt() // feeds the span aggregate AND the calendar join
       val cal = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
         .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+      // single-partition window BY CONSTRUCTION: runs over the
+      // calendar-days frame (years of data = thousands of rows), never
+      // the fact table (r18 audit).
       val w = Window.orderBy("day").rowsBetween(-6, 0)
       cal.join(daily, Seq("day"), "left")
         .withColumn("cents", coalesce(col("cents"), lit(0L)))
@@ -959,6 +962,8 @@ object MiningOps {
         .withColumn("bkt", expr("datediff(day, DATE '1970-01-05') div 32"))
       val cum = graft.plans.PrefixScan.cumsum(daily, part = Seq(),
         bucket = "bkt", order = Seq("day"), value = "cents", out = "cum")
+      // single-partition window BY CONSTRUCTION: over the daily
+      // aggregate (days-sized frame), never the fact (r18 audit).
       val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
       cum.withColumn("peak_daily", max(col("cents")).over(w))
         .withColumn("drawdown", col("peak_daily") - col("cents"))
@@ -999,6 +1004,8 @@ object MiningOps {
       val t = daily.agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
       val cum = graft.plans.PrefixScan.cumsum(daily, part = Seq(),
         bucket = "bkt", order = Seq("day"), value = "cents", out = "cum")
+      // single-partition window BY CONSTRUCTION: days-sized daily
+      // aggregate, never the fact (r18 audit).
       val dayWin = Window.orderBy("day")
       val c = cum.withColumn("idx", row_number().over(dayWin).cast("long"))
         .crossJoin(broadcast(t))

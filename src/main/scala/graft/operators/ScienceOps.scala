@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.plans.Ckpt.CkptOps
-import graft.plans.Spread.SpreadOps
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -573,6 +572,8 @@ object ScienceOps {
             month(col("o_orderdate").cast("date"))).cast("long").as("mi")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("mi").agg(sum(col("cents")).as("c"))
+      // single-partition window BY CONSTRUCTION: months-sized monthly
+      // aggregate, never the fact (r18 audit).
       val wOrd = Window.orderBy(col("mi"))
       val r = mt.select(col("mi"), col("c"),
         row_number().over(wOrd).as("rn"),
@@ -865,6 +866,8 @@ object ScienceOps {
         .agg(count(lit(1)).as("n_end"),
           sum(when(col("cens"), 0L).otherwise(1L)).as("n_churned"),
           sum(when(col("cens"), 1L).otherwise(0L)).as("n_censored"))
+      // single-partition window BY CONSTRUCTION: tenure-bucket frame
+      // (half-years, tens of rows), never the fact (r18 audit).
       val wDesc = Window.orderBy(col("tm").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       g.select(col("tm").as("tenure_hy"),

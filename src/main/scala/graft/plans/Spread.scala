@@ -37,9 +37,29 @@ object Spread {
   implicit final class SpreadOps(private val df: DataFrame) extends AnyVal {
     def spread(keys: Column*): DataFrame = {
       if (!enabled || Ckpt.auditMode) return df
-      val par = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions * 2 >= par) df
-      else df.repartition(par, keys: _*)
+      // Enforce the exchange-free-lineage precondition (ADVICE r17):
+      // on a shuffled lineage the getNumPartitions probe below would
+      // eagerly materialize AQE query stages at PLAN time. Rather than
+      // rely on call-site discipline alone, detect shuffle-introducing
+      // logical operators and degrade to a loud no-op — the safe
+      // behavior (plan shape unchanged) for a misplaced call.
+      import org.apache.spark.sql.catalyst.plans.logical._
+      val shuffled = df.queryExecution.analyzed.collectFirst {
+        case p @ (_: Join | _: Aggregate | _: Distinct | _: Deduplicate |
+                  _: Window | _: RepartitionOperation) => p
+        case p: Sort if p.global => p
+      }
+      shuffled match {
+        case Some(p) =>
+          System.err.println("[spread] precondition violated: lineage " +
+            s"contains ${p.nodeName} — spread() is a no-op here (call it " +
+            "only on scan+narrow lineages; see Spread scaladoc)")
+          df
+        case None =>
+          val par = df.sparkSession.sparkContext.defaultParallelism
+          if (df.rdd.getNumPartitions * 2 >= par) df
+          else df.repartition(par, keys: _*)
+      }
     }
   }
 }

@@ -53,9 +53,11 @@ object ProfileOne {
     val warm2 = once()
     spark.sparkContext.addSparkListener(listener)
     val t = once()
-    spark.sparkContext.removeSparkListener(listener)
-    // listener events drain asynchronously; give the bus a moment
+    // Drain the async listener bus BEFORE detaching (ADVICE r17):
+    // events still queued at removal are silently dropped and the
+    // profile under-reports stages.
     Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(listener)
     println(f"PROFILE $name warm1=$warm1%.2f warm2=$warm2%.2f measured=$t%.2f s, ${stages.size} stages")
     val sorted = stages.sortBy(-_.wallMs)
     sorted.take(25).foreach { s =>
