@@ -297,17 +297,32 @@ object MiningOps {
       val baskets = Tables.lineitem(s, d)
         .spread(col("l_orderkey"))
         .groupBy(col("l_orderkey"))
-        .agg(collect_set(col("l_partkey")).as("parts"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
         .select(col("parts"))
       // Measured alternative: repartition(part) before the agg would
       // collapse the agg + window exchanges into one, but losing the
       // map-side partial aggregate cost more than the saved shuffle
       // (4.8 s vs 3.5 s at sf0.1) — keep the two-exchange shape.
+      //
+      // r18 (VERDICT #1): generate each UNORDERED pair exactly once —
+      // the basket is sorted, the outer posexplode pins element i, and
+      // the inner explode walks only the SUFFIX parts[i+1..] — so the
+      // quadratic fan-out and the pair shuffle halve (Σ|o|²/2 rows
+      // with part < co_part). cnt is symmetric, so the (co_part, part)
+      // orientation is reconstituted AFTER the aggregate by a 2-array
+      // explode on the counted frame (single lineage — no self-union,
+      // nothing computed twice). A/B at sf0.1: pair stage task_sum
+      // 26.0 s → 11.5 s, steady 2.07 → 1.5 s.
       val pc = baskets
-        .select(explode(col("parts")).as("part"), col("parts"))
-        .select(col("part"), explode(col("parts")).as("co_part"))
-        .filter(col("part") =!= col("co_part"))
+        .select(posexplode(col("parts")).as(Seq("i", "part")), col("parts"))
+        .select(col("part"), explode(slice(col("parts"), col("i") + lit(2),
+          size(col("parts")) - col("i") - lit(1))).as("co_part"))
         .groupBy("part", "co_part").agg(count(lit(1)).as("cnt"))
+        .select(explode(array(
+            struct(col("part"), col("co_part")),
+            struct(col("co_part").as("part"), col("part").as("co_part")))).as("pr"),
+          col("cnt"))
+        .select(col("pr.part").as("part"), col("pr.co_part").as("co_part"), col("cnt"))
       val w = Window.partitionBy("part").orderBy(col("cnt").desc, col("co_part"))
       pc.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
