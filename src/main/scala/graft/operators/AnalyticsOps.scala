@@ -254,12 +254,14 @@ object AnalyticsOps {
       val byVal = c.groupBy("k", "c").agg(count(lit(1)).as("cnt"))
         .withColumn("bkt", (col("c") / 100000L).cast("long"))
         .ckpt() // feeds cumsum's two sides + the count side
+      // n rides the cumsum's offsets broadcast (r18) — no separate
+      // per-k count aggregate + broadcast join.
       val cum = graft.plans.PrefixScan.cumsum(byVal, part = Seq("k"),
-        bucket = "bkt", order = Seq("c"), value = "cnt", out = "cum")
-      val n = byVal.groupBy("k").agg(sum(col("cnt")).as("n"))
+        bucket = "bkt", order = Seq("c"), value = "cnt", out = "cum",
+        totals = Seq("cnt" -> "n"))
       def at(idx: org.apache.spark.sql.Column) =
         max(when(col("cum") - col("cnt") <= idx && idx < col("cum"), col("c")))
-      val q = cum.join(broadcast(n), "k").groupBy("k")
+      val q = cum.groupBy("k")
         .agg(max(col("n")).as("n"),
           at(expr("((n - 1) * 25) div 100")).as("q1"),
           at(expr("((n - 1) * 75) div 100")).as("q3"))
@@ -395,10 +397,13 @@ object AnalyticsOps {
       // the value whose cumulative-rank range covers (n−1) div 2.
       def lowerMedian(byVal0: DataFrame, out: String): DataFrame = {
         val byVal = byVal0.withColumn("bkt", (col("v") / 1000000L).cast("long"))
+        // n rides the cumsum's offsets broadcast (r18): the separate
+        // per-k count aggregate + broadcast join this pass used to pay
+        // is the same number the offsets table already sums.
         val cum = graft.plans.PrefixScan.cumsum(byVal, part = Seq("k"),
-          bucket = "bkt", order = Seq("v"), value = "cnt", out = "cum")
-        val n = byVal.groupBy("k").agg(sum(col("cnt")).as("n"))
-        cum.join(broadcast(n), "k")
+          bucket = "bkt", order = Seq("v"), value = "cnt", out = "cum",
+          totals = Seq("cnt" -> "n"))
+        cum
           .filter(col("cum") - col("cnt") <= expr("(n - 1) div 2")
             && expr("(n - 1) div 2") < col("cum"))
           .groupBy("k").agg(max(col("n")).as("n"), max(col("v")).as(out))

@@ -457,11 +457,13 @@ object AuditOps {
         .agg(count(lit(1)).as("cnt"))
         .withColumn("bkt", (col("x") / 64L).cast("long"))
         .ckpt() // feeds cumsum's two sides + the totals
-      val cum = graft.plans.PrefixScan.cumsum(byVal, part = Seq("source"),
-        bucket = "bkt", order = Seq("x"), value = "cnt", out = "cum")
-      val tot = byVal.groupBy("source")
-        .agg(sum(col("cnt")).as("n"), sum(col("x") * col("cnt")).as("sx"))
-      cum.join(broadcast(tot), "source")
+      // n and sx ride the cumsum's offsets broadcast (r18) — the
+      // separate per-source totals aggregate + broadcast join drop.
+      val cum = graft.plans.PrefixScan.cumsum(
+        byVal.withColumn("xc", col("x") * col("cnt")), part = Seq("source"),
+        bucket = "bkt", order = Seq("x"), value = "cnt", out = "cum",
+        totals = Seq("cnt" -> "n", "xc" -> "sx"))
+      cum
         .withColumn("r", col("cum") - col("cnt")) // exclusive prefix count
         .withColumn("contrib",
           col("x") * (lit(2) * col("r") * col("cnt")
@@ -707,12 +709,14 @@ object AuditOps {
         .agg(sum(col("early")).as("n_a"), sum(lit(1L) - col("early")).as("n_b"))
         .withColumn("bkt", expr("v div 5000000"))
         .ckpt() // feeds two cumsums + the totals
+      // ta/tb ride the outer cumsum's offsets broadcast (r18) — the
+      // separate totals aggregate + crossJoin drop.
       val cum = graft.plans.PrefixScan.cumsum(
         graft.plans.PrefixScan.cumsum(byVal, part = Seq(), bucket = "bkt",
           order = Seq("v"), value = "n_a", out = "cum_a"),
-        part = Seq(), bucket = "bkt", order = Seq("v"), value = "n_b", out = "cum_b")
-      val t = byVal.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
-      cum.crossJoin(broadcast(t))
+        part = Seq(), bucket = "bkt", order = Seq("v"), value = "n_b", out = "cum_b",
+        totals = Seq("n_a" -> "ta", "n_b" -> "tb"))
+      cum
         .select(col("ta"), col("tb"),
           abs(col("cum_a") * col("tb") - col("cum_b") * col("ta")).as("dd"))
         .groupBy("ta", "tb").agg(max(col("dd")).as("d_num"))

@@ -338,10 +338,11 @@ object CorpusOps {
       // 0-based rank (n−1) div 2.
       def lowerMedian(byVal: DataFrame, out: String): DataFrame = {
         val bk = byVal.withColumn("bkt", (col("v") / 1000000000L).cast("long"))
-        val cum = graft.plans.PrefixScan.cumsum(bk, part = Seq(),
-          bucket = "bkt", order = Seq("v"), value = "cnt", out = "cum")
-        val n = byVal.agg(sum(col("cnt")).as("n"))
-        cum.crossJoin(broadcast(n))
+        // n rides the cumsum's offsets broadcast (r18) — no separate
+        // total aggregate + crossJoin.
+        graft.plans.PrefixScan.cumsum(bk, part = Seq(),
+            bucket = "bkt", order = Seq("v"), value = "cnt", out = "cum",
+            totals = Seq("cnt" -> "n"))
           .filter(col("cum") - col("cnt") <= expr("(n - 1) div 2")
             && expr("(n - 1) div 2") < col("cum"))
           .agg(max(col("v")).as(out))

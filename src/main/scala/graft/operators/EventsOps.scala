@@ -602,15 +602,15 @@ object EventsOps {
         .groupBy("user_id").agg(min(col("ts")).as("pts"))
       val dl = v.join(p, "user_id")
         .select(expr("timestampdiff(MICROSECOND, vts, pts)").as("us"))
+      // n rides the cumsum's offsets broadcast (r18) — the separate
+      // total aggregate + crossJoin (and the ckpt that fed it) drop.
       val vc = dl.groupBy("us").agg(count(lit(1)).as("cnt"))
         .withColumn("bkt", (col("us") / 3600000000L).cast("long"))
-        .ckpt() // cumsum + total
       val cm = graft.plans.PrefixScan.cumsum(vc, part = Seq(), bucket = "bkt",
-        order = Seq("us"), value = "cnt", out = "cum")
-      val k = vc.agg(sum(col("cnt")).as("n"))
-        .select(col("n"), expr("(n + 1) div 2").as("k50"),
-          expr("(9 * n + 9) div 10").as("k90"))
-      cm.crossJoin(broadcast(k))
+        order = Seq("us"), value = "cnt", out = "cum",
+        totals = Seq("cnt" -> "n"))
+      cm.withColumn("k50", expr("(n + 1) div 2"))
+        .withColumn("k90", expr("(9 * n + 9) div 10"))
         .groupBy("n")
         .agg(min(when(col("cum") >= col("k50"), col("us"))).as("median_us"),
           min(when(col("cum") >= col("k90"), col("us"))).as("p90_us"))
@@ -697,14 +697,16 @@ object EventsOps {
           expr("timestampdiff(MICROSECOND, pts, ts)").as("gap"))
         .groupBy("event_type", "wk", "gap").agg(count(lit(1)).as("cnt"))
         .withColumn("bkt", (col("gap") / 3600000000L).cast("long"))
-        .ckpt() // cumsum + group sizes
+      // n rides the cumsum's offsets broadcast (r18) — the separate
+      // group-sizes aggregate + broadcast join (and the ckpt that fed
+      // it) drop; cumsum's own two consumers share the lag-window
+      // exchange via ReusedExchange.
       val cm = graft.plans.PrefixScan.cumsum(vc,
         part = Seq("event_type", "wk"), bucket = "bkt",
-        order = Seq("gap"), value = "cnt", out = "cum")
-      val k = vc.groupBy("event_type", "wk").agg(sum(col("cnt")).as("n"))
-        .select(col("event_type"), col("wk"), col("n"),
-          expr("(n + 1) div 2").as("k50"), expr("(9 * n + 9) div 10").as("k90"))
-      cm.join(broadcast(k), Seq("event_type", "wk"))
+        order = Seq("gap"), value = "cnt", out = "cum",
+        totals = Seq("cnt" -> "n"))
+      cm.withColumn("k50", expr("(n + 1) div 2"))
+        .withColumn("k90", expr("(9 * n + 9) div 10"))
         .groupBy("event_type", "wk", "n")
         .agg(min(when(col("cum") >= col("k50"), col("gap"))).as("p50_us"),
           min(when(col("cum") >= col("k90"), col("gap"))).as("p90_us"))
@@ -763,16 +765,18 @@ object EventsOps {
         |  (1000000 * CAST(sum(r.n_ev) AS BIGINT)) // t.te AS share_ppm
         |FROM r CROSS JOIN t GROUP BY decile, t.te
         |ORDER BY decile""".stripMargin) { (s, d) =>
+      // nu and te ride the cumsum's offsets broadcast (r18) — the
+      // separate totals aggregate + crossJoin (and the ckpt that fed
+      // it) drop; cumsum's two consumers share the user aggregate's
+      // exchange via ReusedExchange.
       val c = Tables.events(s, d)
         .groupBy("user_id").agg(count(lit(1)).as("n_ev"))
         .withColumn("negc", -col("n_ev"))
         .withColumn("bkt", expr("negc div 16"))
         .withColumn("one", lit(1L))
-        .ckpt() // rank scan + totals
-      val t = c.agg(count(lit(1)).as("nu"), sum(col("n_ev")).as("te"))
       graft.plans.PrefixScan.cumsum(c, part = Seq(), bucket = "bkt",
-          order = Seq("negc", "user_id"), value = "one", out = "rk")
-        .crossJoin(broadcast(t))
+          order = Seq("negc", "user_id"), value = "one", out = "rk",
+          totals = Seq("one" -> "nu", "n_ev" -> "te"))
         .withColumn("decile", expr("((rk - 1) * 10) div nu"))
         .groupBy("decile", "te")
         .agg(count(lit(1)).as("n_users"), min(col("n_ev")).as("min_ev"),

@@ -30,10 +30,11 @@ object Extras {
       .select(col("l_returnflag").as("k"), col("l_extendedprice").as("v"))
     val grouped = li.groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
       .withColumn("bkt", floor(col("v") / 1000.0).cast("long"))
-    val cum = graft.plans.PrefixScan.cumsum(grouped, part = Seq("k"),
-      bucket = "bkt", order = Seq("v"), value = "c", out = "cum")
-    val n = li.groupBy(col("k")).agg(count(lit(1)).as("n"))
-    val j = cum.join(broadcast(n), "k")
+    // n rides the cumsum's offsets broadcast (r18): the separate
+    // groupBy(k).count was a SECOND full scan of lineitem.
+    val j = graft.plans.PrefixScan.cumsum(grouped, part = Seq("k"),
+      bucket = "bkt", order = Seq("v"), value = "c", out = "cum",
+      totals = Seq("c" -> "n"))
     def rank(p: Double): Column = (col("n") - 1).cast("double") * lit(p)
     def at(idx: Column): Column =
       max(when(col("cum") - col("c") <= idx && idx < col("cum"), col("v")))

@@ -672,6 +672,14 @@ object LlmOps {
     // serial shingle chain dominated the profile (A/B r17: 3.4→1.6 s);
     // the lb-blocked form feeds the ckpt'd shared inventory, where the
     // same fan-out measured as a small loss — keep it serial there.
+    // r18 scan-once A/B (VERDICT #3), REJECTED: ckpt'ing the compact
+    // shingled frame for the lang-only (q89) path so tokenize+shingle
+    // runs once instead of once per join side measured 2.3-3.2 s
+    // steady vs 1.6-1.7 s without (BenchOne sf0.1/32c) — the serial
+    // localCheckpoint write+read barrier of the array column costs
+    // more than the ~0.24 s of duplicated 32-way shingle work it
+    // saves, and the spread exchange is already reused by both sides
+    // (one documents scan, ReusedExchange in the plan).
     val sh = shingleBlocks(s, d, fan = !useLenBucket)
     val ex = sh.select(col("doc_id"), col("lang"), col("lb"), col("sz"),
       explode(col("sg")).as("shingle"))

@@ -825,18 +825,21 @@ object MiningOps {
         .join(c, Seq("source", "bin"), "left")
         .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
         .withColumn("bkt", expr("bin div 4"))
+      // ts and t ride their cumsums' offsets broadcasts (r18): the
+      // grid's zero-filled rows add nothing to sum(cnt) per source, so
+      // the riding per-source total equals the separate aggregate this
+      // used to pay; the global t likewise rides gcum. Two aggregates
+      // + two broadcast joins drop.
       val cum = graft.plans.PrefixScan.cumsum(grid, part = Seq("source"),
-        bucket = "bkt", order = Seq("bin"), value = "cnt", out = "cum_s")
+        bucket = "bkt", order = Seq("bin"), value = "cnt", out = "cum_s",
+        totals = Seq("cnt" -> "ts"))
       val gcum = graft.plans.PrefixScan.cumsum(
         c.groupBy("bin").agg(sum(col("cnt")).as("gcnt"))
           .withColumn("bkt", expr("bin div 4")),
         part = Seq(), bucket = "bkt", order = Seq("bin"), value = "gcnt",
-        out = "cum_g").select(col("bin"), col("cum_g"))
-      val t = c.groupBy("source").agg(sum(col("cnt")).as("ts"))
-      val tt = c.agg(sum(col("cnt")).as("t"))
+        out = "cum_g", totals = Seq("gcnt" -> "t"))
+        .select(col("bin"), col("cum_g"), col("t"))
       cum.join(broadcast(gcum), Seq("bin"))
-        .join(broadcast(t), Seq("source"))
-        .crossJoin(broadcast(tt))
         .withColumn("tc", col("t") - col("ts"))
         .withColumn("dd",
           abs(col("cum_s") * col("tc") - (col("cum_g") - col("cum_s")) * col("ts")))

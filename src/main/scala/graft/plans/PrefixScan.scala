@@ -19,16 +19,33 @@ object PrefixScan {
 
   /** Adds `out` = running sum of `value` over rows ordered by
     * (`bucket`, `order`...) within each `part` group. `value` must be
-    * a LongType column (the offsets default to 0L). */
+    * a LongType column (the offsets default to 0L).
+    *
+    * `totals` (r18): optionally also attach per-`part` GRAND totals —
+    * each (inCol, outName) entry adds outName = sum(inCol) over the
+    * whole part. They ride the offsets side table (one whole-partition
+    * window over the buckets-sized frame) and the already-present
+    * broadcast join, so consumers that need n = sum(value) per part —
+    * every rank-target percentile/median pass — skip their separate
+    * aggregate + broadcast join of the same number. */
   def cumsum(df: DataFrame, part: Seq[String], bucket: String,
-      order: Seq[String], value: String, out: String): DataFrame = {
+      order: Seq[String], value: String, out: String,
+      totals: Seq[(String, String)] = Nil): DataFrame = {
     val pb = part :+ bucket
     val offWin = Window.partitionBy(part.map(col): _*).orderBy(col(bucket))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = df.groupBy(pb.map(col): _*)
-      .agg(sum(col(value)).as("__bc"))
+    // single-partition window only when `part` is empty — and then BY
+    // CONSTRUCTION over the buckets-sized aggregate, never the fact
+    val totWin = Window.partitionBy(part.map(col): _*)
+    val offsets0 = df.groupBy(pb.map(col): _*)
+      .agg(sum(col(value)).as("__bc"),
+        totals.map { case (in, _) => sum(col(in)).as("__t_" + in) }: _*)
       .withColumn("__off", coalesce(sum(col("__bc")).over(offWin), lit(0L)))
-      .select(pb.map(col) :+ col("__off"): _*)
+    val offsets = totals
+      .foldLeft(offsets0) { case (f, (in, outName)) =>
+        f.withColumn(outName, sum(col("__t_" + in)).over(totWin))
+      }
+      .select(pb.map(col) ++ (col("__off") +: totals.map(t => col(t._2))): _*)
     val localWin = Window.partitionBy(pb.map(col): _*)
       .orderBy(order.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
