@@ -782,22 +782,37 @@ object TrainingOps {
            |) h""".stripMargin
       Seq(3, 5, 8).map(legSql).mkString("", "\nUNION ALL\n", "\nORDER BY n")
     }) { (s, d) =>
-      // NOT spread: the three legs' serial gram chains overlap inside
-      // one union job, so fanning them out measured +10% (A/B r17)
-      val docs = Tables.documents(s, d)
-      Seq(3, 5, 8).map { n =>
-        val grams = docGrams(docs, n)
-        val evalG = grams.filter(col("doc_id") % 97 === 0)
-          .select(explode(col("gs")).as("gram")).distinct()
-        sharedGramCounts(grams.filter(col("doc_id") % 97 =!= 0), evalG)
-          .agg(count(lit(1)).as("n_train"),
-            sum(when(col("shared") > 0, 1L).otherwise(0L)).as("n_contaminated"),
-            sum(col("shared")).as("total_shared"))
-          .select(lit(n.toLong).as("n"), col("n_train"),
-            col("n_contaminated"),
-            expr("(1000000 * n_contaminated) div n_train").as("contaminated_ppm"),
-            col("total_shared"))
-      }.reduce(_ unionByName _).orderBy(col("n"))
+      // r18 rewrite (was: three independent per-n legs, ProfileOne
+      // showed them running SERIALLY as three single-task 0.5-1.2 s
+      // gram chains — the r17 spread A/B on THAT shape measured +10%
+      // because each leg bought its own exchange): tokenize once, tag
+      // every width's distinct grams into ONE (n, gram) frame via a
+      // 3-struct explode, spread the compact words frame so the gram
+      // build + broadcast probe run 32-way, and finish with one
+      // (n-keyed) eval broadcast + one aggregation — 3 scans → 1,
+      // 3 broadcasts → 1. Per-(n, doc) semantics identical
+      // (explode_outer keeps 0-gram docs; n_train counts per n).
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+        .spread(col("doc_id"))
+      val g = words.select(col("doc_id"), explode(array(
+          Seq(3, 5, 8).map(n => struct(lit(n.toLong).as("n"),
+            array_distinct(TextFns.shingles(col("w"), n)).as("gs"))): _*)).as("t"))
+        .select(col("doc_id"), col("t.n").as("n"), col("t.gs").as("gs"))
+      val evalG = g.filter(col("doc_id") % 97 === 0)
+        .select(col("n"), explode(col("gs")).as("gram")).distinct()
+      g.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("n"), explode_outer(col("gs")).as("gram"))
+        .join(broadcast(evalG.withColumn("hit", lit(1))), Seq("n", "gram"), "left")
+        .groupBy("n", "doc_id").agg(count(when(col("hit") === 1, 1)).as("shared"))
+        .groupBy("n")
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("shared") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+          sum(col("shared")).as("total_shared"))
+        .select(col("n"), col("n_train"), col("n_contaminated"),
+          expr("(1000000 * n_contaminated) div n_train").as("contaminated_ppm"),
+          col("total_shared"))
+        .orderBy(col("n"))
     },
 
     // Contamination EXTENT — q73 flags docs sharing ANY eval 5-gram;

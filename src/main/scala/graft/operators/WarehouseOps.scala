@@ -210,6 +210,14 @@ object WarehouseOps {
         |ORDER BY supplier_cnt DESC, brand, ptype, psize""".stripMargin) { (s, d) =>
       val excluded = Tables.supplier(s, d).where(col("s_acctbal") < 1000)
         .select(col("s_suppkey"))
+      // r18 A/B, REJECTED: dropping the pre-distinct (count(DISTINCT)
+      // dedups per group anyway, partial agg keyed (group, suppkey))
+      // removes one exchange but measured a wash-to-worse (BenchOne
+      // same-window: 1.5-2.3 s with distinct vs 1.8-2.9 s without) —
+      // the surviving countDistinct exchange carries (brand, type,
+      // size, suppkey) STRING keys where the dropped one carried two
+      // longs, so the bytes saved by the removed exchange come back
+      // wider on the remaining one (§2.3: narrower types win).
       Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
         .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
         .distinct()
