@@ -179,10 +179,15 @@ object GraphOps {
       // no per-iteration deg join. (count(*) over a window keyed like
       // the groupBy would be a second shuffle; the self-join agg shape
       // lets both sides share the src partitioning.)
-      val deg = eSym.groupBy("src").agg(count(lit(1)).as("deg"))
+      // r18: deg is checkpointed and doubles as the NODE LIST — the
+      // symmetric edge table puts every node in src, so deg's keys ARE
+      // the distinct nodes. The previous edges.select(src).distinct()
+      // re-aggregated the full edge table (plus a second ckpt + a
+      // count over it) for a frame deg already contains.
+      val deg = eSym.groupBy("src").agg(count(lit(1)).as("deg")).ckpt()
       val edges = eSym.join(deg, "src").ckpt()
-      val nodes = edges.select(col("src").as("id")).distinct().ckpt()
-      val n = nodes.count()
+      val nodes = deg.select(col("src").as("id"))
+      val n = deg.count()
       // ranks (one row per node) is usually orders of magnitude smaller
       // than edges — below MaxBroadcastRankNodes it is broadcast each
       // round, leaving the edge table in place so the only shuffle per

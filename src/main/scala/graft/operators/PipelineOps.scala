@@ -824,6 +824,10 @@ object PipelineOps {
         |    END AS BIGINT) AS spearman_bp
         |FROM f ORDER BY source""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
+      // r18 spread A/B on the unigramStats feed, REJECTED: interleaved
+      // AbConf (graft.spread) med 3.67 s (on) vs 2.87 s (off) — the
+      // fused explode+two-level-aggregate downstream loses to the
+      // extra exchange, the same pattern r17 recorded at q269.
       val u = TrainingOps.unigramStats(docs)
       val sig = docs.select(col("doc_id"), col("source"), col("n_chars").as("x"))
         .join(u.select(col("doc_id"), col("nw"), col("nd")), "doc_id")
