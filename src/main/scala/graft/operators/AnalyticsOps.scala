@@ -783,7 +783,6 @@ object AnalyticsOps {
         .select(col("cust"), datediff(col("mx"), col("lastd")).cast("long").as("r"),
           col("f"), col("m"))
         .ckpt() // the stacked threshold scan + the scoring pass
-      val nRow = v.agg(count(lit(1)).as("n"))
       // All three quartile-threshold computations fused into ONE pass:
       // stack (dim, val) via explode (3 rows per customer — still
       // customer-sized), one groupBy(dim, val), one PrefixScan
@@ -798,9 +797,12 @@ object AnalyticsOps {
         .select(col("e.dim").as("dim"), col("e.val").as("val"))
       val vc = stacked.groupBy("dim", "val").agg(count(lit(1)).as("cnt"))
         .withColumn("bkt", expr("val div 1024"))
+      // n rides the cumsum's offsets broadcast (r18): each dim stacks
+      // exactly one row per customer, so the per-dim riding total IS
+      // the customer count the separate aggregate + crossJoin computed.
       val thr = graft.plans.PrefixScan.cumsum(vc, part = Seq("dim"),
-          bucket = "bkt", order = Seq("val"), value = "cnt", out = "cum")
-        .crossJoin(broadcast(nRow))
+          bucket = "bkt", order = Seq("val"), value = "cnt", out = "cum",
+          totals = Seq("cnt" -> "n"))
         .groupBy("dim")
         .agg(min(when(col("cum") >= expr("(n + 3) div 4"), col("val"))).as("t1"),
           min(when(col("cum") >= expr("(n + 1) div 2"), col("val"))).as("t2"),
